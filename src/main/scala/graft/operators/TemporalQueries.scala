@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: as-of join, bounded range join, and event-time
+  * windows (tumbling / sliding / session) expressed in batch mode — the
+  * same `window`/`session_window` expressions Structured Streaming uses
+  * (see graft.streaming), so the batch oracle verifies the streaming
+  * semantics too.
+  *
+  * The as-of join is implemented with the scalable union+last-value trick
+  * (one shuffle on user_id, no point-in-time cross product): union both
+  * streams, sort within user by time, carry the latest left-side value
+  * forward with last(ignoreNulls) over an unbounded-preceding rows frame.
+  * This is preference-order (a) "compose existing ops" — it survives 100 TB
+  * because it is a single hash-partitioned sort per key, while a
+  * range-condition join would degenerate to a per-key cross product.
+  */
+object TemporalQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q22
+    "q22_asof_join" -> QueryDef.sql(
+      "As-of (point-in-time) join: each purchase matched to the user's " +
+      "most recent signup at-or-before it. Oracle uses DuckDB's native " +
+      "ASOF JOIN; Spark side is the union + last_value carry-forward plan.",
+      """SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      // tag 0 = signup (left side), tag 1 = purchase: at equal ts the signup
+      // sorts first, giving the ASOF-inclusive (>=) match semantics.
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          lit(null).cast("long").as("event_id"), col("ts").as("signup_ts_in"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast("timestamp").as("signup_ts_in"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(purchases)
+        .withColumn("signup_ts", last(col("signup_ts_in"), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------- q23
+    "q23_range_join" -> QueryDef.sql(
+      "Bounded range join: purchases within 1 hour after each signup, per " +
+      "user. Equi-key on user_id keeps the join hash-partitioned; the time " +
+      "band is a residual predicate (at 100 TB you would additionally " +
+      "bucket both sides by a time bucket to bound the per-key product).",
+      """SELECT s.event_id AS signup_id, count(p.event_id)::BIGINT AS purchases_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id
+        |ORDER BY signup_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+      val su = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      su.join(pu,
+          col("p_user") === col("s_user") &&
+            col("p_ts") >= col("s_ts") &&
+            col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy("signup_id")
+        .agg(count(col("p_id")).as("purchases_1h"))
+        .orderBy("signup_id")
+    },
+
+    // ---------------------------------------------------------------- q24
+    "q24_window_tumbling" -> QueryDef.sql(
+      "Tumbling 1-hour event-time windows (batch form of the streaming " +
+      "group-by-window; epoch-aligned, so equivalent to date_trunc).",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---------------------------------------------------------------- q25
+    "q25_window_sliding" -> QueryDef.sql(
+      "Sliding windows (1 hour long, every 30 min): each event lands in " +
+      "exactly 2 epoch-aligned windows. Oracle expands the window set with " +
+      "a 2-row offset cross join.",
+      """SELECT TIMESTAMP '1970-01-01'
+        |    + ((floor(epoch(ts) / 1800)::BIGINT - o.o) * 1800) * INTERVAL 1 SECOND
+        |    AS window_start,
+        |  count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+        |FROM events, (VALUES (0), (1)) o(o)
+        |GROUP BY 1
+        |ORDER BY window_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")
+    },
+
+    // ---------------------------------------------------------------- q26
+    "q26_window_session" -> QueryDef.sql(
+      "Session windows with a 5-minute inactivity gap per user (batch form " +
+      "of streaming session_window). Oracle is the classic gaps-and-islands " +
+      "rewrite; session_end = last event + gap, Spark's convention.",
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 5 MINUTE AS session_end,
+        |  count(*)::BIGINT AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

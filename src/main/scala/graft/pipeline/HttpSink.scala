@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.LongAccumulator
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** Batched, authenticated HTTP JSON sink — the reference's load stage
+  * (O11-O15, /root/reference/etl/main.go:240-305) as a `foreachPartition`
+  * sink. The one genuinely custom physical component (SURVEY.md §4.2).
+  *
+  * Contract matched to the reference client (main.go:283-305):
+  * `Authorization: Bearer <token>`, `Content-Type: application/json`,
+  * configurable timeout, success = 2xx. Each partition streams its rows
+  * in `batchSize` groups (count-based micro-batching, main.go:250) and
+  * POSTs one JSON array per group; a failed batch is spilled to the
+  * gzip-JSON dead-letter dir ([[Spill]]) instead of lost.
+  *
+  * Scale notes: one shared HttpClient per executor JVM (never per row);
+  * sink parallelism = partition count of the input, decoupled from
+  * shuffle partitions via `EtlPipeline`'s repartition; payloads are built
+  * from pre-serialized JSON strings so the sink does zero row encoding.
+  */
+object HttpSink {
+
+  final case class Config(
+      url: String,
+      authToken: String,
+      batchSize: Int = 200,
+      timeout: Duration = Duration.ofSeconds(15),
+      spillDir: String = "spill")
+
+  final case class Stats(sentBatches: Long, sentRecords: Long, spilledBatches: Long, spilledRecords: Long)
+
+  // One client per JVM: HttpClient is thread-safe and holds the
+  // connection pool; per-partition construction would leak sockets.
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  def postBatch(cfg: Config, jsonRows: Seq[String]): Either[String, Unit] = {
+    val payload = jsonRows.mkString("[", ",", "]")
+    try {
+      val req = HttpRequest.newBuilder(URI.create(cfg.url))
+        .timeout(cfg.timeout)
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer ${cfg.authToken}")
+        .POST(HttpRequest.BodyPublishers.ofString(payload))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 200 && resp.statusCode() < 300) Right(())
+      else Left(s"status ${resp.statusCode()}: ${resp.body().take(200)}")
+    } catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+  }
+
+  /** Sink a frame of wire-format rows (single string column `json`, see
+    * Transform.deviceDataJson). Returns per-run delivery stats. */
+  def write(json: DataFrame, cfg: Config): Stats = {
+    val spark = json.sparkSession
+    val sentB = spark.sparkContext.longAccumulator("sink.sentBatches")
+    val sentR = spark.sparkContext.longAccumulator("sink.sentRecords")
+    val spillB = spark.sparkContext.longAccumulator("sink.spilledBatches")
+    val spillR = spark.sparkContext.longAccumulator("sink.spilledRecords")
+    writeWith(json, cfg, sentB, sentR, spillB, spillR)
+    Stats(sentB.value, sentR.value, spillB.value, spillR.value)
+  }
+
+  private def writeWith(
+      json: DataFrame, cfg: Config,
+      sentB: LongAccumulator, sentR: LongAccumulator,
+      spillB: LongAccumulator, spillR: LongAccumulator): Unit = {
+    json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      rows.map(_.getString(0)).grouped(cfg.batchSize).foreach { batch =>
+        postBatch(cfg, batch) match {
+          case Right(_) =>
+            sentB.add(1); sentR.add(batch.size)
+          case Left(err) =>
+            Spill.writeBatch(cfg.spillDir, pid, batch)
+            spillB.add(1); spillR.add(batch.size)
+            System.err.println(s"[sink] worker $pid: batch of ${batch.size} failed ($err); spilled")
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+import java.nio.file.Files
+
+/** End-to-end pipeline + sink + spill/replay integration against the
+  * in-process mock server (reference contract, FIXTURES.md §C):
+  * happy path, auth header, batching, failure -> spill, restart ->
+  * replay-then-delete (/root/reference/README.md:140-145 behavior, minus
+  * the loss window). */
+class EtlPipelineSpec extends SparkSpec {
+
+  private def writeCsv(n: Int): String = {
+    val dir = Files.createTempDirectory("graft-e2e").toFile
+    val f = new java.io.File(dir, "appliances.csv")
+    val rows = (1 to n).map(i => s"192.168.0.$i,device-$i").mkString("\n")
+    Files.writeString(f.toPath, rows + "\nmalformed\n")
+    f.getPath
+  }
+
+  private def freshSpill(): String =
+    Files.createTempDirectory("graft-spill").toString
+
+  test("happy path: all records delivered in <=batchSize JSON batches with bearer auth") {
+    val server = new MockLoadServer()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(450),
+        sink = HttpSink.Config(server.loadUrl, "token123", batchSize = 200, spillDir = freshSpill()),
+        extractor = ProjectionExtractor(Some(1751450637L)),
+        loadPartitions = 4)
+      val stats = new EtlPipeline(spark, cfg).run()
+      assert(stats.sink.sentRecords == 450)
+      assert(stats.sink.spilledRecords == 0)
+      assert(stats.rejectedRows == 1)
+      assert(server.receivedRecordCount == 450)
+      assert(server.receivedAuths.forall(_ == "Bearer token123"))
+      // batching: nothing above the threshold, and the big groups hit it
+      val sizes = server.receivedBodies.map(b => b.sliding(12).count(_ == "\"cpu_number\""))
+      assert(sizes.forall(_ <= 200))
+      assert(stats.sink.sentBatches >= 4) // >= loadPartitions partial batches
+    } finally server.stop()
+  }
+
+  test("sink failure spills gzip JSON; restart replays and deletes") {
+    val server = new MockLoadServer()
+    val spillDir = freshSpill()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(120),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 50, spillDir = spillDir),
+        extractor = ProjectionExtractor(Some(1751450637L)),
+        loadPartitions = 3)
+
+      // run 1: sink down -> everything spills
+      server.failStatus.set(Some(500))
+      val s1 = new EtlPipeline(spark, cfg).run()
+      assert(s1.sink.sentRecords == 0 && s1.sink.spilledRecords == 120)
+      val files = Spill.listSpillFiles(spillDir)
+      assert(files.nonEmpty)
+      // spill files parse back with worker ids recovered from names
+      val back = Spill.readSpilled(spark, spillDir)
+      assert(back.count() == 120)
+      assert(back.select("worker_id").distinct().collect().map(_.getInt(0)).forall(w => w >= 0 && w < 3))
+
+      // run 2: sink healthy -> replay delivers and deletes, live run clean
+      server.failStatus.set(None)
+      val s2 = new EtlPipeline(spark, cfg).run()
+      assert(s2.replayedRecords == 120)
+      assert(s2.replayedFilesDeleted == files.size)
+      assert(Spill.listSpillFiles(spillDir).isEmpty)
+      assert(s2.sink.sentRecords == 120) // the live 120 again
+      assert(server.receivedRecordCount == 240)
+    } finally server.stop()
+  }
+
+  test("replay keeps files when the sink is still down (no loss window)") {
+    val server = new MockLoadServer()
+    val spillDir = freshSpill()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(40),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 20, spillDir = spillDir),
+        extractor = ProjectionExtractor(Some(1L)),
+        loadPartitions = 2)
+      server.failStatus.set(Some(503))
+      new EtlPipeline(spark, cfg).run()
+      val n1 = Spill.listSpillFiles(spillDir).size
+      assert(n1 > 0)
+      // second run with sink still down: replay must NOT delete anything
+      new EtlPipeline(spark, cfg).run()
+      assert(Spill.listSpillFiles(spillDir).size >= n1)
+      val total = Spill.readSpilled(spark, spillDir).count()
+      assert(total >= 80) // both runs' records all still durable
+    } finally server.stop()
+  }
+
+  test("latency extractor drives bounded-concurrency extract end to end") {
+    val server = new MockLoadServer()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(64),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 200, spillDir = freshSpill()),
+        extractor = SimulatedLatencyExtractor(
+          latencyMillis = 50, globalConcurrency = 256, fixedTimestamp = Some(7L)),
+        loadPartitions = 2)
+      val t0 = System.nanoTime()
+      val stats = new EtlPipeline(spark, cfg).run()
+      val ms = (System.nanoTime() - t0) / 1000000
+      assert(stats.sink.sentRecords == 64)
+      assert(ms < 20000, s"extract not concurrent enough: $ms ms")
+    } finally server.stop()
+  }
+}

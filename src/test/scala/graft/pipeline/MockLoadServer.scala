@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.util.concurrent.CopyOnWriteArrayList
+import java.util.concurrent.atomic.AtomicReference
+import scala.jdk.CollectionConverters._
+
+/** In-process reproduction of the reference's mock load API server
+  * (/root/reference/mock-load-api-server/main.go; FIXTURES.md §C):
+  * `POST /load` -> optional delay -> 200 {"status":"success"};
+  * `GET /health` -> 200 {"status":"ok"}; anything else -> 404.
+  *
+  * Failure-injection knobs for the sink tests: set `failStatus` to make
+  * /load return an error status (spill path), clear it to recover
+  * (replay path).
+  */
+final class MockLoadServer(delayMillis: Long = 0) {
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  private val bodies = new CopyOnWriteArrayList[String]()
+  private val auths = new CopyOnWriteArrayList[String]()
+  val failStatus = new AtomicReference[Option[Int]](None)
+
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    16,
+    (r: Runnable) => { val t = new Thread(r, "mock-load"); t.setDaemon(true); t })
+  server.setExecutor(pool)
+  server.createContext("/load", (x: HttpExchange) => {
+    val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+    if (x.getRequestMethod == "POST") {
+      if (delayMillis > 0) Thread.sleep(delayMillis)
+      failStatus.get() match {
+        case Some(code) => respond(x, code, """{"status":"error"}""")
+        case None =>
+          bodies.add(body)
+          auths.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+          respond(x, 200, """{"status":"success"}""")
+      }
+    } else respond(x, 404, "Unsupported path")
+  })
+  server.createContext("/health", (x: HttpExchange) => respond(x, 200, """{"status":"ok"}"""))
+  server.createContext("/", (x: HttpExchange) => respond(x, 404, "Unsupported path"))
+  server.start()
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.sendResponseHeaders(code, b.length)
+    x.getResponseBody.write(b)
+    x.close()
+  }
+
+  def port: Int = server.getAddress.getPort
+  def loadUrl: String = s"http://127.0.0.1:$port/load"
+  def receivedBodies: Seq[String] = bodies.asScala.toSeq
+  def receivedAuths: Seq[String] = auths.asScala.toSeq
+  // one "cpu_number" key per DeviceData record (indicator structs only
+  // carry name/value)
+  def receivedRecordCount: Int =
+    receivedBodies.map(b => b.sliding(12).count(_ == "\"cpu_number\"")).sum
+  def reset(): Unit = { bodies.clear(); auths.clear() }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+}

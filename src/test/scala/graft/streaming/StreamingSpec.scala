@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.{HttpSink, MockLoadServer}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming pipeline semantics on MemoryStream sources: delivery through
+  * the idempotent HTTP sink with checkpoint recovery (no redelivery of
+  * committed batches), watermarked windows, and the custom stateful
+  * sessionizer. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cpuStatsStream(): (MemoryStream[graft.pipeline.CpuStats], org.apache.spark.sql.DataFrame) = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[graft.pipeline.CpuStats]
+    (ms, ms.toDF())
+  }
+
+  private def cpu(i: Int) = graft.pipeline.CpuStats(
+    s"device-$i", 1751450637L + i, "0", "95", "3", "1", "0.5", "0")
+
+  test("streaming ETL delivers all records through the HTTP sink") {
+    val server = new MockLoadServer()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val (ms, df) = cpuStatsStream()
+      ms.addData((1 to 120).map(cpu): _*)
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 50,
+        spillDir = Files.createTempDirectory("graft-sp").toString)
+      val q = StreamingEtl.runAvailable(df, cfg, ckpt, loadPartitions = 3)
+      q.stop()
+      assert(server.receivedRecordCount == 120)
+    } finally server.stop()
+  }
+
+  test("checkpoint restart: committed batches are not redelivered") {
+    val server = new MockLoadServer()
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+    try {
+      val (ms, df) = cpuStatsStream()
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 50,
+        spillDir = Files.createTempDirectory("graft-sp2").toString)
+      ms.addData((1 to 40).map(cpu): _*)
+      StreamingEtl.runAvailable(df, cfg, ckpt, loadPartitions = 2).stop()
+      assert(server.receivedRecordCount == 40)
+
+      // restart same checkpoint with more data: only the delta flows
+      ms.addData((41 to 60).map(cpu): _*)
+      StreamingEtl.runAvailable(df, cfg, ckpt, loadPartitions = 2).stop()
+      assert(server.receivedRecordCount == 60)
+
+      // replaying an already-committed batchId is a no-op (idempotent sink)
+      val batch = graft.pipeline.Transform.toDeviceData(Seq(cpu(99)).toDF())
+      StreamingEtl.deliverBatch(batch, batchId = 0, cfg, s"$ckpt/sink-commits", 1)
+      assert(server.receivedRecordCount == 60)
+    } finally server.stop()
+  }
+
+  test("failed micro-batch fails the query (checkpoint will retry), spill keeps the data") {
+    val server = new MockLoadServer()
+    val ckpt = Files.createTempDirectory("graft-ckpt3").toString
+    val spill = Files.createTempDirectory("graft-sp3").toString
+    try {
+      server.failStatus.set(Some(500))
+      val (ms, df) = cpuStatsStream()
+      ms.addData((1 to 10).map(cpu): _*)
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 5, spillDir = spill)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = StreamingEtl.writer(df, cfg, s"$ckpt/sink-commits", 2)
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      assert(ex.getMessage.contains("undeliverable") || ex.getCause != null)
+      assert(graft.pipeline.Spill.listSpillFiles(spill).nonEmpty)
+    } finally server.stop()
+  }
+
+  test("watermarked tumbling window drops late data beyond the watermark") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val out = EventStreams.tumbling(ms.toDF(), watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("tumble_out").trigger(Trigger.ProcessingTime(0)).start()
+
+    def ev(id: Long, minute: Int) = EventStreams.Event(
+      id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "click", 1.0)
+
+    ms.addData(ev(1, 5), ev(2, 30))   // window 10:00 has 1 event
+    q.processAllAvailable()
+    ms.addData(ev(3, 59), ev(4, 45))  // advance watermark past 10:00+10m? 59-10=49 -> closes 10:00 hour? no: hour window 10:00-11:00 closes at wm > 11:00
+    q.processAllAvailable()
+    ms.addData(ev(5, 1))              // late event into 10:00 hour, within state -> still accepted
+    q.processAllAvailable()
+    // push watermark beyond 11:10 so the 10:00 window finalizes
+    ms.addData(EventStreams.Event(6, Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumble_out").collect()
+    q.stop()
+    // the 10:00-11:00 window must have closed exactly once, with the late
+    // event (id 5) included because it arrived before the watermark passed
+    val w10 = rows.filter(_.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(w10.length == 1)
+    assert(w10.head.getLong(2) == 5L)
+  }
+
+  test("flatMapGroupsWithState sessionizer emits summaries on timeout") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessionize(ms.toDS(), gapMillis = 200)
+    // NOTE: with processing-time timeouts pending the engine always has
+    // another batch to run, so processAllAvailable() would never settle —
+    // poll the memory sink instead while the 50 ms trigger free-runs.
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").trigger(Trigger.ProcessingTime(50)).start()
+    ms.addData(
+      EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "a", 2.0),
+      EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:00:30"), 7L, "b", 3.0))
+    val deadline = System.currentTimeMillis() + 30000
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250)
+      done = spark.table("sess_out").where(col("user_id") === 7).count() > 0
+    }
+    q.stop()
+    val s = spark.table("sess_out").where(col("user_id") === 7).collect()
+    assert(s.length == 1)
+    assert(s.head.getAs[Int]("n_events") == 2)
+    assert(s.head.getAs[Double]("total_value") == 5.0)
+  }
+}

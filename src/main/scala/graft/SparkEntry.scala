@@ -16,7 +16,11 @@ object SparkEntry {
   lazy val catalog: ListMap[String, QueryDef] = ListMap(
     (operators.RelationalQueries.defs ++
       operators.ScalarQueries.defs ++
-      operators.TemporalQueries.defs): _*)
+      operators.TemporalQueries.defs ++
+      operators.TextQueries.defs ++
+      operators.DedupQueries.defs ++
+      operators.SimilarityQueries.defs ++
+      operators.MultimodalQueries.defs): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

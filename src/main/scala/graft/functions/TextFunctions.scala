@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators:
+  * tokenization, shingling, quality signals, language-ID scoring and a
+  * deterministic document fingerprint. All pure Catalyst expressions
+  * (codegen'd, no UDFs) and all designed for cross-engine bit-parity with
+  * the DuckDB oracles: integer arithmetic wherever possible, and double
+  * folds always in index order.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empty tokens dropped (so leading /
+    * trailing / repeated whitespace cannot skew counts). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles (space-joined). Returns an empty array
+    * for documents shorter than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Jaccard similarity of two pre-distinct shingle arrays: exact integer
+    * set sizes divided once — bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** Count of tokens appearing in a fixed vocabulary. */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(x => x: Any): _*)))
+
+  /** Ratio of characters matching a regex class to total characters. */
+  def charClassRatio(text: Column, charClassRe: String): Column =
+    length(regexp_replace(text, charClassRe, "")).cast("double") /
+      length(text).cast("double")
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * h := (h*31 + 7*len(t) + ascii(t)) mod 1e9+7. Pure int64 arithmetic,
+    * reproducible in any engine (reference analog: the filename/batch
+    * identity hashing the spill protocol relies on, but content-derived). */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (h, t) => (h * 31L + length(t).cast("long") * 7L + ascii(t).cast("long")) % 1000000007L)
+
+  /** Per-language stopword vocabularies for the langid heuristic. Tiny on
+    * purpose: langid here demonstrates the operator shape (vocabulary
+    * scoring + argmax), not a production model. */
+  val langVocab: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"))
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column builders (similarity search / near-dup):
+  * dot product, norm and cosine over ARRAY<FLOAT|DOUBLE> columns.
+  *
+  * Parity-critical detail: every reduction is a *left fold in index
+  * order* (`aggregate` over `zip_with`), never a SQL SUM over unnested
+  * rows — IEEE double addition is order-sensitive, and a fixed fold order
+  * makes Spark and DuckDB (list_reduce) produce bit-identical results, so
+  * oracle comparisons need no tolerance. Elements are cast to double
+  * before any arithmetic (float math would diverge from DuckDB's
+  * promotion).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = {
+    val v = d(a)
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Sign-bit code over `planes` fixed hyperplanes: the random-hyperplane
+    * LSH bucket id (cosine-preserving). Planes are generated driver-side
+    * from a fixed seed and inlined as literals, so the bucketing is
+    * deterministic and needs no broadcast join. */
+  def hyperplaneCode(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, j) =>
+        val plane = array(p.map(lit): _*)
+        when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a fixed seed. */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{HashFunctions, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table — the core
+  * training-data-pipeline capability, each at a different cost/recall
+  * point:
+  *
+  *   - exact (content-hash groupBy): one shuffle on the hash, the 100 TB
+  *     workhorse;
+  *   - n-gram Jaccard pairs: exact pairwise similarity on a bounded
+  *     candidate slice (oracle-verified ground truth for the sketches);
+  *   - MinHash + LSH banding: the scalable fuzzy path — candidates come
+  *     from an equi-join on band buckets, never a cross join;
+  *   - SimHash: 64-bit near-dup signature, hamming-bucketable.
+  */
+object DedupQueries {
+
+  private val sqlToks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
+  private val sqlShingles =
+    """CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+      |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |  ELSE []::VARCHAR[] END""".stripMargin
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String, cap: Option[Int]): DataFrame = {
+    val base = Tables.documents(s, d)
+    val capped = cap.map(c => base.where(col("doc_id") < c)).getOrElse(base)
+    capped.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q33
+    "q33_dedup_exact" -> QueryDef.sql(
+      "Exact dedup by content hash: md5 groupBy keeping the lowest doc_id " +
+      "as canonical. One hash-partitioned shuffle; at 100 TB this is a " +
+      "single exchange on a 16-byte key.",
+      """SELECT md5(text) AS content_hash,
+        |  min(doc_id)::BIGINT AS canonical_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash")
+    },
+
+    // ---------------------------------------------------------------- q34
+    "q34_dedup_jaccard_pairs" -> QueryDef.sql(
+      "Exact 3-gram-shingle Jaccard near-dup pairs (j >= 0.05) on the " +
+      "doc_id<300 slice. Pairwise-exact ground truth for the sketch " +
+      "operators; the unbounded-scale variant is q35 (LSH candidates).",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val a = shingled(s, d, Some(300)).select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = shingled(s, d, Some(300)).select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .where(col("jac") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------- q35
+    "q35_dedup_minhash_lsh" -> QueryDef.rowsOnly(
+      "MinHash(16) + LSH(8 bands x 2 rows) fuzzy dedup over the FULL " +
+      "corpus: candidates via equi-join on band buckets (no cross join " +
+      "anywhere — this is the shape that survives 100 TB), then exact " +
+      "Jaccard confirmation at j >= 0.3. Engine-specific hashing " +
+      "(xxhash64) -> no SQL oracle; semantics covered by q34 + DedupSpec.") { (s, d) =>
+      val sh = shingled(s, d, None)
+      val sig = sh.select(col("doc_id"), col("sh"),
+        HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val withSets = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      withSets
+        .select(col("doc_a"), col("doc_b"),
+          TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .where(col("jac") >= 0.3)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------- q36
+    "q36_dedup_simhash" -> QueryDef.rowsOnly(
+      "64-bit SimHash signature per document + 16-bit prefix bucket: " +
+      "hamming-close signatures land in the same bucket for near-dup " +
+      "blocking. Engine-specific hashing -> rows-only check; hamming " +
+      "properties covered by DedupSpec.") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
+        .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (north-star
+  * LLM-data-pipeline surface): lenient parsing (the reference's O6 compat
+  * semantics), filename routing (O18), token statistics, quality scoring,
+  * language ID and content fingerprinting. Every query is a pure
+  * Catalyst-expression plan with a bit-exact DuckDB oracle — integer
+  * arithmetic and fixed-order folds, no tolerance needed.
+  */
+object TextQueries {
+
+  // Shared DuckDB SQL fragments (tokens / contribs) kept textually in each
+  // oracle so each query stays runnable standalone.
+  private val sqlToks =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q27
+    "q27_lenient_cast" -> QueryDef.sql(
+      "Reference O6 compat semantics (/root/reference/etl/main.go:214-218):" +
+      " unparseable numeric strings become 0.0 instead of NULL, so derived" +
+      " metrics (100 - x) degrade to 100.0 exactly like the Go pipeline.",
+      """SELECT doc_id,
+        |  coalesce(TRY_CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars::VARCHAR ELSE text END AS DOUBLE), 0.0) AS parsed,
+        |  100 - coalesce(TRY_CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars::VARCHAR ELSE text END AS DOUBLE), 0.0) AS utilization
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = when(col("doc_id") % 2 === 0, col("n_chars").cast("string"))
+        .otherwise(col("text"))
+      val parsed = coalesce(raw.cast("double"), lit(0.0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), parsed.as("parsed"), (lit(100) - parsed).as("utilization"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q28
+    "q28_worker_id_extract" -> QueryDef.sql(
+      "Reference O18 (/root/reference/etl/main.go:361-372): recover the " +
+      "worker id from a spill filename; malformed names route to 0.",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'buffer_failed_workerX.json.gz'
+        |       ELSE 'buffer_failed_worker' || (doc_id % 10) || '.json.gz' END AS fname,
+        |  coalesce(nullif(regexp_extract(
+        |    CASE WHEN doc_id % 7 = 0 THEN 'buffer_failed_workerX.json.gz'
+        |         ELSE 'buffer_failed_worker' || (doc_id % 10) || '.json.gz' END,
+        |    'worker(\d+)', 1), '')::INT, 0) AS worker_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val fname = when(col("doc_id") % 7 === 0, lit("buffer_failed_workerX.json.gz"))
+        .otherwise(concat(lit("buffer_failed_worker"),
+          (col("doc_id") % 10).cast("string"), lit(".json.gz")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fname.as("fname"),
+          coalesce(nullif(regexp_extract(fname, "worker(\\d+)", 1), lit("")).cast("int"), lit(0))
+            .as("worker_id"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q29
+    "q29_text_token_stats" -> QueryDef.sql(
+      "Token counting + lexical statistics per document (whitespace " +
+      "tokenizer; integer sums folded then divided once for exact parity).",
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents)
+        |SELECT doc_id, lang,
+        |  len(w)::BIGINT AS n_tokens,
+        |  list_sum(list_transform(w, t -> length(t)))::BIGINT AS total_len,
+        |  list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)::DOUBLE AS avg_token_len,
+        |  len(list_distinct(w))::BIGINT AS n_unique,
+        |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val totalLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), w.as("w"))
+        .select(
+          col("doc_id"), col("lang"),
+          size(col("w")).cast("long").as("n_tokens"),
+          aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).as("total_len"),
+          (aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).cast("double")
+            / size(col("w")).cast("double")).as("avg_token_len"),
+          size(array_distinct(col("w"))).cast("long").as("n_unique"),
+          (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double")).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q30
+    "q30_text_quality" -> QueryDef.sql(
+      "Quality scoring: punctuation ratio, stopword ratio, and a " +
+      "composite score — all exact-arithmetic signals for filter " +
+      "thresholds in a training-data pipeline.",
+      s"""WITH t AS (SELECT doc_id, text, n_chars, $sqlToks AS w FROM documents)
+        |SELECT doc_id,
+        |  len(w)::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE AS punct_ratio,
+        |  len(list_filter(w, t -> t IN ('the','and','of','to','a')))::DOUBLE / len(w)::DOUBLE AS stopword_ratio,
+        |  (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+        |    * (0.5 + len(list_filter(w, t -> t IN ('the','and','of','to','a')))::DOUBLE / len(w)::DOUBLE)
+        |    AS quality
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val punct = charClassRatio(col("text"), "[^.,;:!?]")
+      val stop = vocabHits(w, Seq("the", "and", "of", "to", "a")).cast("double") /
+        size(w).cast("double")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(w).cast("long").as("n_tokens"),
+          punct.as("punct_ratio"),
+          stop.as("stopword_ratio"),
+          ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q31
+    "q31_text_langid" -> QueryDef.sql(
+      "Language ID by per-language stopword scoring with a fixed argmax " +
+      "priority (en > es > de > fr) — the n-gram-heuristic operator shape.",
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(w, t -> t IN ('the','and','of','to','a')))::BIGINT AS en_hits,
+        |  len(list_filter(w, t -> t IN ('el','la','de','los','y')))::BIGINT AS es_hits,
+        |  len(list_filter(w, t -> t IN ('der','die','und','das','ist')))::BIGINT AS de_hits,
+        |  len(list_filter(w, t -> t IN ('le','les','et','des','un')))::BIGINT AS fr_hits
+        |FROM t)
+        |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+        |       WHEN de_hits >= fr_hits THEN 'de'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM h
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val hits = graft.functions.TextFunctions.langVocab.map { case (lang, vocab) =>
+        lang -> vocabHits(w, vocab).cast("long")
+      }
+      val m = hits.toMap
+      val pred = when(
+        m("en") >= m("es") && m("en") >= m("de") && m("en") >= m("fr"), "en")
+        .when(m("es") >= m("de") && m("es") >= m("fr"), "es")
+        .when(m("de") >= m("fr"), "de")
+        .otherwise("fr")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          m("en").as("en_hits"), m("es").as("es_hits"),
+          m("de").as("de_hits"), m("fr").as("fr_hits"),
+          pred.as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q32
+    "q32_text_fingerprint" -> QueryDef.sql(
+      "Deterministic rolling-hash document fingerprint (int64 recurrence " +
+      "h := (h*31 + 7*len + ascii) mod 1e9+7 over the token stream) — the " +
+      "engine-portable analog of content-hash dedup keys.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(w, t -> 7*length(t)::BIGINT + ascii(t)::BIGINT)),
+        |    (h, c) -> (h*31 + c) % 1000000007) AS fingerprint
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.BinaryDecode._
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: deterministic fake decode through mapPartitions,
+  * schema shape, and frame sampling. */
+class BinaryDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRow(1L, "image", "fake-image-bytes-aaaa".getBytes("UTF-8")),
+    MediaRow(2L, "video", "fake-video-bytes-bbbb-with-more-content".getBytes("UTF-8")),
+    MediaRow(3L, "audio", Array[Byte]())).toDS()
+
+  test("decode is deterministic and preserves ids/bytes") {
+    val a = BinaryDecode.decode(media).collect().sortBy(_.media_id)
+    val b = BinaryDecode.decode(media).collect().sortBy(_.media_id)
+    assert(a.map(_.width).toSeq == b.map(_.width).toSeq)
+    assert(a.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(a.find(_.media_id == 1).get.n_bytes == 21)
+    assert(a.forall(r => r.width >= 64 && r.width < 576))
+    assert(a.forall(_.features.length == 8))
+  }
+
+  test("video rows get multi-frame counts; image/audio single frame") {
+    val d = BinaryDecode.decode(media).collect().map(r => r.media_id -> r.n_frames).toMap
+    assert(d(1L) == 1 && d(3L) == 1)
+    assert(d(2L) >= 1 && d(2L) <= 30)
+  }
+
+  test("frame sampling emits every stride-th frame index") {
+    val d = BinaryDecode.decode(media).toDF()
+    val frames = sampleFrames(d, stride = 2)
+      .where(col("media_id") === 2).select("frame_idx").as[Int].collect().sorted
+    val n = BinaryDecode.decode(media).collect().find(_.media_id == 2).get.n_frames
+    assert(frames.toSeq == (0 until n by 2).toSeq)
+  }
+
+  test("decode plumbing runs over real table bytes at scale shape") {
+    val docs = graft.Tables.documents(spark, sf0001).limit(100)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("content")).as[MediaRow]
+    val out = BinaryDecode.decode(docs)
+    assert(out.count() == 100)
+    assert(out.where(col("n_bytes") === 0).count() == 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity semantics + ANN recall of the LSH variant against
+  * the exact brute-force baseline (q38 is oracle-verified). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: self = 1.0, orthogonal = 0.0, opposite = -1.0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f), Array(-1.0f, 0.0f))).toDF("id", "a", "b")
+    val got = df.select(col("id"), cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == -1.0)
+  }
+
+  test("hyperplane code is deterministic and in range for k planes") {
+    val planes = makePlanes(8, 64)
+    val df = graft.Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), hyperplaneCode(col("v"), planes).as("code"))
+    val codes = df.as[(Long, Long)].collect()
+    assert(codes.forall { case (_, c) => c >= 0 && c < 256 })
+    val again = df.as[(Long, Long)].collect()
+    assert(codes.toSeq == again.toSeq)
+  }
+
+  test("ANN-LSH results are a subset of correct cosine scores (vs exact baseline)") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    // full exact scores for any (query, candidate) the LSH emits
+    val lsh = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+      .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates at sf0.001")
+    // where LSH picked a pair the exact top-5 also contains, scores agree exactly
+    val overlap = lsh.filter { case (q, v, _) => exact.contains((q, v)) }
+    overlap.foreach { case (q, v, c) => assert(c == exact((q, v)), s"score mismatch ($q,$v)") }
+  }
+
+  test("per-query LSH output is at most top-5 and rank-ordered") {
+    val rows = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+      .select(col("qid"), col("rnk"), col("cos")).as[(Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
+    }
+  }
+}

@@ -8,6 +8,9 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the scheduler/codegen path once so the first measured query
+    // doesn't absorb one-off session JIT cost (~4 s).
+    spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -17,8 +17,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
-  /** Distinct word n-gram shingles (space-joined). Returns an empty array
-    * for documents shorter than n tokens. */
+  /** Distinct word n-gram shingles (space-joined) of a raw text column,
+    * via the native single-pass [[graft.expressions.WordShingles]]
+    * expression (~100x the composed-HOF formulation; same semantics).
+    * Returns an empty array for documents shorter than n tokens. */
+  def shinglesOfText(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** Composed-HOF shingle formulation over a token array — kept as the
+    * reference semantics the native expression is property-tested
+    * against (ShinglesSpec). */
   def shingles(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
@@ -27,8 +37,16 @@ object TextFunctions {
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays: exact integer
-    * set sizes divided once — bit-identical across engines. */
-  def jaccard(a: Column, b: Column): Column =
+    * set sizes divided once — bit-identical across engines. Native
+    * one-pass expression (see SetJaccard). */
+  def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.SetJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Composed-builtin jaccard — reference semantics for property tests. */
+  def jaccardComposed(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 

@@ -31,7 +31,7 @@ object DedupQueries {
     val base = Tables.documents(s, d)
     val capped = cap.map(c => base.where(col("doc_id") < c)).getOrElse(base)
     capped.select(col("doc_id"),
-      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("sh"))
+      TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

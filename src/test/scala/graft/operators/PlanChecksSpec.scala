@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan assertions: the plans we *want*, not just plans that
+  * pass. Guards the scale properties the 100 TB posture depends on —
+  * filter/column pushdown into the parquet scan, broadcast for small
+  * dims, TakeOrderedAndProject for top-k, sort-merge for fact-fact, and
+  * no cartesian products in the LSH candidate generation. */
+class PlanChecksSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses:\n" + p)
+  }
+
+  test("q02: selective predicate pushed down") {
+    val p = plan("q02_filter_project")
+    // (toString truncates long filter lists; the status filter is visible)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,O)"), p)
+  }
+
+  test("q03: dimension joins broadcast (no shuffle on nation/region)") {
+    val p = plan("q03_join_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04: fact-fact join is sort-merge as hinted") {
+    val p = plan("q04_join_sortmerge_facts")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("q06/q07: semi and anti joins plan as such") {
+    assert(plan("q06_join_semi").contains("LeftSemi"), plan("q06_join_semi"))
+    assert(plan("q07_join_anti").contains("LeftAnti"), plan("q07_join_anti"))
+  }
+
+  test("q13: global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = plan("q13_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q35: LSH candidate generation is equi-join only — no cartesian") {
+    val p = plan("q35_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q38: query side broadcast against corpus scan") {
+    val p = plan("q38_ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q39: bucketed ANN joins on the code — hash-partitionable") {
+    val p = plan("q39_ann_lsh_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q33: exact dedup is a single hash aggregate over one exchange") {
+    val p = plan("q33_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    // partial + final aggregate => map-side combine before the shuffle
+    assert(p.split("HashAggregate").length >= 3, p)
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
-      operators.MultimodalQueries.defs): _*)
+      operators.MultimodalQueries.defs ++
+      operators.ExtendedQueries.defs): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

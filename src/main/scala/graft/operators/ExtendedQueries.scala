@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Coverage-completing operators: grouping sets, full outer join, map
+  * functions, exact interpolated percentiles, the custom typed-Aggregator
+  * extension surface, and approximate distinct counting.
+  */
+object ExtendedQueries {
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q41
+    "q41_grouping_sets" -> QueryDef.sql(
+      "Explicit GROUPING SETS ((returnflag), (linestatus)): two disjoint " +
+      "rollup dimensions in one aggregate pass.",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q41_lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS linestatus,
+          |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+          |FROM graft_q41_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY returnflag, linestatus""".stripMargin)
+    },
+
+    // ---------------------------------------------------------------- q42
+    "q42_join_full_outer" -> QueryDef.sql(
+      "Full outer join between two non-covering slices (indebted " +
+      "customers x pending orders): rows survive from both unmatched sides.",
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  count(c.c_custkey)::BIGINT AS has_customer_row,
+        |  count(o.o_orderkey)::BIGINT AS n_pending_orders
+        |FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY coalesce(c.c_custkey, o.o_custkey)
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).where(col("c_acctbal") < 0)
+      val o = Tables.orders(s, d).where(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+        .agg(
+          count(col("c_custkey")).as("has_customer_row"),
+          count(col("o_orderkey")).as("n_pending_orders"))
+        .orderBy("custkey")
+    },
+
+    // ---------------------------------------------------------------- q43
+    "q43_map_entries" -> QueryDef.sql(
+      "MapType surface: parse the JSON props payload into MAP<STRING," +
+      "BIGINT> and explode to entry rows.",
+      """SELECT event_id, 'k' AS key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+        .select(col("event_id"), explode(col("m")))
+        .orderBy("event_id", "key")
+    },
+
+    // ---------------------------------------------------------------- q44
+    "q44_percentiles" -> QueryDef.sql(
+      "Exact interpolated percentiles (quartiles + median) per group. " +
+      "Fractions are binary-exact (0.25/0.5/0.75) over integer-valued " +
+      "quantities, so interpolation is engine-exact.",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.75) AS q3_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.75)").as("q3_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q45
+    "q45_custom_aggregator" -> QueryDef.sql(
+      "Custom typed Aggregator[IN,BUF,OUT] (SURVEY.md §7.5) as a UDAF: " +
+      "single-pass numeric stats whose outputs equal built-ins, making " +
+      "the extension surface itself oracle-verifiable.",
+      """SELECT l_returnflag,
+        |  count(l_quantity)::BIGINT AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val stats = udaf(graft.functions.StatsAggregator)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(stats(col("l_quantity")).as("st"))
+        .select(col("l_returnflag"),
+          col("st.n").as("n"),
+          round(col("st.sum"), 4).as("sum_qty"),
+          col("st.min").as("min_qty"),
+          col("st.max").as("max_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q46
+    "q46_approx_count_distinct" -> QueryDef.rowsOnly(
+      "HyperLogLog++ approximate distinct counting next to the exact " +
+      "count (sketch implementations differ per engine -> rows-only " +
+      "check; the exact column is covered by q08's oracle).") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

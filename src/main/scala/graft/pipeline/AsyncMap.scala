@@ -106,6 +106,20 @@ object AsyncMap {
       concurrentIterator(it, budget)(f).collect { case Success(u) => u }
     }(implicitly[Encoder[U]])
 
+  /** Quarantine variant (SURVEY.md O5 upgrade): failures are kept as
+    * (None, Some(error)) rows instead of dropped, so a pipeline can route
+    * them to a dead-letter/quarantine frame. Caller provides the tuple
+    * encoder (via `import spark.implicits._`). */
+  def mapConcurrentQuarantine[T, U](ds: Dataset[T], maxInFlight: Int)(f: T => U)(
+      implicit enc: Encoder[(Option[U], Option[String])]): Dataset[(Option[U], Option[String])] =
+    ds.mapPartitions { it =>
+      concurrentIterator(it, maxInFlight)(f).map {
+        case Success(u) => (Some(u), None)
+        case scala.util.Failure(e) =>
+          (None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }(enc)
+
   /** Driver-side budget split; prefer mapConcurrentGlobal (no plan
     * materialization). */
   def perPartitionBudget(ds: Dataset[_], globalBudget: Int): Int = {

@@ -58,4 +58,15 @@ class AsyncMapSpec extends SparkSpec {
     assert(AsyncMap.perPartitionBudget(ds, 1000) == 125)
     assert(AsyncMap.perPartitionBudget(ds, 4) == 1)
   }
+
+  test("quarantine variant keeps failures as error rows (O5 upgrade)") {
+    val ds = spark.range(0, 100).as[Long]
+    val out = AsyncMap.mapConcurrentQuarantine(ds, 16) { i =>
+      if (i % 10 == 3) throw new RuntimeException(s"bad-$i") else i * 2
+    }.collect()
+    val ok = out.collect { case (Some(v), None) => v }
+    val bad = out.collect { case (None, Some(e)) => e }
+    assert(ok.length == 90 && bad.length == 10)
+    assert(bad.forall(_.startsWith("RuntimeException: bad-")))
+  }
 }

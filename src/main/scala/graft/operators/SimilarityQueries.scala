@@ -106,6 +106,48 @@ object SimilarityQueries {
       cand.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 5)
         .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q47
+    "q47_ann_ivf" -> QueryDef.rowsOnly(
+      "IVF-style ANN: 16 deterministic coarse centroids (every N/16th " +
+      "corpus vector), corpus assigned to its nearest cell via a " +
+      "broadcast centroid join, queries probe their top-2 cells, exact " +
+      "cosine re-ranks cell members. The inverted-file layout: corpus " +
+      "scanned once for assignment, search touches ~2/16 of it. " +
+      "Deterministic but engine-specific layout -> rows-only; recall " +
+      "covered by SimilaritySpec vs the exact q38 baseline.") { (s, d) =>
+      val corpus = normed(s, d)
+      // deterministic coarse centroids: stride-sampled corpus vectors
+      val n = corpus.count()
+      val stride = math.max(1L, n / 16L)
+      val cents = corpus.where(col("vec_id") % stride === 0 && col("vec_id") / stride < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      // nearest-cell assignment (rank over the 16-way broadcast product)
+      val scored = corpus.join(broadcast(cents), lit(true))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val assigned = scored.withColumn("r", row_number().over(wAssign))
+        .where(col("r") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      // queries probe their top-2 cells
+      val qProbe = corpus.where(col("vec_id") < 10)
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val probes = qProbe.withColumn("r", row_number().over(wProbe))
+        .where(col("r") <= 2)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cid").as("cell"))
+      // search only the probed cells (equi-join on cell id)
+      val cand = assigned.join(probes, Seq("cell"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      cand.withColumn("rnk", row_number().over(wTop).cast("long"))
+        .where(col("rnk") <= 5)
+        .orderBy("qid", "rnk")
     }
   )
 }

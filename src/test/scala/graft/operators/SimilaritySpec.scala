@@ -52,4 +52,19 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted(Ordering[Double].reverse).toSeq)
     }
   }
+
+  test("IVF ANN returns valid cells and exact scores vs brute-force baseline") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
+      .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty, "IVF returned no candidates")
+    // every score the IVF path computed must equal the exact cosine when
+    // the pair also appears in the exact top-5
+    ivf.filter { case (q, v, _) => exact.contains((q, v)) }
+      .foreach { case (q, v, c) => assert(c == exact((q, v)), s"score mismatch ($q,$v)") }
+    // per-query at most 5 results
+    ivf.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 5) }
+  }
 }

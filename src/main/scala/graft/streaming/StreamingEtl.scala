@@ -59,6 +59,25 @@ object StreamingEtl {
     Files.write(marker, java.util.Arrays.asList(stats.sentRecords.toString))
   }
 
+  /** Streaming twin of the batch pipeline's source+extract: watch a
+    * directory for appliance CSV files (the reference's "run it again"
+    * becomes file-arrival micro-batches), extract via projection, and
+    * return the CpuStats-shaped stream ready for [[writer]]. */
+  def csvSource(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      fixedTimestamp: Option[Long] = None,
+      maxFilesPerTrigger: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.readStream
+      .schema("ip STRING, hostname STRING")
+      .option("header", "false")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .csv(dir)
+      .where(col("ip").isNotNull && col("hostname").isNotNull)
+    graft.pipeline.ProjectionExtractor(fixedTimestamp).extract(spark, raw)
+  }
+
   /** Convenience: start against a checkpoint dir and await termination of
     * an AvailableNow run (batch-like drain of everything pending). */
   def runAvailable(

@@ -134,4 +134,26 @@ class StreamingSpec extends SparkSpec {
     assert(s.head.getAs[Int]("n_events") == 2)
     assert(s.head.getAs[Double]("total_value") == 5.0)
   }
+
+  test("CSV-directory streaming source: file arrivals become delivered micro-batches") {
+    val server = new MockLoadServer()
+    val srcDir = Files.createTempDirectory("graft-csv-stream")
+    val ckpt = Files.createTempDirectory("graft-ckpt-csv").toString
+    try {
+      Files.writeString(srcDir.resolve("batch1.csv"),
+        (1 to 30).map(i => s"10.0.0.$i,dev-$i").mkString("\n"))
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 20,
+        spillDir = Files.createTempDirectory("graft-sp-csv").toString)
+      val src = StreamingEtl.csvSource(spark, srcDir.toString, fixedTimestamp = Some(5L))
+      StreamingEtl.runAvailable(src, cfg, ckpt, loadPartitions = 2).stop()
+      assert(server.receivedRecordCount == 30)
+
+      // a new file arrives; restart from the same checkpoint: only the delta
+      Files.writeString(srcDir.resolve("batch2.csv"),
+        (31 to 45).map(i => s"10.0.0.$i,dev-$i").mkString("\n"))
+      val src2 = StreamingEtl.csvSource(spark, srcDir.toString, fixedTimestamp = Some(5L))
+      StreamingEtl.runAvailable(src2, cfg, ckpt, loadPartitions = 2).stop()
+      assert(server.receivedRecordCount == 45)
+    } finally server.stop()
+  }
 }

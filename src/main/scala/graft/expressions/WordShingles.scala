@@ -1,8 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,12 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * tight loop per row (tokenize, slide, LinkedHashSet dedup in first-
   * occurrence order). At 100 TB the difference is the whole job.
   *
-  * CodegenFallback: the expression itself is a single virtual call per
-  * row doing all the work internally, so staying outside whole-stage
-  * codegen costs one boundary, not per-element dispatch.
+  * Participates in whole-stage codegen: doGenCode emits a single call to
+  * the shared [[WordShingles.compute]] helper, so surrounding operators
+  * keep their fused span (no CodegenFallback row-boxing boundary).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
@@ -31,11 +31,24 @@ case class WordShingles(child: Expression, n: Int)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString
-      .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Shared eval body — called from both interpreted eval and generated
+    * code (static forwarder keeps the codegen call a plain Java call). */
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val toks = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     // split never yields interior empties; only a fully-blank input gives
-    // Array("") — matches filter(_ != '') semantics below.
+    // Array("") — matches filter(_ != '') semantics.
     val words = if (toks.length == 1 && toks(0).isEmpty) Array.empty[String] else toks
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
@@ -58,7 +71,4 @@ case class WordShingles(child: Expression, n: Int)
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
 }

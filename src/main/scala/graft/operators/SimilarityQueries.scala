@@ -87,21 +87,29 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q39
     "q39_ann_lsh_bucketed" -> QueryDef.rowsOnly(
-      "Approximate NN via random-hyperplane LSH (8 planes, seed 42): " +
-      "corpus and queries get a 8-bit sign code; candidates come from an " +
-      "equi-join on the code (hash-partitionable at any scale), then " +
-      "exact cosine re-ranks the bucket. Driver-side plane literals -> " +
-      "deterministic; engine-specific layout -> rows-only check, recall " +
-      "covered by SimilaritySpec against q38's exact answer.") { (s, d) =>
+      "Approximate NN via multi-probe random-hyperplane LSH (8 planes, " +
+      "seed 42): corpus gets an 8-bit sign code; each query probes its " +
+      "own bucket plus all 8 one-bit-flip neighbors (the buckets a " +
+      "borderline hyperplane decision could have placed a true neighbor " +
+      "in). Candidates still come from an equi-join on the code — " +
+      "hash-partitionable at any scale — then exact cosine re-ranks. " +
+      "Engine-specific layout -> rows-only check; recall covered by " +
+      "SimilaritySpec against q38's exact answer.") { (s, d) =>
       val planes = makePlanes(8, 64)
       val coded = normed(s, d).withColumn("code", hyperplaneCode(col("v"), planes))
+      val probeCodes = array(
+        col("qcode0") +: (0 until planes.length).map(j =>
+          col("qcode0").bitwiseXOR(lit(1L << j))): _*)
       val queries = coded.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("code").as("qcode"))
+          col("nrm").as("qn"), col("code").as("qcode0"))
+        .withColumn("qcode", explode(probeCodes))
+        .drop("qcode0")
       val cand = coded.join(queries,
           col("qcode") === col("code") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("vid"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        .distinct()
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
       cand.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= 5)

@@ -67,4 +67,23 @@ class SimilaritySpec extends SparkSpec {
     // per-query at most 5 results
     ivf.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 5) }
   }
+
+  test("multi-probe LSH recall@5 against the exact baseline") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val lsh = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"multi-probe LSH recall@5 = $recall (${(exact & lsh).size}/${exact.size})")
+    assert(recall > 0.0, "multi-probe LSH recovered none of the true top-5")
+  }
+
+  test("approx_count_distinct within its 2% design error vs exact") {
+    val rows = graft.SparkEntry.queries("q46_approx_count_distinct")(spark, sf001)
+      .select(col("approx_parts"), col("exact_parts")).as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.10, s"HLL err $err (approx=$approx exact=$exact)")
+    }
+  }
 }

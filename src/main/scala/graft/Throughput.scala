@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Compute-bound stress measurements (no simulated sleeps):
+  *
+  *  1. pipeline throughput — CSV -> extract(projection) -> transform ->
+  *     batched HTTP sink against a zero-delay local server, records/s.
+  *     The reference's 153 rec/s is sleep-bound; this measures the
+  *     engine's actual sink-path cost.
+  *  2. dedup scale probe — the q35 MinHash+LSH plan over 1x/4x/16x the
+  *     sf0.1 documents corpus (replicated with offset doc_ids), checking
+  *     the candidate-generation stays near-linear: the property that
+  *     matters at 100 TB.
+  *
+  * Run: sbt "runMain graft.Throughput"
+  */
+object Throughput {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("graft-throughput", cores = 32)
+    spark.range(1000).selectExpr("sum(id)").collect() // warm
+
+    // ---- 1. sink-path throughput
+    val n = 200000
+    val dir = Files.createTempDirectory("graft-thr").toFile
+    val csv = new java.io.File(dir, "appliances.csv")
+    Files.writeString(csv.toPath,
+      (1 to n).map(i => s"10.${i / 65536}.${(i / 256) % 256}.${i % 256},device-$i").mkString("\n"))
+    val server = new MockLoadServerMain(delayMillis = 0)
+    try {
+      val cfg = EtlConfig(
+        csvPath = csv.getPath,
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 200,
+          spillDir = new java.io.File(dir, "spill").getPath),
+        extractor = ProjectionExtractor(Some(1L)),
+        loadPartitions = 32,
+        countRejected = false)
+      val stats = new EtlPipeline(spark, cfg).run()
+      val recPerSec = stats.sink.sentRecords * 1000.0 / stats.wallMillis
+      println(f"""{"metric":"pipeline_throughput","records":$n,"wall_sec":${stats.wallMillis / 1000.0}%.2f,"rec_per_sec":$recPerSec%.0f,"reference_rec_per_sec":153}""")
+    } finally server.stop()
+
+    // ---- 2. dedup scale probe (q35 plan over replicated corpora)
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = (0 until mult)
+        .map(m => base.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val sh = docs.select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      val sig = sh.select(col("doc_id"), col("sh"),
+        HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+      val bands = sig.select(col("doc_id"),
+          explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+      val cand = bands.alias("x").join(bands.alias("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      val t0 = System.nanoTime()
+      val nc = cand.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"dedup_scale","docs":${5000 * mult},"candidates":$nc,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

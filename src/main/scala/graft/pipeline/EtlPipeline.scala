@@ -66,6 +66,13 @@ class EtlPipeline(spark: SparkSession, cfg: EtlConfig) {
     (Transform.toDeviceData(cpu, cfg.lenientCast), src.rejected)
   }
 
+  /** Typed boundary (SURVEY.md §1.4): the transformed output as
+    * Dataset[DeviceData]. */
+  def deviceDataset(): org.apache.spark.sql.Dataset[DeviceData] = {
+    import spark.implicits._
+    deviceData()._1.as[DeviceData]
+  }
+
   def run(): EtlRunStats = {
     val t0 = System.nanoTime()
 

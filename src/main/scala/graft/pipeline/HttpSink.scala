@@ -31,7 +31,12 @@ object HttpSink {
       authToken: String,
       batchSize: Int = 200,
       timeout: Duration = Duration.ofSeconds(15),
-      spillDir: String = "spill")
+      spillDir: String = "spill",
+      // Transient-failure retries before a batch spills (the reference
+      // spills immediately, main.go:268-271; retries cut spill volume for
+      // blips while the dead-letter path still catches real outages).
+      maxRetries: Int = 0,
+      retryBackoffMillis: Long = 200)
 
   final case class Stats(sentBatches: Long, sentRecords: Long, spilledBatches: Long, spilledRecords: Long)
 
@@ -39,6 +44,20 @@ object HttpSink {
   // connection pool; per-partition construction would leak sockets.
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  /** One POST attempt per retry budget; exponential backoff between. */
+  def postBatchWithRetry(cfg: Config, jsonRows: Seq[String]): Either[String, Unit] = {
+    var attempt = 0
+    var last: Either[String, Unit] = Left("unattempted")
+    while (attempt <= cfg.maxRetries) {
+      last = postBatch(cfg, jsonRows)
+      if (last.isRight) return last
+      attempt += 1
+      if (attempt <= cfg.maxRetries)
+        Thread.sleep(cfg.retryBackoffMillis * (1L << math.min(attempt - 1, 6)))
+    }
+    last
+  }
 
   def postBatch(cfg: Config, jsonRows: Seq[String]): Either[String, Unit] = {
     val payload = jsonRows.mkString("[", ",", "]")
@@ -74,7 +93,7 @@ object HttpSink {
     json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
       rows.map(_.getString(0)).grouped(cfg.batchSize).foreach { batch =>
-        postBatch(cfg, batch) match {
+        postBatchWithRetry(cfg, batch) match {
           case Right(_) =>
             sentB.add(1); sentR.add(batch.size)
           case Left(err) =>

@@ -131,4 +131,42 @@ class EtlPipelineSpec extends SparkSpec {
       assert(perKey.where(org.apache.spark.sql.functions.col("npid") > 1).count() == 0)
     } finally server.stop()
   }
+
+  test("transient sink failures are retried and do not spill") {
+    val server = new MockLoadServer()
+    val spillDir = freshSpill()
+    try {
+      server.failNext.set(2) // first two POSTs blip with 503
+      val cfg = EtlConfig(
+        csvPath = writeCsv(30),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 200,
+          spillDir = spillDir, maxRetries = 3, retryBackoffMillis = 10),
+        extractor = ProjectionExtractor(Some(1L)),
+        loadPartitions = 1)
+      val stats = new EtlPipeline(spark, cfg).run()
+      assert(stats.sink.sentRecords == 30)
+      assert(stats.sink.spilledRecords == 0)
+      assert(Spill.listSpillFiles(spillDir).isEmpty)
+    } finally server.stop()
+  }
+
+  test("typed Dataset boundary exposes DeviceData records") {
+    val server = new MockLoadServer()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(10),
+        sink = HttpSink.Config(server.loadUrl, "t", spillDir = freshSpill()),
+        extractor = ProjectionExtractor(Some(9L)),
+        loadPartitions = 2)
+      val ds = new EtlPipeline(spark, cfg).deviceDataset()
+      val rec = ds.collect().minBy(_.name)
+      assert(rec.timestamp == 9L && rec.indicators.map(_.name) == graft.pipeline.Model.indicatorNames)
+    } finally server.stop()
+  }
+
+  test("Catalog.sql runs arbitrary SQL over registered views") {
+    val out = graft.Catalog.sql(spark, sf0001,
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    assert(out.collect().head.getLong(0) > 0)
+  }
 }

@@ -21,6 +21,9 @@ final class MockLoadServer(delayMillis: Long = 0) {
   private val bodies = new CopyOnWriteArrayList[String]()
   private val auths = new CopyOnWriteArrayList[String]()
   val failStatus = new AtomicReference[Option[Int]](None)
+  /** Fail the next N /load requests with 503, then recover (transient-blip
+    * injection for the retry path). */
+  val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     16,
@@ -31,6 +34,8 @@ final class MockLoadServer(delayMillis: Long = 0) {
     if (x.getRequestMethod == "POST") {
       if (delayMillis > 0) Thread.sleep(delayMillis)
       failStatus.get() match {
+        case _ if failNext.getAndUpdate(n => math.max(0, n - 1)) > 0 =>
+          respond(x, 503, """{"status":"transient"}""")
         case Some(code) => respond(x, code, """{"status":"error"}""")
         case None =>
           bodies.add(body)

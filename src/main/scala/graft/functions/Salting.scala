@@ -23,6 +23,13 @@ object Salting {
       key: String,
       salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full would preserve the salts-1 unmatched replicas of every
+    // small-side row as spurious null-padded output; swap the sides and
+    // use left instead.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
+      s"saltedEquiJoin: joinType '$joinType' would emit unmatched salt replicas " +
+        "of the small side; swap sides and use a left join")
     val saltCol = pmod(xxhash64(large.columns.map(col): _*), lit(salts))
     val saltedLarge = large.withColumn("__graft_salt", saltCol)
     val replicated = small.withColumn(

@@ -118,18 +118,17 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q47
     "q47_ann_ivf" -> QueryDef.rowsOnly(
-      "IVF-style ANN: 16 deterministic coarse centroids (every N/16th " +
-      "corpus vector), corpus assigned to its nearest cell via a " +
+      "IVF-style ANN: deterministic coarse centroids (every 31st corpus " +
+      "vector, so the cell count grows ~linearly with the corpus like a " +
+      "real IVF index), corpus assigned to its nearest cell via a " +
       "broadcast centroid join, queries probe their top-2 cells, exact " +
-      "cosine re-ranks cell members. The inverted-file layout: corpus " +
-      "scanned once for assignment, search touches ~2/16 of it. " +
-      "Deterministic but engine-specific layout -> rows-only; recall " +
-      "covered by SimilaritySpec vs the exact q38 baseline.") { (s, d) =>
+      "cosine re-ranks cell members. Fully lazy plan (no driver-side " +
+      "action). Deterministic but engine-specific layout -> rows-only; " +
+      "recall covered by SimilaritySpec vs the exact q38 baseline.") { (s, d) =>
       val corpus = normed(s, d)
-      // deterministic coarse centroids: stride-sampled corpus vectors
-      val n = corpus.count()
-      val stride = math.max(1L, n / 16L)
-      val cents = corpus.where(col("vec_id") % stride === 0 && col("vec_id") / stride < 16)
+      // deterministic, lazily-derived coarse centroids: stride sampling
+      // keeps cells ∝ corpus size without a count() action at plan build
+      val cents = corpus.where(col("vec_id") % 31 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
       // nearest-cell assignment (rank over the 16-way broadcast product)
       val scored = corpus.join(broadcast(cents), lit(true))

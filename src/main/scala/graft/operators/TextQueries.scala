@@ -74,18 +74,17 @@ object TextQueries {
         |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr
         |FROM t
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val w = tokens(col("text"))
-      val totalLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), _ + _)
+      val totalLen = aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _)
+      val nUnique = size(array_distinct(col("w")))
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), w.as("w"))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
         .select(
           col("doc_id"), col("lang"),
           size(col("w")).cast("long").as("n_tokens"),
-          aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).as("total_len"),
-          (aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _).cast("double")
-            / size(col("w")).cast("double")).as("avg_token_len"),
-          size(array_distinct(col("w"))).cast("long").as("n_unique"),
-          (size(array_distinct(col("w"))).cast("double") / size(col("w")).cast("double")).as("ttr"))
+          totalLen.as("total_len"),
+          (totalLen.cast("double") / size(col("w")).cast("double")).as("avg_token_len"),
+          nUnique.cast("long").as("n_unique"),
+          (nUnique.cast("double") / size(col("w")).cast("double")).as("ttr"))
         .orderBy("doc_id")
     },
 

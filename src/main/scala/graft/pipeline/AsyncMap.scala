@@ -46,9 +46,15 @@ object AsyncMap {
     val queue = new LinkedBlockingQueue[AnyRef](k * 4)
     val sentinel = new Object
     val active = new java.util.concurrent.atomic.AtomicInteger(k)
+    // An exception from the SOURCE iterator (scan error, upstream exec
+    // failure) is not a per-row failure of f: it must fail the task, not
+    // silently truncate the partition. Captured here, rethrown by the
+    // consumer once the workers drain.
+    val sourceError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val source = it
     def nextInput(): Option[T] = source.synchronized {
-      if (source.hasNext) Some(source.next()) else None
+      try { if (source.hasNext) Some(source.next()) else None }
+      catch { case t: Throwable => sourceError.compareAndSet(null, t); None }
     }
     (1 to k).foreach { _ =>
       pool.execute { () =>
@@ -70,12 +76,18 @@ object AsyncMap {
         if (buf != null) return true
         buf = queue.poll(1, TimeUnit.HOURS)
         if (buf == null) {
-          buf = Failure(new IllegalStateException("async-map timed out"))
-          finished = true; pool.shutdownNow()
-          return true
+          // a stalled f (no internal timeout) must fail the task loudly,
+          // not truncate the partition
+          pool.shutdownNow()
+          throw new IllegalStateException(
+            "async-map: no result within 1 hour — a call is stalled; add a timeout inside f")
         }
-        if (buf eq sentinel) { finished = true; buf = null; pool.shutdown(); false }
-        else true
+        if (buf eq sentinel) {
+          finished = true; buf = null; pool.shutdown()
+          val err = sourceError.get()
+          if (err != null) throw err
+          false
+        } else true
       }
       override def next(): Try[U] = {
         if (!hasNext) throw new NoSuchElementException

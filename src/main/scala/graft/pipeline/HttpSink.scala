@@ -75,19 +75,24 @@ object HttpSink {
   }
 
   /** Sink a frame of wire-format rows (single string column `json`, see
-    * Transform.deviceDataJson). Returns per-run delivery stats. */
-  def write(json: DataFrame, cfg: Config): Stats = {
+    * Transform.deviceDataJson). Returns per-run delivery stats.
+    *
+    * `spillOnFailure=false` is the replay mode: a failed batch is only
+    * counted, never re-spilled — the original dead-letter files stay the
+    * single durable copy, so repeated failed replays cannot duplicate
+    * records in the spill dir. */
+  def write(json: DataFrame, cfg: Config, spillOnFailure: Boolean = true): Stats = {
     val spark = json.sparkSession
     val sentB = spark.sparkContext.longAccumulator("sink.sentBatches")
     val sentR = spark.sparkContext.longAccumulator("sink.sentRecords")
     val spillB = spark.sparkContext.longAccumulator("sink.spilledBatches")
     val spillR = spark.sparkContext.longAccumulator("sink.spilledRecords")
-    writeWith(json, cfg, sentB, sentR, spillB, spillR)
+    writeWith(json, cfg, spillOnFailure, sentB, sentR, spillB, spillR)
     Stats(sentB.value, sentR.value, spillB.value, spillR.value)
   }
 
   private def writeWith(
-      json: DataFrame, cfg: Config,
+      json: DataFrame, cfg: Config, spillOnFailure: Boolean,
       sentB: LongAccumulator, sentR: LongAccumulator,
       spillB: LongAccumulator, spillR: LongAccumulator): Unit = {
     json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -97,9 +102,10 @@ object HttpSink {
           case Right(_) =>
             sentB.add(1); sentR.add(batch.size)
           case Left(err) =>
-            Spill.writeBatch(cfg.spillDir, pid, batch)
+            if (spillOnFailure) Spill.writeBatch(cfg.spillDir, pid, batch)
             spillB.add(1); spillR.add(batch.size)
-            System.err.println(s"[sink] worker $pid: batch of ${batch.size} failed ($err); spilled")
+            System.err.println(s"[sink] worker $pid: batch of ${batch.size} failed ($err)" +
+              (if (spillOnFailure) "; spilled" else "; kept in original spill files"))
         }
       }
     }

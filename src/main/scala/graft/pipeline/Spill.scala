@@ -70,15 +70,19 @@ object Spill {
             lit(0)))
   }
 
-  /** Replay: re-deliver everything in the spill dir through the sink;
-    * delete the consumed files only if nothing re-spilled. Returns
-    * (replayedRecords, deletedFiles). */
+  /** Replay: re-deliver everything in the spill dir through the sink in
+    * no-spill mode — failed batches are NOT re-written (the original
+    * files remain the single durable copy, so a sink that stays down
+    * cannot duplicate spill contents across replays). Files are deleted
+    * only after a fully-clean replay; a partial replay keeps them all,
+    * which can re-deliver already-sent records next time (at-least-once,
+    * documented). Returns (replayedRecords, deletedFiles). */
   def replay(spark: SparkSession, cfg: HttpSink.Config): (Long, Int) = {
     val files = listSpillFiles(cfg.spillDir)
     if (files.isEmpty) return (0L, 0)
     val frame = readSpilled(spark, cfg.spillDir).drop("worker_id")
     val json = Transform.deviceDataJson(frame)
-    val stats = HttpSink.write(json, cfg)
+    val stats = HttpSink.write(json, cfg, spillOnFailure = false)
     if (stats.spilledBatches == 0) {
       files.foreach(f => Files.deleteIfExists(f.toPath))
       (stats.sentRecords, files.size)

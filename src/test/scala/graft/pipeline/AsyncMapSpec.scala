@@ -69,4 +69,19 @@ class AsyncMapSpec extends SparkSpec {
     assert(ok.length == 90 && bad.length == 10)
     assert(bad.forall(_.startsWith("RuntimeException: bad-")))
   }
+
+  test("a source-iterator failure fails the consumer, not silent truncation") {
+    val poison: Iterator[Int] = new Iterator[Int] {
+      private var i = 0
+      override def hasNext: Boolean = true
+      override def next(): Int = {
+        i += 1
+        if (i > 20) throw new java.io.IOException("scan failed") else i
+      }
+    }
+    val ex = intercept[java.io.IOException] {
+      AsyncMap.concurrentIterator(poison, 4)(x => x * 2).toList
+    }
+    assert(ex.getMessage == "scan failed")
+  }
 }

@@ -88,11 +88,15 @@ class EtlPipelineSpec extends SparkSpec {
       new EtlPipeline(spark, cfg).run()
       val n1 = Spill.listSpillFiles(spillDir).size
       assert(n1 > 0)
-      // second run with sink still down: replay must NOT delete anything
+      assert(Spill.readSpilled(spark, spillDir).count() == 40)
+      // second run with sink still down: replay must keep the originals
+      // and must NOT duplicate them (no re-spill during replay) — only
+      // the second run's own live 40 records are added
       new EtlPipeline(spark, cfg).run()
-      assert(Spill.listSpillFiles(spillDir).size >= n1)
-      val total = Spill.readSpilled(spark, spillDir).count()
-      assert(total >= 80) // both runs' records all still durable
+      assert(Spill.readSpilled(spark, spillDir).count() == 80)
+      // third failed run: still linear (120), not exponential
+      new EtlPipeline(spark, cfg).run()
+      assert(Spill.readSpilled(spark, spillDir).count() == 120)
     } finally server.stop()
   }
 

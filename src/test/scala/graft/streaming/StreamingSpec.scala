@@ -156,4 +156,48 @@ class StreamingSpec extends SparkSpec {
       assert(server.receivedRecordCount == 45)
     } finally server.stop()
   }
+
+  test("streaming session windows emit after the watermark passes the gap") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sessions(ms.toDF(), watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_win_out").trigger(Trigger.ProcessingTime(0)).start()
+    def ev(id: Long, t: String) = EventStreams.Event(
+      id, Timestamp.valueOf(t), 42L, "click", 1.0)
+    ms.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:02:00"))
+    q.processAllAvailable()
+    // jump event time far forward: watermark passes the session end
+    ms.addData(ev(3, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    ms.addData(ev(4, "2024-01-01 14:00:00"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_win_out")
+      .where(col("user_id") === 42 &&
+        col("session_start") === Timestamp.valueOf("2024-01-01 10:00:00")).collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_events") == 2)
+    assert(rows.head.getAs[Timestamp]("session_end") ==
+      Timestamp.valueOf("2024-01-01 10:07:00")) // last event + 5 min gap
+  }
+
+  test("streaming sliding windows place each event in two windows") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventStreams.Event]
+    val out = EventStreams.sliding(ms.toDF(), watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData(EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:40:00"), 1L, "x", 2.5))
+    q.processAllAvailable()
+    ms.addData(EventStreams.Event(2, Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "x", 0.0))
+    q.processAllAvailable()
+    ms.addData(EventStreams.Event(3, Timestamp.valueOf("2024-01-01 15:00:00"), 1L, "x", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("slide_out")
+      .where(col("sum_value") === 2.5).collect()
+    q.stop()
+    val starts = rows.map(_.getTimestamp(0)).map(_.toString).sorted.toSeq
+    assert(starts == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"))
+  }
 }

@@ -116,6 +116,63 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---------------------------------------------------------------- q48
+    "q48_pivot" -> QueryDef.sql(
+      "Long->wide pivot with explicit pivot values (deterministic " +
+      "columns; the inverse of q18's unpivot).",
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 4) AS F_qty,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 4) AS O_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0.0)).as("F_qty"),
+          coalesce(col("O"), lit(0.0)).as("O_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q49
+    "q49_collect_and_fold" -> QueryDef.sql(
+      "Ordered collection aggregates + higher-order array functions: " +
+      "per-customer order-price list (sorted for determinism), folded " +
+      "total, filtered count, and a string aggregation.",
+      """SELECT o_custkey,
+        |  round(list_reduce(list_prepend(0.0, list(round(o_totalprice, 2) ORDER BY o_totalprice, o_orderkey)), (a, b) -> a + b), 2) AS folded_total,
+        |  len(list_filter(list(round(o_totalprice, 2) ORDER BY o_totalprice, o_orderkey), x -> x > 100000))::BIGINT AS n_big,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses
+        |FROM orders
+        |WHERE o_custkey % 10 = 0
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      // collect_list order is nondeterministic: collect (raw price,
+      // orderkey, rounded price) structs and array_sort them — struct
+      // sort compares fields in order, matching the oracle's
+      // ORDER BY o_totalprice, o_orderkey exactly (sorting by the
+      // ROUNDED price could order ties differently and shift the fold
+      // sum by an ulp).
+      val prices = transform(
+        array_sort(collect_list(struct(
+          col("o_totalprice").as("p0"), col("o_orderkey").as("k"),
+          round(col("o_totalprice"), 2).as("p")))),
+        x => x.getField("p"))
+      val statuses = array_join(
+        transform(array_sort(collect_list(struct(col("o_orderkey").as("k"), col("o_orderstatus").as("st")))),
+          x => x.getField("st")), ",")
+      Tables.orders(s, d)
+        .where(col("o_custkey") % 10 === 0)
+        .groupBy("o_custkey")
+        .agg(
+          round(aggregate(prices, lit(0.0), (a, b) => a + b), 2).as("folded_total"),
+          size(filter(prices, x => x > 100000)).cast("long").as("n_big"),
+          statuses.as("statuses"))
+        .orderBy("o_custkey")
+    },
+
     // ---------------------------------------------------------------- q46
     "q46_approx_count_distinct" -> QueryDef.rowsOnly(
       "HyperLogLog++ approximate distinct counting next to the exact " +

@@ -33,21 +33,13 @@ object TemporalQueries {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin) { (s, d) =>
       val e = Tables.events(s, d)
-      // tag 0 = signup (left side), tag 1 = purchase: at equal ts the signup
-      // sorts first, giving the ASOF-inclusive (>=) match semantics.
       val signups = e.where(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), lit(0).as("tag"),
-          lit(null).cast("long").as("event_id"), col("ts").as("signup_ts_in"))
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
       val purchases = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("tag"),
-          col("event_id"), lit(null).cast("timestamp").as("signup_ts_in"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("tag"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      signups.unionByName(purchases)
-        .withColumn("signup_ts", last(col("signup_ts_in"), ignoreNulls = true).over(w))
-        .where(col("tag") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("signup_ts"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.joinAsOf(signups, purchases, "user_id", "ts", Seq("signup_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("signup_ts_asof").as("signup_ts"))
         .orderBy("event_id")
     },
 

@@ -173,6 +173,52 @@ object ExtendedQueries {
         .orderBy("o_custkey")
     },
 
+    // ---------------------------------------------------------------- q50
+    "q50_window_range_frame" -> QueryDef.sql(
+      "RANGE window frame over event-time: trailing 1-hour sum of value " +
+      "per user (frame bounded by ordering-value distance, not row " +
+      "count — the other frame mode next to q12's ROWS frame).",
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // epoch seconds as ONE double division of the exact micros int64 —
+      // the same correctly-rounded result DuckDB's epoch() produces, so
+      // frame membership is bit-identical
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")).cast("double") / lit(1e6))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 4).as("trailing_1h"))
+        .orderBy("event_id")
+    },
+
+    // ---------------------------------------------------------------- q51
+    "q51_stat_aggregates" -> QueryDef.sql(
+      "Statistical aggregates: sample stddev/variance, correlation and " +
+      "covariance of price vs quantity per return flag (rounded: the " +
+      "engines' accumulation algorithms differ at ulp scale).",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
+        .orderBy("l_returnflag")
+    },
+
     // ---------------------------------------------------------------- q46
     "q46_approx_count_distinct" -> QueryDef.rowsOnly(
       "HyperLogLog++ approximate distinct counting next to the exact " +

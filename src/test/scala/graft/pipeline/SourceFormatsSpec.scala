@@ -1,0 +1,38 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Source/sink format coverage beyond the pipeline's native CSV/gzip-JSON:
+  * the DeviceData frame round-trips through parquet, ORC and JSON with
+  * the multiset preserved (nested array-of-struct included). */
+class SourceFormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def device = Transform.toDeviceData(
+    (1 to 50).map(i => CpuStats(s"dev-$i", 1000L + i, "0", s"$i", "3", "1", "0.5", "0")).toDF())
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.selectExpr("concat(name, '|', timestamp, '|', to_json(indicators)) AS k")
+      .as[String].collect().sorted.toSeq
+
+  test("parquet round-trip preserves the nested frame") {
+    val dir = Files.createTempDirectory("graft-fmt-parquet").toString
+    device.write.mode("overwrite").parquet(dir)
+    assert(canon(spark.read.parquet(dir)) == canon(device))
+  }
+
+  test("ORC round-trip preserves the nested frame") {
+    val dir = Files.createTempDirectory("graft-fmt-orc").toString
+    device.write.mode("overwrite").orc(dir)
+    assert(canon(spark.read.orc(dir)) == canon(device))
+  }
+
+  test("gzip JSON round-trip preserves the nested frame (spill wire format)") {
+    val dir = Files.createTempDirectory("graft-fmt-json").toString
+    device.write.mode("overwrite").option("compression", "gzip").json(dir)
+    assert(canon(spark.read.schema(Model.deviceDataSchema).json(dir)) == canon(device))
+  }
+}

@@ -13,7 +13,16 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force FULL computation of every output column: a bare count()
+      // lets Catalyst prune projection-only work, under-measuring
+      // expression-heavy queries. Hashing the whole row defeats pruning
+      // while still avoiding a driver-side collect of the data.
+      try {
+        val df = fn(spark, sfDir)
+        df.selectExpr("sum(xxhash64(struct(*)))").collect()
+      } catch { case _: Throwable =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

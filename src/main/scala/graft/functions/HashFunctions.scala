@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
+  private def bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** MinHash signature: element i is min over shingles of
-    * xxhash64(i, shingle). One pass over the shingle array per hash
-    * function, all codegen'd. */
+    * xxhash64(i, shingle). Native single-pass expression (see
+    * expressions.MinHashSignature); bit-identical to the composed form
+    * below, property-tested in SketchesSpec. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    bridge.column(graft.expressions.MinHashSignature(bridge.expression(shingleCol), numHashes))
+
+  /** Composed-builtin minhash — the reference semantics the native
+    * expression is tested against. */
+  def minhashSignatureComposed(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
     }: _*)
@@ -33,8 +41,13 @@ object HashFunctions {
 
   /** 64-bit SimHash over a token array: per bit j, sum +-1 weighted by
     * whether bit j of xxhash64(token) is set; result bit j = (sum > 0).
-    * Hamming-close simhashes <=> similar token multisets. */
-  def simhash64(toks: Column): Column = {
+    * Hamming-close simhashes <=> similar token multisets. Native
+    * single-pass expression; bit-identical to the composed form below. */
+  def simhash64(toks: Column): Column =
+    bridge.column(graft.expressions.SimHash64(bridge.expression(toks)))
+
+  /** Composed-builtin simhash — reference semantics for SketchesSpec. */
+  def simhash64Composed(toks: Column): Column = {
     val counts = aggregate(
       toks,
       array_repeat(lit(0), 64),

@@ -8,9 +8,13 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the scheduler/codegen path once so the first measured query
-    // doesn't absorb one-off session JIT cost (~4 s).
+    // Warm the scheduler, parquet reader and aggregate codegen paths once
+    // so the first measured query doesn't absorb one-off session JIT cost
+    // (~2-4 s). Uses the tiny region table (5-500 rows at any SF).
     spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Force FULL computation of every output column: a bare count()

@@ -16,15 +16,20 @@ object Bench {
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Force FULL computation of every output column: a bare count()
       // lets Catalyst prune projection-only work, under-measuring
       // expression-heavy queries. Hashing the whole row defeats pruning
       // while still avoiding a driver-side collect of the data.
+      var t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.selectExpr("sum(xxhash64(struct(*)))").collect()
-      } catch { case _: Throwable =>
+      } catch { case e: Throwable =>
+        // fall back to count() for a hash-incompatible output (e.g. a
+        // future MapType column) — logged, and re-timed from scratch so
+        // the failed attempt doesn't inflate the measurement
+        System.err.println(s"[bench] $name: hash sink failed (${e.getClass.getSimpleName}); falling back to count()")
+        t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       }
       name -> (System.nanoTime() - t0) / 1e9

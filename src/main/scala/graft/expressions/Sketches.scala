@@ -15,7 +15,12 @@ import org.apache.spark.sql.types._
 
 /** MinHash signature: element i = min over the (pre-distinct) shingle
   * array of xxhash64(i, shingle). Empty input -> array of k nulls,
-  * matching `array_min(transform(empty, ...))` = null per element. */
+  * matching `array_min(transform(empty, ...))` = null per element; null
+  * ELEMENTS hash like xxhash64's null-skipping. Known divergence from
+  * the composed form: a NULL input ARRAY yields NULL here (standard
+  * unary null propagation) where the composed form yields an array of k
+  * nulls — upstream shingling never produces a null array for non-null
+  * text. */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
@@ -33,20 +38,25 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSignature {
+  // seeds depend only on k: memoize instead of recomputing per row
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, kk => Array.tabulate(kk)(i => XXH64.hashInt(i, 42L)))
+
   def compute(arr: ArrayData, k: Int): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
     // per-hash-function chained seed, exactly xxhash64(lit(i), s)
-    val seeds = new Array[Long](k)
-    var i = 0
-    while (i < k) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val seeds = seedsFor(k)
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      i = 0
+      var i = 0
       while (i < k) {
-        val h = XXH64.hashUTF8String(s, seeds(i))
+        // a null element hashes to the int-only prefix, exactly like
+        // xxhash64(lit(i), NULL) which skips null children
+        val h = if (s == null) seeds(i) else XXH64.hashUTF8String(s, seeds(i))
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -79,7 +89,9 @@ object SimHash64 {
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+      val s = arr.getUTF8String(j)
+      // null token -> bare seed, matching xxhash64(NULL) = 42
+      val h = if (s == null) 42L else XXH64.hashUTF8String(s, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -33,26 +33,31 @@ object AsOf {
       leftValueCols: Seq[String],
       rightCols: Option[Seq[String]] = None): DataFrame = {
     val rCols = rightCols.getOrElse(right.columns.toSeq.filterNot(c => c == key || c == time))
+    // All carried values travel in ONE struct: last(ignoreNulls) then
+    // skips only probe rows (whose struct is null), never a state row
+    // whose individual VALUE is null — so a genuinely-null latest state
+    // is preserved and multi-column carries always come from the same
+    // left row.
+    val stateStruct = struct(leftValueCols.map(col): _*)
+    val nullStateType = org.apache.spark.sql.types.StructType(
+      leftValueCols.map(c => left.schema(c).copy(name = c)))
     // tag 0 = left (state) sorts before tag 1 (probe) at equal ts =>
     // inclusive at-or-before semantics
     val l = left.select(
-      Seq(col(key), col(time), lit(0).as("__asof_tag")) ++
-        leftValueCols.map(c => col(c).as(s"__asof_$c")) ++
+      Seq(col(key), col(time), lit(0).as("__asof_tag"), stateStruct.as("__asof_state")) ++
         rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right.select(
-      Seq(col(key), col(time), lit(1).as("__asof_tag")) ++
-        leftValueCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__asof_$c")) ++
+      Seq(col(key), col(time), lit(1).as("__asof_tag"),
+        lit(null).cast(nullStateType).as("__asof_state")) ++
         rCols.map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__asof_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = leftValueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"${c}_asof", last(col(s"__asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    l.unionByName(r)
+      .withColumn("__asof_carried", last(col("__asof_state"), ignoreNulls = true).over(w))
       .where(col("__asof_tag") === 1)
       .select(
         Seq(col(key), col(time)) ++ rCols.map(col) ++
-          leftValueCols.map(c => col(s"${c}_asof")): _*)
+          leftValueCols.map(c => col(s"__asof_carried.$c").as(s"${c}_asof")): _*)
   }
 }

@@ -30,18 +30,38 @@ class AsOfSpec extends SparkSpec {
     assert(out == Map("a" -> Some(100.0), "b" -> Some(110.0), "c" -> None, "d" -> Some(50.0)))
   }
 
-  test("agrees with the oracle-verified q22 on the events table") {
+  test("agrees with an independent brute-force as-of on the events table") {
+    // NOT via q22 (q22 itself routes through joinAsOf now): reference
+    // answer computed by a structurally different plan — plain range
+    // join + max aggregation
     val e = graft.Tables.events(spark, sf0001)
     val signups = e.where(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
-    val viaOperator = AsOf.joinAsOf(signups, purchases, "user_id", "ts", Seq("signup_ts"))
+    val brute = purchases
+      .join(signups, col("s_user") === col("user_id") && col("s_ts") <= col("ts"), "left")
+      .groupBy("event_id")
+      .agg(max(col("s_ts")).as("expected_signup_ts"))
+      .as[(Long, Option[Timestamp])].collect().toMap
+
+    val viaOperator = AsOf.joinAsOf(signups.select(col("s_user").as("user_id"), col("s_ts").as("ts"), col("s_ts").as("signup_ts")),
+        purchases, "user_id", "ts", Seq("signup_ts"))
       .select(col("event_id"), col("signup_ts_asof"))
       .as[(Long, Option[Timestamp])].collect().toMap
-    val viaQuery = graft.SparkEntry.queries("q22_asof_join")(spark, sf0001)
-      .select(col("event_id"), col("signup_ts"))
-      .as[(Long, Option[Timestamp])].collect().toMap
-    assert(viaOperator == viaQuery)
+    assert(viaOperator.nonEmpty && viaOperator == brute)
+  }
+
+  test("a genuinely NULL latest state value is carried as null, not a stale value") {
+    val state = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("x")),
+      (1L, ts("2024-01-01 11:00:00"), None, Option("y"))).toDF("key", "t", "price", "tagv")
+    val probe = Seq((1L, ts("2024-01-01 11:30:00"), "p1")).toDF("key", "t", "trade")
+    val out = AsOf.joinAsOf(state, probe, "key", "t", Seq("price", "tagv"))
+      .select(col("price_asof"), col("tagv_asof"))
+      .as[(Option[Double], Option[String])].collect().toSeq
+    // both carried columns come from the SAME (latest) state row:
+    // price null, tagv "y" — not the stale price 100.0
+    assert(out == Seq((None, Some("y"))))
   }
 }

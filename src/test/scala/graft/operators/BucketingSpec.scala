@@ -34,11 +34,12 @@ class BucketingSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"))
 
       val plan = joined.queryExecution.executedPlan.toString()
-      // the join itself must not introduce a shuffle on either side: the
-      // only allowed exchange is the one feeding the final aggregation
-      val joinPart = plan.split("HashAggregate").last // below the aggs
-      assert(joinPart.contains("SortMergeJoin"), plan)
-      assert(!joinPart.contains("Exchange"), "bucketed join still shuffles:\n" + plan)
+      // the join itself must not shuffle either side: the ONLY exchange
+      // allowed in the whole plan is the one feeding the final
+      // aggregation (an unbucketed join would add two more)
+      assert(plan.contains("SortMergeJoin"), plan)
+      val nExchanges = "Exchange".r.findAllIn(plan).length
+      assert(nExchanges <= 1, s"bucketed join still shuffles ($nExchanges exchanges):\n" + plan)
 
       // and it returns the same answer as the plain-parquet join
       val expected = graft.Tables.lineitem(spark, sf0001)
@@ -49,6 +50,7 @@ class BucketingSpec extends SparkSpec {
       assert(got == expected)
     } finally {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
   }
 }

@@ -18,21 +18,30 @@ class SourceFormatsSpec extends SparkSpec {
     df.selectExpr("concat(name, '|', timestamp, '|', to_json(indicators)) AS k")
       .as[String].collect().sorted.toSeq
 
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("parquet round-trip preserves the nested frame") {
-    val dir = Files.createTempDirectory("graft-fmt-parquet").toString
-    device.write.mode("overwrite").parquet(dir)
-    assert(canon(spark.read.parquet(dir)) == canon(device))
+    withTempDir { dir =>
+      device.write.mode("overwrite").parquet(dir)
+      assert(canon(spark.read.parquet(dir)) == canon(device))
+    }
   }
 
   test("ORC round-trip preserves the nested frame") {
-    val dir = Files.createTempDirectory("graft-fmt-orc").toString
-    device.write.mode("overwrite").orc(dir)
-    assert(canon(spark.read.orc(dir)) == canon(device))
+    withTempDir { dir =>
+      device.write.mode("overwrite").orc(dir)
+      assert(canon(spark.read.orc(dir)) == canon(device))
+    }
   }
 
   test("gzip JSON round-trip preserves the nested frame (spill wire format)") {
-    val dir = Files.createTempDirectory("graft-fmt-json").toString
-    device.write.mode("overwrite").option("compression", "gzip").json(dir)
-    assert(canon(spark.read.schema(Model.deviceDataSchema).json(dir)) == canon(device))
+    withTempDir { dir =>
+      device.write.mode("overwrite").option("compression", "gzip").json(dir)
+      assert(canon(spark.read.schema(Model.deviceDataSchema).json(dir)) == canon(device))
+    }
   }
 }

@@ -219,6 +219,39 @@ object ExtendedQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---------------------------------------------------------------- q52
+    "q52_window_distribution" -> QueryDef.sql(
+      "Distribution window functions: ntile quartiles, percent_rank, " +
+      "cume_dist (exact rational arithmetic -> engine-exact) and framed " +
+      "first/last value per priority group.",
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w::BIGINT AS price_quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+        |  round(last_value(o_totalprice) OVER
+        |    (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS priciest
+        |FROM orders
+        |WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 7 === 0)
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("price_quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          round(first_value(col("o_totalprice")).over(w), 2).as("cheapest"),
+          round(last_value(col("o_totalprice")).over(wFull), 2).as("priciest"))
+        .orderBy("o_orderkey")
+    },
+
     // ---------------------------------------------------------------- q46
     "q46_approx_count_distinct" -> QueryDef.rowsOnly(
       "HyperLogLog++ approximate distinct counting next to the exact " +

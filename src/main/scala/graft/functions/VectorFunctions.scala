@@ -45,4 +45,30 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  private def bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Indices of the nProbe nearest (by cosine) of `centroids` — a narrow
+    * per-row projection (native expression), NOT a join: the centroid
+    * table rides along like a broadcast literal. Centroids must be
+    * L2-normalized. */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    bridge.column(graft.expressions.NearestCells(bridge.expression(v), centroids, nProbe))
+
+  /** Per-band hyperplane sign codes (array of `bands` longs) in one pass
+    * — the LSH bucketing primitive. planes.length must divide into bands
+    * evenly. */
+  def bandedHyperplaneCodes(v: Column, planes: Seq[Array[Double]], bands: Int): Column =
+    bridge.column(graft.expressions.BandedHyperplaneCodes(
+      bridge.expression(v), planes.toArray, bands))
+
+  /** All XOR masks within hamming distance `depth` of 0 over `bits` bits
+    * (identity first, then single flips, then pairs, ...): the multi-probe
+    * schedule for one LSH band. */
+  def probeMasks(bits: Int, depth: Int): Seq[Long] = {
+    def combos(from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (from until bits).flatMap(j => combos(j + 1, left - 1).map(_ | (1L << j)))
+    (0 to depth).flatMap(d => combos(0, d))
+  }
 }

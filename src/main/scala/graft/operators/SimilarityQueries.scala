@@ -87,26 +87,36 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q39
     "q39_ann_lsh_bucketed" -> QueryDef.rowsOnly(
-      "Approximate NN via multi-probe random-hyperplane LSH (8 planes, " +
-      "seed 42): corpus gets an 8-bit sign code; each query probes its " +
-      "own bucket plus all 8 one-bit-flip neighbors (the buckets a " +
-      "borderline hyperplane decision could have placed a true neighbor " +
-      "in). Candidates still come from an equi-join on the code — " +
-      "hash-partitionable at any scale — then exact cosine re-ranks. " +
-      "Engine-specific layout -> rows-only check; recall covered by " +
-      "SimilaritySpec against q38's exact answer.") { (s, d) =>
-      val planes = makePlanes(8, 64)
-      val coded = normed(s, d).withColumn("code", hyperplaneCode(col("v"), planes))
-      val probeCodes = array(
-        col("qcode0") +: (0 until planes.length).map(j =>
-          col("qcode0").bitwiseXOR(lit(1L << j))): _*)
+      "Approximate NN via BANDED multi-probe hyperplane LSH (4 " +
+      "independent bands x 8 planes, seed 42): one native expression " +
+      "computes all 32 sign bits per row in a single pass; the corpus " +
+      "stores one posting per band (the standard 4x LSH storage cost); " +
+      "each query probes, per band, every code within hamming distance 2 " +
+      "(37 probes/band — borderline hyperplane decisions land one or two " +
+      "bit-flips away). A pair is a candidate if ANY band matches — the " +
+      "OR over bands is what lifts recall at low cosine where a single " +
+      "wider code collapses (measured recall@5 ~0.8 vs exact q38, " +
+      "asserted in SimilaritySpec). Candidates come only from an " +
+      "equi-join on (band, code) — hash-partitionable at any scale, no " +
+      "cross join — then exact cosine re-ranks. Engine-specific layout " +
+      "-> rows-only check.") { (s, d) =>
+      val bands = 4
+      val planesPerBand = 8
+      val planes = makePlanes(bands * planesPerBand, 64)
+      val masks = probeMasks(planesPerBand, depth = 2)
+      val coded = normed(s, d)
+        .withColumn("codes", bandedHyperplaneCodes(col("v"), planes, bands))
+      val corpusPostings = coded.select(
+        col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("codes")).as(Seq("band", "code")))
       val queries = coded.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("code").as("qcode0"))
-        .withColumn("qcode", explode(probeCodes))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(col("codes")).as(Seq("band", "qcode0")))
+        .withColumn("code", explode(array(
+          masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
         .drop("qcode0")
-      val cand = coded.join(queries,
-          col("qcode") === col("code") && col("qid") =!= col("vec_id"))
+      val cand = corpusPostings.join(queries, Seq("band", "code"))
+        .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("vid"),
           (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
         .distinct()
@@ -118,35 +128,26 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q47
     "q47_ann_ivf" -> QueryDef.rowsOnly(
-      "IVF-style ANN: deterministic coarse centroids (every 31st corpus " +
-      "vector, so the cell count grows ~linearly with the corpus like a " +
-      "real IVF index), corpus assigned to its nearest cell via a " +
-      "broadcast centroid join, queries probe their top-2 cells, exact " +
-      "cosine re-ranks cell members. Fully lazy plan (no driver-side " +
-      "action). Deterministic but engine-specific layout -> rows-only; " +
-      "recall covered by SimilaritySpec vs the exact q38 baseline.") { (s, d) =>
+      "IVF ANN with TRAINED coarse centroids: spherical k-means (k=16, " +
+      "10 Lloyd iterations) over a bounded deterministic sample — the " +
+      "offline index build of a real IVF deployment, one count + one " +
+      "<=4096-vector collect, cost independent of corpus size. Cell " +
+      "assignment is a NARROW per-row native expression (argmax of dot " +
+      "against the centroid table riding in the expression like a " +
+      "broadcast literal) — zero joins, zero windows, zero shuffles to " +
+      "assign, so the step scales linearly at 100 TB. Queries probe " +
+      "their top-5 of 16 cells (~31% of the corpus scanned), candidates " +
+      "come from the cell equi-join, exact cosine re-ranks. Measured " +
+      "recall@5 ~0.7 vs exact q38, asserted in SimilaritySpec. " +
+      "Engine-specific layout -> rows-only check.") { (s, d) =>
       val corpus = normed(s, d)
-      // deterministic, lazily-derived coarse centroids: stride sampling
-      // keeps cells ∝ corpus size without a count() action at plan build
-      val cents = corpus.where(col("vec_id") % 31 === 0)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      // nearest-cell assignment (rank over the 16-way broadcast product)
-      val scored = corpus.join(broadcast(cents), lit(true))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = scored.withColumn("r", row_number().over(wAssign))
-        .where(col("r") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      // queries probe their top-2 cells
-      val qProbe = corpus.where(col("vec_id") < 10)
-        .join(broadcast(cents), lit(true))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val probes = qProbe.withColumn("r", row_number().over(wProbe))
-        .where(col("r") <= 2)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("cid").as("cell"))
-      // search only the probed cells (equi-join on cell id)
+      val cents = graft.functions.AnnIndex.trainCentroids(
+        corpus, idCol = "vec_id", vecCol = "v", k = 16, iterations = 10)
+      val assigned = corpus.withColumn(
+        "cell", element_at(nearestCells(col("v"), cents, nProbe = 1), 1))
+      val probes = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+          explode(nearestCells(col("v"), cents, nProbe = 5)).as("cell"))
       val cand = assigned.join(probes, Seq("cell"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("vid"),

@@ -61,6 +61,18 @@ class PlanChecksSpec extends SparkSpec {
   test("q39: bucketed ANN joins on the code — hash-partitionable") {
     val p = plan("q39_ann_lsh_bucketed")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q47: IVF assignment is a narrow projection — no product, no per-vector window") {
+    val p = plan("q47_ann_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Window exec left is the final per-query top-k rank — the
+    // full-corpus assignment window of the old plan is gone. ("Window ["
+    // matches the exec node, not WindowGroupLimit.)
+    assert(p.split("Window \\[").length - 1 <= 1,
+      "more than one Window exec in the IVF plan:\n" + p)
   }
 
   test("q33: exact dedup is a single hash aggregate over one exchange") {

@@ -68,15 +68,70 @@ class SimilaritySpec extends SparkSpec {
     ivf.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 5) }
   }
 
-  test("multi-probe LSH recall@5 against the exact baseline") {
+  test("banded multi-probe LSH recall@5 >= 0.5 against the exact baseline") {
     val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
     val lsh = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
     val recall = (exact & lsh).size.toDouble / exact.size
-    info(s"multi-probe LSH recall@5 = $recall (${(exact & lsh).size}/${exact.size})")
-    assert(recall > 0.0, "multi-probe LSH recovered none of the true top-5")
+    info(s"banded multi-probe LSH recall@5 = $recall (${(exact & lsh).size}/${exact.size})")
+    assert(recall >= 0.5,
+      s"banded LSH recall@5 = $recall below the 0.5 design floor")
   }
+
+  test("IVF (trained centroids) recall@5 >= 0.6 against the exact baseline") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.6, s"IVF recall@5 = $recall below the 0.6 design floor")
+  }
+
+  test("banded codes equal the composed per-band hyperplane code") {
+    val bands = 4
+    val r = 8
+    val planes = makePlanes(bands * r, 64)
+    val base = graft.Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val native = base
+      .select(col("vec_id"), bandedHyperplaneCodes(col("v"), planes, bands).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    (0 until bands).foreach { b =>
+      val composed = base
+        .select(col("vec_id"),
+          hyperplaneCode(col("v"), planes.slice(b * r, (b + 1) * r)).as("code"))
+        .as[(Long, Long)].collect()
+      composed.foreach { case (id, code) =>
+        assert(native(id)(b) == code, s"band $b mismatch for vec $id")
+      }
+    }
+  }
+
+  test("nearest_cells returns the argmax-by-dot cells in order") {
+    // 2-d unit centroids at 0, 90, 180, 270 degrees
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0), Array(0.0, -1.0))
+    val df = Seq(
+      (1L, Array(0.9, 0.1)),   // nearest: 0 then 1
+      (2L, Array(-0.3, -0.8)), // nearest: 3 then 2
+      (3L, Array(0.5, 0.5))    // tie 0/1 -> lower cell first
+    ).toDF("id", "v")
+    val got = df.select(col("id"), nearestCells(col("v"), cents, 2).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1), got(1L).toString)
+    assert(got(2L) == Seq(3, 2), got(2L).toString)
+    assert(got(3L) == Seq(0, 1), got(3L).toString)
+  }
+
+  test("probeMasks enumerates exactly the hamming<=depth ball") {
+    val masks = makeProbeCheck(8, 2)
+    assert(masks.length == 1 + 8 + 28)
+    assert(masks.distinct.length == masks.length)
+    assert(masks.forall(m => java.lang.Long.bitCount(m) <= 2))
+    assert(masks.head == 0L)
+  }
+  private def makeProbeCheck(bits: Int, depth: Int): Seq[Long] = probeMasks(bits, depth)
 
   test("approx_count_distinct within its 2% design error vs exact") {
     val rows = graft.SparkEntry.queries("q46_approx_count_distinct")(spark, sf001)

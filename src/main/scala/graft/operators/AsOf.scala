@@ -33,6 +33,18 @@ object AsOf {
       leftValueCols: Seq[String],
       rightCols: Option[Seq[String]] = None): DataFrame = {
     val rCols = rightCols.getOrElse(right.columns.toSeq.filterNot(c => c == key || c == time))
+    // Guard the internal/output namespace: a silent collision here would
+    // produce ambiguous or wrong selects rather than a clear error.
+    val reserved = Seq("__asof_tag", "__asof_state", "__asof_carried")
+    val inputCols = (left.columns ++ right.columns).toSet
+    require(reserved.forall(!inputCols(_)),
+      s"joinAsOf: input columns may not use reserved names ${reserved.mkString(", ")}")
+    require(rCols.forall(c => c != key && c != time),
+      s"joinAsOf: rightCols may not repeat the key ('$key') or time ('$time') column")
+    val carriedOut = leftValueCols.map(c => s"${c}_asof").toSet
+    require((rCols :+ key :+ time).forall(!carriedOut(_)),
+      s"joinAsOf: output name collision — carried columns ${carriedOut.mkString(", ")} " +
+        "clash with right-side/key/time columns")
     // All carried values travel in ONE struct: last(ignoreNulls) then
     // skips only probe rows (whose struct is null), never a state row
     // whose individual VALUE is null — so a genuinely-null latest state

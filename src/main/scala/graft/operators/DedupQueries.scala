@@ -84,8 +84,13 @@ object DedupQueries {
       "Jaccard confirmation at j >= 0.3. Engine-specific hashing " +
       "(xxhash64) -> no SQL oracle; semantics covered by q34 + DedupSpec.") { (s, d) =>
       val sh = shingled(s, d, None)
-      val sig = sh.select(col("doc_id"), col("sh"),
-        HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+      // shingle-less docs (<3 tokens) would all share the degenerate
+      // all-null signature — one giant bucket per band, a quadratic
+      // candidate blowup. They cannot be near-dups by shingle Jaccard
+      // anyway, so drop them before banding.
+      val sig = sh.where(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"),
+          HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
       val bands = sig.select(col("doc_id"),
         explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
         .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))

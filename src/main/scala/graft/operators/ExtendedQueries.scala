@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 /** Coverage-completing operators: grouping sets, full outer join, map
@@ -104,7 +105,7 @@ object ExtendedQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val stats = udaf(graft.functions.StatsAggregator)
+      val stats = udaf(graft.functions.StatsAggregator, Encoders.DOUBLE)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(stats(col("l_quantity")).as("st"))

@@ -17,9 +17,13 @@ import java.nio.file.{Files, Paths}
   * until committed; the sink keeps its own tiny commit log (one marker
   * file per delivered batchId, on what would be shared storage in a
   * cluster). A replayed already-committed batch is skipped, so a crash
-  * between delivery and checkpoint does not double-send. Within a batch,
-  * partial redelivery can still duplicate — full exactly-once needs a
-  * transactional sink, which a plain HTTP POST endpoint cannot offer.
+  * between delivery and checkpoint does not double-send. The streaming
+  * path never writes dead-letter spill files (checkpoint retry is the
+  * durability mechanism; a spill copy would be redelivered by the retry
+  * anyway and then double-delivered by any later Spill.replay). Within a
+  * batch, partial redelivery can still duplicate — full exactly-once
+  * needs a transactional sink, which a plain HTTP POST endpoint cannot
+  * offer.
   */
 object StreamingEtl {
 
@@ -51,10 +55,14 @@ object StreamingEtl {
     val marker = Paths.get(commitLogDir, s"batch-$batchId.committed")
     if (Files.exists(marker)) return // replay of an already-delivered batch
     val json = Transform.deviceDataJson(batch.repartition(loadPartitions))
-    val stats = HttpSink.write(json, sink)
+    // spillOnFailure=false: in streaming the checkpoint retry IS the
+    // durability mechanism. Spilling here would leave dead-letter copies
+    // of records the retried micro-batch delivers anyway — a systematic
+    // double-delivery path for any Spill.replay sharing this Config.
+    val stats = HttpSink.write(json, sink, spillOnFailure = false)
     if (stats.spilledBatches > 0)
       throw new IllegalStateException(
-        s"batch $batchId: ${stats.spilledBatches} groups undeliverable (spilled to ${sink.spillDir}); failing the micro-batch for checkpoint retry")
+        s"batch $batchId: ${stats.spilledBatches} groups undeliverable; failing the micro-batch for checkpoint retry")
     Files.createDirectories(marker.getParent)
     Files.write(marker, java.util.Arrays.asList(stats.sentRecords.toString))
   }

@@ -52,6 +52,26 @@ class AsOfSpec extends SparkSpec {
     assert(viaOperator.nonEmpty && viaOperator == brute)
   }
 
+  test("reserved/colliding column names are rejected with a clear error") {
+    val state = Seq((1L, ts("2024-01-01 10:00:00"), 1.0)).toDF("key", "t", "price")
+    val probe = Seq((1L, ts("2024-01-01 10:30:00"), "p")).toDF("key", "t", "trade")
+
+    // internal reserved name on an input
+    val badState = state.withColumn("__asof_tag", lit(0))
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(badState, probe, "key", "t", Seq("price"))
+    }
+    // rightCols repeating the key
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(state, probe, "key", "t", Seq("price"), Some(Seq("key", "trade")))
+    }
+    // carried output '<c>_asof' colliding with a right-side column
+    val collidingProbe = probe.withColumn("price_asof", lit(9.0))
+    intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(state, collidingProbe, "key", "t", Seq("price"))
+    }
+  }
+
   test("a genuinely NULL latest state value is carried as null, not a stale value") {
     val state = Seq(
       (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("x")),

@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  test("failed micro-batch fails the query (checkpoint will retry), spill keeps the data") {
+  test("failed micro-batch fails the query, writes NO spill, and checkpoint retry redelivers exactly once") {
     val server = new MockLoadServer()
     val ckpt = Files.createTempDirectory("graft-ckpt3").toString
     val spill = Files.createTempDirectory("graft-sp3").toString
@@ -78,7 +78,17 @@ class StreamingSpec extends SparkSpec {
         q.stop()
       }
       assert(ex.getMessage.contains("undeliverable") || ex.getCause != null)
-      assert(graft.pipeline.Spill.listSpillFiles(spill).nonEmpty)
+      // checkpoint retry is the durability mechanism in streaming: a spill
+      // copy here would be double-delivered by the retry + a later replay
+      assert(graft.pipeline.Spill.listSpillFiles(spill).isEmpty,
+        "streaming failure must not write dead-letter spill files")
+
+      // sink recovers; restart from the same checkpoint: the failed
+      // micro-batch is retried and every record arrives exactly once
+      server.failStatus.set(None)
+      StreamingEtl.runAvailable(df, cfg, ckpt, loadPartitions = 2).stop()
+      assert(server.receivedRecordCount == 10)
+      assert(graft.pipeline.Spill.listSpillFiles(spill).isEmpty)
     } finally server.stop()
   }
 

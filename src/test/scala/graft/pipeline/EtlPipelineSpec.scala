@@ -173,4 +173,61 @@ class EtlPipelineSpec extends SparkSpec {
       "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
     assert(out.collect().head.getLong(0) > 0)
   }
+
+  test("HttpExtractor e2e: real GET per appliance feeds the full pipeline") {
+    val server = new MockLoadServer()
+    try {
+      val cfg = EtlConfig(
+        csvPath = writeCsv(60),
+        sink = HttpSink.Config(server.loadUrl, "tok", batchSize = 25, spillDir = freshSpill()),
+        extractor = HttpExtractor(server.deviceUrlTemplate, globalConcurrency = 64),
+        loadPartitions = 3)
+      val stats = new EtlPipeline(spark, cfg).run()
+      assert(stats.sink.sentRecords == 60)
+      assert(server.receivedRecordCount == 60)
+      assert(server.deviceRequestCount == 60) // one GET per appliance
+      // the device API's payload (not fabricated constants) flowed through
+      assert(server.receivedBodies.head.contains("\"timestamp\":1751450637"))
+    } finally server.stop()
+  }
+
+  test("HttpExtractor drops failed devices; quarantine keeps them with classified causes") {
+    val server = new MockLoadServer()
+    try {
+      server.deviceFailIps.add("192.168.0.3")
+      server.deviceFailIps.add("192.168.0.7")
+      val csv = writeCsv(10)
+      val ex = HttpExtractor(server.deviceUrlTemplate, globalConcurrency = 8)
+
+      // O5 drop semantics through the standard interface
+      val src = ApplianceSource.read(spark, csv)
+      assert(ex.extract(spark, src.ok).count() == 8)
+
+      // quarantine variant: same rows, failures kept with a cause
+      val q = ex.extractQuarantine(spark, src.ok).collect()
+      assert(q.count(_._1.isDefined) == 8)
+      val failed = q.flatMap(_._2)
+      assert(failed.length == 2)
+      assert(failed.forall(_.startsWith("status 500")))
+    } finally server.stop()
+  }
+
+  test("HttpExtractor classifies timeouts with the reference's deadline semantics") {
+    val server = new MockLoadServer()
+    try {
+      server.deviceDelayMillis.set(2000)
+      val ex = HttpExtractor(server.deviceUrlTemplate, globalConcurrency = 4,
+        timeout = java.time.Duration.ofMillis(250))
+      val src = ApplianceSource.read(spark, writeCsv(3))
+      val causes = ex.extractQuarantine(spark, src.ok).collect().flatMap(_._2)
+      assert(causes.length == 3)
+      assert(causes.forall(_.startsWith("timeout:")), causes.mkString("; "))
+
+      // and a malformed body is its own class
+      server.deviceDelayMillis.set(0)
+      server.deviceMalformed.set(true)
+      val mal = ex.extractQuarantine(spark, src.ok).collect().flatMap(_._2)
+      assert(mal.forall(_.startsWith("malformed:")), mal.mkString("; "))
+    } finally server.stop()
+  }
 }

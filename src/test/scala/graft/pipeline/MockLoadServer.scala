@@ -24,6 +24,12 @@ final class MockLoadServer(delayMillis: Long = 0) {
   /** Fail the next N /load requests with 503, then recover (transient-blip
     * injection for the retry path). */
   val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Device-API knobs (GET /device, the extract side): per-IP injected
+    * failure status, global delay (timeout injection), malformed-body. */
+  val deviceFailIps = new java.util.concurrent.CopyOnWriteArraySet[String]()
+  val deviceDelayMillis = new java.util.concurrent.atomic.AtomicLong(0)
+  val deviceMalformed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val deviceHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(
     16,
@@ -44,6 +50,26 @@ final class MockLoadServer(delayMillis: Long = 0) {
       }
     } else respond(x, 404, "Unsupported path")
   })
+  // Device API for the extract side (HttpExtractor): GET /device?ip=..&
+  // hostname=.. -> flat CpuStats JSON keyed to the requested appliance.
+  server.createContext("/device", (x: HttpExchange) => {
+    deviceHits.incrementAndGet()
+    val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+    val params = q.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    val ip = params.getOrElse("ip", "")
+    if (deviceDelayMillis.get() > 0) Thread.sleep(deviceDelayMillis.get())
+    if (deviceFailIps.contains(ip)) respond(x, 500, """{"status":"device error"}""")
+    else if (deviceMalformed.get()) respond(x, 200, """{"not":"cpustats"}""")
+    else {
+      val host = params.getOrElse("hostname", "unknown")
+      respond(x, 200,
+        s"""{"name":"$host","timestamp":1751450637,"cpu_number":"0",""" +
+          """"pIdle":"95","pUser":"3","pSys":"1","pIRQ":"0.5","pNice":"0"}""")
+    }
+  })
   server.createContext("/health", (x: HttpExchange) => respond(x, 200, """{"status":"ok"}"""))
   server.createContext("/", (x: HttpExchange) => respond(x, 404, "Unsupported path"))
   server.start()
@@ -58,6 +84,8 @@ final class MockLoadServer(delayMillis: Long = 0) {
 
   def port: Int = server.getAddress.getPort
   def loadUrl: String = s"http://127.0.0.1:$port/load"
+  def deviceUrlTemplate: String = s"http://127.0.0.1:$port/device?ip={ip}&hostname={hostname}"
+  def deviceRequestCount: Int = deviceHits.get()
   def receivedBodies: Seq[String] = bodies.asScala.toSeq
   def receivedAuths: Seq[String] = auths.asScala.toSeq
   // one "cpu_number" key per DeviceData record (indicator structs only

@@ -45,12 +45,22 @@ object HttpSink {
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
-  /** One POST attempt per retry budget; exponential backoff between. */
-  def postBatchWithRetry(cfg: Config, jsonRows: Seq[String]): Either[String, Unit] = {
+  /** One POST attempt per retry budget; exponential backoff between.
+    *
+    * Every attempt shares ONE idempotency key, so a batch the endpoint
+    * received but failed to acknowledge is droppable server-side on the
+    * retry. The default key is a fresh UUID per *delivery* (a deliberate
+    * re-run of the same input must not be deduped as a duplicate); pass
+    * `key` to widen the scope — Spill.replay keys each batch by
+    * `<spillFile>#<batchIndex>` so replay ROUNDS of the same file share
+    * keys and a partially-replayed file cannot double-deliver. */
+  def postBatchWithRetry(
+      cfg: Config, jsonRows: Seq[String], key: Option[String] = None): Either[String, Unit] = {
+    val k = key.getOrElse(java.util.UUID.randomUUID().toString)
     var attempt = 0
     var last: Either[String, Unit] = Left("unattempted")
     while (attempt <= cfg.maxRetries) {
-      last = postBatch(cfg, jsonRows)
+      last = postBatch(cfg, jsonRows, k)
       if (last.isRight) return last
       attempt += 1
       if (attempt <= cfg.maxRetries)
@@ -59,13 +69,16 @@ object HttpSink {
     last
   }
 
-  def postBatch(cfg: Config, jsonRows: Seq[String]): Either[String, Unit] = {
+  def postBatch(
+      cfg: Config, jsonRows: Seq[String],
+      idempotencyKey: String = java.util.UUID.randomUUID().toString): Either[String, Unit] = {
     val payload = jsonRows.mkString("[", ",", "]")
     try {
       val req = HttpRequest.newBuilder(URI.create(cfg.url))
         .timeout(cfg.timeout)
         .header("Content-Type", "application/json")
         .header("Authorization", s"Bearer ${cfg.authToken}")
+        .header("X-Idempotency-Key", idempotencyKey)
         .POST(HttpRequest.BodyPublishers.ofString(payload))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())

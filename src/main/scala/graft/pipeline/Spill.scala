@@ -70,22 +70,61 @@ object Spill {
             lit(0)))
   }
 
-  /** Replay: re-deliver everything in the spill dir through the sink in
-    * no-spill mode — failed batches are NOT re-written (the original
-    * files remain the single durable copy, so a sink that stays down
-    * cannot duplicate spill contents across replays). Files are deleted
-    * only after a fully-clean replay; a partial replay keeps them all,
-    * which can re-deliver already-sent records next time (at-least-once,
-    * documented). Returns (replayedRecords, deletedFiles). */
+  /** Replay with PER-FILE delivery granularity: each spill file's rows are
+    * posted as their own batches and the file is deleted as soon as ITS
+    * rows are fully delivered — one still-failing file no longer pins
+    * every already-delivered file into the next replay round.
+    *
+    * Within-file partials are covered by the idempotency key: replay
+    * batches are keyed `<spillFile>#<batchIndex>`, stable across replay
+    * rounds (same file, same batching), so a keyed sink drops the second
+    * copy of the already-delivered half of a partially-replayed file.
+    * Failed batches are NOT re-spilled (the original files remain the
+    * single durable copy). One distributed job regardless of file count —
+    * multiLine JSON reads each gzip file whole in one task, so a file's
+    * rows are always consecutive within a partition. Returns
+    * (replayedRecords, deletedFiles). */
   def replay(spark: SparkSession, cfg: HttpSink.Config): (Long, Int) = {
     val files = listSpillFiles(cfg.spillDir)
     if (files.isEmpty) return (0L, 0)
-    val frame = readSpilled(spark, cfg.spillDir).drop("worker_id")
+    val frame = spark.read
+      .schema(Model.deviceDataSchema)
+      .option("multiLine", "true")
+      .json(files.map(_.getPath): _*)
     val json = Transform.deviceDataJson(frame)
-    val stats = HttpSink.write(json, cfg, spillOnFailure = false)
-    if (stats.spilledBatches == 0) {
-      files.foreach(f => Files.deleteIfExists(f.toPath))
-      (stats.sentRecords, files.size)
-    } else (stats.sentRecords, 0)
+      .withColumn("__src", input_file_name())
+    val sentR = spark.sparkContext.longAccumulator("replay.sentRecords")
+    val okFiles = spark.sparkContext.collectionAccumulator[String]("replay.okFiles")
+    json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val fileOk = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur: String = null
+      var batchIdx = 0
+      def flush(): Unit = if (buf.nonEmpty) {
+        val key = s"${cur.substring(cur.lastIndexOf('/') + 1)}#$batchIdx"
+        val ok = HttpSink.postBatchWithRetry(cfg, buf.toSeq, Some(key)).isRight
+        if (ok) sentR.add(buf.size)
+        else System.err.println(
+          s"[replay] batch of ${buf.size} from $cur failed; file kept for next replay")
+        fileOk.update(cur, fileOk.getOrElse(cur, true) && ok)
+        batchIdx += 1
+        buf.clear()
+      }
+      rows.foreach { r =>
+        val f = r.getString(1)
+        if (f != cur) { flush(); cur = f; batchIdx = 0; fileOk.getOrElseUpdate(f, true) }
+        buf += r.getString(0)
+        if (buf.size >= cfg.batchSize) flush()
+      }
+      flush()
+      fileOk.foreach { case (f, ok) => if (ok) okFiles.add(f) }
+    }
+    // file paths come back as URIs; match on the (uuid-unique) basename
+    val okNames = {
+      import scala.jdk.CollectionConverters._
+      okFiles.value.asScala.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
+    }
+    val deleted = files.count(f => okNames(f.getName) && Files.deleteIfExists(f.toPath))
+    (sentR.value, deleted)
   }
 }

@@ -174,6 +174,77 @@ class EtlPipelineSpec extends SparkSpec {
     assert(out.collect().head.getLong(0) > 0)
   }
 
+  test("partial replay: delivered files are deleted immediately; zero duplicates across rounds") {
+    val server = new MockLoadServer()
+    val spillDir = freshSpill()
+    try {
+      // spill 3 files of 40 records each
+      server.failStatus.set(Some(500))
+      val cfg = EtlConfig(
+        csvPath = writeCsv(120),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 40, spillDir = spillDir),
+        extractor = ProjectionExtractor(Some(1751450637L)),
+        loadPartitions = 3)
+      new EtlPipeline(spark, cfg).run()
+      assert(Spill.listSpillFiles(spillDir).size == 3)
+
+      // replay round 1: exactly one POST blips -> ONE file kept, two deleted
+      server.failStatus.set(None)
+      server.reset()
+      server.failNext.set(1)
+      val (sent1, del1) = Spill.replay(spark, cfg.sink)
+      assert(sent1 == 80 && del1 == 2, s"sent=$sent1 deleted=$del1")
+      assert(Spill.listSpillFiles(spillDir).size == 1)
+
+      // replay round 2 delivers the rest; nothing re-delivered
+      val (sent2, del2) = Spill.replay(spark, cfg.sink)
+      assert(sent2 == 40 && del2 == 1)
+      assert(Spill.listSpillFiles(spillDir).isEmpty)
+      assert(server.receivedRecordCount == 120, "every spilled record delivered exactly once")
+      assert(server.duplicateCount == 0)
+    } finally server.stop()
+  }
+
+  test("within-file partial replay: idempotency key stops the delivered half from duplicating") {
+    val server = new MockLoadServer()
+    val spillDir = freshSpill()
+    try {
+      // ONE spill file of 40 records, replayed as two 20-row batches
+      server.failStatus.set(Some(500))
+      val cfg = EtlConfig(
+        csvPath = writeCsv(40),
+        sink = HttpSink.Config(server.loadUrl, "t", batchSize = 20, spillDir = spillDir),
+        extractor = ProjectionExtractor(Some(1751450637L)),
+        loadPartitions = 1)
+      new EtlPipeline(spark, cfg).run()
+      val files = Spill.listSpillFiles(spillDir)
+      assert(files.size == 2) // 40 rows / batchSize 20 -> two spilled batches
+      // merge into one file so a single file spans two replay batches
+      val merged = Spill.readSpilled(spark, spillDir).drop("worker_id")
+      val rows = graft.pipeline.Transform.deviceDataJson(merged)
+        .collect().map(_.getString(0)).sorted.toSeq
+      files.foreach(f => java.nio.file.Files.delete(f.toPath))
+      Spill.writeBatch(spillDir, 0, rows)
+      assert(Spill.listSpillFiles(spillDir).size == 1)
+
+      // round 1: first batch POST fails, second succeeds -> file KEPT
+      server.failStatus.set(None)
+      server.reset()
+      server.failNext.set(1)
+      val (sent1, del1) = Spill.replay(spark, cfg.sink)
+      assert(sent1 == 20 && del1 == 0)
+      assert(Spill.listSpillFiles(spillDir).size == 1)
+
+      // round 2 re-posts both batches: the already-delivered one is
+      // dropped by its idempotency key, the failed one lands
+      val (sent2, del2) = Spill.replay(spark, cfg.sink)
+      assert(del2 == 1)
+      assert(Spill.listSpillFiles(spillDir).isEmpty)
+      assert(server.receivedRecordCount == 40, "no record delivered twice")
+      assert(server.duplicateCount == 1, "the replayed duplicate was key-deduped")
+    } finally server.stop()
+  }
+
   test("HttpExtractor e2e: real GET per appliance feeds the full pipeline") {
     val server = new MockLoadServer()
     try {

@@ -20,6 +20,10 @@ final class MockLoadServer(delayMillis: Long = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   private val bodies = new CopyOnWriteArrayList[String]()
   private val auths = new CopyOnWriteArrayList[String]()
+  // X-Idempotency-Key dedup (the keyed-endpoint contract HttpSink targets):
+  // a replayed payload with a seen key is acknowledged but not re-counted.
+  private val seenKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val dupCount = new java.util.concurrent.atomic.AtomicInteger(0)
   val failStatus = new AtomicReference[Option[Int]](None)
   /** Fail the next N /load requests with 503, then recover (transient-blip
     * injection for the retry path). */
@@ -44,9 +48,15 @@ final class MockLoadServer(delayMillis: Long = 0) {
           respond(x, 503, """{"status":"transient"}""")
         case Some(code) => respond(x, code, """{"status":"error"}""")
         case None =>
-          bodies.add(body)
-          auths.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
-          respond(x, 200, """{"status":"success"}""")
+          val key = Option(x.getRequestHeaders.getFirst("X-Idempotency-Key"))
+          if (key.exists(k => !seenKeys.add(k))) {
+            dupCount.incrementAndGet()
+            respond(x, 200, """{"status":"duplicate"}""")
+          } else {
+            bodies.add(body)
+            auths.add(Option(x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+            respond(x, 200, """{"status":"success"}""")
+          }
       }
     } else respond(x, 404, "Unsupported path")
   })
@@ -92,6 +102,8 @@ final class MockLoadServer(delayMillis: Long = 0) {
   // carry name/value)
   def receivedRecordCount: Int =
     receivedBodies.map(b => b.sliding(12).count(_ == "\"cpu_number\"")).sum
-  def reset(): Unit = { bodies.clear(); auths.clear() }
+  /** Payloads acknowledged as duplicates via idempotency key (never stored). */
+  def duplicateCount: Int = dupCount.get()
+  def reset(): Unit = { bodies.clear(); auths.clear(); seenKeys.clear(); dupCount.set(0) }
   def stop(): Unit = { server.stop(0); pool.shutdownNow() }
 }

@@ -15,7 +15,22 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
+    // Smallest SF for per-query JIT warmup (same directory layout).
+    val warmDir = {
+      val p = java.nio.file.Paths.get(sfDir).getParent
+      val cand = if (p == null) null else p.resolve("sf0.001")
+      if (cand != null && java.nio.file.Files.isDirectory(cand)) Some(cand.toString) else None
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // Per-query JIT warmup at the smallest SF: each whole-stage-codegen
+      // class compiles once per JVM (0.3-2 s, the round-1 q15 "outlier"),
+      // a constant cost that amortizes to zero at 100 TB. Warming the
+      // identical code path on tiny data excludes it, so the timed number
+      // below measures data-proportional engine work only.
+      warmDir.foreach { w =>
+        try fn(spark, w).selectExpr("sum(xxhash64(struct(*)))").collect()
+        catch { case _: Throwable => () }
+      }
       // Force FULL computation of every output column: a bare count()
       // lets Catalyst prune projection-only work, under-measuring
       // expression-heavy queries. Hashing the whole row defeats pruning

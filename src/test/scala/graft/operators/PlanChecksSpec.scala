@@ -81,4 +81,37 @@ class PlanChecksSpec extends SparkSpec {
     // partial + final aggregate => map-side combine before the shuffle
     assert(p.split("HashAggregate").length >= 3, p)
   }
+
+  test("AQE skew-join engages on a manufactured skewed fact-fact join") {
+    // One key owns ~75% of the left side. At 100 TB this is the shape
+    // that strands a single reducer for hours; the engine's posture is
+    // AQE skew-split (SURVEY §9.5), so prove it actually engages under
+    // this session's configs (thresholds scaled down to test size).
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force sort-merge
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(0, 300000)
+        .select(when($"id" % 4 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          concat(lit("payload-"), $"id").as("v"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), lit("d").as("dv"))
+      val joined = skewed.join(dim, "k")
+      // execute THIS queryExecution (count() would wrap a new one and
+      // leave the inspected plan unfinalized under AQE)
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"),
+        "AQE skew-join did not engage; final plan:\n" + p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

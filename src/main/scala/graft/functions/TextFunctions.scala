@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  private def bridge = org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** Lowercased whitespace tokens, empty tokens dropped (so leading /
-    * trailing / repeated whitespace cannot skew counts). */
+    * trailing / repeated whitespace cannot skew counts). Native
+    * single-pass expression (codegen'd); value-identical to
+    * [[tokensComposed]], property-tested in TextVecSpec. */
   def tokens(text: Column): Column =
+    bridge.column(graft.expressions.WhitespaceTokens(bridge.expression(text)))
+
+  /** Composed-HOF tokenizer — reference semantics for the property test.
+    * An HOF anywhere in a Project drops the operator out of whole-stage
+    * codegen, so the catalog queries use the native [[tokens]]. */
+  def tokensComposed(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Distinct word n-gram shingles (space-joined) of a raw text column,
@@ -50,9 +60,19 @@ object TextFunctions {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** Count of tokens appearing in a fixed vocabulary. */
+  /** Count of tokens appearing in a fixed vocabulary. Native codegen'd
+    * expression; value-identical to [[vocabHitsComposed]]. */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    bridge.column(graft.expressions.VocabHits(bridge.expression(toks), vocab))
+
+  /** Composed-HOF form — reference semantics for the property test. */
+  def vocabHitsComposed(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isin(vocab.map(x => x: Any): _*)))
+
+  /** Sum of token character-lengths (q29's total_len fold). Native;
+    * value-identical to `aggregate(transform(w, length), 0L, _+_)`. */
+  def sumTokenLengths(toks: Column): Column =
+    bridge.column(graft.expressions.SumTokenLengths(bridge.expression(toks)))
 
   /** Ratio of characters matching a regex class to total characters. */
   def charClassRatio(text: Column, charClassRe: String): Column =
@@ -62,8 +82,14 @@ object TextFunctions {
   /** Polynomial rolling-hash fingerprint over the token stream:
     * h := (h*31 + 7*len(t) + ascii(t)) mod 1e9+7. Pure int64 arithmetic,
     * reproducible in any engine (reference analog: the filename/batch
-    * identity hashing the spill protocol relies on, but content-derived). */
+    * identity hashing the spill protocol relies on, but content-derived).
+    * Native codegen'd expression; value-identical to
+    * [[fingerprintComposed]]. */
   def fingerprint(toks: Column): Column =
+    bridge.column(graft.expressions.RollingFingerprint(bridge.expression(toks)))
+
+  /** Composed-HOF form — reference semantics for the property test. */
+  def fingerprintComposed(toks: Column): Column =
     aggregate(
       toks,
       lit(0L),

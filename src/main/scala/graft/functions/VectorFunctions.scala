@@ -16,15 +16,27 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+  // element-wise widening via Cast (codegen'd), not a transform HOF —
+  // an HOF anywhere in a Project knocks the operator out of codegen
+  private def d(c: Column): Column = c.cast("array<double>")
 
+  /** Index-ordered dot product. Native codegen'd expression, bit-identical
+    * to the composed `aggregate(zip_with(...))` left fold (same IEEE
+    * accumulation order — the DuckDB-parity anchor); property-tested in
+    * TextVecSpec. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    bridge.column(graft.expressions.VecDot(
+      bridge.expression(d(a)), bridge.expression(d(b))))
 
-  def norm2(a: Column): Column = {
-    val v = d(a)
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** Composed-HOF dot — reference semantics for the property test. */
+  def dotComposed(a: Column, b: Column): Column = {
+    val t = (c: Column) => transform(c, x => x.cast("double"))
+    aggregate(zip_with(t(a), t(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   }
+
+  /** L2 norm as sqrt(dot(a,a)) — the self-product fold is the identical
+    * IEEE accumulation sequence as aggregate(transform(v, x*x), 0.0, +). */
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 

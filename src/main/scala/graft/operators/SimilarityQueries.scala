@@ -30,7 +30,8 @@ object SimilarityQueries {
   private def normed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      // element cast via Cast (codegen'd), not a transform HOF
+      col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm2(col("v")))
 
   val defs: Seq[(String, QueryDef)] = Seq(

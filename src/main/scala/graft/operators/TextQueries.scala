@@ -74,7 +74,7 @@ object TextQueries {
         |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr
         |FROM t
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val totalLen = aggregate(transform(col("w"), t => length(t).cast("long")), lit(0L), _ + _)
+      val totalLen = sumTokenLengths(col("w"))
       val nUnique = size(array_distinct(col("w")))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))

@@ -170,6 +170,93 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), fingerprint(tokens(col("text"))).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q53
+    "q53_tfidf_topk" -> QueryDef.sql(
+      "Top-3 characteristic terms per document by TF-IDF with the " +
+      "smoothed RATIONAL idf variant (tf * (N+1)/(df+1)) — log-free so " +
+      "the score is pure exact-int products + one IEEE division, " +
+      "bit-identical across engines (ln() is libm-implementation-defined " +
+      "and would break hash parity). Shape at 100 TB: explode -> two " +
+      "hash-partitioned aggregations (doc-term tf, term df) -> equi-join " +
+      "on term -> broadcast scalar N -> per-doc rank. No driver-side " +
+      "vocabulary, no cross join.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |x AS (SELECT doc_id, unnest(w) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM x GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM x GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT doc_id, term, tf, df, score, rnk FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf::DOUBLE * (n.n + 1) / (df.df::DOUBLE + 1) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf::DOUBLE * (n.n + 1) / (df.df::DOUBLE + 1) DESC, tf.term)::BIGINT AS rnk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n) z
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val score = col("tf").cast("double") * (col("n") + lit(1)) /
+        (col("df").cast("double") + lit(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(score.desc, col("term"))
+      tf.join(df, "term")
+        .join(broadcast(n)) // 1-row scalar rides as a broadcast
+        .withColumn("score", score)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q54
+    "q54_bigram_assoc" -> QueryDef.sql(
+      "Corpus-level bigram association: top-20 bigrams by document-level " +
+      "lift (df_bigram * N / (df_word1 * df_word2), the log-free PMI " +
+      "analog — exact ints + one IEEE division for cross-engine hash " +
+      "parity), minimum support 5 docs. Native WordShingles(2) feeds the " +
+      "per-doc distinct bigram set; all joins are equi-joins on terms.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |u AS (SELECT doc_id, unnest(list_distinct(w)) AS term FROM t),
+        |du AS (SELECT term, count(*)::BIGINT AS df1 FROM u GROUP BY term),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_distinct(list_transform(generate_series(1, len(w)-1),
+        |       i -> w[i] || ' ' || w[i+1]))
+        |  ELSE []::VARCHAR[] END) AS bigram FROM t),
+        |db AS (SELECT bigram, count(*)::BIGINT AS df2 FROM b
+        |       GROUP BY bigram HAVING count(*) >= 5),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+        |SELECT bigram, df2, df_a, df_b, lift FROM (
+        |  SELECT db.bigram, db.df2, a.df1 AS df_a, c.df1 AS df_b,
+        |    db.df2::DOUBLE * n.n_docs / (a.df1::DOUBLE * c.df1::DOUBLE) AS lift
+        |  FROM db
+        |  JOIN du a ON a.term = string_split(db.bigram, ' ')[1]
+        |  JOIN du c ON c.term = string_split(db.bigram, ' ')[2]
+        |  CROSS JOIN n) z
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val uni = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df1"))
+      val bi = docs
+        .select(col("doc_id"), explode(shinglesOfText(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("df2"))
+        .where(col("df2") >= 5)
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("term").as("w1"), col("df1").as("df_a")), "w1")
+        .join(uni.select(col("term").as("w2"), col("df1").as("df_b")), "w2")
+        .join(broadcast(n))
+        .select(col("bigram"), col("df2"), col("df_a"), col("df_b"),
+          (col("df2").cast("double") * col("n_docs") /
+            (col("df_a").cast("double") * col("df_b").cast("double"))).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
     }
   )
 }

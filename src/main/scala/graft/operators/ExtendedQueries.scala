@@ -264,6 +264,22 @@ object ExtendedQueries {
           approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
           countDistinct("l_partkey").as("exact_parts"))
         .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q56
+    "q56_stratified_sample" -> QueryDef.rowsOnly(
+      "Stratified per-class sampling for training-data class balancing: " +
+      "sampleBy on the language column downsamples the dominant class " +
+      "(en at 0.3) while keeping the rest at 0.8 — Bernoulli per row " +
+      "against a seeded hash, one scan, zero shuffles, so it costs a " +
+      "filter at 100 TB. Engine-specific RNG -> rows-only check; " +
+      "per-stratum proportions and seed determinism asserted in " +
+      "SamplingSpec.") { (s, d) =>
+      Tables.documents(s, d).stat.sampleBy("lang",
+        Map("en" -> 0.3, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8),
+        seed = 42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     }
   )
 }

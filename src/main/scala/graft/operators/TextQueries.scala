@@ -257,6 +257,55 @@ object TextQueries {
             (col("df_a").cast("double") * col("df_b").cast("double"))).as("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(20)
+    },
+
+    // ---------------------------------------------------------------- q55
+    "q55_corpus_clean" -> QueryDef.sql(
+      "The flagship composite cleaning pipeline a training-data corpus " +
+      "runs end to end: exact-dedup (keep lowest doc_id per content " +
+      "hash), then language gate (predicted en), quality gate and length " +
+      "bounds — one declarative plan composing q33+q30+q31's operators. " +
+      "Shape at 100 TB: one hash-partitioned aggregate for canonical ids, " +
+      "a semi join back, then pure codegen'd per-row gates.",
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT d.doc_id, d.lang, d.text, $sqlToks AS w
+        |      FROM documents d JOIN canon USING (doc_id)),
+        |f AS (SELECT doc_id, lang,
+        |  len(w)::BIGINT AS n_tokens,
+        |  (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text)::DOUBLE)
+        |    * (0.5 + len(list_filter(w, t -> t IN ('the','and','of','to','a')))::DOUBLE / len(w)::DOUBLE)
+        |    AS quality,
+        |  len(list_filter(w, t -> t IN ('the','and','of','to','a')))::BIGINT AS en_hits,
+        |  len(list_filter(w, t -> t IN ('el','la','de','los','y')))::BIGINT AS es_hits,
+        |  len(list_filter(w, t -> t IN ('der','die','und','das','ist')))::BIGINT AS de_hits,
+        |  len(list_filter(w, t -> t IN ('le','les','et','des','un')))::BIGINT AS fr_hits
+        |FROM t)
+        |SELECT doc_id, lang, n_tokens, quality FROM f
+        |WHERE en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits
+        |  AND quality >= 0.4 AND n_tokens >= 5
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val canon = docs
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val kept = docs.join(canon, Seq("doc_id"), "left_semi")
+      val w = tokens(col("text"))
+      val punct = charClassRatio(col("text"), "[^.,;:!?]")
+      val stop = vocabHits(w, langVocab.toMap.apply("en")).cast("double") /
+        size(w).cast("double")
+      val hits = langVocab.map { case (l, vocab) => l -> vocabHits(w, vocab).cast("long") }.toMap
+      kept.select(
+          col("doc_id"), col("lang"),
+          size(w).cast("long").as("n_tokens"),
+          ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"),
+          hits("en").as("en_hits"), hits("es").as("es_hits"),
+          hits("de").as("de_hits"), hits("fr").as("fr_hits"))
+        .where(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits") &&
+          col("quality") >= 0.4 && col("n_tokens") >= 5)
+        .select("doc_id", "lang", "n_tokens", "quality")
+        .orderBy("doc_id")
     }
   )
 }

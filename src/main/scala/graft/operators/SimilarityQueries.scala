@@ -157,6 +157,36 @@ object SimilarityQueries {
       cand.withColumn("rnk", row_number().over(wTop).cast("long"))
         .where(col("rnk") <= 5)
         .orderBy("qid", "rnk")
+    },
+
+    // ---------------------------------------------------------------- q57
+    "q57_label_centroid_outliers" -> QueryDef.rowsOnly(
+      "Per-label embedding centroids + the 3 vectors farthest from their " +
+      "label's centroid by cosine — the label-quality / mislabel-candidate " +
+      "sweep of an embedding-curation pipeline. Centroids come from a " +
+      "typed vector Aggregator (one pass, fixed-size count+sum buffer, " +
+      "map-side partials): the shuffle carries ONE vector per partition " +
+      "per label, where a posexplode-by-dimension plan would carry " +
+      "width x rows. Labels are few -> centroid side broadcasts. " +
+      "Cross-row double summation order is nondeterministic -> rows-only " +
+      "check; centroid values + outlier ordering verified against a " +
+      "local reference in SimilaritySpec.") { (s, d) =>
+      val meanVec = udaf(
+        graft.functions.VecMeanAggregator,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      val corpus = Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = corpus.groupBy("label").agg(meanVec(col("v")).as("centroid"))
+      val scored = corpus.join(broadcast(cents), "label")
+        .select(col("label"), col("vec_id"),
+          (dot(col("v"), col("centroid")) /
+            (norm2(col("v")) * norm2(col("centroid")))).as("cos_to_centroid"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos_to_centroid").asc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .orderBy("label", "rnk")
     }
   )
 }

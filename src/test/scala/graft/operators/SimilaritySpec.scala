@@ -133,6 +133,34 @@ class SimilaritySpec extends SparkSpec {
   }
   private def makeProbeCheck(bits: Int, depth: Int): Seq[Long] = probeMasks(bits, depth)
 
+  test("q57 centroids and outlier ranking match a local reference computation") {
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, String, Seq[Double])].collect()
+    // local reference: per-label mean, cosine to it, bottom-3 by (cos, id)
+    val expected = vecs.groupBy(_._2).flatMap { case (label, rows) =>
+      val dim = rows.head._3.length
+      val cent = (0 until dim).map(j => rows.map(_._3(j)).sum / rows.length)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      rows.toSeq.map(r => (label, r._1, cos(r._3, cent)))
+        .sortBy(r => (r._3, r._2)).take(3)
+    }.toSeq.sortBy(r => (r._1, r._3))
+
+    val got = graft.SparkEntry.queries("q57_label_centroid_outliers")(spark, sf0001)
+      .select(col("label"), col("vec_id"), col("cos_to_centroid"))
+      .as[(String, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._3))
+
+    assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)),
+      s"outlier sets differ:\n got=$got\n exp=$expected")
+    got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
+      assert(math.abs(g - e) < 1e-9, s"cosine $g vs local $e")
+    }
+  }
+
   test("approx_count_distinct within its 2% design error vs exact") {
     val rows = graft.SparkEntry.queries("q46_approx_count_distinct")(spark, sf001)
       .select(col("approx_parts"), col("exact_parts")).as[(Long, Long)].collect()

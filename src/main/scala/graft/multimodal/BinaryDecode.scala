@@ -67,4 +67,50 @@ object BinaryDecode {
       .where(col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  final case class EmbeddedRow(
+      media_id: Long,
+      // batch identity is part of the OUTPUT so the batching contract is
+      // verifiable end to end (and auditable in production runs)
+      batch_id: Long,
+      batch_size: Int,
+      embedding: Array[Float])
+
+  /** Deterministic fake batch encoder: one "model forward" per batch of
+    * byte payloads — the real embedding model would go here. Stateless
+    * and content-deterministic so the plumbing is testable. */
+  object FakeEncoder {
+    def encodeBatch(contents: Seq[Array[Byte]]): Seq[Array[Float]] =
+      contents.map { c =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < c.length) { h = 31 * h + (c(i) & 0xff); i += 1 }
+        Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 1000).toFloat / 1000f)
+      }
+  }
+
+  /** Batched embedding inference over a media column — the standard
+    * GPU-inference pipeline shape: the model is "loaded" once per
+    * partition, rows stream through in fixed-size batches (one model
+    * forward per batch, memory bounded at O(batchSize)), the tail batch
+    * of each partition may be short. A Pandas-UDF `mapInPandas` would be
+    * the PySpark twin of this exact shape; here the batching lives in
+    * the JVM iterator. */
+  def encodeBatched(media: Dataset[MediaRow], batchSize: Int): Dataset[EmbeddedRow] = {
+    import media.sparkSession.implicits._
+    require(batchSize >= 1, "encodeBatched: batchSize must be >= 1")
+    media.mapPartitions { rows =>
+      val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      // real model init (load weights, pin device memory) happens HERE,
+      // once per partition — never per row, never per batch
+      var batchIdx = -1L
+      rows.grouped(batchSize).flatMap { batch =>
+        batchIdx += 1
+        val embs = FakeEncoder.encodeBatch(batch.map(_.content)) // one forward
+        batch.lazyZip(embs).map { (r, e) =>
+          EmbeddedRow(r.media_id, (pid.toLong << 32) | batchIdx, batch.size, e)
+        }
+      }
+    }
+  }
 }

@@ -38,6 +38,31 @@ object MultimodalQueries {
           ((nb * 7) % 512 + 64).as("height"),
           (col("n_chars") % 30 + 1).as("frames"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q58
+    "q58_multimodal_batch_embed" -> QueryDef.rowsOnly(
+      "Batched embedding inference over a media BINARY column — the " +
+      "GPU-inference pipeline shape: model init once per partition, " +
+      "fixed-size 32-row batches streamed through one forward call each " +
+      "(memory bounded at O(batch)), batch identity carried in the " +
+      "output so the batching contract is auditable. Encoder is the " +
+      "deterministic fake (no codecs in this container); the Spark " +
+      "plumbing — mapPartitions, grouped iterator, schema — is real. " +
+      "Engine-specific batch ids -> rows-only; batch-shape and " +
+      "determinism properties in MultimodalSpec.") { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          lit("text").as("kind"),
+          col("text").cast("binary").as("content"))
+        .as[graft.multimodal.BinaryDecode.MediaRow]
+      graft.multimodal.BinaryDecode.encodeBatched(media, batchSize = 32)
+        .toDF()
+        .select(col("media_id"), col("batch_size"),
+          element_at(col("embedding"), 1).as("e0"),
+          graft.functions.VectorFunctions.norm2(col("embedding")).as("e_norm"))
+        .orderBy("media_id")
     }
   )
 }

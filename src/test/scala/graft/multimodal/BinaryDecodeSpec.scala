@@ -46,4 +46,31 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(out.count() == 100)
     assert(out.where(col("n_bytes") === 0).count() == 0)
   }
+
+  test("batched encode honors the batch contract: full batches + per-partition short tail only") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("text").cast("binary").as("content"))
+      .repartition(3).as[MediaRow]
+    val out = BinaryDecode.encodeBatched(docs, batchSize = 32).collect()
+
+    // every input row exactly once
+    assert(out.length == 500 && out.map(_.media_id).distinct.length == 500)
+    // batch sizes: never above 32; at most one short batch per partition
+    assert(out.forall(_.batch_size <= 32))
+    val perBatch = out.groupBy(_.batch_id).map { case (id, rows) =>
+      assert(rows.map(_.batch_size).distinct.length == 1, s"batch $id inconsistent")
+      (id, rows.length, rows.head.batch_size)
+    }
+    perBatch.foreach { case (id, n, declared) =>
+      assert(n == declared, s"batch $id declared $declared rows but carried $n")
+    }
+    val shortBatches = perBatch.count(_._3 < 32)
+    assert(shortBatches <= 3, s"more short batches ($shortBatches) than partitions (3)")
+
+    // embeddings are content-deterministic across runs
+    val again = BinaryDecode.encodeBatched(docs, batchSize = 32).collect()
+    val e1 = out.map(r => r.media_id -> r.embedding.toSeq).toMap
+    again.foreach(r => assert(e1(r.media_id) == r.embedding.toSeq))
+  }
 }

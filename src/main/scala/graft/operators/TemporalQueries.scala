@@ -133,6 +133,35 @@ object TemporalQueries {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ---------------------------------------------------------------- q59
+    "q59_resample_gaps" -> QueryDef.sql(
+      "Time-series resampling with gap fill: per-user daily event counts " +
+      "densified to EVERY day of that user's active span, zero-filled " +
+      "where no events landed — the regularization step before any " +
+      "windowed model sees the series. Shape: per-user span aggregate -> " +
+      "sequence+explode of the day range (rows ∝ span, generated " +
+      "distributed, never on the driver) -> left join of actual counts " +
+      "on (user, day).",
+      """WITH e AS (SELECT user_id, ts::DATE AS day FROM events WHERE user_id < 20),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id),
+        |days AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span),
+        |cnt AS (SELECT user_id, day, count(*)::BIGINT AS n FROM e GROUP BY user_id, day)
+        |SELECT d.user_id, d.day, coalesce(c.n, 0)::BIGINT AS n_events
+        |FROM days d LEFT JOIN cnt c ON d.user_id = c.user_id AND d.day = c.day
+        |ORDER BY d.user_id, d.day""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("user_id") < 20)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val days = e.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val cnt = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      days.join(cnt, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "day")
     }
   )
 }

@@ -192,6 +192,29 @@ class StreamingSpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 10:07:00")) // last event + 5 min gap
   }
 
+  test("streaming corpus clean: dedups by content within watermark and gates quality") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "lang", "text")
+    val out = CorpusCleanStream.clean(docs, watermark = "10 minutes", minTokens = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("clean_out").trigger(Trigger.ProcessingTime(0)).start()
+
+    val good = "the cat and the dog walked to a house of friends."
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    ms.addData(
+      (1L, t(0), "en", good),
+      (2L, t(1), "en", good),              // duplicate content, same batch
+      (3L, t(2), "es", "el la de los y siempre"), // not predicted en
+      (4L, t(3), "en", "x"))               // too short
+    q.processAllAvailable()
+    ms.addData((5L, t(4), "en", good))     // duplicate content, later batch
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("clean_out").select("doc_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L), s"expected only doc 1 to survive, got ${rows.toSeq}")
+  }
+
   test("streaming sliding windows place each event in two windows") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]

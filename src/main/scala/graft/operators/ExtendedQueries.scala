@@ -280,6 +280,37 @@ object ExtendedQueries {
         seed = 42L)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q61
+    "q61_histogram" -> QueryDef.sql(
+      "Equi-width histogram of order totals (20 buckets over [0, 600k], " +
+      "under/overflow buckets 0 and 21) with per-bucket count and share " +
+      "— the distribution profile a data-quality report computes per " +
+      "column. Bucket arithmetic written explicitly (floor of one IEEE " +
+      "division) so both engines agree bit-for-bit; one hash " +
+      "aggregation.",
+      """WITH b AS (SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |    WHEN o_totalprice >= 600000 THEN 21
+        |    ELSE floor(o_totalprice / 30000.0)::BIGINT + 1 END AS bucket
+        |  FROM orders),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM orders)
+        |SELECT bucket, count(*)::BIGINT AS cnt,
+        |  count(*)::DOUBLE / n.n AS share
+        |FROM b CROSS JOIN n
+        |GROUP BY bucket, n.n
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val n = Tables.orders(s, d).agg(count(lit(1)).cast("double").as("n"))
+      val bucket = when(col("o_totalprice") < 0, lit(0L))
+        .when(col("o_totalprice") >= 600000, lit(21L))
+        .otherwise(floor(col("o_totalprice") / 30000.0).cast("long") + 1)
+      Tables.orders(s, d)
+        .select(bucket.as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(n))
+        .select(col("bucket"), col("cnt"),
+          (col("cnt").cast("double") / col("n")).as("share"))
+        .orderBy("bucket")
     }
   )
 }

@@ -306,6 +306,35 @@ object TextQueries {
           col("quality") >= 0.4 && col("n_tokens") >= 5)
         .select("doc_id", "lang", "n_tokens", "quality")
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q60
+    "q60_pii_redaction" -> QueryDef.sql(
+      "PII scrubbing: redact email addresses and count redactions per " +
+      "document — the privacy pass a training corpus runs before " +
+      "storage. Emails are injected deterministically (corpus text has " +
+      "none) so the operator is exercised non-trivially; the redaction " +
+      "is one codegen'd regexp_replace and the count one regexp_count. " +
+      "Regex kept to the RE2-and-Java common subset so both engines " +
+      "agree.",
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact: user' || doc_id || '@example.com or admin' || doc_id || '@test.org' AS raw
+        |FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+', '[EMAIL]', 'g') AS redacted,
+        |  len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+'))::BIGINT AS n_emails
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]+"
+      val raw = concat(col("text"), lit(" contact: user"), col("doc_id"),
+        lit("@example.com or admin"), col("doc_id"), lit("@test.org"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          regexp_replace(col("raw"), emailRe, "[EMAIL]").as("redacted"),
+          regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -34,6 +34,78 @@ object SimilarityQueries {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm2(col("v")))
 
+  /** Parameterized banded multi-probe LSH top-5 (q39's plan) — exposed so
+    * the recall/probe-budget tradeoff is measurable (tools.AnnTradeoff,
+    * table in BASELINE.md). */
+  def lshTopK(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
+      probeDepth: Int): DataFrame = {
+    val planes = makePlanes(bands * planesPerBand, 64)
+    val masks = probeMasks(planesPerBand, probeDepth)
+    val coded = normed(s, d)
+      .withColumn("codes", bandedHyperplaneCodes(col("v"), planes, bands))
+    val corpusPostings = coded.select(
+      col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("codes")).as(Seq("band", "code")))
+    val queries = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(col("codes")).as(Seq("band", "qcode0")))
+      .withColumn("code", explode(array(
+        masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
+      .drop("qcode0")
+    val cand = corpusPostings.join(queries, Seq("band", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    cand.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Parameterized trained-IVF top-5 (q47's plan) — exposed for the
+    * recall/nprobe tradeoff measurement. */
+  def ivfTopK(s: SparkSession, d: String, k: Int, nProbe: Int): DataFrame = {
+    val corpus = normed(s, d)
+    val cents = graft.functions.AnnIndex.trainCentroids(
+      corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
+    val assigned = corpus.withColumn(
+      "cell", element_at(nearestCells(col("v"), cents, nProbe = 1), 1))
+    val probes = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(nearestCells(col("v"), cents, nProbe)).as("cell"))
+    val cand = assigned.join(probes, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    cand.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .where(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Candidate count for a parameter point (scan-cost proxy used by the
+    * tradeoff measurement): distinct (query, candidate) pairs before
+    * re-rank. */
+  def lshCandidates(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
+      probeDepth: Int): Long = {
+    val planes = makePlanes(bands * planesPerBand, 64)
+    val masks = probeMasks(planesPerBand, probeDepth)
+    val coded = normed(s, d)
+      .withColumn("codes", bandedHyperplaneCodes(col("v"), planes, bands))
+    val corpusPostings = coded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("band", "code")))
+    val queries = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        posexplode(col("codes")).as(Seq("band", "qcode0")))
+      .withColumn("code", explode(array(
+        masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
+      .drop("qcode0")
+    corpusPostings.join(queries, Seq("band", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct().count()
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q37
@@ -101,30 +173,7 @@ object SimilarityQueries {
       "equi-join on (band, code) — hash-partitionable at any scale, no " +
       "cross join — then exact cosine re-ranks. Engine-specific layout " +
       "-> rows-only check.") { (s, d) =>
-      val bands = 4
-      val planesPerBand = 8
-      val planes = makePlanes(bands * planesPerBand, 64)
-      val masks = probeMasks(planesPerBand, depth = 2)
-      val coded = normed(s, d)
-        .withColumn("codes", bandedHyperplaneCodes(col("v"), planes, bands))
-      val corpusPostings = coded.select(
-        col("vec_id"), col("v"), col("nrm"),
-        posexplode(col("codes")).as(Seq("band", "code")))
-      val queries = coded.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-          posexplode(col("codes")).as(Seq("band", "qcode0")))
-        .withColumn("code", explode(array(
-          masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
-        .drop("qcode0")
-      val cand = corpusPostings.join(queries, Seq("band", "code"))
-        .where(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-        .distinct()
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      cand.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 5)
-        .orderBy("qid", "rnk")
+      lshTopK(s, d, bands = 4, planesPerBand = 8, probeDepth = 2)
     },
 
     // ---------------------------------------------------------------- q47
@@ -141,22 +190,7 @@ object SimilarityQueries {
       "come from the cell equi-join, exact cosine re-ranks. Measured " +
       "recall@5 ~0.7 vs exact q38, asserted in SimilaritySpec. " +
       "Engine-specific layout -> rows-only check.") { (s, d) =>
-      val corpus = normed(s, d)
-      val cents = graft.functions.AnnIndex.trainCentroids(
-        corpus, idCol = "vec_id", vecCol = "v", k = 16, iterations = 10)
-      val assigned = corpus.withColumn(
-        "cell", element_at(nearestCells(col("v"), cents, nProbe = 1), 1))
-      val probes = corpus.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-          explode(nearestCells(col("v"), cents, nProbe = 5)).as("cell"))
-      val cand = assigned.join(probes, Seq("cell"))
-        .where(col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      cand.withColumn("rnk", row_number().over(wTop).cast("long"))
-        .where(col("rnk") <= 5)
-        .orderBy("qid", "rnk")
+      ivfTopK(s, d, k = 16, nProbe = 5)
     },
 
     // ---------------------------------------------------------------- q57

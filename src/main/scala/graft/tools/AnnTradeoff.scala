@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+/** Recall/probe-budget tradeoff measurement for the two ANN operators
+  * (builder's §9.2 follow-through): recall@5 vs the exact q38 baseline
+  * and candidate counts (scan-cost proxy) across the parameter grid.
+  * Results recorded in BASELINE.md.
+  *
+  * Run: sbt "runMain graft.tools.AnnTradeoff [sfDir]"
+  */
+object AnnTradeoff {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.Sessions.local("graft-ann-tradeoff", cores = 16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, d)
+      .select(col("qid"), col("vid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpusN = graft.Tables.embeddings(spark, d).count()
+    println(s"""[ann] {"corpus":$corpusN,"exact_pairs":${exact.size}}""")
+
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("qid"), col("vid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+
+    for (depth <- 0 to 2) {
+      val r = recallOf(SimilarityQueries.lshTopK(spark, d, 4, 8, depth))
+      val cand = SimilarityQueries.lshCandidates(spark, d, 4, 8, depth)
+      println(f"""[ann] {"op":"lsh","bands":4,"planes":8,"depth":$depth,"recall_at_5":$r%.3f,"candidates":$cand,"scan_frac":${cand.toDouble / (10 * corpusN)}%.4f}""")
+    }
+    for (nProbe <- Seq(1, 2, 3, 5, 8)) {
+      val r = recallOf(SimilarityQueries.ivfTopK(spark, d, k = 16, nProbe = nProbe))
+      println(f"""[ann] {"op":"ivf","k":16,"nprobe":$nProbe,"recall_at_5":$r%.3f,"scan_frac":${nProbe / 16.0}%.4f}""")
+    }
+    spark.stop()
+  }
+}

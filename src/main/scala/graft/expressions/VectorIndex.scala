@@ -91,6 +91,9 @@ case class BandedHyperplaneCodes(child: Expression, planes: Array[Array[Double]]
     extends UnaryExpression {
   require(bands >= 1 && planes.length % bands == 0,
     "banded_hyperplane_codes: planes.length must be a multiple of bands")
+  require(planes.length / bands <= 64,
+    s"banded_hyperplane_codes: ${planes.length / bands} planes per band exceed " +
+      "a 64-bit code (1L << j wraps at 64 and would silently alias sign bits)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "banded_hyperplane_codes"
 

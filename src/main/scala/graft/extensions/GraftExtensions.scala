@@ -44,7 +44,12 @@ object GraftExtensions {
   private def litStrings(e: Expression, fn: String): Seq[String] = e match {
     case l if l.foldable && l.dataType.isInstanceOf[ArrayType] =>
       val arr = l.eval().asInstanceOf[ArrayData]
-      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      require(arr != null, s"$fn: the array literal itself is NULL")
+      (0 until arr.numElements()).map { i =>
+        val s = arr.getUTF8String(i)
+        require(s != null, s"$fn: array literal contains a NULL element at index $i")
+        s.toString
+      }
     case other => throw new IllegalArgumentException(
       s"$fn: expected a foldable string-array literal, got $other")
   }
@@ -109,9 +114,14 @@ object GraftExtensions {
       val cents = args(1) match {
         case l if l.foldable && l.dataType.isInstanceOf[ArrayType] =>
           val outer = l.eval().asInstanceOf[ArrayData]
+          require(outer != null, "nearest_cells: the centroid literal is NULL")
           Array.tabulate(outer.numElements()) { i =>
             val inner = outer.getArray(i)
-            Array.tabulate(inner.numElements())(j => inner.getDouble(j))
+            require(inner != null, s"nearest_cells: centroid $i is NULL")
+            Array.tabulate(inner.numElements()) { j =>
+              require(!inner.isNullAt(j), s"nearest_cells: centroid $i has NULL element $j")
+              inner.getDouble(j)
+            }
           }
         case other => throw new IllegalArgumentException(
           s"nearest_cells: expected a foldable array-of-double-array literal, got $other")

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Train `k` spherical k-means centroids over `corpus` (columns: idCol,
-    * vecCol ARRAY<DOUBLE>). Deterministic: stride sample by id order,
-    * stride-k init, fixed iteration count, ties to the lower cell.
-    * Returns L2-normalized centroids. */
+    * vecCol ARRAY<DOUBLE>). Deterministic: hash-stride sample (uniform
+    * for ANY id distribution — dense, sparse, offset, all-odd — where a
+    * raw `id % stride` would bias or select nothing), hard-capped at
+    * sampleCap rows by limit, stride-k init, fixed iteration count, ties
+    * to the lower cell. Returns L2-normalized centroids. */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -28,14 +30,24 @@ object AnnIndex {
       iterations: Int = 10,
       sampleCap: Int = 4096): Array[Array[Double]] = {
     val cnt = corpus.count()
-    val stride = math.max(1L, cnt / sampleCap)
-    val sample: Array[Array[Double]] = corpus
-      .where(col(idCol) % stride === 0)
+    // ceil so the expected selection is <= sampleCap; limit() makes the
+    // collect bound HARD (the 100 TB claim depends on it)
+    val stride = math.max(1L, (cnt + sampleCap - 1) / sampleCap)
+    var sample: Array[Array[Double]] = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol))
+      .limit(sampleCap)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Double](0).toArray)
       .map(normalize)
+    if (sample.length < k) {
+      // hash-unlucky tiny selection: fall back to the deterministic
+      // id-ordered prefix (still <= sampleCap rows)
+      sample = corpus.orderBy(col(idCol)).limit(sampleCap)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Double](0).toArray).map(normalize)
+    }
     require(sample.length >= k, s"k-means: sample ${sample.length} < k=$k")
 
     // stride init over the (id-ordered) sample — deterministic

@@ -78,6 +78,7 @@ object VectorFunctions {
     * (identity first, then single flips, then pairs, ...): the multi-probe
     * schedule for one LSH band. */
   def probeMasks(bits: Int, depth: Int): Seq[Long] = {
+    require(bits >= 1 && bits <= 64, s"probeMasks: bits=$bits outside 1..64 (1L << j wraps)")
     def combos(from: Int, left: Int): Seq[Long] =
       if (left == 0) Seq(0L)
       else (from until bits).flatMap(j => combos(j + 1, left - 1).map(_ | (1L << j)))

@@ -34,11 +34,13 @@ object SimilarityQueries {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm2(col("v")))
 
-  /** Parameterized banded multi-probe LSH top-5 (q39's plan) — exposed so
-    * the recall/probe-budget tradeoff is measurable (tools.AnnTradeoff,
-    * table in BASELINE.md). */
-  def lshTopK(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
-      probeDepth: Int): DataFrame = {
+  /** The shared banded multi-probe candidate generation (equi-join on
+    * (band, code) only): one implementation behind BOTH the top-k plan
+    * and the candidate-count measurement, so AnnTradeoff can never report
+    * counts for a different plan than the recall next to them. Columns:
+    * qid, vid, qv, qn, v, nrm (one row per distinct candidate pair). */
+  private def lshCandidateFrame(s: SparkSession, d: String, bands: Int,
+      planesPerBand: Int, probeDepth: Int): DataFrame = {
     val planes = makePlanes(bands * planesPerBand, 64)
     val masks = probeMasks(planesPerBand, probeDepth)
     val coded = normed(s, d)
@@ -52,11 +54,21 @@ object SimilarityQueries {
       .withColumn("code", explode(array(
         masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
       .drop("qcode0")
-    val cand = corpusPostings.join(queries, Seq("band", "code"))
+    corpusPostings.join(queries, Seq("band", "code"))
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        col("qv"), col("qn"), col("v"), col("nrm"))
       .distinct()
+  }
+
+  /** Parameterized banded multi-probe LSH top-5 (q39's plan) — exposed so
+    * the recall/probe-budget tradeoff is measurable (tools.AnnTradeoff,
+    * table in BASELINE.md). */
+  def lshTopK(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
+      probeDepth: Int): DataFrame = {
+    val cand = lshCandidateFrame(s, d, bands, planesPerBand, probeDepth)
+      .select(col("qid"), col("vid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= 5)
@@ -86,25 +98,10 @@ object SimilarityQueries {
 
   /** Candidate count for a parameter point (scan-cost proxy used by the
     * tradeoff measurement): distinct (query, candidate) pairs before
-    * re-rank. */
+    * re-rank — derived from the SAME frame lshTopK ranks. */
   def lshCandidates(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
-      probeDepth: Int): Long = {
-    val planes = makePlanes(bands * planesPerBand, 64)
-    val masks = probeMasks(planesPerBand, probeDepth)
-    val coded = normed(s, d)
-      .withColumn("codes", bandedHyperplaneCodes(col("v"), planes, bands))
-    val corpusPostings = coded.select(col("vec_id"),
-      posexplode(col("codes")).as(Seq("band", "code")))
-    val queries = coded.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"),
-        posexplode(col("codes")).as(Seq("band", "qcode0")))
-      .withColumn("code", explode(array(
-        masks.map(m => col("qcode0").bitwiseXOR(lit(m))): _*)))
-      .drop("qcode0")
-    corpusPostings.join(queries, Seq("band", "code"))
-      .where(col("qid") =!= col("vec_id"))
-      .select("qid", "vec_id").distinct().count()
-  }
+      probeDepth: Int): Long =
+    lshCandidateFrame(s, d, bands, planesPerBand, probeDepth).count()
 
   val defs: Seq[(String, QueryDef)] = Seq(
 

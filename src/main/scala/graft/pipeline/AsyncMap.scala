@@ -113,24 +113,51 @@ object AsyncMap {
     * under AQE. */
   def mapConcurrentGlobal[T, U: Encoder](ds: Dataset[T], globalBudget: Int)(f: T => U): Dataset[U] =
     ds.mapPartitions { it =>
-      val p = Option(TaskContext.get()).map(c => math.max(1, c.numPartitions())).getOrElse(1)
-      val budget = math.max(1, (globalBudget + p - 1) / p)
-      concurrentIterator(it, budget)(f).collect { case Success(u) => u }
+      concurrentIterator(it, taskBudget(globalBudget))(f).collect { case Success(u) => u }
     }(implicitly[Encoder[U]])
+
+  /** Default quarantine-cause formatting. */
+  def describeFailure(e: Throwable): String = s"${e.getClass.getSimpleName}: ${e.getMessage}"
 
   /** Quarantine variant (SURVEY.md O5 upgrade): failures are kept as
     * (None, Some(error)) rows instead of dropped, so a pipeline can route
     * them to a dead-letter/quarantine frame. Caller provides the tuple
-    * encoder (via `import spark.implicits._`). */
-  def mapConcurrentQuarantine[T, U](ds: Dataset[T], maxInFlight: Int)(f: T => U)(
+    * encoder (via `import spark.implicits._`); `describe` controls the
+    * cause string (callers whose f throws pre-classified messages pass
+    * `_.getMessage`). */
+  def mapConcurrentQuarantine[T, U](
+      ds: Dataset[T], maxInFlight: Int,
+      describe: Throwable => String = describeFailure)(f: T => U)(
       implicit enc: Encoder[(Option[U], Option[String])]): Dataset[(Option[U], Option[String])] =
     ds.mapPartitions { it =>
       concurrentIterator(it, maxInFlight)(f).map {
         case Success(u) => (Some(u), None)
-        case scala.util.Failure(e) =>
-          (None, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        case scala.util.Failure(e) => (None, Some(describe(e)))
       }
     }(enc)
+
+  /** Quarantine variant with the cluster-global in-flight budget of
+    * [[mapConcurrentGlobal]] — one budget-split implementation for both
+    * the drop and quarantine paths. */
+  def mapConcurrentGlobalQuarantine[T, U](
+      ds: Dataset[T], globalBudget: Int,
+      describe: Throwable => String = describeFailure)(f: T => U)(
+      implicit enc: Encoder[(Option[U], Option[String])]): Dataset[(Option[U], Option[String])] =
+    ds.mapPartitions { it =>
+      val budget = taskBudget(globalBudget)
+      concurrentIterator(it, budget)(f).map {
+        case Success(u) => (Some(u), None)
+        case scala.util.Failure(e) => (None, Some(describe(e)))
+      }
+    }(enc)
+
+  /** Per-task share of a cluster-global in-flight budget (ceil split over
+    * the stage's partitions, from inside the task — see
+    * [[mapConcurrentGlobal]] for why not driver-side). */
+  private def taskBudget(globalBudget: Int): Int = {
+    val p = Option(TaskContext.get()).map(c => math.max(1, c.numPartitions())).getOrElse(1)
+    math.max(1, (globalBudget + p - 1) / p)
+  }
 
   /** Driver-side budget split; prefer mapConcurrentGlobal (no plan
     * materialization). */

@@ -94,23 +94,16 @@ final case class HttpExtractor(
   }
 
   /** O5-upgrade variant: failures ride along as (None, Some(cause)) rows
-    * for dead-letter routing instead of being dropped. */
+    * for dead-letter routing instead of being dropped. fetch throws
+    * pre-classified messages (timeout:/connect:/status/malformed:), so
+    * the cause is the bare message. */
   def extractQuarantine(spark: SparkSession, appliances: DataFrame)
       : Dataset[(Option[CpuStats], Option[String])] = {
     import spark.implicits._
     val apps: Dataset[Appliance] =
       appliances.select(col("ip"), col("hostname")).as[Appliance]
-    val self = this
-    apps.mapPartitions { it =>
-      // same cluster-global budget split as AsyncMap.mapConcurrentGlobal
-      val p = Option(org.apache.spark.TaskContext.get())
-        .map(c => math.max(1, c.numPartitions())).getOrElse(1)
-      val budget = math.max(1, (self.globalConcurrency + p - 1) / p)
-      AsyncMap.concurrentIterator(it, budget)(self.fetch).map {
-        case scala.util.Success(u) => (Some(u), None)
-        case scala.util.Failure(e) => (None, Some(e.getMessage))
-      }
-    }
+    AsyncMap.mapConcurrentGlobalQuarantine(
+      apps, globalConcurrency, describe = _.getMessage)(fetch)
   }
 
   /** One device-API round-trip. Throws with a classified message on any
@@ -126,6 +119,10 @@ final case class HttpExtractor(
     val resp =
       try HttpExtractor.client.send(reqB.build(), HttpResponse.BodyHandlers.ofString())
       catch {
+        // HttpConnectTimeoutException IS-A HttpTimeoutException: match the
+        // subclass first or dead hosts get blamed on the request deadline
+        case _: java.net.http.HttpConnectTimeoutException =>
+          throw new java.io.IOException(s"connect: connection timed out for $url")
         case _: java.net.http.HttpTimeoutException =>
           // the reference's ctx.Err() == DeadlineExceeded path
           throw new java.io.IOException(s"timeout: no reply within ${timeout.toMillis} ms from $url")
@@ -158,9 +155,35 @@ object HttpExtractor {
         "\"\\s*:\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"|([-0-9.eE+]+))")
       .matcher(body)
     if (!m.find()) None
-    else Option(m.group(1))
-      .map(_.replace("\\\"", "\"").replace("\\\\", "\\"))
-      .orElse(Option(m.group(2)))
+    else Option(m.group(1)).map(unescapeJson).orElse(Option(m.group(2)))
+  }
+
+  /** Full JSON string-escape decoding (\" \\ \/ \b \f \n \r \t \uXXXX) —
+    * partial decoding would ship corrupted device names downstream. */
+  private[pipeline] def unescapeJson(s: String): String = {
+    if (!s.contains('\\')) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => out.append('"');  i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '/'  => out.append('/');  i += 2
+          case 'b'  => out.append('\b'); i += 2
+          case 'f'  => out.append('\f'); i += 2
+          case 'n'  => out.append('\n'); i += 2
+          case 'r'  => out.append('\r'); i += 2
+          case 't'  => out.append('\t'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => out.append('\\').append(other); i += 2
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private[pipeline] def parseCpuStats(body: String, fallbackName: String): Option[CpuStats] =

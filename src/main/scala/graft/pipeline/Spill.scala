@@ -48,6 +48,15 @@ object Spill {
     else d.listFiles((_, n) => n.startsWith("buffer_failed_worker") && n.endsWith(".json.gz")).toSeq
   }
 
+  /** The one spill-file read recipe (schema + multiLine gzip JSON) —
+    * readSpilled and replay both go through here so the format cannot
+    * drift between them. */
+  private def readRaw(spark: SparkSession, files: Seq[File]): DataFrame =
+    spark.read
+      .schema(Model.deviceDataSchema)
+      .option("multiLine", "true")
+      .json(files.map(_.getPath): _*)
+
   /** Read all spill files back as a DeviceData frame. gzip is transparent
     * to Spark's JSON source; multiLine handles the array-per-file shape.
     * The original worker id is recovered from the filename (reference O18,
@@ -60,10 +69,7 @@ object Spill {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Model.deviceDataSchema)
         .withColumn("worker_id", lit(0))
     else
-      spark.read
-        .schema(Model.deviceDataSchema)
-        .option("multiLine", "true")
-        .json(files.map(_.getPath): _*)
+      readRaw(spark, files)
         .withColumn("worker_id",
           coalesce(
             nullif(regexp_extract(input_file_name(), "worker(\\d+)", 1), lit("")).cast("int"),
@@ -87,11 +93,7 @@ object Spill {
   def replay(spark: SparkSession, cfg: HttpSink.Config): (Long, Int) = {
     val files = listSpillFiles(cfg.spillDir)
     if (files.isEmpty) return (0L, 0)
-    val frame = spark.read
-      .schema(Model.deviceDataSchema)
-      .option("multiLine", "true")
-      .json(files.map(_.getPath): _*)
-    val json = Transform.deviceDataJson(frame)
+    val json = Transform.deviceDataJson(readRaw(spark, files))
       .withColumn("__src", input_file_name())
     val sentR = spark.sparkContext.longAccumulator("replay.sentRecords")
     val okFiles = spark.sparkContext.collectionAccumulator[String]("replay.okFiles")
@@ -101,7 +103,11 @@ object Spill {
       var cur: String = null
       var batchIdx = 0
       def flush(): Unit = if (buf.nonEmpty) {
-        val key = s"${cur.substring(cur.lastIndexOf('/') + 1)}#$batchIdx"
+        // batchSize is part of the key: under a different batch size the
+        // same index covers a DIFFERENT row extent, and a keyed sink
+        // deduping old-extent keys would silently drop the tail rows —
+        // re-delivery (at-least-once) is the correct failure mode there.
+        val key = s"${cur.substring(cur.lastIndexOf('/') + 1)}#$batchIdx@${cfg.batchSize}"
         val ok = HttpSink.postBatchWithRetry(cfg, buf.toSeq, Some(key)).isRight
         if (ok) sentR.add(buf.size)
         else System.err.println(

@@ -133,6 +133,24 @@ class SimilaritySpec extends SparkSpec {
   }
   private def makeProbeCheck(bits: Int, depth: Int): Seq[Long] = probeMasks(bits, depth)
 
+  test("trainCentroids handles sparse/offset ids and honors the hard sample cap") {
+    // all-odd ids: a naive `id % stride == 0` sampler would select nothing
+    val sparse = graft.Tables.embeddings(spark, sf0001)
+      .select((col("vec_id") * 2 + 1).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = graft.functions.AnnIndex.trainCentroids(
+      sparse, "vec_id", "v", k = 8, iterations = 3, sampleCap = 100)
+    assert(cents.length == 8)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid not normalized: $n")
+    }
+    // determinism
+    val again = graft.functions.AnnIndex.trainCentroids(
+      sparse, "vec_id", "v", k = 8, iterations = 3, sampleCap = 100)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q57 centroids and outlier ranking match a local reference computation") {
     val vecs = graft.Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("label"),

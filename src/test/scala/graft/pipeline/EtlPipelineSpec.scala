@@ -283,6 +283,17 @@ class EtlPipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("HttpExtractor JSON field reader decodes every legal string escape") {
+    assert(HttpExtractor.unescapeJson("rack\\u002d7") == "rack-7")
+    assert(HttpExtractor.unescapeJson("a\\/b") == "a/b")
+    assert(HttpExtractor.unescapeJson("line1\\nline2\\ttab") == "line1\nline2\ttab")
+    assert(HttpExtractor.unescapeJson("q\\\"uote\\\\slash") == "q\"uote\\slash")
+    assert(HttpExtractor.unescapeJson("plain") == "plain")
+    val body = """{"name":"dev-1","timestamp":5,"cpu_number":"0",""" +
+      """"pIdle":"95","pUser":"3","pSys":"1","pIRQ":"0.5","pNice":"0"}"""
+    assert(HttpExtractor.parseCpuStats(body, "fb").get.name == "dev-1")
+  }
+
   test("HttpExtractor classifies timeouts with the reference's deadline semantics") {
     val server = new MockLoadServer()
     try {

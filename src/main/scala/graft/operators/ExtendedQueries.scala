@@ -311,6 +311,34 @@ object ExtendedQueries {
         .select(col("bucket"), col("cnt"),
           (col("cnt").cast("double") / col("n")).as("share"))
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------- q62
+    "q62_train_val_test_split" -> QueryDef.sql(
+      "Deterministic train/val/test split (80/10/10) by multiplicative " +
+      "integer hash of the document id — the reproducible, join-free " +
+      "split assignment a training pipeline stamps on every example. " +
+      "Knuth hash in pure int64 arithmetic (no engine RNG, no xxhash " +
+      "dialect) so the assignment is portable AND oracle-exact; " +
+      "per-split-per-language counts audit stratification drift.",
+      """WITH s AS (SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+        |a AS (SELECT doc_id, lang,
+        |  CASE WHEN h % 100 < 80 THEN 'train'
+        |       WHEN h % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s)
+        |SELECT split, lang, count(*)::BIGINT AS n
+        |FROM a GROUP BY split, lang
+        |ORDER BY split, lang""".stripMargin) { (s, d) =>
+      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val split = when(h % 100 < 80, "train")
+        .when(h % 100 < 90, "val")
+        .otherwise("test")
+      Tables.documents(s, d)
+        .select(split.as("split"), col("lang"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
     }
   )
 }

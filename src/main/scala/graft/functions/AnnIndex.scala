@@ -29,18 +29,7 @@ object AnnIndex {
       k: Int,
       iterations: Int = 10,
       sampleCap: Int = 4096): Array[Array[Double]] = {
-    val cnt = corpus.count()
-    // ceil so the expected selection is <= sampleCap; limit() makes the
-    // collect bound HARD (the 100 TB claim depends on it)
-    val stride = math.max(1L, (cnt + sampleCap - 1) / sampleCap)
-    var sample: Array[Array[Double]] = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol))
-      .limit(sampleCap)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-      .map(normalize)
+    var sample = trainingSample(corpus, idCol, vecCol, sampleCap)
     if (sample.length < k) {
       // hash-unlucky tiny selection: fall back to the deterministic
       // id-ordered prefix (still <= sampleCap rows)
@@ -69,6 +58,26 @@ object AnnIndex {
       it += 1
     }
     cents
+  }
+
+  /** The bounded deterministic training sample: hash-stride selection,
+    * id-ordered, HARD-capped at sampleCap rows by limit() — the collect
+    * bound the 100 TB claim depends on. private[graft] so the cap is
+    * testable as a contract. */
+  private[graft] def trainingSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      sampleCap: Int): Array[Array[Double]] = {
+    val cnt = corpus.count()
+    // ceil so the expected selection is <= sampleCap
+    val stride = math.max(1L, (cnt + sampleCap - 1) / sampleCap)
+    corpus
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(sampleCap)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(normalize)
   }
 
   private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {

@@ -319,10 +319,14 @@ object ExtendedQueries {
       "integer hash of the document id — the reproducible, join-free " +
       "split assignment a training pipeline stamps on every example. " +
       "Knuth hash in pure int64 arithmetic (no engine RNG, no xxhash " +
-      "dialect) so the assignment is portable AND oracle-exact; " +
-      "per-split-per-language counts audit stratification drift.",
+      "dialect) so the assignment is portable AND oracle-exact; the id " +
+      "is reduced mod a prime BEFORE the multiply so the product " +
+      "(< 1e6 * 2.7e9 ~ 2.7e15) can never overflow int64 at any corpus " +
+      "size — an unreduced doc_id > ~3.5e9 would wrap negative in Spark " +
+      "and error in DuckDB. Per-split-per-language counts audit " +
+      "stratification drift.",
       """WITH s AS (SELECT doc_id, lang,
-        |  (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+        |  ((doc_id % 1000003) * 2654435761) % 4294967296 AS h FROM documents),
         |a AS (SELECT doc_id, lang,
         |  CASE WHEN h % 100 < 80 THEN 'train'
         |       WHEN h % 100 < 90 THEN 'val'
@@ -331,7 +335,7 @@ object ExtendedQueries {
         |SELECT split, lang, count(*)::BIGINT AS n
         |FROM a GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin) { (s, d) =>
-      val h = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+      val h = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)) % lit(4294967296L)
       val split = when(h % 100 < 80, "train")
         .when(h % 100 < 90, "val")
         .otherwise("test")

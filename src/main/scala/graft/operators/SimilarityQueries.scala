@@ -38,7 +38,9 @@ object SimilarityQueries {
     * (band, code) only): one implementation behind BOTH the top-k plan
     * and the candidate-count measurement, so AnnTradeoff can never report
     * counts for a different plan than the recall next to them. Columns:
-    * qid, vid, qv, qn, v, nrm (one row per distinct candidate pair). */
+    * qid, vid, qv, qn, v, nrm — NOT yet deduped: callers dedup on their
+    * own narrow projections (deduping here would shuffle the two 64-dim
+    * vectors per row through the distinct exchange, ~15x wider). */
   private def lshCandidateFrame(s: SparkSession, d: String, bands: Int,
       planesPerBand: Int, probeDepth: Int): DataFrame = {
     val planes = makePlanes(bands * planesPerBand, 64)
@@ -58,7 +60,6 @@ object SimilarityQueries {
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("vid"),
         col("qv"), col("qn"), col("v"), col("nrm"))
-      .distinct()
   }
 
   /** Parameterized banded multi-probe LSH top-5 (q39's plan) — exposed so
@@ -69,6 +70,7 @@ object SimilarityQueries {
     val cand = lshCandidateFrame(s, d, bands, planesPerBand, probeDepth)
       .select(col("qid"), col("vid"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .distinct() // narrow: three scalars per row, not the vectors
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= 5)
@@ -101,7 +103,8 @@ object SimilarityQueries {
     * re-rank — derived from the SAME frame lshTopK ranks. */
   def lshCandidates(s: SparkSession, d: String, bands: Int, planesPerBand: Int,
       probeDepth: Int): Long =
-    lshCandidateFrame(s, d, bands, planesPerBand, probeDepth).count()
+    lshCandidateFrame(s, d, bands, planesPerBand, probeDepth)
+      .select("qid", "vid").distinct().count()
 
   val defs: Seq[(String, QueryDef)] = Seq(
 

@@ -125,16 +125,21 @@ object AsyncMap {
     * encoder (via `import spark.implicits._`); `describe` controls the
     * cause string (callers whose f throws pre-classified messages pass
     * `_.getMessage`). */
+  // the one Success/Failure -> quarantine-row mapping, shared by both
+  // quarantine variants so the row shape cannot diverge
+  private def quarantineIterator[T, U](
+      it: Iterator[T], budget: Int, describe: Throwable => String)(
+      f: T => U): Iterator[(Option[U], Option[String])] =
+    concurrentIterator(it, budget)(f).map {
+      case Success(u) => (Some(u), None)
+      case scala.util.Failure(e) => (None, Some(describe(e)))
+    }
+
   def mapConcurrentQuarantine[T, U](
       ds: Dataset[T], maxInFlight: Int,
       describe: Throwable => String = describeFailure)(f: T => U)(
       implicit enc: Encoder[(Option[U], Option[String])]): Dataset[(Option[U], Option[String])] =
-    ds.mapPartitions { it =>
-      concurrentIterator(it, maxInFlight)(f).map {
-        case Success(u) => (Some(u), None)
-        case scala.util.Failure(e) => (None, Some(describe(e)))
-      }
-    }(enc)
+    ds.mapPartitions(it => quarantineIterator(it, maxInFlight, describe)(f))(enc)
 
   /** Quarantine variant with the cluster-global in-flight budget of
     * [[mapConcurrentGlobal]] — one budget-split implementation for both
@@ -143,13 +148,7 @@ object AsyncMap {
       ds: Dataset[T], globalBudget: Int,
       describe: Throwable => String = describeFailure)(f: T => U)(
       implicit enc: Encoder[(Option[U], Option[String])]): Dataset[(Option[U], Option[String])] =
-    ds.mapPartitions { it =>
-      val budget = taskBudget(globalBudget)
-      concurrentIterator(it, budget)(f).map {
-        case Success(u) => (Some(u), None)
-        case scala.util.Failure(e) => (None, Some(describe(e)))
-      }
-    }(enc)
+    ds.mapPartitions(it => quarantineIterator(it, taskBudget(globalBudget), describe)(f))(enc)
 
   /** Per-task share of a cluster-global in-flight budget (ceil split over
     * the stage's partitions, from inside the task — see

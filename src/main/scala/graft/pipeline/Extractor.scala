@@ -103,7 +103,10 @@ final case class HttpExtractor(
     val apps: Dataset[Appliance] =
       appliances.select(col("ip"), col("hostname")).as[Appliance]
     AsyncMap.mapConcurrentGlobalQuarantine(
-      apps, globalConcurrency, describe = _.getMessage)(fetch)
+      apps, globalConcurrency,
+      // guard null getMessage: Some(null) would round-trip through the
+      // Option encoder as None, losing the cause entirely
+      describe = e => Option(e.getMessage).getOrElse(e.getClass.getSimpleName))(fetch)
   }
 
   /** One device-API round-trip. Throws with a classified message on any
@@ -176,14 +179,28 @@ object HttpExtractor {
           case 'n'  => out.append('\n'); i += 2
           case 'r'  => out.append('\r'); i += 2
           case 't'  => out.append('\t'); i += 2
-          case 'u' if i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length && isHex4(s, i + 2) =>
             out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
+          // malformed escape (incl. \uZZZZ / \u+12f): keep literal text —
+          // never throw an unclassified error out of the parse path
           case other => out.append('\\').append(other); i += 2
         }
       } else { out.append(c); i += 1 }
     }
     out.toString
+  }
+
+  // strict hex check: Integer.parseInt(_, 16) would accept sign chars
+  private def isHex4(s: String, from: Int): Boolean = {
+    var j = from
+    while (j < from + 4) {
+      val c = s.charAt(j)
+      val hex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      if (!hex) return false
+      j += 1
+    }
+    true
   }
 
   private[pipeline] def parseCpuStats(body: String, fallbackName: String): Option[CpuStats] =

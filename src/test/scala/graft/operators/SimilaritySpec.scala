@@ -149,6 +149,19 @@ class SimilaritySpec extends SparkSpec {
     val again = graft.functions.AnnIndex.trainCentroids(
       sparse, "vec_id", "v", k = 8, iterations = 3, sampleCap = 100)
     assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+
+    // the sample cap is a HARD bound: find a cap where the hash-stride
+    // selection overshoots (deterministic for fixed data) and assert the
+    // limit clips it to exactly sampleCap rows
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => slit}
+    val n = sparse.count()
+    val overshooting = Seq(3, 5, 8, 13, 21, 34, 55).find { cap =>
+      val stride = math.max(1L, (n + cap - 1) / cap)
+      sparse.where(pmod(xxhash64(col("vec_id")), slit(stride)) === 0).count() > cap
+    }
+    assert(overshooting.nonEmpty, "no cap overshoots on this corpus — widen the probe list")
+    val cap = overshooting.get
+    assert(graft.functions.AnnIndex.trainingSample(sparse, "vec_id", "v", cap).length == cap)
   }
 
   test("q57 centroids and outlier ranking match a local reference computation") {

@@ -35,9 +35,18 @@ object Bench {
       // lets Catalyst prune projection-only work, under-measuring
       // expression-heavy queries. Hashing the whole row defeats pruning
       // while still avoiding a driver-side collect of the data.
+      //
+      // DataFrame construction is timed separately from execution: for most
+      // queries it is ~0 ms of plan building, but q47 trains its IVF index
+      // (a corpus-proportional sample + Lloyd iterations) at build time, a
+      // one-off index cost a user would amortize over many probes. The
+      // per-query number stays build+exec (comparable with earlier rounds);
+      // the build split is reported alongside so the index cost is visible.
       var t0 = System.nanoTime()
+      var tBuild = 0.0
       try {
         val df = fn(spark, sfDir)
+        tBuild = (System.nanoTime() - t0) / 1e9
         df.selectExpr("sum(xxhash64(struct(*)))").collect()
       } catch { case e: Throwable =>
         // fall back to count() for a hash-incompatible output (e.g. a
@@ -45,14 +54,19 @@ object Bench {
         // the failed attempt doesn't inflate the measurement
         System.err.println(s"[bench] $name: hash sink failed (${e.getClass.getSimpleName}); falling back to count()")
         t0 = System.nanoTime()
+        tBuild = 0.0
         try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> ((System.nanoTime() - t0) / 1e9, tBuild)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Only builds that cost real time (index training) are worth listing —
+    // ordinary Catalyst plan analysis is 0.05-0.15 s and would be noise.
+    val builds = results.collect { case (k, (_, b)) if b > 0.2 =>
+      s"\"" + k + "\":" + b }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"build_sec":$builds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,14 +48,18 @@ object NearestCells {
     val k = cents.length
     val dots = new Array[Double](k)
     val n = arr.numElements()
+    val dim = cents(0).length
+    if (n != dim) throw new IllegalArgumentException(
+      s"nearest_cells: input vector has $n elements but the centroid table is " +
+        s"$dim-dimensional — a silent truncation here would assign plausible " +
+        "but wrong cells")
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val x = arr.getDouble(j)
         var c = 0
         while (c < k) {
-          val cv = cents(c)
-          if (j < cv.length) dots(c) += x * cv(j)
+          dots(c) += x * cents(c)(j)
           c += 1
         }
       }
@@ -116,14 +120,17 @@ object BandedHyperplaneCodes {
     val r = np / bands
     val dots = new Array[Double](np)
     val n = arr.numElements()
+    val dim = planes(0).length
+    if (n != dim) throw new IllegalArgumentException(
+      s"banded_hyperplane_codes: input vector has $n elements but the " +
+        s"hyperplane table is $dim-dimensional")
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val x = arr.getDouble(j)
         var p = 0
         while (p < np) {
-          val pv = planes(p)
-          if (j < pv.length) dots(p) += x * pv(j)
+          dots(p) += x * planes(p)(j)
           p += 1
         }
       }

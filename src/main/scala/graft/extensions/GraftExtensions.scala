@@ -42,7 +42,11 @@ object GraftExtensions {
   }
 
   private def litStrings(e: Expression, fn: String): Seq[String] = e match {
-    case l if l.foldable && l.dataType.isInstanceOf[ArrayType] =>
+    // Element type matters: array(1, 2) is a foldable ArrayType too, and
+    // blindly calling getUTF8String on ints would die with an opaque
+    // ClassCastException instead of the classified error below.
+    case l if l.foldable && l.dataType.isInstanceOf[ArrayType] &&
+        l.dataType.asInstanceOf[ArrayType].elementType == StringType =>
       val arr = l.eval().asInstanceOf[ArrayData]
       require(arr != null, s"$fn: the array literal itself is NULL")
       (0 until arr.numElements()).map { i =>

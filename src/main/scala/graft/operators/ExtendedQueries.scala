@@ -275,9 +275,16 @@ object ExtendedQueries {
       "filter at 100 TB. Engine-specific RNG -> rows-only check; " +
       "per-stratum proportions and seed determinism asserted in " +
       "SamplingSpec.") { (s, d) =>
-      Tables.documents(s, d).stat.sampleBy("lang",
-        Map("en" -> 0.3, "es" -> 0.8, "de" -> 0.8, "fr" -> 0.8, "zh" -> 0.8),
-        seed = 42L)
+      // Derive the strata from the corpus instead of hard-coding them: a
+      // lang value outside a static map would get fraction 0.0 and silently
+      // vanish from the sample. lang is low-cardinality and
+      // dictionary-encoded, so the distinct is one pruned-column scan with
+      // map-side combine; unknown future langs default to the 0.8 keep rate.
+      val docs = Tables.documents(s, d)
+      val langs = docs.select("lang").where(col("lang").isNotNull)
+        .distinct().collect().map(_.getString(0))
+      val fractions = langs.map(l => l -> (if (l == "en") 0.3 else 0.8)).toMap
+      docs.stat.sampleBy("lang", fractions, seed = 42L)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },

@@ -198,7 +198,12 @@ object TextQueries {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // tf already holds one row per distinct (doc_id, term), so df is a
+      // plain count over tf — its exchange is reused (ReusedExchange) and df
+      // costs exactly one additional exchange on term. The previous
+      // terms.distinct().groupBy shape re-scanned + re-shuffled the raw
+      // exploded terms (the largest intermediate at 100 TB) a second time.
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
       val score = col("tf").cast("double") * (col("n") + lit(1)) /
         (col("df").cast("double") + lit(1))

@@ -50,8 +50,19 @@ object Spill {
 
   /** The one spill-file read recipe (schema + multiLine gzip JSON) —
     * readSpilled and replay both go through here so the format cannot
-    * drift between them. */
-  private def readRaw(spark: SparkSession, files: Seq[File]): DataFrame =
+    * drift between them.
+    *
+    * LOAD-BEARING FORMAT ASSUMPTION: replay's idempotency key
+    * `<file>#<batchIdx>@<batchSize>` is stable across replay rounds ONLY
+    * because multiLine JSON files are unsplittable — each file is read
+    * whole, in one task, with stable intra-file row order, so batch index
+    * i always covers the same row extent. Switching this recipe to a
+    * splittable format (e.g. line-delimited JSON) would alias keys over
+    * different extents and a keyed sink would silently drop undelivered
+    * tail rows. SpillRoundtripSpec's "each spill file occupies exactly one
+    * partition" test breaks loudly if this recipe ever changes.
+    * (package-visible so that test exercises the real recipe) */
+  private[pipeline] def readRaw(spark: SparkSession, files: Seq[File]): DataFrame =
     spark.read
       .schema(Model.deviceDataSchema)
       .option("multiLine", "true")

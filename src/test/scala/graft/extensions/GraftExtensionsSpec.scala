@@ -75,4 +75,14 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"))
   }
+
+  test("wrong element type in a literal array fails with the classified error") {
+    // array(1, 2) IS a foldable ArrayType; without the element-type check it
+    // would die in getUTF8String with an opaque ClassCastException.
+    val e = intercept[Exception] {
+      sqlSession.sql("SELECT vocab_hits(array('a'), array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"),
+      s"expected the classified string-array error, got: ${e.getMessage}")
+  }
 }

@@ -124,6 +124,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L) == Seq(0, 1), got(3L).toString)
   }
 
+  test("wrong-width vectors fail loudly instead of silently truncating") {
+    // A 3-d input against a 2-d centroid/plane table must raise, not
+    // assign plausible-but-wrong cells from a truncated dot product.
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val bad = Seq((1L, Array(0.9, 0.1, 0.5))).toDF("id", "v")
+    val e1 = intercept[Exception] {
+      bad.select(nearestCells(col("v"), cents, 1)).collect()
+    }
+    assert(e1.getMessage.contains("dimensional") || e1.getCause.getMessage.contains("dimensional"))
+    val e2 = intercept[Exception] {
+      bad.select(bandedHyperplaneCodes(col("v"), cents.toSeq, 2)).collect()
+    }
+    assert(e2.getMessage.contains("dimensional") || e2.getCause.getMessage.contains("dimensional"))
+  }
+
   test("probeMasks enumerates exactly the hamming<=depth ball") {
     val masks = makeProbeCheck(8, 2)
     assert(masks.length == 1 + 8 + 28)

@@ -50,6 +50,33 @@ class SpillRoundtripSpec extends SparkSpec {
     assert(workers == batches.map(_._1).toSet)
   }
 
+  test("each spill file occupies exactly one partition (replay key contract)") {
+    // Replay's idempotency key assumes every file is read whole in one
+    // task (unsplittable multiLine JSON) with a single contiguous row
+    // extent per (file, batchIdx). If the read recipe ever changes to a
+    // splittable format this breaks loudly instead of silently aliasing
+    // keys. Uses many rows per file so a splittable recipe WOULD split.
+    val spillDir = Files.createTempDirectory("graft-onepart-spill").toString
+    (0 until 4).foreach { w =>
+      val recs = Iterator.continually(deviceGen.sample).flatten.take(500).toSeq
+      val json = Transform.deviceDataJson(recs.toDF()).as[String].collect().toSeq
+      Spill.writeBatch(spillDir, w, json)
+    }
+    val files = Spill.listSpillFiles(spillDir)
+    val parts = Spill.readRaw(spark, files)
+      .select(input_file_name().as("src"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("src").agg(countDistinct("pid").as("nparts"), count(lit(1)).as("rows"))
+      .collect()
+    assert(parts.length == 4)
+    parts.foreach { r =>
+      assert(r.getAs[Long]("nparts") == 1L,
+        s"spill file ${r.getAs[String]("src")} spans ${r.getAs[Long]("nparts")} partitions " +
+          "— the replay idempotency key extent contract is broken")
+      assert(r.getAs[Long]("rows") == 500L)
+    }
+  }
+
   test("unparseable worker id in a filename routes to 0 like the reference") {
     val spillDir = Files.createTempDirectory("graft-bad-spill").toString
     val json = Transform.deviceDataJson(

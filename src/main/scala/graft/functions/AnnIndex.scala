@@ -3,18 +3,128 @@ package graft.functions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** IVF index build: spherical k-means over a bounded, deterministic
-  * sample of the corpus, producing the L2-normalized centroid table the
-  * [[graft.expressions.NearestCells]] expression assigns against.
+/** IVF index build: spherical k-means producing the L2-normalized
+  * centroid table the [[graft.expressions.NearestCells]] expression
+  * assigns against.
   *
-  * This is the offline index-build step of a real IVF deployment, sized
-  * for a driver: ONE count + ONE bounded collect (<= sampleCap vectors,
-  * stride-sampled on the id so it is deterministic and scale-independent),
-  * then Lloyd iterations over at most sampleCap*dim doubles in memory. At
-  * 100 TB the sample stays the same size — training cost does not grow
-  * with the corpus; only the (embarrassingly parallel) assignment does.
+  * Two trainers, one contract:
+  *
+  *   - [[trainCentroids]] — driver-local Lloyd over a bounded collect.
+  *     DOCUMENTED CEILING: k*dim plus sampleCap*dim doubles must fit on
+  *     the driver; with the 4096-row default cap it cannot train past
+  *     k ≈ 4096/40 ≈ 100 meaningful cells. Demo/test scale only.
+  *   - [[trainCentroidsDistributed]] — the 100 TB path. The sample stays
+  *     a DataFrame; every Lloyd round is (narrow NearestCells assignment)
+  *     -> (one hash aggregation via the typed VecMeanAggregator). The
+  *     driver only ever holds the k centroid vectors (k*dim doubles, e.g.
+  *     k=10^5 x 64 dims = 51 MB at the extreme), never the sample. This
+  *     trains the k ≈ sqrt(N) cell counts a real deployment needs
+  *     (k=256 on a 100k corpus is exercised in AnnIndexSpec).
+  *
+  * Sizing rules ([[chooseK]] / [[chooseNProbe]]): k ≈ sqrt(N) balances
+  * cells-scanned-per-probe (N/k) against centroid-table size (k); the
+  * sample is samplePerCentroid*k (default 40x — below ~40 observations
+  * per centroid, empty/starved cells dominate); probes default to 5% of
+  * cells, the IVF operating point where recall is bought by cluster
+  * locality rather than scan fraction.
   */
 object AnnIndex {
+
+  /** IVF cell count for a corpus of n vectors: k ≈ sqrt(n), clamped to
+    * [1, maxK]. The standard IVF sizing rule — per-probe work is
+    * n/k + k, minimized at sqrt(n). */
+  def chooseK(corpusRows: Long, maxK: Int = 1 << 16): Int = {
+    require(corpusRows >= 0, s"chooseK: negative corpus size $corpusRows")
+    math.min(maxK.toLong, math.max(1L, math.round(math.sqrt(corpusRows.toDouble)))).toInt
+  }
+
+  /** Probe budget: scanFraction of the k cells, at least 1. */
+  def chooseNProbe(k: Int, scanFraction: Double = 0.05): Int = {
+    require(scanFraction > 0 && scanFraction <= 1.0, s"bad scanFraction $scanFraction")
+    math.max(1, math.min(k, math.ceil(k * scanFraction).toInt))
+  }
+
+  /** Corpus-aware probe budget: the 5%-of-cells rule, with a CANDIDATE
+    * FLOOR — probe enough cells that the expected scan covers at least
+    * ~50*topK vectors. At 100 TB the floor is irrelevant (5% of the
+    * corpus dwarfs it); at demo corpora it is what keeps the re-rank fed
+    * (5% of 500 vectors is 25 candidates for a top-5 answer — recall
+    * would be bought by luck, not locality). */
+  def chooseNProbeFor(k: Int, corpusRows: Long, topK: Int = 5,
+      scanFraction: Double = 0.05): Int = {
+    val floorRows = 50L * topK
+    val floorCells =
+      if (corpusRows <= 0) 1
+      else math.ceil(k.toDouble * floorRows / corpusRows).toInt
+    math.min(k, math.max(chooseNProbe(k, scanFraction), math.max(1, floorCells)))
+  }
+
+  /** Distributed spherical k-means: the sample never leaves the cluster.
+    *
+    * Deterministic given the corpus: hash-stride sample (uniform for any
+    * id distribution), xxhash-ordered init (a deterministic pseudo-random
+    * draw of k vectors), fixed iteration count. Per-round double-sum
+    * order inside VecMeanAggregator follows partition order, so repeated
+    * runs can differ in final float ulps — callers needing bit-stable
+    * centroids across runs use trainCentroids (driver fold, ordered).
+    *
+    * Cost model at 100 TB: one pruned-column scan to sample (predicate on
+    * xxhash64(id) only), then `iterations` jobs over the CACHED sample of
+    * ~samplePerCentroid*k rows — corpus-size-independent after the first
+    * scan. Assignment inside each round is the narrow NearestCells
+    * expression; the aggregation ships one vector per partition per cell.
+    */
+  def trainCentroidsDistributed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iterations: Int = 10,
+      samplePerCentroid: Int = 40): Array[Array[Double]] = {
+    require(k >= 1, s"k-means: k=$k")
+    val target = k.toLong * samplePerCentroid
+    val cnt = corpus.count()
+    val stride = math.max(1L, cnt / math.max(1L, target))
+    // Normalize on the executors. transform() is an interpreted HOF — fine
+    // here because it runs over the bounded training sample only, never
+    // the corpus (the hot-path normalization in queries uses native
+    // VecDot/Cast); inlining it keeps this method dependency-free.
+    val sample = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__raw"))
+      .withColumn("__nrm", VectorFunctions.norm2(col("__raw")))
+      .where(col("__nrm") > 0)
+      .select(col("__id"),
+        expr("transform(__raw, x -> x / __nrm)").as("__v"))
+      .cache()
+    try {
+      val sampleN = sample.count()
+      require(sampleN >= k,
+        s"k-means: sample $sampleN < k=$k — corpus too small for this cell " +
+          "count (chooseK would have picked a smaller k)")
+      // init: first k vectors in xxhash order = a deterministic uniform draw
+      var cents: Array[Array[Double]] = sample
+        .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+        .select("__v").collect().map(_.getSeq[Double](0).toArray)
+      val meanVec = udaf(VecMeanAggregator,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      var it = 0
+      while (it < iterations) {
+        val means = sample
+          .select(element_at(
+            VectorFunctions.nearestCells(col("__v"), cents, 1), 1).as("cell"),
+            col("__v"))
+          .groupBy("cell").agg(meanVec(col("__v")).as("m"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = Array.tabulate(k) { c =>
+          means.get(c).filter(_.nonEmpty).map(normalize).getOrElse(cents(c))
+        }
+        it += 1
+      }
+      cents
+    } finally { sample.unpersist(); () }
+  }
 
   /** Train `k` spherical k-means centroids over `corpus` (columns: idCol,
     * vecCol ARRAY<DOUBLE>). Deterministic: hash-stride sample (uniform

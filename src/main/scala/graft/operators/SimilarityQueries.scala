@@ -78,11 +78,19 @@ object SimilarityQueries {
   }
 
   /** Parameterized trained-IVF top-5 (q47's plan) — exposed for the
-    * recall/nprobe tradeoff measurement. */
-  def ivfTopK(s: SparkSession, d: String, k: Int, nProbe: Int): DataFrame = {
+    * recall/nprobe tradeoff measurement. `distributedTrain` picks the
+    * trainer: the driver-bounded Lloyd (bit-deterministic, k <= ~100) or
+    * the distributed Lloyd (the 100 TB path, k ≈ sqrt(N)). */
+  def ivfTopK(s: SparkSession, d: String, k: Int, nProbe: Int,
+      distributedTrain: Boolean = false): DataFrame = {
     val corpus = normed(s, d)
-    val cents = graft.functions.AnnIndex.trainCentroids(
-      corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
+    val cents =
+      if (distributedTrain)
+        graft.functions.AnnIndex.trainCentroidsDistributed(
+          corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
+      else
+        graft.functions.AnnIndex.trainCentroids(
+          corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
     val assigned = corpus.withColumn(
       "cell", element_at(nearestCells(col("v"), cents, nProbe = 1), 1))
     val probes = corpus.where(col("vec_id") < 10)
@@ -96,6 +104,16 @@ object SimilarityQueries {
     cand.withColumn("rnk", row_number().over(wTop).cast("long"))
       .where(col("rnk") <= 5)
       .orderBy("qid", "rnk")
+  }
+
+  /** Scale-parameterized IVF: k ≈ sqrt(N) cells, 5%-of-cells probe
+    * budget, distributed training — how q47 sizes itself to whatever
+    * corpus it is pointed at, instead of a demo-scale fixed k. */
+  def ivfTopKAuto(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val k = graft.functions.AnnIndex.chooseK(n)
+    val nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
+    ivfTopK(s, d, k, nProbe, distributedTrain = true)
   }
 
   /** Candidate count for a parameter point (scan-cost proxy used by the
@@ -178,44 +196,92 @@ object SimilarityQueries {
 
     // ---------------------------------------------------------------- q47
     "q47_ann_ivf" -> QueryDef.rowsOnly(
-      "IVF ANN with TRAINED coarse centroids: spherical k-means (k=16, " +
-      "10 Lloyd iterations) over a bounded deterministic sample — the " +
-      "offline index build of a real IVF deployment, one count + one " +
-      "<=4096-vector collect, cost independent of corpus size. Cell " +
-      "assignment is a NARROW per-row native expression (argmax of dot " +
-      "against the centroid table riding in the expression like a " +
-      "broadcast literal) — zero joins, zero windows, zero shuffles to " +
-      "assign, so the step scales linearly at 100 TB. Queries probe " +
-      "their top-5 of 16 cells (~31% of the corpus scanned), candidates " +
-      "come from the cell equi-join, exact cosine re-ranks. Measured " +
-      "recall@5 ~0.7 vs exact q38, asserted in SimilaritySpec. " +
-      "Engine-specific layout -> rows-only check.") { (s, d) =>
-      ivfTopK(s, d, k = 16, nProbe = 5)
+      "IVF ANN with TRAINED coarse centroids, SCALE-PARAMETERIZED: " +
+      "k = sqrt(N) cells (capped 65536), probes = 5% of cells, trained " +
+      "by DISTRIBUTED spherical k-means (10 Lloyd rounds, each one " +
+      "narrow NearestCells assignment + one VecMeanAggregator hash " +
+      "aggregation over a cached ~40k-row-per-k sample; the driver only " +
+      "ever holds the k centroid vectors). Cell assignment is a NARROW " +
+      "per-row native expression (argmax of dot against the centroid " +
+      "table riding in the expression like a broadcast literal) — zero " +
+      "joins, zero windows, zero shuffles to assign, so the step scales " +
+      "linearly at 100 TB. Candidates come from the cell equi-join, " +
+      "exact cosine re-ranks. Recall floors asserted in SimilaritySpec " +
+      "(demo scale) and AnnIndexSpec (k=256 on a 100k clustered corpus " +
+      "at a 5% probe budget). Engine-specific layout -> rows-only " +
+      "check.") { (s, d) =>
+      ivfTopKAuto(s, d)
     },
 
     // ---------------------------------------------------------------- q57
-    "q57_label_centroid_outliers" -> QueryDef.rowsOnly(
+    "q57_label_centroid_outliers" -> QueryDef.sql(
       "Per-label embedding centroids + the 3 vectors farthest from their " +
       "label's centroid by cosine — the label-quality / mislabel-candidate " +
-      "sweep of an embedding-curation pipeline. Centroids come from a " +
-      "typed vector Aggregator (one pass, fixed-size count+sum buffer, " +
-      "map-side partials): the shuffle carries ONE vector per partition " +
-      "per label, where a posexplode-by-dimension plan would carry " +
-      "width x rows. Labels are few -> centroid side broadcasts. " +
-      "Cross-row double summation order is nondeterministic -> rows-only " +
-      "check; centroid values + outlier ordering verified against a " +
-      "local reference in SimilaritySpec.") { (s, d) =>
-      val meanVec = udaf(
-        graft.functions.VecMeanAggregator,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+      "sweep of an embedding-curation pipeline. This catalog entry is the " +
+      "ORACLE-EXACT variant: per-label vectors are collected in vec_id " +
+      "order and folded elementwise left-to-right, the index-ordered-fold " +
+      "trick (q37) lifted from scalars to vectors, so the centroid doubles " +
+      "are bit-identical to DuckDB's ordered list_reduce. The unordered " +
+      "100 TB path — VecMeanAggregator, map-side partials, one vector per " +
+      "partition per label through the shuffle, no per-label collect — is " +
+      "the same numbers up to float reorder and stays covered by " +
+      "SimilaritySpec's centroid test. Labels are few -> centroid side " +
+      "broadcasts into the scoring join.",
+      s"""$sqlNormed,
+        |g AS (SELECT label, list(v ORDER BY vec_id) AS vs,
+        |        count(*)::BIGINT AS n
+        |      FROM (SELECT e.vec_id, e.label, n.v
+        |            FROM embeddings e JOIN n ON n.vec_id = e.vec_id) t
+        |      GROUP BY label),
+        |cent AS (SELECT label, n,
+        |    list_transform(
+        |      list_reduce(
+        |        list_prepend(list_transform(vs[1], x -> 0.0), vs),
+        |        (acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2])),
+        |      s -> s / n) AS c
+        |  FROM g),
+        |cn AS (SELECT label, c,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x*x)),
+        |         (a,b) -> a+b)) AS cnrm
+        |  FROM cent),
+        |sc AS (SELECT e.label, e.vec_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, len(n.v)),
+        |        i -> n.v[i] * cn.c[i])), (x,y) -> x+y) / (n.nrm * cn.cnrm)
+        |      AS cos_to_centroid
+        |  FROM embeddings e
+        |  JOIN n ON n.vec_id = e.vec_id
+        |  JOIN cn ON cn.label = e.label)
+        |SELECT label, vec_id, cos_to_centroid, rnk FROM (
+        |  SELECT label, vec_id, cos_to_centroid,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY cos_to_centroid ASC, vec_id)::BIGINT AS rnk
+        |  FROM sc) z
+        |WHERE rnk <= 3
+        |ORDER BY label, rnk""".stripMargin) { (s, d) =>
       val corpus = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val cents = corpus.groupBy("label").agg(meanVec(col("v")).as("centroid"))
+        .withColumn("nrm", norm2(col("v")))
+      // Ordered elementwise fold: sort_array orders the structs by vec_id
+      // (first field), aggregate() folds left in that order, zip_with adds
+      // elementwise — the exact fold DuckDB mirrors above. Interpreted
+      // HOFs, but over one row per LABEL (labels are few); the codegen'd
+      // unordered Aggregator remains the scale path.
+      val cents = corpus.groupBy("label")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          expr("""transform(
+                 |  aggregate(vs,
+                 |    transform(vs[0].v, x -> cast(0.0 as double)),
+                 |    (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b)),
+                 |  s -> s / n)""".stripMargin).as("centroid"))
+        .withColumn("cnrm", norm2(col("centroid")))
       val scored = corpus.join(broadcast(cents), "label")
         .select(col("label"), col("vec_id"),
           (dot(col("v"), col("centroid")) /
-            (norm2(col("v")) * norm2(col("centroid")))).as("cos_to_centroid"))
+            (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
       val w = Window.partitionBy(col("label"))
         .orderBy(col("cos_to_centroid").asc, col("vec_id"))
       scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -94,24 +94,49 @@ object HttpSink {
     * counted, never re-spilled — the original dead-letter files stay the
     * single durable copy, so repeated failed replays cannot duplicate
     * records in the spill dir. */
-  def write(json: DataFrame, cfg: Config, spillOnFailure: Boolean = true): Stats = {
+  def write(json: DataFrame, cfg: Config, spillOnFailure: Boolean = true): Stats =
+    writeInternal(json, cfg, spillOnFailure, keyFor = None)
+
+  /** Keyed write for RETRIED deliveries (the streaming micro-batch path):
+    * every POST carries the deterministic idempotency key
+    * `<keyPrefix>#p<pid>#<groupIdx>@<batchSize>`, stable across re-runs
+    * of the same delivery, so a keyed endpoint drops the already-received
+    * prefix of a crashed-mid-way delivery instead of storing it twice.
+    *
+    * The caller MUST hand over a frame with a DETERMINISTIC partition
+    * layout (content-hash partitioning + sortWithinPartitions — see
+    * StreamingEtl.deliverBatch); under a nondeterministic layout the same
+    * key would cover a different row extent on retry and a keyed sink
+    * would drop undelivered rows (same contract as Spill.replay's
+    * `<file>#<batchIdx>` keys). Never spills: the retry of the whole
+    * delivery is the durability mechanism. */
+  def writeKeyed(json: DataFrame, cfg: Config, keyPrefix: String): Stats =
+    writeInternal(json, cfg, spillOnFailure = false,
+      keyFor = Some((pid: Int, group: Long) => s"$keyPrefix#p$pid#$group@${cfg.batchSize}"))
+
+  private def writeInternal(
+      json: DataFrame, cfg: Config, spillOnFailure: Boolean,
+      keyFor: Option[(Int, Long) => String]): Stats = {
     val spark = json.sparkSession
     val sentB = spark.sparkContext.longAccumulator("sink.sentBatches")
     val sentR = spark.sparkContext.longAccumulator("sink.sentRecords")
     val spillB = spark.sparkContext.longAccumulator("sink.spilledBatches")
     val spillR = spark.sparkContext.longAccumulator("sink.spilledRecords")
-    writeWith(json, cfg, spillOnFailure, sentB, sentR, spillB, spillR)
+    writeWith(json, cfg, spillOnFailure, keyFor, sentB, sentR, spillB, spillR)
     Stats(sentB.value, sentR.value, spillB.value, spillR.value)
   }
 
   private def writeWith(
       json: DataFrame, cfg: Config, spillOnFailure: Boolean,
+      keyFor: Option[(Int, Long) => String],
       sentB: LongAccumulator, sentR: LongAccumulator,
       spillB: LongAccumulator, spillR: LongAccumulator): Unit = {
     json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+      var groupIdx = -1L
       rows.map(_.getString(0)).grouped(cfg.batchSize).foreach { batch =>
-        postBatchWithRetry(cfg, batch) match {
+        groupIdx += 1
+        postBatchWithRetry(cfg, batch, keyFor.map(f => f(pid, groupIdx))) match {
           case Right(_) =>
             sentB.add(1); sentR.add(batch.size)
           case Left(err) =>

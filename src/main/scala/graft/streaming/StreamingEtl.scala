@@ -45,7 +45,19 @@ object StreamingEtl {
       }
   }
 
-  /** Idempotent per-micro-batch delivery. Visible for tests. */
+  /** Idempotent per-micro-batch delivery. Visible for tests.
+    *
+    * Crash-mid-batch is the hard case the layout below exists for: if the
+    * query dies AFTER some HTTP groups landed but BEFORE the commit
+    * marker, checkpoint retry redelivers the whole micro-batch. Every
+    * group therefore carries a DETERMINISTIC idempotency key
+    * (`<stream>#b<batchId>#p<pid>#<group>@<size>`, HttpSink.writeKeyed),
+    * and the frame is laid out deterministically — hash-partitioned on
+    * the serialized row content and sorted within partitions — so the
+    * retried delivery reproduces the exact same (key -> row extent)
+    * mapping no matter how the source re-ordered the replayed rows. A
+    * keyed endpoint then drops the already-received prefix: zero loss,
+    * zero duplicates (proven end to end in StreamingSpec). */
   def deliverBatch(
       batch: DataFrame,
       batchId: Long,
@@ -54,12 +66,18 @@ object StreamingEtl {
       loadPartitions: Int): Unit = {
     val marker = Paths.get(commitLogDir, s"batch-$batchId.committed")
     if (Files.exists(marker)) return // replay of an already-delivered batch
-    val json = Transform.deviceDataJson(batch.repartition(loadPartitions))
-    // spillOnFailure=false: in streaming the checkpoint retry IS the
-    // durability mechanism. Spilling here would leave dead-letter copies
-    // of records the retried micro-batch delivers anyway — a systematic
-    // double-delivery path for any Spill.replay sharing this Config.
-    val stats = HttpSink.write(json, sink, spillOnFailure = false)
+    val json = Transform.deviceDataJson(batch)
+      .repartition(loadPartitions, org.apache.spark.sql.functions.col("json"))
+      .sortWithinPartitions("json")
+    // Key prefix ties to this stream's commit log (stable across restarts
+    // of the same checkpoint, distinct between streams sharing a sink).
+    val streamTag = Integer.toHexString(commitLogDir.hashCode)
+    // spillOnFailure=false (inside writeKeyed): in streaming the
+    // checkpoint retry IS the durability mechanism. Spilling here would
+    // leave dead-letter copies of records the retried micro-batch
+    // delivers anyway — a systematic double-delivery path for any
+    // Spill.replay sharing this Config.
+    val stats = HttpSink.writeKeyed(json, sink, keyPrefix = s"$streamTag#b$batchId")
     if (stats.spilledBatches > 0)
       throw new IllegalStateException(
         s"batch $batchId: ${stats.spilledBatches} groups undeliverable; failing the micro-batch for checkpoint retry")

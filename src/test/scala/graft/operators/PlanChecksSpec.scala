@@ -82,6 +82,32 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, p)
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // The other half of the 100x-scan-reduction story next to static
+    // pruning (SourceFormatsSpec): the fact side is partitioned on the
+    // join key, the dim side carries the only selective predicate — so
+    // the partitions to read are unknowable at compile time. DPP injects
+    // a runtime subquery filter (reusing the dim broadcast) into the
+    // fact scan's PartitionFilters; at 100 TB that is the difference
+    // between scanning one partition and scanning them all.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    spark.range(0, 50000)
+      .select($"id", ($"id" % 5).as("r_key"), concat(lit("p-"), $"id").as("payload"))
+      .write.partitionBy("r_key").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.range(0, 5)
+      .select($"id".as("r_key"), concat(lit("region-"), $"id").as("r_name"))
+    val joined = fact.join(dim, Seq("r_key")).where($"r_name" === "region-3")
+    // execute THIS queryExecution so the AQE final plan is inspectable
+    assert(joined.collect().length == 10000)
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamicpruning subquery in the fact scan's PartitionFilters:\n" + p)
+  }
+
   test("AQE skew-join engages on a manufactured skewed fact-fact join") {
     // One key owns ~75% of the left side. At 100 TB this is the shape
     // that strands a single reducer for hours; the engine's posture is

@@ -28,6 +28,10 @@ final class MockLoadServer(delayMillis: Long = 0) {
   /** Fail the next N /load requests with 503, then recover (transient-blip
     * injection for the retry path). */
   val failNext = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Accept only the next N stored /load payloads, then 503 everything —
+    * the crash-mid-batch injection: a delivery dies PART-WAY through its
+    * groups. -1 disables (default). */
+  val acceptBudget = new java.util.concurrent.atomic.AtomicInteger(-1)
   /** Device-API knobs (GET /device, the extract side): per-IP injected
     * failure status, global delay (timeout injection), malformed-body. */
   val deviceFailIps = new java.util.concurrent.CopyOnWriteArraySet[String]()
@@ -47,6 +51,9 @@ final class MockLoadServer(delayMillis: Long = 0) {
         case _ if failNext.getAndUpdate(n => math.max(0, n - 1)) > 0 =>
           respond(x, 503, """{"status":"transient"}""")
         case Some(code) => respond(x, code, """{"status":"error"}""")
+        case None if acceptBudget.get() >= 0 &&
+            acceptBudget.getAndUpdate(n => math.max(0, n - 1)) <= 0 =>
+          respond(x, 503, """{"status":"budget-exhausted"}""")
         case None =>
           val key = Option(x.getRequestHeaders.getFirst("X-Idempotency-Key"))
           if (key.exists(k => !seenKeys.add(k))) {

@@ -92,6 +92,43 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("crash mid-batch: partial delivery + restart = zero loss AND zero duplicates") {
+    // The effectively-once claim's hard case: the query dies AFTER some
+    // HTTP groups landed but BEFORE the commit-log marker. Checkpoint
+    // retry then redelivers the WHOLE micro-batch; only the deterministic
+    // per-group idempotency keys keep the endpoint from storing the
+    // already-landed prefix twice.
+    val server = new MockLoadServer()
+    val ckpt = Files.createTempDirectory("graft-ckpt-crash").toString
+    try {
+      val (ms, df) = cpuStatsStream()
+      ms.addData((1 to 100).map(cpu): _*)
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 10,
+        spillDir = Files.createTempDirectory("graft-sp-crash").toString)
+      server.acceptBudget.set(3) // 3 groups land, then the "crash"
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = StreamingEtl.writer(df, cfg, s"$ckpt/sink-commits", 4)
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      val partial = server.receivedRecordCount
+      assert(partial > 0 && partial < 100,
+        s"crash was not mid-batch: $partial of 100 delivered")
+      assert(!Files.exists(java.nio.file.Paths.get(s"$ckpt/sink-commits", "batch-0.committed")),
+        "a failed micro-batch must not write its commit marker")
+
+      // endpoint recovers; restart from the same checkpoint
+      server.acceptBudget.set(-1)
+      StreamingEtl.runAvailable(df, cfg, ckpt, loadPartitions = 4).stop()
+      assert(server.receivedRecordCount == 100,
+        s"expected exactly 100 stored records, got ${server.receivedRecordCount}")
+      assert(server.duplicateCount >= 3,
+        "the already-delivered groups should have been dropped BY KEY on redelivery")
+      assert(Files.exists(java.nio.file.Paths.get(s"$ckpt/sink-commits", "batch-0.committed")))
+    } finally server.stop()
+  }
+
   test("watermarked tumbling window drops late data beyond the watermark") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]

@@ -68,6 +68,27 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"dedup_scale","docs":${baseCount * mult},"candidates":$nc,"sec":$sec%.2f}""")
     }
+
+    // ---- 3. composite corpus-clean scale probe (the q55 plan over
+    // replicated corpora). Each replica's text is tagged so md5-dedup
+    // cannot collapse replicas into one canonical doc — the aggregate,
+    // semi join and row gates all carry the full multiplied corpus, the
+    // honest version of "4x the data". Expectation: near-linear wall
+    // (agg + semi join + codegen'd gates have no superlinear stage).
+    graft.operators.TextQueries.corpusClean(base.limit(100))
+      .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = (0 until mult)
+        .map(m => base.select(
+          (col("doc_id") + lit(m * 1000000L)).as("doc_id"), col("lang"),
+          concat(col("text"), lit(s" r$m")).as("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val kept = graft.operators.TextQueries.corpusClean(docs)
+        .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"corpus_clean_scale","docs":${baseCount * mult},"kept":${kept.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

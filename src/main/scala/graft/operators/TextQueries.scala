@@ -18,6 +18,36 @@ object TextQueries {
   private val sqlToks =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
 
+  /** The q55 composite-clean plan over an arbitrary documents frame
+    * (doc_id, lang, text) — shared by the catalog entry and the
+    * Throughput scale probe, so the probe can never measure a different
+    * plan than the one the catalog ships. Shape: one hash-partitioned
+    * aggregate for canonical ids, a left-semi join back, then pure
+    * codegen'd per-row gates. */
+  def corpusClean(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val canon = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = docs.join(canon, Seq("doc_id"), "left_semi")
+    val w = tokens(col("text"))
+    val punct = charClassRatio(col("text"), "[^.,;:!?]")
+    val stop = vocabHits(w, langVocab.toMap.apply("en")).cast("double") /
+      size(w).cast("double")
+    val hits = langVocab.map { case (l, vocab) => l -> vocabHits(w, vocab).cast("long") }.toMap
+    kept.select(
+        col("doc_id"), col("lang"),
+        size(w).cast("long").as("n_tokens"),
+        ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"),
+        hits("en").as("en_hits"), hits("es").as("es_hits"),
+        hits("de").as("de_hits"), hits("fr").as("fr_hits"))
+      .where(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+        col("en_hits") >= col("fr_hits") &&
+        col("quality") >= 0.4 && col("n_tokens") >= 5)
+      .select("doc_id", "lang", "n_tokens", "quality")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q27
@@ -289,28 +319,7 @@ object TextQueries {
         |WHERE en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits
         |  AND quality >= 0.4 AND n_tokens >= 5
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val canon = docs
-        .groupBy(md5(col("text").cast("binary")).as("h"))
-        .agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val kept = docs.join(canon, Seq("doc_id"), "left_semi")
-      val w = tokens(col("text"))
-      val punct = charClassRatio(col("text"), "[^.,;:!?]")
-      val stop = vocabHits(w, langVocab.toMap.apply("en")).cast("double") /
-        size(w).cast("double")
-      val hits = langVocab.map { case (l, vocab) => l -> vocabHits(w, vocab).cast("long") }.toMap
-      kept.select(
-          col("doc_id"), col("lang"),
-          size(w).cast("long").as("n_tokens"),
-          ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"),
-          hits("en").as("en_hits"), hits("es").as("es_hits"),
-          hits("de").as("de_hits"), hits("fr").as("fr_hits"))
-        .where(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
-          col("en_hits") >= col("fr_hits") &&
-          col("quality") >= 0.4 && col("n_tokens") >= 5)
-        .select("doc_id", "lang", "n_tokens", "quality")
-        .orderBy("doc_id")
+      corpusClean(Tables.documents(s, d))
     },
 
     // ---------------------------------------------------------------- q60

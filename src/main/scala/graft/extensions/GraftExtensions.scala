@@ -44,9 +44,13 @@ object GraftExtensions {
   private def litStrings(e: Expression, fn: String): Seq[String] = e match {
     // Element type matters: array(1, 2) is a foldable ArrayType too, and
     // blindly calling getUTF8String on ints would die with an opaque
-    // ClassCastException instead of the classified error below.
+    // ClassCastException instead of the classified error below. NullType
+    // elements stay accepted: the empty literal array() types as
+    // ARRAY<NULL> and must keep meaning "zero vocab entries" (non-empty
+    // all-NULL arrays still hit the null-element require below).
     case l if l.foldable && l.dataType.isInstanceOf[ArrayType] &&
-        l.dataType.asInstanceOf[ArrayType].elementType == StringType =>
+        (l.dataType.asInstanceOf[ArrayType].elementType == StringType ||
+          l.dataType.asInstanceOf[ArrayType].elementType == NullType) =>
       val arr = l.eval().asInstanceOf[ArrayData]
       require(arr != null, s"$fn: the array literal itself is NULL")
       (0 until arr.numElements()).map { i =>

@@ -80,10 +80,13 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       iterations: Int = 10,
-      samplePerCentroid: Int = 40): Array[Array[Double]] = {
+      samplePerCentroid: Int = 40,
+      // pass the corpus row count when the caller already has it (e.g.
+      // ivfTopKAuto counted to size k) — skips a redundant full scan
+      knownCount: Option[Long] = None): Array[Array[Double]] = {
     require(k >= 1, s"k-means: k=$k")
     val target = k.toLong * samplePerCentroid
-    val cnt = corpus.count()
+    val cnt = knownCount.getOrElse(corpus.count())
     val stride = math.max(1L, cnt / math.max(1L, target))
     // Normalize on the executors. transform() is an interpreted HOF — fine
     // here because it runs over the bounded training sample only, never
@@ -148,6 +151,14 @@ object AnnIndex {
         .map(_.getSeq[Double](0).toArray).map(normalize)
     }
     require(sample.length >= k, s"k-means: sample ${sample.length} < k=$k")
+    // Same loud-failure contract as NearestCells: a width-mismatched
+    // vector would otherwise skew a centroid via a silently truncated
+    // prefix sum here, then throw far away at assignment time.
+    val dim = sample(0).length
+    sample.zipWithIndex.foreach { case (v, i) =>
+      require(v.length == dim,
+        s"k-means: sample vector $i has ${v.length} elements, expected $dim")
+    }
 
     // stride init over the (id-ordered) sample — deterministic
     var cents: Array[Array[Double]] =

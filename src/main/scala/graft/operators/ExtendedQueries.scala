@@ -18,7 +18,8 @@ object ExtendedQueries {
       "rollup dimensions in one aggregate pass.",
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*)::BIGINT AS n, round(sum(l_extendedprice), 2) AS revenue
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
@@ -26,7 +27,10 @@ object ExtendedQueries {
       s.sql(
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,
-          |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+          |  count(*) AS n,
+          |  -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL and the
+          |  -- division would come back DECIMAL, not the oracle's DOUBLE
+          |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D AS revenue
           |FROM graft_q41_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY returnflag, linestatus""".stripMargin)

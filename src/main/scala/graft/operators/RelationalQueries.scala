@@ -26,9 +26,9 @@ object RelationalQueries {
       "(map-side combine) shape; filter pushed to parquet scan.",
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT / 10000.0 AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::BIGINT / 1000000.0 AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*)::BIGINT AS count_order
@@ -36,14 +36,22 @@ object RelationalQueries {
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      // Price sums aggregate EXACT INTEGER UNITS (cents / 1e-4 / 1e-6
+      // units — prices are 2-decimal, so the per-row product is exact at
+      // those scales and round() recovers the integer despite float ulp).
+      // An int64 sum is order-independent and boundary-free, where
+      // round(sum(double), n) diverged between engines once the group sum
+      // drifted onto an .xx5 rounding boundary (caught by the 10x-scale
+      // oracle gate, BASELINE.md round 3). Quantities are integer-valued
+      // so their double sums are already exact.
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0).as("sum_disc_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 1000000, 0).cast("long")) / 1000000.0).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -79,7 +87,7 @@ object RelationalQueries {
       "explicit broadcast of the small dims (no shuffle for dim sides); " +
       "revenue + distinct customers per region/nation.",
       """SELECT r_name, n_name,
-        |  round(sum(o_totalprice), 2) AS revenue,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue,
         |  count(DISTINCT c_custkey)::BIGINT AS n_customers,
         |  count(*)::BIGINT AS n_orders
         |FROM orders
@@ -94,7 +102,8 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          round(sum("o_totalprice"), 2).as("revenue"),
+          // exact cents sum — see q01's note on round(sum) boundary drift
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"),
           countDistinct("c_custkey").as("n_customers"),
           count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
@@ -106,7 +115,7 @@ object RelationalQueries {
       "shape that survives when neither side fits a broadcast at 100 TB); " +
       "both sides shuffle-partition on the join key once.",
       """SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT / 10000.0 AS revenue,
         |  count(*)::BIGINT AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2
@@ -115,7 +124,9 @@ object RelationalQueries {
         .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderpriority"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // exact 1e-4-unit sum: this query's round(sum) landed on a .495
+          // boundary at the 10x oracle gate (BASELINE.md round 3)
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("order_year", "o_orderpriority")
     },
@@ -180,7 +191,7 @@ object RelationalQueries {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey)::BIGINT AS n_custs,
         |  count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders
@@ -191,7 +202,7 @@ object RelationalQueries {
         .agg(
           countDistinct("o_custkey").as("n_custs"),
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("revenue"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"),
           round(min("o_totalprice"), 2).as("min_price"),
           round(max("o_totalprice"), 2).as("max_price"))
         .orderBy("o_orderpriority")
@@ -223,13 +234,14 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*)::BIGINT AS n,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

@@ -77,17 +77,22 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Parameterized trained-IVF top-5 (q47's plan) — exposed for the
-    * recall/nprobe tradeoff measurement. `distributedTrain` picks the
-    * trainer: the driver-bounded Lloyd (bit-deterministic, k <= ~100) or
-    * the distributed Lloyd (the 100 TB path, k ≈ sqrt(N)). */
+  /** Parameterized trained-IVF top-5 (the q47 plan SHAPE; the shipping
+    * q47 auto-sizes via [[ivfTopKAuto]]) — exposed so the recall/nprobe
+    * tradeoff is measurable at fixed parameter points (tools.AnnTradeoff;
+    * its BASELINE.md table is the fixed-k=16 curve, kept comparable with
+    * round 2). `distributedTrain` picks the trainer: the driver-bounded
+    * Lloyd (bit-deterministic, k <= ~100) or the distributed Lloyd (the
+    * 100 TB path, k ≈ sqrt(N)). */
   def ivfTopK(s: SparkSession, d: String, k: Int, nProbe: Int,
-      distributedTrain: Boolean = false): DataFrame = {
+      distributedTrain: Boolean = false,
+      knownCount: Option[Long] = None): DataFrame = {
     val corpus = normed(s, d)
     val cents =
       if (distributedTrain)
         graft.functions.AnnIndex.trainCentroidsDistributed(
-          corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
+          corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10,
+          knownCount = knownCount)
       else
         graft.functions.AnnIndex.trainCentroids(
           corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
@@ -113,7 +118,8 @@ object SimilarityQueries {
     val n = Tables.embeddings(s, d).count()
     val k = graft.functions.AnnIndex.chooseK(n)
     val nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
-    ivfTopK(s, d, k, nProbe, distributedTrain = true)
+    // thread n through so the trainer doesn't re-count the corpus
+    ivfTopK(s, d, k, nProbe, distributedTrain = true, knownCount = Some(n))
   }
 
   /** Candidate count for a parameter point (scan-cost proxy used by the

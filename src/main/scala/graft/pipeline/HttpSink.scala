@@ -99,9 +99,18 @@ object HttpSink {
 
   /** Keyed write for RETRIED deliveries (the streaming micro-batch path):
     * every POST carries the deterministic idempotency key
-    * `<keyPrefix>#p<pid>#<groupIdx>@<batchSize>`, stable across re-runs
-    * of the same delivery, so a keyed endpoint drops the already-received
-    * prefix of a crashed-mid-way delivery instead of storing it twice.
+    * `<keyPrefix>#p<pid>#<groupIdx>@<batchSize>#<contentMd5>`, stable
+    * across re-runs of the same delivery, so a keyed endpoint drops the
+    * already-received prefix of a crashed-mid-way delivery instead of
+    * storing it twice.
+    *
+    * The content hash is load-bearing: without it the key identifies only
+    * a POSITION, and two different payloads could alias — a checkpoint
+    * wipe that restarts batchIds at 0 against an endpoint whose key store
+    * persists (corrected-feed reprocessing) would have its new rows ACKed
+    * as duplicates and silently dropped. With it, aliasing requires the
+    * same position AND the same bytes, in which case dedup is the desired
+    * outcome.
     *
     * The caller MUST hand over a frame with a DETERMINISTIC partition
     * layout (content-hash partitioning + sortWithinPartitions — see
@@ -112,11 +121,18 @@ object HttpSink {
     * delivery is the durability mechanism. */
   def writeKeyed(json: DataFrame, cfg: Config, keyPrefix: String): Stats =
     writeInternal(json, cfg, spillOnFailure = false,
-      keyFor = Some((pid: Int, group: Long) => s"$keyPrefix#p$pid#$group@${cfg.batchSize}"))
+      keyFor = Some((pid: Int, group: Long, batch: Seq[String]) =>
+        s"$keyPrefix#p$pid#$group@${cfg.batchSize}#${contentMd5(batch)}"))
+
+  private def contentMd5(batch: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    batch.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   private def writeInternal(
       json: DataFrame, cfg: Config, spillOnFailure: Boolean,
-      keyFor: Option[(Int, Long) => String]): Stats = {
+      keyFor: Option[(Int, Long, Seq[String]) => String]): Stats = {
     val spark = json.sparkSession
     val sentB = spark.sparkContext.longAccumulator("sink.sentBatches")
     val sentR = spark.sparkContext.longAccumulator("sink.sentRecords")
@@ -128,7 +144,7 @@ object HttpSink {
 
   private def writeWith(
       json: DataFrame, cfg: Config, spillOnFailure: Boolean,
-      keyFor: Option[(Int, Long) => String],
+      keyFor: Option[(Int, Long, Seq[String]) => String],
       sentB: LongAccumulator, sentR: LongAccumulator,
       spillB: LongAccumulator, spillR: LongAccumulator): Unit = {
     json.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -136,7 +152,7 @@ object HttpSink {
       var groupIdx = -1L
       rows.map(_.getString(0)).grouped(cfg.batchSize).foreach { batch =>
         groupIdx += 1
-        postBatchWithRetry(cfg, batch, keyFor.map(f => f(pid, groupIdx))) match {
+        postBatchWithRetry(cfg, batch, keyFor.map(f => f(pid, groupIdx, batch))) match {
           case Right(_) =>
             sentB.add(1); sentR.add(batch.size)
           case Left(err) =>

@@ -33,10 +33,17 @@ object AnnTradeoff {
       val cand = SimilarityQueries.lshCandidates(spark, d, 4, 8, depth)
       println(f"""[ann] {"op":"lsh","bands":4,"planes":8,"depth":$depth,"recall_at_5":$r%.3f,"candidates":$cand,"scan_frac":${cand.toDouble / (10 * corpusN)}%.4f}""")
     }
+    // fixed-k=16 curve: kept for round-over-round comparability — NOT the
+    // shipping q47 operating point (q47 auto-sizes via ivfTopKAuto since
+    // round 3; its point is measured below)
     for (nProbe <- Seq(1, 2, 3, 5, 8)) {
       val r = recallOf(SimilarityQueries.ivfTopK(spark, d, k = 16, nProbe = nProbe))
       println(f"""[ann] {"op":"ivf","k":16,"nprobe":$nProbe,"recall_at_5":$r%.3f,"scan_frac":${nProbe / 16.0}%.4f}""")
     }
+    val kAuto = graft.functions.AnnIndex.chooseK(corpusN)
+    val npAuto = graft.functions.AnnIndex.chooseNProbeFor(kAuto, corpusN)
+    val rAuto = recallOf(SimilarityQueries.ivfTopKAuto(spark, d))
+    println(f"""[ann] {"op":"ivf_auto_q47","k":$kAuto,"nprobe":$npAuto,"recall_at_5":$rAuto%.3f,"scan_frac":${npAuto.toDouble / kAuto}%.4f}""")
     spark.stop()
   }
 }

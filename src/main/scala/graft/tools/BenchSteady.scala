@@ -39,7 +39,11 @@ object BenchSteady {
         fn(spark, sfDir).selectExpr("sum(xxhash64(struct(*)))").collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val med = times(times.length / 2)
+      // true median (even iteration counts average the two middle samples
+      // — on a contended box adjacent samples differ by hundreds of ms)
+      val med =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
       println(f"""{"query":"$name","min":${times.head}%.3f,"median":$med%.3f,"max":${times.last}%.3f,"iters":$iters,"sf":"$sfDir"}""")
     }
     spark.stop()

@@ -76,6 +76,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("foldable") || e.getMessage.contains("literal"))
   }
 
+  test("empty vocab literal array() means zero hits, not an error") {
+    // array() types as ARRAY<NULL>; the element-type guard must keep
+    // accepting it (regression: a strict StringType-only match rejected it)
+    val r = sqlSession.sql("SELECT vocab_hits(array('a', 'b'), array()) AS h")
+      .collect().head
+    assert(r.getInt(0) == 0)
+  }
+
   test("wrong element type in a literal array fails with the classified error") {
     // array(1, 2) IS a foldable ArrayType; without the element-type check it
     // would die in getUTF8String with an opaque ClassCastException.

@@ -129,6 +129,33 @@ class StreamingSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("commit-log wipe + new data at the same batchId is NOT deduped (content-keyed)") {
+    // Key-aliasing regression: keys identify position AND content. A
+    // corrected-feed reprocess (checkpoint/commit-log wiped, batchIds
+    // restart at 0) against an endpoint whose key store persists must
+    // deliver the NEW rows — a position-only key would be ACKed as
+    // duplicate and silently dropped.
+    val server = new MockLoadServer()
+    val commitDir = Files.createTempDirectory("graft-cl-wipe").toString
+    try {
+      val cfg = HttpSink.Config(server.loadUrl, "t", batchSize = 5,
+        spillDir = Files.createTempDirectory("graft-sp-wipe").toString)
+      def df(range: Range) = graft.pipeline.Transform.toDeviceData(range.map(cpu).toDF())
+      StreamingEtl.deliverBatch(df(1 to 10), 0, cfg, commitDir, 2)
+      assert(server.receivedRecordCount == 10)
+      // the wipe: markers gone, batchId restarts at 0, data is DIFFERENT
+      new java.io.File(commitDir).listFiles().foreach(_.delete())
+      StreamingEtl.deliverBatch(df(11 to 20), 0, cfg, commitDir, 2)
+      assert(server.receivedRecordCount == 20,
+        "corrected-feed rows were dropped by position-keyed dedup")
+      // same position AND same content = genuine duplicate, still dropped
+      new java.io.File(commitDir).listFiles().foreach(_.delete())
+      StreamingEtl.deliverBatch(df(11 to 20), 0, cfg, commitDir, 2)
+      assert(server.receivedRecordCount == 20)
+      assert(server.duplicateCount >= 2)
+    } finally server.stop()
+  }
+
   test("watermarked tumbling window drops late data beyond the watermark") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]

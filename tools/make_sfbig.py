@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Dev-only stress-data builder (NOT part of the engine): replicate the
+sf0.1 tables MULT times with consistently offset keys, preserving
+referential integrity so join cardinalities stay linear in MULT. Both
+Spark and the DuckDB oracle read the SAME output files, so the oracle
+gate run against this directory is a true parity check at ~sf1 scale —
+the cheapest way to catch floating-point/overflow drift before a real
+scale-up (round-3 verdict item 8).
+
+Usage: python3 tools/make_sfbig.py [mult] [outdir] [srcdir]
+"""
+import sys
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
+SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+# key column -> per-replica offset unit (consistent across tables so
+# foreign keys keep pointing at the matching replica's rows)
+BIG = 10_000_000
+OFFSETS = {
+    "r_regionkey": 5, "n_regionkey": 5,
+    "n_nationkey": 25, "c_nationkey": 25, "s_nationkey": 25,
+    "c_custkey": BIG, "o_custkey": BIG,
+    "s_suppkey": BIG, "l_suppkey": BIG,
+    "p_partkey": BIG, "l_partkey": BIG,
+    "o_orderkey": BIG, "l_orderkey": BIG,
+    "event_id": BIG, "user_id": BIG,
+    "doc_id": BIG, "vec_id": BIG,
+}
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+import os
+os.makedirs(OUT, exist_ok=True)
+for t in TABLES:
+    src = pq.read_table(f"{SRC}/{t}.parquet")
+    parts = []
+    for m in range(MULT):
+        cols = []
+        for name in src.column_names:
+            col = src.column(name)
+            if name in OFFSETS and m > 0:
+                shifted = pc.add(col, m * OFFSETS[name])
+                col = pc.cast(shifted, src.schema.field(name).type)
+            cols.append(col)
+        parts.append(pa.table(dict(zip(src.column_names, cols)), schema=src.schema))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{OUT}/{t}.parquet")
+    print(t, src.num_rows, "->", out.num_rows, out.schema.field(0).type)
+print("done:", OUT)

@@ -18,6 +18,13 @@ object TextQueries {
   private val sqlToks =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
 
+  // GPT-2-style pre-tokenizer pattern, restricted to the RE2-and-Java
+  // common subset: RE2 (DuckDB) has no lookahead, so the original
+  // `\s+(?!\S)` trailing-space clause is simplified to plain runs. Same
+  // alternation order both engines (leftmost-first applies identically).
+  private val bpePat =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"""
+
   /** The q55 composite-clean plan over an arbitrary documents frame
     * (doc_id, lang, text) — shared by the catalog entry and the
     * Throughput scale probe, so the probe can never measure a different
@@ -115,6 +122,34 @@ object TextQueries {
           (totalLen.cast("double") / size(col("w")).cast("double")).as("avg_token_len"),
           nUnique.cast("long").as("n_unique"),
           (nUnique.cast("double") / size(col("w")).cast("double")).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q63
+    "q63_bpe_token_count" -> QueryDef.sql(
+      "BPE-style token counting: the GPT-2 pre-tokenizer shape " +
+      "(contractions | space?letters | space?digits | space?punct-runs " +
+      "| whitespace-runs) restricted to the RE2-and-Java common regex " +
+      "subset (no lookahead), plus subword fertility (BPE tokens per " +
+      "whitespace word) — the cost-estimation signal an LLM data " +
+      "pipeline computes before training. One codegen'd " +
+      "regexp_extract_all per row, zero shuffles.",
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w,
+        |  regexp_extract_all(text, '${bpePat.replace("'", "''")}') AS bt
+        |FROM documents)
+        |SELECT doc_id, lang,
+        |  len(bt)::BIGINT AS n_bpe_tokens,
+        |  len(w)::BIGINT AS n_ws_tokens,
+        |  len(bt)::DOUBLE / len(w)::DOUBLE AS fertility
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bt = regexp_extract_all(col("text"), lit(bpePat), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(bt).cast("long").as("n_bpe_tokens"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          (size(bt).cast("double") /
+            size(tokens(col("text"))).cast("double")).as("fertility"))
         .orderBy("doc_id")
     },
 

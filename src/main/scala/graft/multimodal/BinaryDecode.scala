@@ -68,6 +68,29 @@ object BinaryDecode {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Resize shape over decoded rows: aspect-preserving fit into a
+    * `maxDim` bounding box (the thumbnail/model-input normalization pass
+    * of a multimodal pipeline). The geometry — integer scaling with
+    * floor semantics, minimum 1px — is the real contract a codec-backed
+    * resize would honor; only pixel resampling itself would live in the
+    * per-partition codec (FakeCodec stands in, same as decode). Pure
+    * codegen'd arithmetic, zero shuffles. */
+  def resizeFit(decoded: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"resizeFit: maxDim=$maxDim")
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val longest = greatest(w, h)
+    // floor((side * maxDim) / longest); the int products are tiny enough
+    // that the double division is exact-to-truncation. Only downscale
+    // (never inflate below-bound media), clamp to >= 1px
+    val sw = least(w, greatest(lit(1L), (w * maxDim / longest).cast("long")))
+    val sh = least(h, greatest(lit(1L), (h * maxDim / longest).cast("long")))
+    decoded.select(
+      col("media_id"), col("kind"), col("width"), col("height"),
+      sw.cast("int").as("out_width"),
+      sh.cast("int").as("out_height"))
+  }
+
   final case class EmbeddedRow(
       media_id: Long,
       // batch identity is part of the OUTPUT so the batching contract is

@@ -243,31 +243,41 @@ object TextQueries {
       "smoothed RATIONAL idf variant (tf * (N+1)/(df+1)) — log-free so " +
       "the score is pure exact-int products + one IEEE division, " +
       "bit-identical across engines (ln() is libm-implementation-defined " +
-      "and would break hash parity). Shape at 100 TB: explode -> two " +
-      "hash-partitioned aggregations (doc-term tf, term df) -> equi-join " +
-      "on term -> broadcast scalar N -> per-doc rank. No driver-side " +
-      "vocabulary, no cross join.",
+      "and would break hash parity). Shape at 100 TB: explode -> hash " +
+      "aggregation to (doc, term, tf) -> df aggregated FROM tf (one row " +
+      "per distinct (doc, term) already, so df never re-shuffles the raw " +
+      "exploded terms) -> equi-join back on term (AQE skew-splits the " +
+      "hot common-term partitions) -> broadcast scalar N -> per-doc " +
+      "rank. Deliberately NOT a `count OVER (PARTITION BY term)` window: " +
+      "that buys one fewer scan but puts every document containing a " +
+      "common term into ONE unsplittable window partition — AQE can " +
+      "split skewed joins, not skewed windows, so the join shape is the " +
+      "one that survives corpus scale. No driver-side vocabulary, no " +
+      "cross join.",
       s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
         |x AS (SELECT doc_id, unnest(w) AS term FROM t),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM x GROUP BY doc_id, term),
-        |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM x GROUP BY term),
+        |d AS (SELECT doc_id, term, tf,
+        |        count(*) OVER (PARTITION BY term)::BIGINT AS df FROM tf),
         |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
         |SELECT doc_id, term, tf, df, score, rnk FROM (
-        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
-        |    tf.tf::DOUBLE * (n.n + 1) / (df.df::DOUBLE + 1) AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf::DOUBLE * (n.n + 1) / (df.df::DOUBLE + 1) DESC, tf.term)::BIGINT AS rnk
-        |  FROM tf JOIN df USING (term) CROSS JOIN n) z
+        |  SELECT d.doc_id, d.term, d.tf, d.df,
+        |    d.tf::DOUBLE * (n.n + 1) / (d.df::DOUBLE + 1) AS score,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY d.tf::DOUBLE * (n.n + 1) / (d.df::DOUBLE + 1) DESC, d.term)::BIGINT AS rnk
+        |  FROM d CROSS JOIN n) z
         |WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // tf already holds one row per distinct (doc_id, term), so df is a
-      // plain count over tf — its exchange is reused (ReusedExchange) and df
-      // costs exactly one additional exchange on term. The previous
-      // terms.distinct().groupBy shape re-scanned + re-shuffled the raw
-      // exploded terms (the largest intermediate at 100 TB) a second time.
+      // df aggregates tf (already one row per distinct (doc_id, term)),
+      // never the raw exploded terms — one small (term, count) output.
+      // Spark recomputes tf's lineage for the df branch (self-join exprId
+      // rewriting defeats exchange reuse); a production pipeline would
+      // stage tf to a table. The skew-prone alternative — a window count
+      // over tf's term partition — is deliberately avoided: see the
+      // query doc. Exchange audit in PlanChecksSpec.
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
       val score = col("tf").cast("double") * (col("n") + lit(1)) /

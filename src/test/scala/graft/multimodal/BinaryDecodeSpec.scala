@@ -38,6 +38,29 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(frames.toSeq == (0 until n by 2).toSeq)
   }
 
+  test("resizeFit preserves aspect, only downscales, clamps to 1px") {
+    val d = BinaryDecode.decode(media).toDF()
+    val out = resizeFit(d, maxDim = 100)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))).toMap
+    out.values.foreach { case (w, h, ow, oh) =>
+      assert(ow >= 1 && oh >= 1)
+      assert(ow <= w && oh <= h, "resize must never inflate")
+      assert(math.max(ow, oh) <= 100)
+      // aspect preserved under floor arithmetic: out = floor(side*max/longest)
+      val longest = math.max(w, h)
+      assert(ow == math.min(w.toLong, math.max(1L, w.toLong * 100 / longest)).toInt)
+      assert(oh == math.min(h.toLong, math.max(1L, h.toLong * 100 / longest)).toInt)
+    }
+    // a bounding box larger than every input leaves dimensions untouched
+    val big = resizeFit(d, maxDim = 10000)
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("out_width") == r.getAs[Int]("width"))
+        assert(r.getAs[Int]("out_height") == r.getAs[Int]("height"))
+      }
+  }
+
   test("decode plumbing runs over real table bytes at scale shape") {
     val docs = graft.Tables.documents(spark, sf0001).limit(100)
       .select(col("doc_id").as("media_id"), lit("image").as("kind"),

@@ -82,6 +82,26 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, p)
   }
 
+  test("q53: df never re-shuffles the exploded terms, and no term-partition window exists") {
+    // Round-2 verdict: df's terms.distinct().groupBy re-shuffled the
+    // biggest intermediate. df now aggregates tf. Two properties matter
+    // at 100 TB: (a) no exchange partitioned on the RAW exploded
+    // (doc_id, term) rows beyond tf's own two (one per branch — Spark
+    // recomputes lineage; a distinct() would add a third on wider rows);
+    // (b) the only Window exec is the final per-doc rank — a
+    // `count OVER (PARTITION BY term)` would put every document holding
+    // a common term into one unsplittable window partition.
+    val df = SparkEntry.queries("q53_tfidf_topk")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    val windows = p.split("Window \\[").length - 1
+    assert(windows <= 1, s"expected only the rank window, found $windows:\n" + p)
+    val termDocExchanges = "Exchange hashpartitioning\\(doc_id#\\d+L?, term#\\d+"
+      .r.findAllIn(p).size
+    assert(termDocExchanges <= 2,
+      s"raw exploded terms shuffled $termDocExchanges times:\n" + p)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

@@ -61,12 +61,16 @@ object AnnIndex {
 
   /** Distributed spherical k-means: the sample never leaves the cluster.
     *
-    * Deterministic given the corpus: hash-stride sample (uniform for any
-    * id distribution), xxhash-ordered init (a deterministic pseudo-random
-    * draw of k vectors), fixed iteration count. Per-round double-sum
-    * order inside VecMeanAggregator follows partition order, so repeated
-    * runs can differ in final float ulps — callers needing bit-stable
-    * centroids across runs use trainCentroids (driver fold, ordered).
+    * Deterministic sampling and init given the corpus: hash-stride sample
+    * (uniform for any id distribution), xxhash-ordered init (a
+    * deterministic pseudo-random draw of k vectors), BOUNDED iteration
+    * count with a convergence early-exit. Per-round double-sum order
+    * inside VecMeanAggregator follows partition order, so repeated runs
+    * can differ in final float ulps — and a `moved` value hovering at the
+    * exit threshold can then cross it on different rounds, so run-to-run
+    * divergence is ulp-scale but not bit-zero. Callers needing bit-stable
+    * centroids across runs use trainCentroids (driver fold, ordered,
+    * fixed rounds).
     *
     * Cost model at 100 TB: one pruned-column scan to sample (predicate on
     * xxhash64(id) only), then `iterations` jobs over the CACHED sample of

@@ -79,12 +79,15 @@ object BinaryDecode {
     require(maxDim >= 1, s"resizeFit: maxDim=$maxDim")
     val w = col("width").cast("long")
     val h = col("height").cast("long")
-    val longest = greatest(w, h)
+    // longest >= 1 so a degenerate 0x0 probe cannot null the division;
+    // the OUTER clamp keeps the >=1px contract even then (an inner-only
+    // clamp would let least(w=0, 1) emit 0)
+    val longest = greatest(w, h, lit(1L))
     // floor((side * maxDim) / longest); the int products are tiny enough
     // that the double division is exact-to-truncation. Only downscale
     // (never inflate below-bound media), clamp to >= 1px
-    val sw = least(w, greatest(lit(1L), (w * maxDim / longest).cast("long")))
-    val sh = least(h, greatest(lit(1L), (h * maxDim / longest).cast("long")))
+    val sw = greatest(lit(1L), least(w, (w * maxDim / longest).cast("long")))
+    val sh = greatest(lit(1L), least(h, (h * maxDim / longest).cast("long")))
     decoded.select(
       col("media_id"), col("kind"), col("width"), col("height"),
       sw.cast("int").as("out_width"),

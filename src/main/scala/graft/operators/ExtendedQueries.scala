@@ -19,7 +19,7 @@ object ExtendedQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
         |  count(*)::BIGINT AS n,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
@@ -28,9 +28,10 @@ object ExtendedQueries {
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,
           |  count(*) AS n,
+          |  -- DECIMAL(30,0) sum: exact cents at any scale (int64 wraps);
           |  -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL and the
           |  -- division would come back DECIMAL, not the oracle's DOUBLE
-          |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0D AS revenue
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100.0D AS revenue
           |FROM graft_q41_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY returnflag, linestatus""".stripMargin)

@@ -26,11 +26,11 @@ object RelationalQueries {
       "(map-side combine) shape; filter pushed to parquet scan.",
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT / 100.0 AS sum_base_price,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT / 10000.0 AS sum_disc_price,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::BIGINT / 1000000.0 AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::DOUBLE / 10000.0 AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::DOUBLE / 1000000.0 AS sum_charge,
+        |  sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*)::DOUBLE AS avg_qty,
+        |  sum(CAST(round(l_discount * 100) AS BIGINT))::DOUBLE / (100.0 * count(*)::DOUBLE) AS avg_disc,
         |  count(*)::BIGINT AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01'
@@ -38,22 +38,30 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       // Price sums aggregate EXACT INTEGER UNITS (cents / 1e-4 / 1e-6
       // units — prices are 2-decimal, so the per-row product is exact at
-      // those scales and round() recovers the integer despite float ulp).
-      // An int64 sum is order-independent and boundary-free, where
-      // round(sum(double), n) diverged between engines once the group sum
-      // drifted onto an .xx5 rounding boundary (caught by the 10x-scale
-      // oracle gate, BASELINE.md round 3). Quantities are integer-valued
-      // so their double sums are already exact.
+      // those scales and round() recovers the integer despite float ulp),
+      // summed as DECIMAL on the Spark side so even the 1e-6-unit charge
+      // sum (~1.1e11 units/row) cannot overflow at any corpus size —
+      // int64 would wrap silently past ~8e7 rows/group; DuckDB's BIGINT
+      // sum is already HUGEINT. The final to-double conversion and one
+      // division are correctly-rounded identically on both engines.
+      // Averages derive from the same exact sums (no round(avg(...)):
+      // engines round the same double differently near .xxxx5 — Spark
+      // rounds the shortest-decimal repr, DuckDB the binary value).
+      // Quantities are integer-valued, so their sums are exact as-is.
+      def units(c: org.apache.spark.sql.Column, scale: Double) =
+        sum(round(c * scale, 0).cast("decimal(30,0)")).cast("double")
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          (sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0).as("sum_base_price"),
-          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0).as("sum_disc_price"),
-          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 1000000, 0).cast("long")) / 1000000.0).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          (units(col("l_extendedprice"), 100) / 100.0).as("sum_base_price"),
+          (units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000) / 10000.0).as("sum_disc_price"),
+          (units(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000) / 1000000.0).as("sum_charge"),
+          (sum(col("l_quantity").cast("long").cast("decimal(30,0)")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_qty"),
+          (units(col("l_discount"), 100) /
+            (lit(100.0) * count(lit(1)).cast("double"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -87,7 +95,7 @@ object RelationalQueries {
       "explicit broadcast of the small dims (no shuffle for dim sides); " +
       "revenue + distinct customers per region/nation.",
       """SELECT r_name, n_name,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue,
         |  count(DISTINCT c_custkey)::BIGINT AS n_customers,
         |  count(*)::BIGINT AS n_orders
         |FROM orders
@@ -102,8 +110,10 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          // exact cents sum — see q01's note on round(sum) boundary drift
-          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"),
+          // exact cents sum in decimal — see q01's note on boundary drift
+          // and int64 wrap
+          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
+            .cast("double") / 100.0).as("revenue"),
           countDistinct("c_custkey").as("n_customers"),
           count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
@@ -115,7 +125,7 @@ object RelationalQueries {
       "shape that survives when neither side fits a broadcast at 100 TB); " +
       "both sides shuffle-partition on the join key once.",
       """SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT / 10000.0 AS revenue,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::DOUBLE / 10000.0 AS revenue,
         |  count(*)::BIGINT AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2
@@ -124,9 +134,11 @@ object RelationalQueries {
         .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderpriority"))
         .agg(
-          // exact 1e-4-unit sum: this query's round(sum) landed on a .495
-          // boundary at the 10x oracle gate (BASELINE.md round 3)
-          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0).as("revenue"),
+          // exact 1e-4-unit sum in decimal: this query's round(sum) landed
+          // on a .495 boundary at the 10x oracle gate (BASELINE.md r3);
+          // decimal avoids the int64 wrap past ~9e9 rows/group
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("decimal(30,0)")).cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("order_year", "o_orderpriority")
     },
@@ -191,7 +203,7 @@ object RelationalQueries {
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey)::BIGINT AS n_custs,
         |  count(*)::BIGINT AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders
@@ -202,7 +214,8 @@ object RelationalQueries {
         .agg(
           countDistinct("o_custkey").as("n_custs"),
           count(lit(1)).as("n_orders"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"),
+          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
+            .cast("double") / 100.0).as("revenue"),
           round(min("o_totalprice"), 2).as("min_price"),
           round(max("o_totalprice"), 2).as("max_price"))
         .orderBy("o_orderpriority")
@@ -234,14 +247,15 @@ object RelationalQueries {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*)::BIGINT AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT / 100.0 AS revenue
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0).as("revenue"))
+          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
+            .cast("double") / 100.0).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

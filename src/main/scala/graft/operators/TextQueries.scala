@@ -22,8 +22,12 @@ object TextQueries {
   // common subset: RE2 (DuckDB) has no lookahead, so the original
   // `\s+(?!\S)` trailing-space clause is simplified to plain runs. Same
   // alternation order both engines (leftmost-first applies identically).
+  // Whitespace is spelled as an EXPLICIT class, not \s: Java's \s
+  // includes vertical tab (U+000B), RE2's does not — a VT in a document
+  // would tokenize differently per engine and break hash parity.
+  private val wsClass = """ \t\n\x0B\f\r"""
   private val bpePat =
-    """'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"""
+    s"""'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$wsClass']+|[$wsClass]+"""
 
   /** The q55 composite-clean plan over an arbitrary documents frame
     * (doc_id, lang, text) — shared by the catalog entry and the

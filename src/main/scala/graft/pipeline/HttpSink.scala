@@ -126,7 +126,13 @@ object HttpSink {
 
   private def contentMd5(batch: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    batch.foreach(s => md.update(s.getBytes("UTF-8")))
+    batch.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      // length framing: without it ["ab","c"] and ["a","bc"] — different
+      // payloads — would hash (and therefore key) identically
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 

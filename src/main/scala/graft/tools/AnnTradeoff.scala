@@ -42,7 +42,10 @@ object AnnTradeoff {
     }
     val kAuto = graft.functions.AnnIndex.chooseK(corpusN)
     val npAuto = graft.functions.AnnIndex.chooseNProbeFor(kAuto, corpusN)
-    val rAuto = recallOf(SimilarityQueries.ivfTopKAuto(spark, d))
+    // corpusN already counted above — thread it through instead of
+    // letting ivfTopKAuto re-count the corpus
+    val rAuto = recallOf(SimilarityQueries.ivfTopK(
+      spark, d, kAuto, npAuto, distributedTrain = true, knownCount = Some(corpusN)))
     println(f"""[ann] {"op":"ivf_auto_q47","k":$kAuto,"nprobe":$npAuto,"recall_at_5":$rAuto%.3f,"scan_frac":${npAuto.toDouble / kAuto}%.4f}""")
     spark.stop()
   }

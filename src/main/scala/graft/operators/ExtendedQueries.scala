@@ -19,7 +19,8 @@ object ExtendedQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
         |  count(*)::BIGINT AS n,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue
+        |  (sum(CAST(floor(round(l_extendedprice * 100)/1000000) AS BIGINT))::DOUBLE * 1000000.0
+        |   + sum(CAST(round(l_extendedprice * 100) - floor(round(l_extendedprice * 100)/1000000)*1000000 AS BIGINT))::DOUBLE) / 100.0 AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
@@ -28,10 +29,12 @@ object ExtendedQueries {
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,
           |  count(*) AS n,
-          |  -- DECIMAL(30,0) sum: exact cents at any scale (int64 wraps);
-          |  -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL and the
-          |  -- division would come back DECIMAL, not the oracle's DOUBLE
-          |  CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100.0D AS revenue
+          |  -- exact cents via the lo/hi split-sum (two long sums — see
+          |  -- RelationalQueries.unitSplitSum; a single long wraps at
+          |  -- scale, a DECIMAL(30,0) sum is ~2x slower); 1000000.0D /
+          |  -- 100.0D because Spark SQL parses bare decimals as DECIMAL
+          |  (CAST(sum(CAST(floor(round(l_extendedprice * 100)/1000000.0D) AS BIGINT)) AS DOUBLE) * 1000000.0D
+          |   + CAST(sum(CAST(round(l_extendedprice * 100) - floor(round(l_extendedprice * 100)/1000000.0D)*1000000.0D AS BIGINT)) AS DOUBLE)) / 100.0D AS revenue
           |FROM graft_q41_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY returnflag, linestatus""".stripMargin)

@@ -18,17 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Exact, overflow-safe, FAST sum of integer price units: the units
+    * (per-row magnitude up to ~1.1e11 for 1e-6-unit charges) are split
+    * lo/hi at 1e6 and summed as two codegen'd LONGs — order-independent
+    * and exact to ~9.2e12 rows per group (±15x headroom over 100 TB
+    * lineitem's ~6e11 rows; an exabyte corpus would split three ways).
+    * A single long sum wraps SILENTLY at ~8e7 rows/group for charge
+    * units (caught by review, round 3); a DECIMAL(30,0) sum is exact at
+    * any scale but measured ~2x slower on the fact-table aggregations
+    * (q01 0.5 -> 1.6 s at sf0.1) because the >18-digit buffer leaves the
+    * compact-long fast path. The split keeps both properties. The
+    * combine — hi::double * 1e6 + lo::double, one final division — is
+    * the IDENTICAL operation sequence in the DuckDB oracle, so the
+    * result is bit-equal even past 2^53 where the total rounds.
+    * (floor(u/1e6) is exact here: u is integer-valued, so the quotient
+    * is never within an ulp of the wrong integer.) */
+  private def unitSplitSum(units: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hi = floor(units / 1000000.0).cast("long")
+    val lo = (units - floor(units / 1000000.0) * 1000000.0).cast("long")
+    sum(hi).cast("double") * 1000000.0 + sum(lo).cast("double")
+  }
+
+  /** The DuckDB twin of [[unitSplitSum]] for a unit expression `u`. */
+  private def sqlSplitSum(u: String): String =
+    s"(sum(CAST(floor(($u)/1000000) AS BIGINT))::DOUBLE * 1000000.0" +
+      s" + sum(CAST(($u) - floor(($u)/1000000)*1000000 AS BIGINT))::DOUBLE)"
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q01
     "q01_pricing_summary" -> QueryDef.sql(
       "TPC-H Q1-shaped scan+filter+aggregate: the canonical partial-agg " +
       "(map-side combine) shape; filter pushed to parquet scan.",
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_base_price,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::DOUBLE / 10000.0 AS sum_disc_price,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::DOUBLE / 1000000.0 AS sum_charge,
+        |  ${sqlSplitSum("round(l_extendedprice * 100)")} / 100.0 AS sum_base_price,
+        |  ${sqlSplitSum("round(l_extendedprice * (1 - l_discount) * 10000)")} / 10000.0 AS sum_disc_price,
+        |  ${sqlSplitSum("round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)")} / 1000000.0 AS sum_charge,
         |  sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*)::DOUBLE AS avg_qty,
         |  sum(CAST(round(l_discount * 100) AS BIGINT))::DOUBLE / (100.0 * count(*)::DOUBLE) AS avg_disc,
         |  count(*)::BIGINT AS count_order
@@ -38,29 +64,27 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       // Price sums aggregate EXACT INTEGER UNITS (cents / 1e-4 / 1e-6
       // units — prices are 2-decimal, so the per-row product is exact at
-      // those scales and round() recovers the integer despite float ulp),
-      // summed as DECIMAL on the Spark side so even the 1e-6-unit charge
-      // sum (~1.1e11 units/row) cannot overflow at any corpus size —
-      // int64 would wrap silently past ~8e7 rows/group; DuckDB's BIGINT
-      // sum is already HUGEINT. The final to-double conversion and one
-      // division are correctly-rounded identically on both engines.
-      // Averages derive from the same exact sums (no round(avg(...)):
+      // those scales and round() recovers the integer despite float ulp)
+      // via the lo/hi split-sum (see unitSplitSum: two codegen'd long
+      // sums, exact to ~9e12 rows/group, no silent wrap, no decimal-agg
+      // slowdown). round(sum(double)) diverged between engines on a .495
+      // boundary at the 10x oracle gate (BASELINE.md round 3).
+      // Averages derive from exact integer sums too (no round(avg(...)):
       // engines round the same double differently near .xxxx5 — Spark
       // rounds the shortest-decimal repr, DuckDB the binary value).
-      // Quantities are integer-valued, so their sums are exact as-is.
-      def units(c: org.apache.spark.sql.Column, scale: Double) =
-        sum(round(c * scale, 0).cast("decimal(30,0)")).cast("double")
+      // Small-unit sums (quantity <= 50, discount cents <= 10) stay
+      // single longs: they wrap only past ~1e17 rows/group.
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          (units(col("l_extendedprice"), 100) / 100.0).as("sum_base_price"),
-          (units(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000) / 10000.0).as("sum_disc_price"),
-          (units(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 1000000) / 1000000.0).as("sum_charge"),
-          (sum(col("l_quantity").cast("long").cast("decimal(30,0)")).cast("double") /
+          (unitSplitSum(round(col("l_extendedprice") * 100, 0)) / 100.0).as("sum_base_price"),
+          (unitSplitSum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)) / 10000.0).as("sum_disc_price"),
+          (unitSplitSum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 1000000, 0)) / 1000000.0).as("sum_charge"),
+          (sum(col("l_quantity").cast("long")).cast("double") /
             count(lit(1)).cast("double")).as("avg_qty"),
-          (units(col("l_discount"), 100) /
+          (sum(round(col("l_discount") * 100, 0).cast("long")).cast("double") /
             (lit(100.0) * count(lit(1)).cast("double"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -94,8 +118,8 @@ object RelationalQueries {
       "Star join: fact orders -> customer -> nation -> region with " +
       "explicit broadcast of the small dims (no shuffle for dim sides); " +
       "revenue + distinct customers per region/nation.",
-      """SELECT r_name, n_name,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue,
+      s"""SELECT r_name, n_name,
+        |  ${sqlSplitSum("round(o_totalprice * 100)")} / 100.0 AS revenue,
         |  count(DISTINCT c_custkey)::BIGINT AS n_customers,
         |  count(*)::BIGINT AS n_orders
         |FROM orders
@@ -110,10 +134,8 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          // exact cents sum in decimal — see q01's note on boundary drift
-          // and int64 wrap
-          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
-            .cast("double") / 100.0).as("revenue"),
+          // exact cents split-sum — see q01's note on boundary drift
+          (unitSplitSum(round(col("o_totalprice") * 100, 0)) / 100.0).as("revenue"),
           countDistinct("c_custkey").as("n_customers"),
           count(lit(1)).as("n_orders"))
         .orderBy("r_name", "n_name")
@@ -124,8 +146,8 @@ object RelationalQueries {
       "Fact-to-fact join lineitem x orders forced to sort-merge (the " +
       "shape that survives when neither side fits a broadcast at 100 TB); " +
       "both sides shuffle-partition on the join key once.",
-      """SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
-        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::DOUBLE / 10000.0 AS revenue,
+      s"""SELECT year(o_orderdate)::BIGINT AS order_year, o_orderpriority,
+        |  ${sqlSplitSum("round(l_extendedprice * (1 - l_discount) * 10000)")} / 10000.0 AS revenue,
         |  count(*)::BIGINT AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2
@@ -134,11 +156,9 @@ object RelationalQueries {
         .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("order_year"), col("o_orderpriority"))
         .agg(
-          // exact 1e-4-unit sum in decimal: this query's round(sum) landed
-          // on a .495 boundary at the 10x oracle gate (BASELINE.md r3);
-          // decimal avoids the int64 wrap past ~9e9 rows/group
-          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
-            .cast("decimal(30,0)")).cast("double") / 10000.0).as("revenue"),
+          // exact 1e-4-unit split-sum: this query's round(sum) landed on
+          // a .495 boundary at the 10x oracle gate (BASELINE.md r3)
+          (unitSplitSum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)) / 10000.0).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("order_year", "o_orderpriority")
     },
@@ -200,10 +220,10 @@ object RelationalQueries {
     "q08_agg_distinct" -> QueryDef.sql(
       "Distinct aggregation (expand + two-phase agg in Spark) alongside " +
       "plain aggregates.",
-      """SELECT o_orderpriority,
+      s"""SELECT o_orderpriority,
         |  count(DISTINCT o_custkey)::BIGINT AS n_custs,
         |  count(*)::BIGINT AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue,
+        |  ${sqlSplitSum("round(o_totalprice * 100)")} / 100.0 AS revenue,
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders
@@ -214,8 +234,7 @@ object RelationalQueries {
         .agg(
           countDistinct("o_custkey").as("n_custs"),
           count(lit(1)).as("n_orders"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
-            .cast("double") / 100.0).as("revenue"),
+          (unitSplitSum(round(col("o_totalprice") * 100, 0)) / 100.0).as("revenue"),
           round(min("o_totalprice"), 2).as("min_price"),
           round(max("o_totalprice"), 2).as("max_price"))
         .orderBy("o_orderpriority")
@@ -244,18 +263,17 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q10
     "q10_cube" -> QueryDef.sql(
       "CUBE over order status x priority: all 2^2 grouping sets.",
-      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
         |  count(*)::BIGINT AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE / 100.0 AS revenue
+        |  ${sqlSplitSum("round(o_totalprice * 100)")} / 100.0 AS revenue
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("o_totalprice") * 100, 0).cast("decimal(30,0)"))
-            .cast("double") / 100.0).as("revenue"))
+          (unitSplitSum(round(col("o_totalprice") * 100, 0)) / 100.0).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),

@@ -33,7 +33,7 @@ object RelationalQueries {
     * result is bit-equal even past 2^53 where the total rounds.
     * (floor(u/1e6) is exact here: u is integer-valued, so the quotient
     * is never within an ulp of the wrong integer.) */
-  private def unitSplitSum(units: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[operators] def unitSplitSum(units: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hi = floor(units / 1000000.0).cast("long")
     val lo = (units - floor(units / 1000000.0) * 1000000.0).cast("long")
     sum(hi).cast("double") * 1000000.0 + sum(lo).cast("double")

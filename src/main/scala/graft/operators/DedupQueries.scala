@@ -109,6 +109,37 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---------------------------------------------------------------- q64
+    "q64_benchmark_contamination" -> QueryDef.sql(
+      "Benchmark contamination detection: flag corpus documents sharing " +
+      "any 3-gram shingle with a benchmark set (docs 0-4 stand in for an " +
+      "eval suite) and count the overlapping shingles — the " +
+      "decontamination pass every LLM training corpus runs against its " +
+      "eval benchmarks before training. Shape at 100 TB: the benchmark " +
+      "shingle set is small BY NATURE (eval suites are thousands of " +
+      "documents, not billions) -> it broadcasts; the corpus shingle " +
+      "explode streams through a broadcast hash join + one aggregation, " +
+      "no corpus-side shuffle before the per-doc count. Per-doc shingles " +
+      "are already distinct (WordShingles), so (doc_id, shingle) rows " +
+      "are unique and a plain count is the distinct overlap count.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, unnest($sqlShingles) AS sh FROM t),
+        |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id < 5)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_contaminated_shingles
+        |FROM s JOIN bench USING (sh)
+        |WHERE s.doc_id >= 5
+        |GROUP BY s.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d, None)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+      val bench = sh.where(col("doc_id") < 5).select("sh").distinct()
+      sh.where(col("doc_id") >= 5)
+        .join(broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_contaminated_shingles"))
+        .orderBy("doc_id")
+    },
+
     // ---------------------------------------------------------------- q36
     "q36_dedup_simhash" -> QueryDef.rowsOnly(
       "64-bit SimHash signature per document + 16-bit prefix bucket: " +

@@ -102,6 +102,14 @@ class PlanChecksSpec extends SparkSpec {
       s"raw exploded terms shuffled $termDocExchanges times:\n" + p)
   }
 
+  test("q64: benchmark shingles broadcast — corpus side never shuffles before the count") {
+    val df = SparkEntry.queries("q64_benchmark_contamination")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val sqlToks =
-    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
+    // [\s\x0B]+ — RE2 \s + vertical tab = Java \s exactly (see the
+    // TextQueries.sqlToks note); keeps the oracle tokenizer byte-identical
+    // to the native WhitespaceTokens/WordShingles side on any input
+    """list_filter(string_split_regex(lower(trim(text)), '[\s\x0B]+'), t -> t != '')"""
   private val sqlShingles =
     """CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-2),

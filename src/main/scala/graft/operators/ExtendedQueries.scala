@@ -16,11 +16,10 @@ object ExtendedQueries {
     "q41_grouping_sets" -> QueryDef.sql(
       "Explicit GROUPING SETS ((returnflag), (linestatus)): two disjoint " +
       "rollup dimensions in one aggregate pass.",
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
         |  count(*)::BIGINT AS n,
-        |  (sum(CAST(floor(round(l_extendedprice * 100)/1000000) AS BIGINT))::DOUBLE * 1000000.0
-        |   + sum(CAST(round(l_extendedprice * 100) - floor(round(l_extendedprice * 100)/1000000)*1000000 AS BIGINT))::DOUBLE) / 100.0 AS revenue
+        |  ${RelationalQueries.sqlSplitSum("round(l_extendedprice * 100)")} / 100.0 AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
@@ -29,10 +28,11 @@ object ExtendedQueries {
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           |  coalesce(l_linestatus, 'ALL') AS linestatus,
           |  count(*) AS n,
-          |  -- exact cents via the lo/hi split-sum (two long sums — see
-          |  -- RelationalQueries.unitSplitSum; a single long wraps at
-          |  -- scale, a DECIMAL(30,0) sum is ~2x slower); 1000000.0D /
-          |  -- 100.0D because Spark SQL parses bare decimals as DECIMAL
+          |  -- the SPARK-SQL-dialect twin of RelationalQueries.sqlSplitSum
+          |  -- (D-suffixed literals because Spark SQL parses bare decimals
+          |  -- as DECIMAL; ::DOUBLE casts spelled as CAST): exact cents via
+          |  -- the lo/hi split-sum — a single long wraps at scale, a
+          |  -- DECIMAL(30,0) sum is ~2x slower
           |  (CAST(sum(CAST(floor(round(l_extendedprice * 100)/1000000.0D) AS BIGINT)) AS DOUBLE) * 1000000.0D
           |   + CAST(sum(CAST(round(l_extendedprice * 100) - floor(round(l_extendedprice * 100)/1000000.0D)*1000000.0D AS BIGINT)) AS DOUBLE)) / 100.0D AS revenue
           |FROM graft_q41_lineitem

@@ -39,8 +39,11 @@ object RelationalQueries {
     sum(hi).cast("double") * 1000000.0 + sum(lo).cast("double")
   }
 
-  /** The DuckDB twin of [[unitSplitSum]] for a unit expression `u`. */
-  private def sqlSplitSum(u: String): String =
+  /** The DuckDB twin of [[unitSplitSum]] for a unit expression `u`.
+    * private[operators]: q41 (ExtendedQueries) interpolates it too, so
+    * the correctness-critical split constant/combine sequence has exactly
+    * one definition per dialect. */
+  private[operators] def sqlSplitSum(u: String): String =
     s"(sum(CAST(floor(($u)/1000000) AS BIGINT))::DOUBLE * 1000000.0" +
       s" + sum(CAST(($u) - floor(($u)/1000000)*1000000 AS BIGINT))::DOUBLE)"
 

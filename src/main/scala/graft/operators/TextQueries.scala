@@ -15,8 +15,13 @@ object TextQueries {
 
   // Shared DuckDB SQL fragments (tokens / contribs) kept textually in each
   // oracle so each query stays runnable standalone.
+  // [\s\x0B]: RE2's \s is [ \t\n\f\r] while Java's (the native
+  // WhitespaceTokens/WordShingles side) also includes vertical tab —
+  // adding \x0B makes the two tokenizers byte-identical on any input.
+  // (Leading/trailing control chars wash out either way: Java trim strips
+  // them, DuckDB splits them into empty tokens the filter drops.)
   private val sqlToks =
-    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t != '')"""
+    """list_filter(string_split_regex(lower(trim(text)), '[\s\x0B]+'), t -> t != '')"""
 
   // GPT-2-style pre-tokenizer pattern, restricted to the RE2-and-Java
   // common subset: RE2 (DuckDB) has no lookahead, so the original

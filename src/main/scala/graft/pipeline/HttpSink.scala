@@ -118,7 +118,13 @@ object HttpSink {
     * key would cover a different row extent on retry and a keyed sink
     * would drop undelivered rows (same contract as Spill.replay's
     * `<file>#<batchIdx>` keys). Never spills: the retry of the whole
-    * delivery is the durability mechanism. */
+    * delivery is the durability mechanism.
+    *
+    * KEY-FORMAT STABILITY: the key string (including the md5 framing) is
+    * a wire contract with the endpoint's dedup store. Changing it while a
+    * crashed delivery is pending redelivery makes the retried batches
+    * look new to the endpoint (one-time duplicates). Drain or fully
+    * deliver in-flight streams before deploying a key-format change. */
   def writeKeyed(json: DataFrame, cfg: Config, keyPrefix: String): Stats =
     writeInternal(json, cfg, spillOnFailure = false,
       keyFor = Some((pid: Int, group: Long, batch: Seq[String]) =>

@@ -89,6 +89,24 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"corpus_clean_scale","docs":${baseCount * mult},"kept":${kept.head.getLong(1)},"sec":$sec%.2f}""")
     }
+
+    // ---- 4. TF-IDF scale probe (the q53 join shape — the one chosen
+    // over the skew-prone window variant; this probe is the evidence the
+    // choice scales). Same replication recipe as probe 3.
+    graft.operators.TextQueries.tfidfTopK(base.limit(100))
+      .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = (0 until mult)
+        .map(m => base.select(
+          (col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" r$m")).as("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val out = graft.operators.TextQueries.tfidfTopK(docs)
+        .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"tfidf_scale","docs":${baseCount * mult},"rows":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

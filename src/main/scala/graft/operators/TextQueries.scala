@@ -64,6 +64,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The q53 TF-IDF plan over an arbitrary documents frame (doc_id,
+    * text) — shared by the catalog entry and the Throughput scale probe.
+    *
+    * Shape notes: df aggregates tf (already one row per distinct
+    * (doc_id, term)), never the raw exploded terms — one small
+    * (term, count) output. Spark recomputes tf's lineage for the df
+    * branch (self-join exprId rewriting defeats exchange reuse); a
+    * production pipeline would stage tf to a table. The skew-prone
+    * alternative — a window count over tf's term partition — is
+    * deliberately avoided: AQE splits skewed joins, not skewed windows.
+    * Exchange audit in PlanChecksSpec. */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val score = col("tf").cast("double") * (col("n") + lit(1)) /
+      (col("df").cast("double") + lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(score.desc, col("term"))
+    tf.join(df, "term")
+      .join(broadcast(n)) // 1-row scalar rides as a broadcast
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q27
@@ -277,29 +307,7 @@ object TextQueries {
         |  FROM d CROSS JOIN n) z
         |WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
-      val terms = Tables.documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // df aggregates tf (already one row per distinct (doc_id, term)),
-      // never the raw exploded terms — one small (term, count) output.
-      // Spark recomputes tf's lineage for the df branch (self-join exprId
-      // rewriting defeats exchange reuse); a production pipeline would
-      // stage tf to a table. The skew-prone alternative — a window count
-      // over tf's term partition — is deliberately avoided: see the
-      // query doc. Exchange audit in PlanChecksSpec.
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
-      val score = col("tf").cast("double") * (col("n") + lit(1)) /
-        (col("df").cast("double") + lit(1))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(score.desc, col("term"))
-      tf.join(df, "term")
-        .join(broadcast(n)) // 1-row scalar rides as a broadcast
-        .withColumn("score", score)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df", "score", "rnk")
-        .orderBy("doc_id", "rnk")
+      tfidfTopK(Tables.documents(s, d))
     },
 
     // ---------------------------------------------------------------- q54

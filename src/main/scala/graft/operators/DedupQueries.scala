@@ -143,6 +143,104 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---------------------------------------------------------------- q65
+    "q65_dedup_clusters" -> QueryDef.sql(
+      "Near-dup CLUSTER formation + canonical election — the step after " +
+      "pair/bucket detection (q33-q36) that an actual dedup pipeline " +
+      "needs: connected components over the similarity graph, one " +
+      "canonical doc (min doc_id) kept per cluster. Edges: pairs sharing " +
+      ">= 3 3-gram shingles on the doc_id<300 ground-truth slice (same " +
+      "bounded-slice posture as q34; at corpus scale the edge set comes " +
+      "from q35's LSH band-bucket equi-join instead — same clustering " +
+      "code). Spark side: iterative min-label propagation to fixpoint — " +
+      "each round is one equi-join (edges x labels) + one min-aggregate, " +
+      "the Pregel pattern in plain DataFrames, rounds bounded by the " +
+      "cluster diameter; the unique fixpoint (min doc_id per component) " +
+      "is deterministic, so DuckDB's recursive-CTE transitive closure " +
+      "reaches bit-identical labels.",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS w
+        |           FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |       FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |cc AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+        |       FROM reach GROUP BY a),
+        |cs AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+        |       FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id,
+        |  (cc.doc_id = cc.cluster_id) AS is_canonical, cs.cluster_size
+        |FROM cc JOIN cs USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sliced = shingled(s, d, Some(300))
+      val sh = sliced.select(col("doc_id"), explode(col("sh")).as("g"))
+      val e0 = sh.alias("a").join(sh.alias("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 3)
+        .select("a", "b")
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+        .cache()
+      try {
+        // min-label propagation: labels start at own doc_id; each round
+        // every node takes the min of its own and its neighbors' labels.
+        // Unique fixpoint = min doc_id of the connected component. The
+        // convergence check is an aggregate (count of changes), never a
+        // data collect; rounds ~ cluster diameter (bounded, checked).
+        // localCheckpoint per round TRUNCATES the logical plan: `stepped`
+        // feeds the pointer-jump self-join twice, so without truncation
+        // the lineage doubles every round and analysis/codegen memory
+        // blows up exponentially (observed as a driver OOM at round ~10).
+        var labels = sliced.select(col("doc_id"),
+          col("doc_id").as("cluster_id")).localCheckpoint()
+        var it = 0
+        var changed = 1L
+        while (changed > 0 && it < 25) {
+          val neighborMin = edges
+            .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
+            .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
+          val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+                .as("cluster_id"))
+          // pointer jump — label(v) := label(label(v)) — turns the
+          // per-round hop into doubling, so rounds are O(log diameter)
+          // instead of O(diameter) (a chain-shaped cluster would
+          // otherwise outrun any fixed round cap). label(v) is always a
+          // node id, so the self-join hits; left+coalesce is belt and
+          // braces.
+          val next = stepped.alias("x").join(
+              stepped.select(col("doc_id").as("mid"), col("cluster_id").as("jl")).alias("m"),
+              col("x.cluster_id") === col("m.mid"), "left")
+            .select(col("x.doc_id").as("doc_id"),
+              coalesce(col("jl"), col("x.cluster_id")).as("cluster_id"))
+            .localCheckpoint() // eager: materializes + truncates lineage
+          changed = next.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(col("n.cluster_id") =!= col("o.cluster_id"))
+            .count()
+          labels = next
+          it += 1
+        }
+        require(changed == 0, s"label propagation did not converge in $it rounds")
+        val cs = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        labels
+          .join(cs, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"),
+            (col("doc_id") === col("cluster_id")).as("is_canonical"),
+            col("cluster_size"))
+          .orderBy("doc_id")
+      } finally { edges.unpersist(); () }
+    },
+
     // ---------------------------------------------------------------- q36
     "q36_dedup_simhash" -> QueryDef.rowsOnly(
       "64-bit SimHash signature per document + 16-bit prefix bucket: " +

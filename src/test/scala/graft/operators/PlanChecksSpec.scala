@@ -110,6 +110,13 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q65: similarity edges come from an equi-join — no cartesian in cluster formation") {
+    val df = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

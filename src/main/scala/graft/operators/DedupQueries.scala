@@ -37,6 +37,25 @@ object DedupQueries {
       TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
   }
 
+  /** q65's symmetric similarity-edge set (pairs sharing >= 3 3-gram
+    * shingles on the bounded slice, both directions). Shared with
+    * PlanChecksSpec so the no-cartesian guard inspects the plan that
+    * actually BUILDS the edges — the clustering loop localCheckpoints,
+    * which truncates lineage, so the final result's plan no longer
+    * contains this join. */
+  private[operators] def clusterEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val sh = shingled(s, d, Some(300))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val e0 = sh.alias("a").join(sh.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= 3)
+      .select("a", "b")
+    e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -180,30 +199,35 @@ object DedupQueries {
         |FROM cc JOIN cs USING (cluster_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val sliced = shingled(s, d, Some(300))
-      val sh = sliced.select(col("doc_id"), explode(col("sh")).as("g"))
-      val e0 = sh.alias("a").join(sh.alias("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-        .agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 3)
-        .select("a", "b")
-      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-        .cache()
+      val edges = clusterEdges(s, d).cache()
+      val sc = s.sparkContext
       try {
         // min-label propagation: labels start at own doc_id; each round
-        // every node takes the min of its own and its neighbors' labels.
-        // Unique fixpoint = min doc_id of the connected component. The
-        // convergence check is an aggregate (count of changes), never a
-        // data collect; rounds ~ cluster diameter (bounded, checked).
-        // localCheckpoint per round TRUNCATES the logical plan: `stepped`
-        // feeds the pointer-jump self-join twice, so without truncation
-        // the lineage doubles every round and analysis/codegen memory
-        // blows up exponentially (observed as a driver OOM at round ~10).
+        // every node takes the min of its own and its neighbors' labels,
+        // then pointer-jumps (label(v) := label(label(v))) so rounds are
+        // O(log diameter) instead of O(diameter). Unique fixpoint = min
+        // doc_id of the connected component. The convergence check is an
+        // aggregate (count of changes), never a data collect.
+        //
+        // ONE localCheckpoint per round, on `stepped`, does two jobs:
+        // (a) truncates the logical plan — the pointer-jump self-join
+        // consumes stepped twice, so without truncation the lineage
+        // doubles every round and analysis/codegen memory blows up
+        // exponentially (observed as a driver OOM at round ~10); and
+        // (b) materializes stepped ONCE, so the edges-join + min-agg
+        // subtree is not executed twice per round by the self-join.
+        // The previous round's checkpoint blocks are explicitly freed
+        // (localCheckpoint bypasses the CacheManager, so plain
+        // Dataset.unpersist would be a no-op; getPersistentRDDs is the
+        // public handle to its blocks) — at most one extra copy of the
+        // label table is ever alive.
         var labels = sliced.select(col("doc_id"),
           col("doc_id").as("cluster_id")).localCheckpoint()
+        var prevRoundIds = Set.empty[Int]
         var it = 0
         var changed = 1L
         while (changed > 0 && it < 25) {
+          val beforeIds = sc.getPersistentRDDs.keySet.toSet
           val neighborMin = edges
             .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
             .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
@@ -211,23 +235,26 @@ object DedupQueries {
             .select(col("doc_id"),
               least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
                 .as("cluster_id"))
-          // pointer jump — label(v) := label(label(v)) — turns the
-          // per-round hop into doubling, so rounds are O(log diameter)
-          // instead of O(diameter) (a chain-shaped cluster would
-          // otherwise outrun any fixed round cap). label(v) is always a
-          // node id, so the self-join hits; left+coalesce is belt and
-          // braces.
+            .localCheckpoint()
+          // label(v) is always a node id, so the self-join hits;
+          // left+coalesce is belt and braces
           val next = stepped.alias("x").join(
               stepped.select(col("doc_id").as("mid"), col("cluster_id").as("jl")).alias("m"),
               col("x.cluster_id") === col("m.mid"), "left")
             .select(col("x.doc_id").as("doc_id"),
               coalesce(col("jl"), col("x.cluster_id")).as("cluster_id"))
-            .localCheckpoint() // eager: materializes + truncates lineage
           changed = next.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(col("n.cluster_id") =!= col("o.cluster_id"))
             .count()
-          labels = next
+          // the old labels frame was needed up to the `changed` count;
+          // checkpoint the new one, then free the PREVIOUS round's blocks
+          // (stepped + labels checkpoints) which nothing references now
+          labels = next.localCheckpoint()
+          val thisRoundIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+          prevRoundIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+          prevRoundIds = thisRoundIds
           it += 1
         }
         require(changed == 0, s"label propagation did not converge in $it rounds")

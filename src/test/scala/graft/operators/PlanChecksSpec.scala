@@ -111,9 +111,13 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("q65: similarity edges come from an equi-join — no cartesian in cluster formation") {
-    val df = SparkEntry.queries("q65_dedup_clusters")(spark, sf001)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString()
+    // inspect the edge-construction plan DIRECTLY: the clustering loop
+    // localCheckpoints (truncating lineage), so the final result's plan
+    // no longer contains the shingle join and would vacuously pass
+    val edges = DedupQueries.clusterEdges(spark, sf001)
+    edges.collect()
+    val p = edges.queryExecution.executedPlan.toString()
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 

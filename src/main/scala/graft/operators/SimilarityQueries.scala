@@ -96,6 +96,13 @@ object SimilarityQueries {
       else
         graft.functions.AnnIndex.trainCentroids(
           corpus, idCol = "vec_id", vecCol = "v", k = k, iterations = 10)
+    ivfTopKWith(corpus, cents, nProbe)
+  }
+
+  /** The probe-side plan given an already-built index: narrow NearestCells
+    * assignment, cell equi-join for candidates, exact cosine re-rank. */
+  private def ivfTopKWith(corpus: DataFrame, cents: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     val assigned = corpus.withColumn(
       "cell", element_at(nearestCells(col("v"), cents, nProbe = 1), 1))
     val probes = corpus.where(col("vec_id") < 10)
@@ -111,15 +118,28 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Scale-parameterized IVF: k ≈ sqrt(N) cells, 5%-of-cells probe
-    * budget, distributed training — how q47 sizes itself to whatever
-    * corpus it is pointed at, instead of a demo-scale fixed k. */
+  /** Scale-parameterized IVF: k ≈ sqrt(N) cells, probe budget from the
+    * 5%-rule + floors, distributed training — how q47 sizes itself to
+    * whatever corpus it is pointed at, instead of a demo-scale fixed k.
+    *
+    * The index is STAGED, not retrained per execution: one fingerprint
+    * aggregate over the corpus (which also supplies N for sizing — no
+    * separate count scan), then [[graft.functions.AnnIndexStore]] loads
+    * the persisted centroid table on fingerprint hit and only runs the
+    * distributed Lloyd build on miss, persisting for every later query.
+    * Build cost thereby amortizes across executions/sessions the way a
+    * real similarity-search deployment amortizes it across probe
+    * batches. */
   def ivfTopKAuto(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
+    val corpus = normed(s, d)
+    val (n, fp) = graft.functions.AnnIndexStore.fingerprint(corpus, "vec_id", "v")
     val k = graft.functions.AnnIndex.chooseK(n)
     val nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
-    // thread n through so the trainer doesn't re-count the corpus
-    ivfTopK(s, d, k, nProbe, distributedTrain = true, knownCount = Some(n))
+    val (cents, _) = graft.functions.AnnIndexStore.loadOrTrain(
+      s, corpus, "vec_id", "v", k = k, iterations = 10,
+      key = graft.functions.AnnIndexStore.contentKey(n, fp),
+      knownCount = Some(n))
+    ivfTopKWith(corpus, cents, nProbe)
   }
 
   /** Candidate count for a parameter point (scan-cost proxy used by the

@@ -31,6 +31,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.chooseNProbeFor(316, 100000) == 16) // pure 5%
     assert(AnnIndex.chooseNProbeFor(65536, 200000000000L) == 3277) // pure 5%
     assert(AnnIndex.chooseNProbeFor(4, 2) == 4)         // clamped to k
+    // small-corpus scan floor: sub-10k corpora probe >= 30% of cells
+    // (r3 regression: 13% of 45 cells measured recall@5 = 0.48 at sf0.1)
+    assert(AnnIndex.chooseNProbeFor(45, 2000) == 14)    // ceil(45 * 0.30)
+    assert(AnnIndex.chooseNProbeFor(100, 9999) == 30)   // floor still binds
+    assert(AnnIndex.chooseNProbeFor(100, 10000) == 5)   // ...and releases at 10k
+  }
+
+  test("index store: miss trains + persists, hit loads without retraining, content change invalidates") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ann-index-spec").toString
+    val corpus = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (n, fp) = AnnIndexStore.fingerprint(corpus, "vec_id", "v")
+    assert(n == corpus.count())
+    val key = AnnIndexStore.contentKey(n, fp)
+
+    val (built, hit1) = AnnIndexStore.loadOrTrain(
+      spark, corpus, "vec_id", "v", k = 8, iterations = 3, key = key, dir = dir)
+    assert(!hit1, "first call must be a build miss")
+    assert(built.length == 8)
+
+    val (loaded, hit2) = AnnIndexStore.loadOrTrain(
+      spark, corpus, "vec_id", "v", k = 8, iterations = 3, key = key, dir = dir)
+    assert(hit2, "second call must load the persisted index")
+    // parquet round-trips doubles bit-exactly
+    assert(loaded.map(_.toSeq).toSeq == built.map(_.toSeq).toSeq)
+
+    // different k = different index entry -> miss
+    val (_, hitK) = AnnIndexStore.loadOrTrain(
+      spark, corpus, "vec_id", "v", k = 4, iterations = 3, key = key, dir = dir)
+    assert(!hitK, "a different k must not reuse the k=8 index")
+
+    // content change flips the fingerprint -> different key -> miss
+    val shifted = corpus.select((col("vec_id") + 1).as("vec_id"), col("v"))
+    val (n2, fp2) = AnnIndexStore.fingerprint(shifted, "vec_id", "v")
+    assert(n2 == n && fp2 != fp, "id shift must change the fingerprint, not the count")
+
+    // fingerprint is partition-layout independent (commutative aggregate)
+    val (n3, fp3) = AnnIndexStore.fingerprint(corpus.repartition(7), "vec_id", "v")
+    assert(n3 == n && fp3 == fp, "repartitioning must not perturb the fingerprint")
   }
 
   test("driver trainer refuses k past its sample ceiling with a clear error") {

@@ -243,37 +243,44 @@ object SimilarityQueries {
     "q57_label_centroid_outliers" -> QueryDef.sql(
       "Per-label embedding centroids + the 3 vectors farthest from their " +
       "label's centroid by cosine — the label-quality / mislabel-candidate " +
-      "sweep of an embedding-curation pipeline. This catalog entry is the " +
-      "ORACLE-EXACT variant: per-label vectors are collected in vec_id " +
-      "order and folded elementwise left-to-right, the index-ordered-fold " +
-      "trick (q37) lifted from scalars to vectors, so the centroid doubles " +
-      "are bit-identical to DuckDB's ordered list_reduce. The unordered " +
-      "100 TB path — VecMeanAggregator, map-side partials, one vector per " +
-      "partition per label through the shuffle, no per-label collect — is " +
-      "the same numbers up to float reorder and stays covered by " +
-      "SimilaritySpec's centroid test. Labels are few -> centroid side " +
-      "broadcasts into the scoring join.",
+      "sweep of an embedding-curation pipeline. Centroids are computed " +
+      "with ORDER-INDEPENDENT EXACT arithmetic, so the plan is both the " +
+      "100 TB shape AND bit-exact against the oracle with no ordered " +
+      "collect: each coordinate is quantized to 2^-24 units (floor(x*2^24 " +
+      "+ 0.5) — identical IEEE ops in both engines; 2^-24 is half a " +
+      "float32 ulp at unit scale, i.e. at the input's own precision), the " +
+      "integer units are split-summed lo/hi as two codegen'd LONG sums " +
+      "(q01's overflow-proof trick — commutative, partition-order-proof), " +
+      "and one division sequence recovers the centroid coordinate. " +
+      "Per-group aggregation state is THREE LONGS (vs round 3's " +
+      "collect_list of every vector in the label — unbounded state, the " +
+      "plan-audit scale-killer); the posexplode is narrow and the shuffle " +
+      "ships only per-partition (label, dim) partials, the same volume as " +
+      "a vector-sum Aggregator. Labels are few -> the reassembled " +
+      "centroid table (64 dim-partials per label, bounded by VECTOR " +
+      "WIDTH, not corpus size) broadcasts into the scoring join.",
       s"""$sqlNormed,
-        |g AS (SELECT label, list(v ORDER BY vec_id) AS vs,
-        |        count(*)::BIGINT AS n
-        |      FROM (SELECT e.vec_id, e.label, n.v
-        |            FROM embeddings e JOIN n ON n.vec_id = e.vec_id) t
-        |      GROUP BY label),
-        |cent AS (SELECT label, n,
-        |    list_transform(
-        |      list_reduce(
-        |        list_prepend(list_transform(vs[1], x -> 0.0), vs),
-        |        (acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2])),
-        |      s -> s / n) AS c
-        |  FROM g),
-        |cn AS (SELECT label, c,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(c, x -> x*x)),
+        |el AS (SELECT e.label, n.v FROM embeddings e JOIN n ON n.vec_id = e.vec_id),
+        |x AS (SELECT label, unnest(generate_series(1, len(v))) AS pos,
+        |             unnest(v) AS xv FROM el),
+        |u0 AS (SELECT label, pos, floor(xv * 16777216.0 + 0.5) AS u FROM x),
+        |sm AS (SELECT label, pos,
+        |         sum(CAST(floor(u/1000000) AS BIGINT)) AS hi,
+        |         sum(CAST(u - floor(u/1000000)*1000000 AS BIGINT)) AS lo,
+        |         count(*)::BIGINT AS nn
+        |       FROM u0 GROUP BY label, pos),
+        |cd AS (SELECT label, pos,
+        |         ((hi::DOUBLE * 1000000.0 + lo::DOUBLE) / 16777216.0) / nn AS c
+        |       FROM sm),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cv FROM cd GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(cv, x -> x*x)),
         |         (a,b) -> a+b)) AS cnrm
         |  FROM cent),
         |sc AS (SELECT e.label, e.vec_id,
         |    list_reduce(list_prepend(0.0,
         |      list_transform(generate_series(1, len(n.v)),
-        |        i -> n.v[i] * cn.c[i])), (x,y) -> x+y) / (n.nrm * cn.cnrm)
+        |        i -> n.v[i] * cn.cv[i])), (x,y) -> x+y) / (n.nrm * cn.cnrm)
         |      AS cos_to_centroid
         |  FROM embeddings e
         |  JOIN n ON n.vec_id = e.vec_id
@@ -289,20 +296,30 @@ object SimilarityQueries {
         col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", norm2(col("v")))
-      // Ordered elementwise fold: sort_array orders the structs by vec_id
-      // (first field), aggregate() folds left in that order, zip_with adds
-      // elementwise — the exact fold DuckDB mirrors above. Interpreted
-      // HOFs, but over one row per LABEL (labels are few); the codegen'd
-      // unordered Aggregator remains the scale path.
-      val cents = corpus.groupBy("label")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
-          count(lit(1)).as("n"))
+      // Quantize-and-split: u is integer-valued (|u| <= |x|*2^24, a long),
+      // hi/lo the q01 split at 1e6 — two plain codegen'd long sums, exact
+      // to ~9e12 rows per (label, dim) group, order-independent. DuckDB
+      // runs the IDENTICAL op sequence (its parallel unnest zips pos with
+      // element), so the combine and the two divisions are bit-equal.
+      // Spark pos is 0-based vs DuckDB's 1-based — consistent within each
+      // engine, never exported.
+      val u = floor(col("xv") * lit(16777216.0) + lit(0.5))
+      val hi = floor(col("u") / lit(1000000.0))
+      val lo = (col("u") - floor(col("u") / lit(1000000.0)) * lit(1000000.0)).cast("long")
+      val sums = corpus
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "xv")))
+        .withColumn("u", u)
+        .groupBy("label", "pos")
+        .agg(sum(hi).as("hi"), sum(lo).as("lo"), count(lit(1)).as("nn"))
+        .select(col("label"), col("pos"),
+          (((col("hi").cast("double") * lit(1000000.0) + col("lo").cast("double"))
+            / lit(16777216.0)) / col("nn")).as("c"))
+      // Reassemble the centroid vector: 64 dim-partials per label — the
+      // collect here is bounded by vector width by construction.
+      val cents = sums.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("label"),
-          expr("""transform(
-                 |  aggregate(vs,
-                 |    transform(vs[0].v, x -> cast(0.0 as double)),
-                 |    (acc, x) -> zip_with(acc, x.v, (a, b) -> a + b)),
-                 |  s -> s / n)""".stripMargin).as("centroid"))
+          expr("transform(pc, s -> s.c)").as("centroid"))
         .withColumn("cnrm", norm2(col("centroid")))
       val scored = corpus.join(broadcast(cents), "label")
         .select(col("label"), col("vec_id"),

@@ -75,6 +75,25 @@ class PlanChecksSpec extends SparkSpec {
       "more than one Window exec in the IVF plan:\n" + p)
   }
 
+  test("q57: no collect_list over vectors — centroid state is bounded by vector width") {
+    // Round-3's oracle-exact q57 shipped sort_array(collect_list(struct(
+    // vec_id, v))) per label: every vector of a label materialized in ONE
+    // aggregation row — unbounded per-group state, fatal when a label
+    // holds billions of vectors. The fixed-point split-sum plan keeps
+    // per-(label, dim) state at three longs; the only collect left
+    // reassembles the 64 dim-partials per label (bounded by the vector
+    // WIDTH, not the corpus). Assert collect_list never sees the vector
+    // column or vec_id.
+    val p = plan("q57_label_centroid_outliers")
+    val collects = "collect_list\\([^)]*\\)".r.findAllIn(p).toList
+    collects.foreach { c =>
+      assert(!c.contains("vec_id") && !c.contains(" v#") && !c.contains("(v#"),
+        s"collect_list aggregates vectors — unbounded per-label state: $c\n$p")
+    }
+    // and the per-dimension sums are plain codegen'd HashAggregate longs
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q33: exact dedup is a single hash aggregate over one exchange") {
     val p = plan("q33_dedup_exact")
     assert(p.contains("HashAggregate"), p)

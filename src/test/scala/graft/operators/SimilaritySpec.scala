@@ -184,10 +184,17 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .as[(Long, String, Seq[Double])].collect()
-    // local reference: per-label mean, cosine to it, bottom-3 by (cos, id)
+    // Local reference mirrors the engine's quantized exact centroid: sum
+    // the 2^-24-unit integers (exact in a double while < 2^53 — here
+    // |u| <= ~2^27 * 500 rows, far under), then the engine's division
+    // sequence. The engine's lo/hi long split-sum combines to exactly
+    // this total, so the comparison is bit-level, not tolerance-level.
     val expected = vecs.groupBy(_._2).flatMap { case (label, rows) =>
       val dim = rows.head._3.length
-      val cent = (0 until dim).map(j => rows.map(_._3(j)).sum / rows.length)
+      val cent = (0 until dim).map { j =>
+        val unitSum = rows.map(r => math.floor(r._3(j) * 16777216.0 + 0.5)).sum
+        (unitSum / 16777216.0) / rows.length
+      }
       def cos(a: Seq[Double], b: Seq[Double]): Double = {
         val d = a.zip(b).map { case (x, y) => x * y }.sum
         d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
@@ -203,7 +210,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2)) == expected.map(r => (r._1, r._2)),
       s"outlier sets differ:\n got=$got\n exp=$expected")
     got.zip(expected).foreach { case ((_, _, g), (_, _, e)) =>
-      assert(math.abs(g - e) < 1e-9, s"cosine $g vs local $e")
+      assert(g == e, s"cosine $g vs local $e (quantized centroids must agree bit-for-bit)")
+    }
+    // sanity: the quantized centroid stays within half a unit of the true
+    // mean per coordinate (2^-25 per summed element)
+    val trueMeans = vecs.groupBy(_._2).map { case (label, rows) =>
+      label -> (0 until rows.head._3.length).map(j => rows.map(_._3(j)).sum / rows.length)
+    }
+    vecs.groupBy(_._2).foreach { case (label, rows) =>
+      val cent = (0 until rows.head._3.length).map { j =>
+        val unitSum = rows.map(r => math.floor(r._3(j) * 16777216.0 + 0.5)).sum
+        (unitSum / 16777216.0) / rows.length
+      }
+      cent.zip(trueMeans(label)).foreach { case (q, t) =>
+        assert(math.abs(q - t) <= math.pow(2, -25) + 1e-12,
+          s"quantized centroid drifted past half a unit from the true mean: $q vs $t")
+      }
     }
   }
 

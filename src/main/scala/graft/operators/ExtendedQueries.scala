@@ -275,24 +275,36 @@ object ExtendedQueries {
     },
 
     // ---------------------------------------------------------------- q56
-    "q56_stratified_sample" -> QueryDef.rowsOnly(
+    "q56_stratified_sample" -> QueryDef.sql(
       "Stratified per-class sampling for training-data class balancing: " +
-      "sampleBy on the language column downsamples the dominant class " +
-      "(en at 0.3) while keeping the rest at 0.8 — Bernoulli per row " +
-      "against a seeded hash, one scan, zero shuffles, so it costs a " +
-      "filter at 100 TB. Engine-specific RNG -> rows-only check; " +
-      "per-stratum proportions and seed determinism asserted in " +
-      "SamplingSpec.") { (s, d) =>
-      // Derive the strata from the corpus instead of hard-coding them: a
-      // lang value outside a static map would get fraction 0.0 and silently
-      // vanish from the sample. lang is low-cardinality and
-      // dictionary-encoded, so the distinct is one pruned-column scan with
-      // map-side combine; unknown future langs default to the 0.8 keep rate.
-      val docs = Tables.documents(s, d)
-      val langs = docs.select("lang").where(col("lang").isNotNull)
-        .distinct().collect().map(_.getString(0))
-      val fractions = langs.map(l => l -> (if (l == "en") 0.3 else 0.8)).toMap
-      docs.stat.sampleBy("lang", fractions, seed = 42L)
+      "downsample the dominant class (en at 0.3) while keeping the rest " +
+      "at 0.8 — a DETERMINISTIC Bernoulli per row via q62's " +
+      "multiplicative integer hash (salted so the sample decision is " +
+      "independent of q62's split assignment), gated per stratum. Pure " +
+      "int64 arithmetic: no engine RNG, so the sample is reproducible " +
+      "across engines AND oracle-hash-exact — what a training-data " +
+      "pipeline needs to re-materialize the identical sample anywhere. " +
+      "One scan, zero shuffles, zero driver round-trips (the per-stratum " +
+      "rate is a CASE, so unknown/future langs default to the 0.8 keep " +
+      "rate instead of silently vanishing); costs a filter at 100 TB. " +
+      "Replaced round 1-3's sampleBy (engine-RNG, rows-only): same " +
+      "target rates, now exact-checkable.",
+      """WITH s AS (SELECT doc_id, lang,
+        |  (((doc_id + 7919) % 1000003) * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, lang FROM s
+        |WHERE h % 1000 < CASE WHEN lang = 'en' THEN 300 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // +7919 salt BEFORE the prime reduction: same Knuth-hash shape as
+      // q62 but a different stream, so sample membership and train/val/
+      // test assignment stay uncorrelated. Reduce-then-multiply keeps the
+      // product < 1e6 * 2.7e9 ~ 2.7e15 — no int64 wrap at any corpus size.
+      val h = (((col("doc_id") + lit(7919L)) % lit(1000003L)) * lit(2654435761L)) %
+        lit(4294967296L)
+      Tables.documents(s, d)
+        .withColumn("h", h)
+        .where(col("h") % 1000 <
+          when(col("lang") === "en", lit(300)).otherwise(lit(800)))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },

@@ -56,6 +56,75 @@ object DedupQueries {
     e0.union(e0.select(col("b").as("a"), col("a").as("b")))
   }
 
+  /** Connected components over a similarity graph — the EXPLICIT staged
+    * operator behind q65: min-label propagation with pointer jumping to
+    * the unique fixpoint (each node ends up labeled with the min doc_id
+    * of its component). RUNS SPARK JOBS NOW, like index training: call it
+    * as a deliberate stage (q65's catalog entry defers it via LazyStage
+    * so catalog/plan construction stays free and the cost lands on the
+    * materializing action).
+    *
+    * Shape per round: one equi-join (edges x labels) + one min-aggregate,
+    * then a pointer jump (label(v) := label(label(v))) so rounds are
+    * O(log diameter), not O(diameter). The convergence check is an
+    * aggregate (count of changed labels), never a data collect.
+    *
+    * localCheckpoint per round truncates the otherwise exponentially
+    * growing self-join lineage AND materializes each round once.
+    * Checkpoint hygiene (ADVICE r3): blocks are freed via the SPECIFIC
+    * frame's checkpoint RDD (RddBridge — never the global persistent-RDD
+    * registry, which would claim RDDs other jobs on a shared session
+    * persisted concurrently), and every round's blocks including the
+    * initial labels are freed as soon as the next checkpoint
+    * materializes. On return only the FINAL label table's blocks are
+    * alive — they back the returned frame.
+    *
+    * @param nodes one row per vertex, column `doc_id`
+    * @param edges directed edge list (`a`, `b`) — pass both directions
+    *              for an undirected graph
+    * @return (doc_id, cluster_id) — cluster_id = min doc_id reachable
+    */
+  def clusterAssignments(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.RddBridge
+    val cachedEdges = edges.cache()
+    try {
+      var labels = nodes.select(col("doc_id"),
+        col("doc_id").as("cluster_id")).localCheckpoint()
+      var it = 0
+      var changed = 1L
+      while (changed > 0 && it < 25) {
+        val neighborMin = cachedEdges
+          .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
+        val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+              .as("cluster_id"))
+          .localCheckpoint()
+        // label(v) is always a node id, so the self-join hits;
+        // left+coalesce is belt and braces
+        val next = stepped.alias("x").join(
+            stepped.select(col("doc_id").as("mid"), col("cluster_id").as("jl")).alias("m"),
+            col("x.cluster_id") === col("m.mid"), "left")
+          .select(col("x.doc_id").as("doc_id"),
+            coalesce(col("jl"), col("x.cluster_id")).as("cluster_id"))
+        changed = next.alias("n")
+          .join(labels.alias("o"), "doc_id")
+          .where(col("n.cluster_id") =!= col("o.cluster_id"))
+          .count()
+        val newLabels = next.localCheckpoint()
+        // newLabels is materialized: the previous labels (incl. the
+        // initial table on round 1) and this round's stepped are dead
+        bridge.freeCheckpoint(labels)
+        bridge.freeCheckpoint(stepped)
+        labels = newLabels
+        it += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $it rounds")
+      labels
+    } finally { cachedEdges.unpersist(); () }
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -198,66 +267,23 @@ object DedupQueries {
         |  (cc.doc_id = cc.cluster_id) AS is_canonical, cs.cluster_size
         |FROM cc JOIN cs USING (cluster_id)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val sliced = shingled(s, d, Some(300))
-      val edges = clusterEdges(s, d).cache()
-      val sc = s.sparkContext
-      try {
-        // min-label propagation: labels start at own doc_id; each round
-        // every node takes the min of its own and its neighbors' labels,
-        // then pointer-jumps (label(v) := label(label(v))) so rounds are
-        // O(log diameter) instead of O(diameter). Unique fixpoint = min
-        // doc_id of the connected component. The convergence check is an
-        // aggregate (count of changes), never a data collect.
-        //
-        // ONE localCheckpoint per round, on `stepped`, does two jobs:
-        // (a) truncates the logical plan — the pointer-jump self-join
-        // consumes stepped twice, so without truncation the lineage
-        // doubles every round and analysis/codegen memory blows up
-        // exponentially (observed as a driver OOM at round ~10); and
-        // (b) materializes stepped ONCE, so the edges-join + min-agg
-        // subtree is not executed twice per round by the self-join.
-        // The previous round's checkpoint blocks are explicitly freed
-        // (localCheckpoint bypasses the CacheManager, so plain
-        // Dataset.unpersist would be a no-op; getPersistentRDDs is the
-        // public handle to its blocks) — at most one extra copy of the
-        // label table is ever alive.
-        var labels = sliced.select(col("doc_id"),
-          col("doc_id").as("cluster_id")).localCheckpoint()
-        var prevRoundIds = Set.empty[Int]
-        var it = 0
-        var changed = 1L
-        while (changed > 0 && it < 25) {
-          val beforeIds = sc.getPersistentRDDs.keySet.toSet
-          val neighborMin = edges
-            .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
-            .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
-          val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-                .as("cluster_id"))
-            .localCheckpoint()
-          // label(v) is always a node id, so the self-join hits;
-          // left+coalesce is belt and braces
-          val next = stepped.alias("x").join(
-              stepped.select(col("doc_id").as("mid"), col("cluster_id").as("jl")).alias("m"),
-              col("x.cluster_id") === col("m.mid"), "left")
-            .select(col("x.doc_id").as("doc_id"),
-              coalesce(col("jl"), col("x.cluster_id")).as("cluster_id"))
-          changed = next.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(col("n.cluster_id") =!= col("o.cluster_id"))
-            .count()
-          // the old labels frame was needed up to the `changed` count;
-          // checkpoint the new one, then free the PREVIOUS round's blocks
-          // (stepped + labels checkpoints) which nothing references now
-          labels = next.localCheckpoint()
-          val thisRoundIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
-          prevRoundIds.foreach(id =>
-            sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-          prevRoundIds = thisRoundIds
-          it += 1
-        }
-        require(changed == 0, s"label propagation did not converge in $it rounds")
+      // The propagation loop ([[clusterAssignments]]) must run Spark jobs
+      // to reach its fixpoint — staged via LazyStage so building this
+      // DataFrame costs nothing (round 3 ran the loop at catalog-build
+      // time: 1.68 s of build_sec) and the loop executes exactly once, on
+      // whatever action deliberately materializes the result.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("is_canonical",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("cluster_size",
+          org.apache.spark.sql.types.LongType)))
+      graft.plans.LazyStage.defer(s, schema) { () =>
+        val labels = clusterAssignments(
+          shingled(s, d, Some(300)).select("doc_id"), clusterEdges(s, d))
         val cs = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
         labels
           .join(cs, "cluster_id")
@@ -265,7 +291,7 @@ object DedupQueries {
             (col("doc_id") === col("cluster_id")).as("is_canonical"),
             col("cluster_size"))
           .orderBy("doc_id")
-      } finally { edges.unpersist(); () }
+      }
     },
 
     // ---------------------------------------------------------------- q36

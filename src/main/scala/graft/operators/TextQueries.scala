@@ -145,22 +145,32 @@ object TextQueries {
         |SELECT doc_id, lang,
         |  len(w)::BIGINT AS n_tokens,
         |  list_sum(list_transform(w, t -> length(t)))::BIGINT AS total_len,
-        |  list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)::DOUBLE AS avg_token_len,
+        |  CASE WHEN len(w) = 0 THEN NULL
+        |       ELSE list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)::DOUBLE
+        |  END AS avg_token_len,
         |  len(list_distinct(w))::BIGINT AS n_unique,
-        |  len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr
+        |  CASE WHEN len(w) = 0 THEN NULL
+        |       ELSE len(list_distinct(w))::DOUBLE / len(w)::DOUBLE END AS ttr
         |FROM t
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // same zero-token guard as q63's fertility: Spark NULLs x/0,
+      // DuckDB returns IEEE Infinity — make NULL-on-empty explicit on
+      // both sides so parity doesn't depend on the corpus
       val totalLen = sumTokenLengths(col("w"))
       val nUnique = size(array_distinct(col("w")))
+      val nw = size(col("w"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
         .select(
           col("doc_id"), col("lang"),
-          size(col("w")).cast("long").as("n_tokens"),
+          nw.cast("long").as("n_tokens"),
           totalLen.as("total_len"),
-          (totalLen.cast("double") / size(col("w")).cast("double")).as("avg_token_len"),
+          when(nw === 0, lit(null))
+            .otherwise(totalLen.cast("double") / nw.cast("double"))
+            .as("avg_token_len"),
           nUnique.cast("long").as("n_unique"),
-          (nUnique.cast("double") / size(col("w")).cast("double")).as("ttr"))
+          when(nw === 0, lit(null))
+            .otherwise(nUnique.cast("double") / nw.cast("double")).as("ttr"))
         .orderBy("doc_id")
     },
 
@@ -179,16 +189,25 @@ object TextQueries {
         |SELECT doc_id, lang,
         |  len(bt)::BIGINT AS n_bpe_tokens,
         |  len(w)::BIGINT AS n_ws_tokens,
-        |  len(bt)::DOUBLE / len(w)::DOUBLE AS fertility
+        |  CASE WHEN len(w) = 0 THEN NULL
+        |       ELSE len(bt)::DOUBLE / len(w)::DOUBLE END AS fertility
         |FROM t
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Explicit zero guard on BOTH sides (ADVICE r3): a whitespace-only
+      // document has 0 tokens; Spark's non-ANSI x/0 yields NULL while
+      // DuckDB's IEEE double division yields Infinity, so without the
+      // guard hash parity holds only while the corpus contains no such
+      // document. NULL-on-empty is also the honest answer for a
+      // tokens-per-word ratio of a wordless document.
       val bt = regexp_extract_all(col("text"), lit(bpePat), lit(0))
+      val nw = size(tokens(col("text")))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(bt).cast("long").as("n_bpe_tokens"),
-          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
-          (size(bt).cast("double") /
-            size(tokens(col("text"))).cast("double")).as("fertility"))
+          nw.cast("long").as("n_ws_tokens"),
+          when(nw === 0, lit(null))
+            .otherwise(size(bt).cast("double") / nw.cast("double"))
+            .as("fertility"))
         .orderBy("doc_id")
     },
 

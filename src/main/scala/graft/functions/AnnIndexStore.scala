@@ -77,9 +77,17 @@ object AnnIndexStore {
   /** The cache key q47 uses: content fingerprint + row count. */
   def contentKey(n: Long, fp: Long): String = s"fp${java.lang.Long.toHexString(fp)}_n$n"
 
+  /** Bump when the TRAINING ALGORITHM changes (init, convergence,
+    * normalization, NearestCells tie-breaking): the corpus fingerprint
+    * and params cannot see code changes, and a stale persisted index
+    * would otherwise be silently loaded — bench and recall figures would
+    * then measure the OLD trainer while the source ships the new one. */
+  val indexFormatVersion: Int = 1
+
   private def indexPath(dir: String, key: String, k: Int, iterations: Int,
       samplePerCentroid: Int): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, s"ivf_${key}_k${k}_i${iterations}_s$samplePerCentroid")
+    java.nio.file.Paths.get(dir,
+      s"ivf_v${indexFormatVersion}_${key}_k${k}_i${iterations}_s$samplePerCentroid")
 
   /** Valid persisted index -> Some(centroids ordered by cell); anything
     * else (absent, unreadable, wrong k, ragged widths) -> None. */
@@ -99,27 +107,37 @@ object AnnIndexStore {
     }.toOption
 
   /** Write centroids to a temp sibling then atomically rename into place,
-    * so readers only ever see complete indexes. */
+    * so readers only ever see complete indexes. Only a LOST RACE (the
+    * target appearing first) is swallowed — any other failure propagates,
+    * because silently skipping the persist would quietly revert q47 to
+    * retrain-per-execution with zero signal. */
   private def persist(spark: SparkSession, path: java.nio.file.Path,
       cents: Array[Array[Double]]): Unit = {
     import spark.implicits._
     java.nio.file.Files.createDirectories(path.getParent)
     val tmp = path.resolveSibling(path.getFileName.toString + s".tmp-${ProcessHandle.current.pid}")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "c")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
     try {
-      java.nio.file.Files.move(tmp, path,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try {
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // FS without atomic rename: fall back to a plain move — readers
+          // validate row count/width on load, so a torn index is rejected
+          // (-> retrain), never trusted
+          java.nio.file.Files.move(tmp, path)
+      }
     } catch {
-      // concurrent builder won the race (or non-atomic FS): keep theirs,
-      // drop ours — both were trained from the same fingerprinted corpus
-      case _: java.nio.file.FileAlreadyExistsException
-         | _: java.nio.file.AtomicMoveNotSupportedException
-         | _: java.nio.file.FileSystemException =>
-        deleteRecursively(tmp)
-    }
+      // concurrent builder won the race (a directory target surfaces as
+      // DirectoryNotEmptyException from POSIX rename): keep theirs, drop
+      // ours — both were trained from the same fingerprinted corpus
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: java.nio.file.DirectoryNotEmptyException => ()
+    } finally deleteRecursively(tmp)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

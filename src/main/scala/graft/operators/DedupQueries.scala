@@ -87,8 +87,15 @@ object DedupQueries {
   def clusterAssignments(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.RddBridge
     val cachedEdges = edges.cache()
+    // in-flight checkpoint frames, freed on ANY exit except success-return
+    // of `labels` itself: a propagation failure (non-convergence, a Spark
+    // job error mid-round) must not strand truncated-lineage blocks in
+    // the shared session for its lifetime
+    var labels: DataFrame = null
+    var stepped: DataFrame = null
+    var succeeded = false
     try {
-      var labels = nodes.select(col("doc_id"),
+      labels = nodes.select(col("doc_id"),
         col("doc_id").as("cluster_id")).localCheckpoint()
       var it = 0
       var changed = 1L
@@ -96,7 +103,7 @@ object DedupQueries {
         val neighborMin = cachedEdges
           .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), "b")
           .groupBy(col("a").as("doc_id")).agg(min("nl").as("nmin"))
-        val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
+        stepped = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
               .as("cluster_id"))
@@ -118,11 +125,19 @@ object DedupQueries {
         bridge.freeCheckpoint(labels)
         bridge.freeCheckpoint(stepped)
         labels = newLabels
+        stepped = null
         it += 1
       }
       require(changed == 0, s"label propagation did not converge in $it rounds")
+      succeeded = true
       labels
-    } finally { cachedEdges.unpersist(); () }
+    } finally {
+      cachedEdges.unpersist()
+      if (!succeeded) {
+        if (stepped != null) bridge.freeCheckpoint(stepped)
+        if (labels != null) bridge.freeCheckpoint(labels)
+      }
+    }
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

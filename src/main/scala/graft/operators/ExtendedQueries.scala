@@ -289,18 +289,19 @@ object ExtendedQueries {
       "rate instead of silently vanishing); costs a filter at 100 TB. " +
       "Replaced round 1-3's sampleBy (engine-RNG, rows-only): same " +
       "target rates, now exact-checkable.",
-      """WITH s AS (SELECT doc_id, lang,
-        |  (((doc_id + 7919) % 1000003) * 2654435761) % 4294967296 AS h
+      s"""WITH s AS (SELECT doc_id, lang,
+        |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id",
+             graft.functions.DeterministicHash.sampleSalt)} AS h
         |  FROM documents)
         |SELECT doc_id, lang FROM s
         |WHERE h % 1000 < CASE WHEN lang = 'en' THEN 300 ELSE 800 END
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // +7919 salt BEFORE the prime reduction: same Knuth-hash shape as
+      // sampleSalt BEFORE the prime reduction: same Knuth-hash shape as
       // q62 but a different stream, so sample membership and train/val/
-      // test assignment stay uncorrelated. Reduce-then-multiply keeps the
-      // product < 1e6 * 2.7e9 ~ 2.7e15 — no int64 wrap at any corpus size.
-      val h = (((col("doc_id") + lit(7919L)) % lit(1000003L)) * lit(2654435761L)) %
-        lit(4294967296L)
+      // test assignment stay uncorrelated (DeterministicHash holds the
+      // one definition per dialect + the overflow rationale).
+      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"),
+        graft.functions.DeterministicHash.sampleSalt)
       Tables.documents(s, d)
         .withColumn("h", h)
         .where(col("h") % 1000 <
@@ -352,8 +353,9 @@ object ExtendedQueries {
       "size — an unreduced doc_id > ~3.5e9 would wrap negative in Spark " +
       "and error in DuckDB. Per-split-per-language counts audit " +
       "stratification drift.",
-      """WITH s AS (SELECT doc_id, lang,
-        |  ((doc_id % 1000003) * 2654435761) % 4294967296 AS h FROM documents),
+      s"""WITH s AS (SELECT doc_id, lang,
+        |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id", 0L)} AS h
+        |  FROM documents),
         |a AS (SELECT doc_id, lang,
         |  CASE WHEN h % 100 < 80 THEN 'train'
         |       WHEN h % 100 < 90 THEN 'val'
@@ -362,7 +364,7 @@ object ExtendedQueries {
         |SELECT split, lang, count(*)::BIGINT AS n
         |FROM a GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin) { (s, d) =>
-      val h = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)) % lit(4294967296L)
+      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"), 0L)
       val split = when(h % 100 < 80, "train")
         .when(h % 100 < 90, "val")
         .otherwise("test")

@@ -144,7 +144,7 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents)
         |SELECT doc_id, lang,
         |  len(w)::BIGINT AS n_tokens,
-        |  list_sum(list_transform(w, t -> length(t)))::BIGINT AS total_len,
+        |  COALESCE(list_sum(list_transform(w, t -> length(t))), 0)::BIGINT AS total_len,
         |  CASE WHEN len(w) = 0 THEN NULL
         |       ELSE list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w)::DOUBLE
         |  END AS avg_token_len,
@@ -155,7 +155,10 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       // same zero-token guard as q63's fertility: Spark NULLs x/0,
       // DuckDB returns IEEE Infinity — make NULL-on-empty explicit on
-      // both sides so parity doesn't depend on the corpus
+      // both sides so parity doesn't depend on the corpus. total_len is
+      // COALESCE'd to 0 in the oracle because DuckDB's list_sum over an
+      // empty list is NULL while the native SumTokenLengths returns 0 —
+      // zero characters is the defined answer for zero tokens.
       val totalLen = sumTokenLengths(col("w"))
       val nUnique = size(array_distinct(col("w")))
       val nw = size(col("w"))

@@ -42,10 +42,17 @@ object LazyStage {
 /** RDD wrapper resolving its target on first partition/dependency
   * request: `getPartitions`/`getDependencies` are only called when a job
   * is submitted over the RDD, so the (driver-side, possibly multi-job)
-  * thunk is deferred until then and cached by the lazy val after. */
-private[plans] class DeferredRDD(sc: SparkContext, thunk: () => RDD[Row])
+  * thunk is deferred until then and cached by the lazy val after.
+  *
+  * The thunk and resolved target are @transient: both live on the driver
+  * only (executors reach the data through the serialized dependency
+  * chain via firstParent), so tasks never ship the thunk's captured
+  * closure — a staged operator may capture non-serializable driver state
+  * (clients, loggers) without hitting TaskNotSerializable at
+  * materialization. */
+private[plans] class DeferredRDD(sc: SparkContext, @transient thunk: () => RDD[Row])
     extends RDD[Row](sc, Nil) {
-  private lazy val target: RDD[Row] = thunk()
+  @transient private lazy val target: RDD[Row] = thunk()
   override protected def getDependencies: Seq[Dependency[_]] =
     Seq(new OneToOneDependency(target))
   override protected def getPartitions: Array[Partition] = target.partitions

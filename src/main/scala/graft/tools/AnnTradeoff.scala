@@ -42,10 +42,12 @@ object AnnTradeoff {
     }
     val kAuto = graft.functions.AnnIndex.chooseK(corpusN)
     val npAuto = graft.functions.AnnIndex.chooseNProbeFor(kAuto, corpusN)
-    // corpusN already counted above — thread it through instead of
-    // letting ivfTopKAuto re-count the corpus
-    val rAuto = recallOf(SimilarityQueries.ivfTopK(
-      spark, d, kAuto, npAuto, distributedTrain = true, knownCount = Some(corpusN)))
+    // measure the SHIPPING q47 path (ivfTopKAuto) — fingerprint + index
+    // store + persisted centroids — not a fresh retrain: the distributed
+    // trainer is not run-to-run bit-deterministic, so a retrained index
+    // could report a recall the persisted one does not deliver, and the
+    // store's load path would never be exercised by the measurement
+    val rAuto = recallOf(SimilarityQueries.ivfTopKAuto(spark, d))
     println(f"""[ann] {"op":"ivf_auto_q47","k":$kAuto,"nprobe":$npAuto,"recall_at_5":$rAuto%.3f,"scan_frac":${npAuto.toDouble / kAuto}%.4f}""")
     spark.stop()
   }

@@ -34,15 +34,21 @@ class TextEdgeCasesSpec extends SparkSpec {
     }
   }
 
-  test("q29 avg_token_len and ttr are NULL for token-less documents") {
+  test("q29 ratios are NULL and total_len is 0 for token-less documents") {
     val byId = graft.SparkEntry.queries("q29_text_token_stats")(spark, edgeDir)
-      .select("doc_id", "n_tokens", "avg_token_len", "ttr")
-      .as[(Long, Long, Option[Double], Option[Double])].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
-    assert(byId(0L)._1 == 4 && byId(0L)._2.contains(4.0) && byId(0L)._3.contains(1.0))
+      .select("doc_id", "n_tokens", "total_len", "avg_token_len", "ttr")
+      .as[(Long, Long, Option[Long], Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(byId(0L)._1 == 4 && byId(0L)._2.contains(16L) &&
+      byId(0L)._3.contains(4.0) && byId(0L)._4.contains(1.0))
     Seq(1L, 2L).foreach { id =>
       assert(byId(id)._1 == 0)
-      assert(byId(id)._2.isEmpty && byId(id)._3.isEmpty,
+      // total_len must be 0, not NULL: the native SumTokenLengths returns
+      // 0 for an empty array while DuckDB's list_sum returns NULL — the
+      // oracle COALESCEs to match this defined zero
+      assert(byId(id)._2.contains(0L),
+        s"doc $id total_len should be 0, got ${byId(id)._2}")
+      assert(byId(id)._3.isEmpty && byId(id)._4.isEmpty,
         s"doc $id ratios should be NULL, got ${byId(id)}")
     }
   }

@@ -107,6 +107,28 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"tfidf_scale","docs":${baseCount * mult},"rows":${out.head.getLong(1)},"sec":$sec%.2f}""")
     }
+    // ---- 5. q57 exact-centroid scale probe (the round-4 plan that
+    // replaced the per-label vector collect). Replicated embeddings with
+    // offset vec_ids keep the SAME labels, so rows-per-label — exactly
+    // the dimension the old collect_list plan was unbounded in — grows
+    // with mult while labels stay fixed. Expectation: near-linear wall
+    // (posexplode is narrow; the (label, dim) split-sum aggregate ships
+    // only per-partition partials; the top-3 window is WindowGroupLimit).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val embCount = emb.count()
+    graft.operators.SimilarityQueries.labelCentroidOutliers(emb.limit(100))
+      .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
+    for (mult <- Seq(1, 4, 16)) {
+      val vecs = (0 until mult)
+        .map(m => emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+          col("label"), col("embedding")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val out = graft.operators.SimilarityQueries.labelCentroidOutliers(vecs)
+        .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"centroid_scale","vectors":${embCount * mult},"rows":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -292,44 +292,57 @@ object SimilarityQueries {
         |  FROM sc) z
         |WHERE rnk <= 3
         |ORDER BY label, rnk""".stripMargin) { (s, d) =>
-      val corpus = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", norm2(col("v")))
-      // Quantize-and-split: u is integer-valued (|u| <= |x|*2^24, a long),
-      // hi/lo the q01 split at 1e6 — two plain codegen'd long sums, exact
-      // to ~9e12 rows per (label, dim) group, order-independent. DuckDB
-      // runs the IDENTICAL op sequence (its parallel unnest zips pos with
-      // element), so the combine and the two divisions are bit-equal.
-      // Spark pos is 0-based vs DuckDB's 1-based — consistent within each
-      // engine, never exported.
-      val u = floor(col("xv") * lit(16777216.0) + lit(0.5))
-      val hi = floor(col("u") / lit(1000000.0))
-      val lo = (col("u") - floor(col("u") / lit(1000000.0)) * lit(1000000.0)).cast("long")
-      val sums = corpus
-        .select(col("label"), posexplode(col("v")).as(Seq("pos", "xv")))
-        .withColumn("u", u)
-        .groupBy("label", "pos")
-        .agg(sum(hi).as("hi"), sum(lo).as("lo"), count(lit(1)).as("nn"))
-        .select(col("label"), col("pos"),
-          (((col("hi").cast("double") * lit(1000000.0) + col("lo").cast("double"))
-            / lit(16777216.0)) / col("nn")).as("c"))
-      // Reassemble the centroid vector: 64 dim-partials per label — the
-      // collect here is bounded by vector width by construction.
-      val cents = sums.groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("label"),
-          expr("transform(pc, s -> s.c)").as("centroid"))
-        .withColumn("cnrm", norm2(col("centroid")))
-      val scored = corpus.join(broadcast(cents), "label")
-        .select(col("label"), col("vec_id"),
-          (dot(col("v"), col("centroid")) /
-            (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
-      val w = Window.partitionBy(col("label"))
-        .orderBy(col("cos_to_centroid").asc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 3)
-        .orderBy("label", "rnk")
+      labelCentroidOutliers(Tables.embeddings(s, d))
     }
   )
+
+  /** The q57 plan over any (vec_id, label, embedding) frame — shared with
+    * the Throughput scale probe so the probe measures the exact catalog
+    * plan.
+    *
+    * Quantize-and-split centroids: u is integer-valued (|u| <= |x|*2^24,
+    * a long), hi/lo the q01 split at 1e6 — two plain codegen'd long sums,
+    * exact to ~9e12 rows per (label, dim) group, order-independent.
+    * DuckDB runs the IDENTICAL op sequence (its parallel unnest zips pos
+    * with element), so the combine and the two divisions are bit-equal.
+    * Spark pos is 0-based vs DuckDB's 1-based — consistent within each
+    * engine, never exported.
+    *
+    * The final top-3-per-label rank plans as WindowGroupLimit (Spark
+    * pushes the rnk <= 3 filter below the shuffle), so each map partition
+    * forwards at most 3 rows per label to the per-label reducer — the
+    * window is NOT a full per-label sort at scale. */
+  def labelCentroidOutliers(embeddings: DataFrame): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val u = floor(col("xv") * lit(16777216.0) + lit(0.5))
+    val hi = floor(col("u") / lit(1000000.0))
+    val lo = (col("u") - floor(col("u") / lit(1000000.0)) * lit(1000000.0)).cast("long")
+    val sums = corpus
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "xv")))
+      .withColumn("u", u)
+      .groupBy("label", "pos")
+      .agg(sum(hi).as("hi"), sum(lo).as("lo"), count(lit(1)).as("nn"))
+      .select(col("label"), col("pos"),
+        (((col("hi").cast("double") * lit(1000000.0) + col("lo").cast("double"))
+          / lit(16777216.0)) / col("nn")).as("c"))
+    // Reassemble the centroid vector: 64 dim-partials per label — the
+    // collect here is bounded by vector width by construction.
+    val cents = sums.groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"),
+        expr("transform(pc, s -> s.c)").as("centroid"))
+      .withColumn("cnrm", norm2(col("centroid")))
+    val scored = corpus.join(broadcast(cents), "label")
+      .select(col("label"), col("vec_id"),
+        (dot(col("v"), col("centroid")) /
+          (col("nrm") * col("cnrm"))).as("cos_to_centroid"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos_to_centroid").asc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .orderBy("label", "rnk")
+  }
 }

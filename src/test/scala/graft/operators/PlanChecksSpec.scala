@@ -92,6 +92,11 @@ class PlanChecksSpec extends SparkSpec {
     }
     // and the per-dimension sums are plain codegen'd HashAggregate longs
     assert(p.contains("HashAggregate"), p)
+    // the top-3-per-label rank must plan as WindowGroupLimit: each map
+    // partition forwards <= 3 rows per label to the reducer, so the
+    // final window is never a full per-label sort of the corpus
+    assert(p.contains("WindowGroupLimit"),
+      "rnk <= 3 did not push into WindowGroupLimit:\n" + p)
   }
 
   test("q33: exact dedup is a single hash aggregate over one exchange") {

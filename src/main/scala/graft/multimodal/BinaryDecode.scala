@@ -7,12 +7,22 @@ import org.apache.spark.sql.functions._
   * columns flowing through `mapPartitions` in batches, with typed
   * metadata structs alongside.
   *
-  * The decode step itself is a STUB — this container ships no image/
-  * audio/video codecs — implemented as a deterministic fake that derives
-  * "decoded" properties from the bytes (stable across runs, so the
-  * pipeline around it is fully testable). Swapping `FakeCodec` for a real
-  * JNI/codec binding changes nothing about the Spark plumbing: schema,
-  * batch shape, partitioning and memory profile stay as verified here.
+  * The decode step is PLUGGABLE ([[MediaCodec]]):
+  *
+  *   - [[ImageIoCodec]] — a REAL image decoder via the JDK's
+  *     javax.imageio (PNG/JPEG/BMP/GIF ship with every JRE; no external
+  *     codec libraries involved): true pixel dimensions and an 8-bin
+  *     luminance histogram as the feature vector, plus a real
+  *     pixel-resampling resize. Audio/video fall through to the fake —
+  *     the JDK has no built-in codecs for those, and this container
+  *     ships none.
+  *   - [[FakeCodec]] — the deterministic stand-in that derives
+  *     pseudo-properties from the bytes (stable across runs). The
+  *     SYNTHETIC testdata corpus uses it (its binary column is random
+  *     bytes, not encoded media), and it remains the audio/video path.
+  *
+  * Either way the Spark plumbing is identical and is what this module
+  * actually verifies: schema, batch shape, partitioning, memory profile.
   *
   * Scale posture: one codec instance per partition (never per row),
   * rows streamed — nothing buffers a whole partition; repartition by a
@@ -31,10 +41,21 @@ object BinaryDecode {
       // fixed-length feature vector a downstream embedding model would consume
       features: Array[Float])
 
-  /** Deterministic fake codec: ??? in spirit — the real decode would go
-    * here. Derives stable pseudo-properties from content bytes. */
-  object FakeCodec {
-    def decode(kind: String, content: Array[Byte]): DecodedRow0 = {
+  /** One media decoder. Implementations must be Serializable (they ship
+    * to executors) and cheap to reference — heavyweight state belongs in
+    * per-partition initialization inside [[decode]]. Returns None for
+    * content the codec cannot decode (corrupt or unsupported) — the
+    * pipeline drops those rows, the reference's failed-extract semantic
+    * (main.go:139-143). */
+  trait MediaCodec extends Serializable {
+    def decode(kind: String, content: Array[Byte]): Option[DecodedRow0]
+  }
+
+  /** Deterministic fake codec: derives stable pseudo-properties from the
+    * content bytes. The stand-in for codecs the JDK lacks (audio/video)
+    * and for synthetic non-media test bytes; never fails. */
+  object FakeCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Option[DecodedRow0] = {
       var h = 1125899906842597L // deterministic FNV-ish roll over bytes
       var i = 0
       while (i < content.length) { h = 31 * h + (content(i) & 0xff); i += 1 }
@@ -42,20 +63,91 @@ object BinaryDecode {
       val ht = 64 + math.floorMod(h >> 9, 512).toInt
       val frames = if (kind == "video") 1 + math.floorMod(h >> 18, 30).toInt else 1
       val feats = Array.tabulate(8)(j => math.floorMod(h >> (j * 7), 1000).toFloat / 1000f)
-      DecodedRow0(w, ht, frames, feats)
+      Some(DecodedRow0(w, ht, frames, feats))
     }
   }
+
+  /** REAL image decode on the JDK's built-in codecs (javax.imageio —
+    * PNG/JPEG/BMP/GIF/WBMP in every JRE, headless-safe). Features are an
+    * 8-bin luminance histogram over a bounded pixel sample (stride-
+    * subsampled to <= ~4096 pixels so a 100-megapixel input costs the
+    * same as a thumbnail), normalized to sum 1 — deterministic for a
+    * given image. Undecodable bytes -> None (dropped by the pipeline).
+    * Audio/video delegate to [[FakeCodec]]: no JDK codec exists. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Option[DecodedRow0] =
+      if (kind != "image") FakeCodec.decode(kind, content)
+      else decodeImage(content).map { img =>
+        DecodedRow0(img.getWidth, img.getHeight, 1, luminanceHistogram(img))
+      }
+
+    private[multimodal] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+      catch { case _: java.io.IOException => None }
+
+    private[multimodal] def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+      val bins = new Array[Long](8)
+      val (w, h) = (img.getWidth, img.getHeight)
+      // stride so sampled pixels <= ~4096 regardless of image size
+      val stride = math.max(1, (math.sqrt(w.toLong * h / 4096.0)).toInt)
+      var y = 0
+      var n = 0L
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma (x1024) — deterministic, no float drift
+          val lum = (((rgb >> 16) & 0xff) * 306 + ((rgb >> 8) & 0xff) * 601 +
+            (rgb & 0xff) * 117) >> 10
+          bins(math.min(7, lum >> 5)) += 1
+          n += 1
+          x += stride
+        }
+        y += stride
+      }
+      bins.map(b => if (n == 0) 0f else (b.toDouble / n).toFloat)
+    }
+
+    /** Real pixel resize: aspect-preserving fit into maxDim, the SAME
+      * floor geometry as [[resizeFit]] (the metadata path and the pixel
+      * path must agree), bilinear resample, PNG-encoded output. None if
+      * the input bytes don't decode. */
+    def resizeBytes(content: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      require(maxDim >= 1, s"resizeBytes: maxDim=$maxDim")
+      decodeImage(content).map { img =>
+        val (w, h) = (img.getWidth.toLong, img.getHeight.toLong)
+        val longest = math.max(math.max(w, h), 1L)
+        val sw = math.max(1L, math.min(w, w * maxDim / longest)).toInt
+        val sh = math.max(1L, math.min(h, h * maxDim / longest)).toInt
+        val out = new java.awt.image.BufferedImage(
+          sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, sw, sh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
   final case class DecodedRow0(width: Int, height: Int, nFrames: Int, features: Array[Float])
 
-  /** Batch decode: one codec per partition, streaming rows through it. */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+  /** Batch decode: one codec per partition, streaming rows through it.
+    * Rows the codec cannot decode are DROPPED (failed-extract semantic);
+    * use the metadata columns upstream to count/quarantine if needed. */
+  def decode(media: Dataset[MediaRow], codec: MediaCodec = FakeCodec): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs would be opened once per partition here
-      rows.map { r =>
-        val d = FakeCodec.decode(r.kind, r.content)
-        DecodedRow(r.media_id, r.kind, r.content.length.toLong,
-          d.width, d.height, d.nFrames, d.features)
+      // real codecs would open heavyweight state once per partition here
+      rows.flatMap { r =>
+        codec.decode(r.kind, r.content).map { d =>
+          DecodedRow(r.media_id, r.kind, r.content.length.toLong,
+            d.width, d.height, d.nFrames, d.features)
+        }
       }
     }
   }

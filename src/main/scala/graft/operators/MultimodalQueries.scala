@@ -4,11 +4,16 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media treated as opaque BINARY columns
-  * with typed metadata extracted by deterministic expressions. The
-  * container has no image/audio codecs, so "decode" is a clearly-marked
-  * deterministic fake (see graft.multimodal.BinaryDecode for the
-  * mapPartitions batch-decode plumbing); everything Spark-side — schema,
-  * hashing, metadata arithmetic, partitioning — is real and verified.
+  * with typed metadata extracted by deterministic expressions.
+  *
+  * The decode layer (graft.multimodal.BinaryDecode) is pluggable: REAL
+  * image decode + pixel resize exist on the JDK's javax.imageio
+  * (BinaryDecodeSpec drives actual PNGs through it); audio/video remain
+  * a clearly-marked deterministic fake (no JDK codec). THESE catalog
+  * queries run over the SYNTHETIC corpus, whose binary column is text
+  * bytes rather than encoded media, so they use the deterministic fake
+  * path — everything Spark-side (schema, hashing, metadata arithmetic,
+  * partitioning, batch shape) is real and oracle-verified.
   */
 object MultimodalQueries {
 

@@ -81,7 +81,10 @@ object AnnIndexStore {
     * normalization, NearestCells tie-breaking): the corpus fingerprint
     * and params cannot see code changes, and a stale persisted index
     * would otherwise be silently loaded — bench and recall figures would
-    * then measure the OLD trainer while the source ships the new one. */
+    * then measure the OLD trainer while the source ships the new one.
+    * NOTE a bump orphans every older-version entry under the index dir
+    * (they are never loaded again); sweep `ivf_v<old>_*` directories as
+    * part of rolling the version out. */
   val indexFormatVersion: Int = 1
 
   private def indexPath(dir: String, key: String, k: Int, iterations: Int,
@@ -108,37 +111,52 @@ object AnnIndexStore {
 
   /** Write centroids to a temp sibling then atomically rename into place,
     * so readers only ever see complete indexes. Only a LOST RACE (the
-    * target appearing first) is swallowed — any other failure propagates,
-    * because silently skipping the persist would quietly revert q47 to
-    * retrain-per-execution with zero signal. */
+    * target appearing first) is swallowed — and even then the survivor is
+    * VALIDATED: if the winner's index is torn/invalid it is replaced, so
+    * a bad entry can never become permanent (an unvalidated swallow would
+    * silently revert q47 to retrain-per-execution forever). Any other
+    * failure propagates. The tmp suffix carries pid + thread + nanotime:
+    * two same-JVM threads persisting the same key must not share a tmp
+    * path (one would rename the other's half-written directory). */
   private def persist(spark: SparkSession, path: java.nio.file.Path,
       cents: Array[Array[Double]]): Unit = {
     import spark.implicits._
     java.nio.file.Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString + s".tmp-${ProcessHandle.current.pid}")
+    val tmp = path.resolveSibling(path.getFileName.toString +
+      s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread().getId}-${System.nanoTime()}")
     try {
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c")
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      try {
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: java.nio.file.AtomicMoveNotSupportedException =>
-          // FS without atomic rename: fall back to a plain move — readers
-          // validate row count/width on load, so a torn index is rejected
-          // (-> retrain), never trusted
-          java.nio.file.Files.move(tmp, path)
-      }
+      moveInto(tmp, path)
     } catch {
       // concurrent builder won the race (a directory target surfaces as
-      // DirectoryNotEmptyException from POSIX rename): keep theirs, drop
-      // ours — both were trained from the same fingerprinted corpus
-      case _: java.nio.file.FileAlreadyExistsException => ()
-      case _: java.nio.file.DirectoryNotEmptyException => ()
+      // DirectoryNotEmptyException from POSIX rename). Keep theirs only
+      // if it validates; replace it with ours otherwise.
+      case _: java.nio.file.FileAlreadyExistsException
+         | _: java.nio.file.DirectoryNotEmptyException =>
+        if (load(spark, path, cents.length).isEmpty) {
+          deleteRecursively(path)
+          try moveInto(tmp, path)
+          catch { // second race: at this point SOMEONE installed an index
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => ()
+          }
+        }
     } finally deleteRecursively(tmp)
   }
+
+  /** Atomic rename when the FS supports it, plain move otherwise (loads
+    * validate row count/width, so a torn non-atomic move is rejected ->
+    * retrain, never trusted). */
+  private def moveInto(tmp: java.nio.file.Path, path: java.nio.file.Path): Unit =
+    try java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, path)
+    }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {

@@ -4,32 +4,51 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** THE deterministic row-hash for reproducible sampling/splitting (q56,
-  * q62): Knuth multiplicative hash in pure int64 arithmetic — no engine
+  * q62): multiplicative hashing in pure int64 arithmetic — no engine
   * RNG, no xxhash dialect — so assignments are portable across engines
   * and oracle-exact. One definition per dialect; the Spark Column and the
   * oracle SQL string are generated from the same constants, so the two
   * sides (and every consumer) cannot drift independently.
   *
-  * The id is reduced mod a prime BEFORE the multiply so the product
-  * (< 1e6 * 2.7e9 ~ 2.7e15) can never overflow int64 at any corpus size —
-  * an unreduced id > ~3.5e9 would wrap negative in Spark and error in
-  * DuckDB. Different consumers pass different SALTS (added before the
-  * prime reduction): q62's split stream (salt 0) and q56's sample stream
+  * TWO CRT LIMBS, not one: each limb reduces the id mod a (distinct)
+  * prime BEFORE its multiply so no product can overflow int64 at any id
+  * (an unreduced id > ~3.5e9 would wrap negative in Spark and error in
+  * DuckDB) — but a single reduction would cap the hash at `prime`
+  * distinct values, making ids that differ by exactly the prime collide
+  * in every assignment (review r4: at 1e9+ docs whole residue classes
+  * would move as one unit). XORing two limbs with coprime moduli makes
+  * the input resolution their product, prime1*prime2 ~ 1e12 ids — 2.5x
+  * past the ~4e11 rows of a 100 TB corpus (a third limb would extend to
+  * ~1e18 if exabyte id spaces ever demand it).
+  *
+  * Different consumers pass different SALTS (added before the
+  * reductions): q62's split stream (salt 0) and q56's sample stream
   * (salt 7919) must be independent — a shared stream would make sample
   * membership a function of split assignment.
   */
 object DeterministicHash {
-  val prime: Long = 1000003L
-  val multiplier: Long = 2654435761L // Knuth's 2^32 * golden ratio
-  val modulus: Long = 4294967296L    // 2^32
+  val prime1: Long = 1000003L
+  val prime2: Long = 999983L          // distinct prime, coprime to prime1
+  val multiplier1: Long = 2654435761L // Knuth's 2^32 * golden ratio
+  val multiplier2: Long = 2246822519L // xxhash32 prime2 — odd, well-mixed
+  val modulus: Long = 4294967296L     // 2^32
 
   /** h(id) in [0, 2^32): the Spark side. */
-  def knuth32(id: Column, salt: Long): Column =
-    (((id + lit(salt)) % lit(prime)) * lit(multiplier)) % lit(modulus)
+  def knuth32(id: Column, salt: Long): Column = {
+    val a = (((id + lit(salt)) % lit(prime1)) * lit(multiplier1)) % lit(modulus)
+    val b = (((id + lit(salt)) % lit(prime2)) * lit(multiplier2)) % lit(modulus)
+    a.bitwiseXOR(b)
+  }
 
   /** The identical computation as oracle SQL over an id expression. */
   def knuth32Sql(expr: String, salt: Long): String =
-    s"((($expr + $salt) % $prime) * $multiplier) % $modulus"
+    s"xor(((($expr + $salt) % $prime1) * $multiplier1) % $modulus, " +
+      s"((($expr + $salt) % $prime2) * $multiplier2) % $modulus)"
+
+  /** Reference implementation for tests (same arithmetic, plain Scala). */
+  def knuth32Local(id: Long, salt: Long): Long =
+    ((((id + salt) % prime1) * multiplier1) % modulus) ^
+      ((((id + salt) % prime2) * multiplier2) % modulus)
 
   /** Salt for q56's sample stream (q62's split stream uses 0). */
   val sampleSalt: Long = 7919L

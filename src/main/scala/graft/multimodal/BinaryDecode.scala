@@ -81,9 +81,20 @@ object BinaryDecode {
         DecodedRow0(img.getWidth, img.getHeight, 1, luminanceHistogram(img))
       }
 
+    // The input is already fully in memory: disable ImageIO's default
+    // FILE-backed stream cache, which would otherwise spill a temp file
+    // per decoded row on the executors (and fail outright on a read-only
+    // tmp dir). Class-init side effect, executor-local, idempotent.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private[multimodal] def decodeImage(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      // NonFatal, not just IOException: the JDK's plugin readers throw
+      // RuntimeExceptions on malformed media (ArrayIndexOutOfBounds on
+      // truncated JPEGs, CMMException on broken ICC profiles, ...) — all
+      // of them mean "undecodable content", and letting one escape a
+      // mapPartitions task would fail the job instead of dropping the row
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     private[multimodal] def luminanceHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
       val bins = new Array[Long](8)

@@ -346,13 +346,12 @@ object ExtendedQueries {
       "Deterministic train/val/test split (80/10/10) by multiplicative " +
       "integer hash of the document id — the reproducible, join-free " +
       "split assignment a training pipeline stamps on every example. " +
-      "Knuth hash in pure int64 arithmetic (no engine RNG, no xxhash " +
-      "dialect) so the assignment is portable AND oracle-exact; the id " +
-      "is reduced mod a prime BEFORE the multiply so the product " +
-      "(< 1e6 * 2.7e9 ~ 2.7e15) can never overflow int64 at any corpus " +
-      "size — an unreduced doc_id > ~3.5e9 would wrap negative in Spark " +
-      "and error in DuckDB. Per-split-per-language counts audit " +
-      "stratification drift.",
+      "Pure int64 arithmetic (no engine RNG, no xxhash dialect) so the " +
+      "assignment is portable AND oracle-exact; two CRT limbs keep the " +
+      "per-limb products overflow-free while giving ~1e12 ids of input " +
+      "resolution (DeterministicHash holds the one definition per " +
+      "dialect + the full rationale). Per-split-per-language counts " +
+      "audit stratification drift.",
       s"""WITH s AS (SELECT doc_id, lang,
         |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id", 0L)} AS h
         |  FROM documents),

@@ -116,6 +116,22 @@ object GraftExtensions {
       nArgs("rolling_fingerprint", args, 1)
       RollingFingerprint(args(0))
     }),
+    fd("graft_hash", classOf[GraftExtensions], args => {
+      // The deterministic sampling/splitting hash (graft.functions.
+      // DeterministicHash) for SQL-only users: two CRT limbs, portable
+      // int64 arithmetic, h in [0, 2^32). Composed from built-in catalyst
+      // arithmetic so it codegens like any expression.
+      nArgs("graft_hash", args, 2)
+      import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Remainder}
+      import graft.functions.DeterministicHash._
+      val id = Cast(args(0), LongType)
+      val salt = Cast(args(1), LongType)
+      def limb(p: Long, m: Long): Expression =
+        Remainder(
+          Multiply(Remainder(Add(id, salt), Literal(p)), Literal(m)),
+          Literal(modulus))
+      BitwiseXor(limb(prime1, multiplier1), limb(prime2, multiplier2))
+    }),
     fd("nearest_cells", classOf[NearestCells], args => {
       nArgs("nearest_cells", args, 3)
       // centroid table as a foldable array<array<double>> literal

@@ -61,6 +61,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
   }
 
+  test("graft_hash matches the DSL knuth32 and the local reference") {
+    import graft.functions.DeterministicHash
+    // Spot ids spanning both CRT limbs' residue ranges, plus the q56 salt.
+    val ids = Seq(0L, 1L, 42L, 999983L, 1000003L, 3999999999L, 123456789012L)
+    val viaSql = sqlSession.sql(
+      s"SELECT graft_hash(id, ${DeterministicHash.sampleSalt}) AS h " +
+        s"FROM VALUES ${ids.map(i => s"(${i}L)").mkString(",")} AS t(id) ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val expected = ids.sorted.map(DeterministicHash.knuth32Local(_, DeterministicHash.sampleSalt))
+    assert(viaSql == expected)
+    val viaDsl = {
+      import sqlSession.implicits._
+      ids.toDF("id")
+        .select(DeterministicHash.knuth32(col("id"), DeterministicHash.sampleSalt).as("h"))
+        .orderBy(col("h")).collect().map(_.getLong(0)).toSeq
+    }
+    assert(viaDsl == expected.sorted)
+  }
+
   test("nearest_cells works from SQL with a literal centroid table") {
     val r = sqlSession.sql(
       """SELECT nearest_cells(array(0.9D, 0.1D),

@@ -129,6 +129,29 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"centroid_scale","vectors":${embCount * mult},"rows":${out.head.getLong(1)},"sec":$sec%.2f}""")
     }
+    // ---- 6. q66 full-corpus fuzzy-CLUSTERING scale probe — the composed
+    // operator (LSH edges -> connected components -> canonical election),
+    // measured as the exact catalog plan. Replication recipe: every token
+    // of replica m gets an "r$m" suffix, which maps each replica's
+    // shingle space injectively (intra-replica Jaccard — and therefore
+    // each replica's cluster structure — is preserved exactly) while
+    // making cross-replica Jaccard 0 (no shingle survives the retag), so
+    // 4x docs means 4x genuinely distinct near-dup structure, not
+    // replicas collapsing into megaclusters. Expectation: near-linear
+    // wall — candidates stay an equi-join, the propagation loop's round
+    // count is bound by cluster diameter (unchanged under replication).
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = (0 until mult)
+        .map(m => base.select(
+          (col("doc_id") + lit(m * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
+        .reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val out = graft.operators.DedupQueries.fuzzyFullClusters(docs)
+        .selectExpr("count(*)", "sum(if(is_canonical, 0, 1))").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"fuzzy_cluster_scale","docs":${out.head.getLong(0)},"non_canonical":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -75,4 +75,55 @@ class DedupSpec extends SparkSpec {
 
   private def SparkEntry_q34(d: String) =
     graft.SparkEntry.queries("q34_dedup_jaccard_pairs")(spark, d)
+
+  // ---- q66: full-corpus fuzzy clustering -------------------------------
+
+  /** Exact all-pairs confirmed edges over the FULL corpus — the edge set
+    * q66's DuckDB oracle uses. Brute-force cross join: test-only (500
+    * docs at sf0.001); the engine never runs this shape. */
+  private def exactPairs(d: String, threshold: Double) = {
+    val sh = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.alias("a").join(sh.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        TextFunctions.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  test("q66 oracle premise: full-corpus LSH edge set EQUALS exact all-pairs edges at j >= 0.5") {
+    // Not just recall (supset) — the oracle mirrors the engine only if the
+    // sketch-built edge set is exactly the exact-Jaccard one: no missed
+    // pair (LSH false negative) and no extra pair (the confirm step
+    // guarantees that side by construction).
+    val exact = exactPairs(sf0001, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupQueries.lshConfirmedPairs(graft.Tables.documents(spark, sf0001), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test needs near-dup pairs in the corpus")
+    assert(lsh == exact,
+      s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("q66: clusters are well-formed (canonical = min member, sizes exact, edges intra-cluster)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val rows = graft.SparkEntry.queries("q66_dedup_fuzzy_full")(spark, sf0001)
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(rows.length == docs.count(), "every doc gets a cluster row")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid label is not the min member")
+      assert(members.forall(_._4 == members.length), s"cluster $cid size wrong")
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid,
+        s"cluster $cid canonical election wrong")
+    }
+    assert(byCluster.exists(_._2.length > 1), "corpus should yield at least one non-singleton")
+    // every confirmed near-dup edge lands inside one cluster
+    val label = rows.map(r => r._1 -> r._2).toMap
+    val edges = DedupQueries.lshConfirmedPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
+    }
+  }
 }

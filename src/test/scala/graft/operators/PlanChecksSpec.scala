@@ -145,6 +145,18 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q66: full-corpus edge construction is the LSH equi-join — no cartesian") {
+    // same direct-inspection rationale as q65: the clustering loop
+    // checkpoints away its lineage, so guard the plan that BUILDS the
+    // full-corpus edges (the part that must survive 100 TB)
+    val edges = DedupQueries.lshConfirmedPairs(
+      graft.Tables.documents(spark, sf001), 0.5)
+    edges.collect()
+    val p = edges.queryExecution.executedPlan.toString()
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

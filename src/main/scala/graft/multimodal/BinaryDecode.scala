@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   *     javax.imageio (PNG/JPEG/BMP/GIF ship with every JRE; no external
   *     codec libraries involved): true pixel dimensions and an 8-bin
   *     luminance histogram as the feature vector, plus a real
-  *     pixel-resampling resize. Audio/video fall through to the fake —
-  *     the JDK has no built-in codecs for those, and this container
-  *     ships none.
+  *     pixel-resampling resize.
+  *   - [[AudioCodec]] — a REAL audio decoder via the JDK's
+  *     javax.sound.sampled (WAV/AIFF/AU in every JRE): true sample
+  *     rate, channel count, PCM frame count and a peak-amplitude
+  *     envelope.
+  *   - [[JdkCodec]] — the production dispatch over both, with video
+  *     falling through to the fake (the JDK genuinely has no video
+  *     codec, and this container ships none).
   *   - [[FakeCodec]] — the deterministic stand-in that derives
   *     pseudo-properties from the bytes (stable across runs). The
-  *     SYNTHETIC testdata corpus uses it (its binary column is random
-  *     bytes, not encoded media), and it remains the audio/video path.
+  *     SYNTHETIC testdata corpus uses it (its binary column is text
+  *     bytes, not encoded media), and it remains the video path.
   *
   * Either way the Spark plumbing is identical and is what this module
   * actually verifies: schema, batch shape, partitioning, memory profile.
@@ -143,6 +148,106 @@ object BinaryDecode {
         bos.toByteArray
       }
     }
+  }
+
+  /** REAL audio decode on the JDK's built-in codecs
+    * (javax.sound.sampled.AudioSystem — WAV/AIFF/AU ship with every JRE,
+    * headless-safe). Field mapping into the media-agnostic
+    * [[DecodedRow0]]: width := sample rate in Hz, height := channel
+    * count, nFrames := PCM frame count (so duration_sec = nFrames /
+    * width downstream), features := 8-segment peak-amplitude envelope
+    * normalized to full scale (features.max IS the clip's peak level) —
+    * deterministic integer scan, one float division per segment.
+    * Compressed or malformed bytes -> None (dropped by the pipeline,
+    * the failed-extract semantic). */
+  object AudioCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Option[DecodedRow0] =
+      if (kind != "audio") FakeCodec.decode(kind, content)
+      else decodeAudio(content)
+
+    private[multimodal] def decodeAudio(content: Array[Byte]): Option[DecodedRow0] =
+      // NonFatal for the same reason as decodeImage: the sampled-audio
+      // SPI throws UnsupportedAudioFileException on junk headers but
+      // also raw ArrayIndexOutOfBounds/NegativeArraySize on truncated
+      // chunks — every one of them means "undecodable content"
+      try {
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val srcFmt = raw.getFormat
+          // normalize any PCM layout (8/16/24-bit, either endianness,
+          // signed or not) to 16-bit signed little-endian so the
+          // envelope scan reads one fixed shape; non-PCM content the
+          // JDK cannot convert throws -> None
+          val fmt = new javax.sound.sampled.AudioFormat(
+            srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, raw)
+          try {
+            val totalFrames = in.getFrameLength
+            if (totalFrames < 0 || totalFrames > Int.MaxValue) None
+            else Some(DecodedRow0(
+              math.round(fmt.getSampleRate),
+              fmt.getChannels,
+              totalFrames.toInt,
+              peakEnvelope(in, totalFrames.toInt, fmt.getChannels)))
+          } finally in.close()
+        } finally raw.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** 8-segment peak-amplitude envelope over 16-bit signed LE frames,
+      * each segment's value = max |sample| / 32768 across all channels —
+      * a bounded, deterministic stand-in for the spectral features a
+      * real audio model would extract. Streams through a reusable 8 KiB
+      * buffer: memory stays O(1) regardless of clip length. */
+    private def peakEnvelope(in: java.io.InputStream, totalFrames: Int,
+        channels: Int): Array[Float] = {
+      val segPeak = new Array[Int](8)
+      if (totalFrames == 0) return segPeak.map(_.toFloat)
+      val bytesPerFrame = 2 * channels
+      val buf = new Array[Byte](8192 - 8192 % bytesPerFrame)
+      var frameIdx = 0L
+      var filled = 0
+      var eof = false
+      while (!eof && frameIdx < totalFrames) {
+        filled = 0
+        // fill to a frame boundary (read may return partial buffers)
+        var n = 0
+        while (n >= 0 && filled < buf.length) {
+          n = in.read(buf, filled, buf.length - filled)
+          if (n > 0) filled += n else if (n < 0) eof = true
+          if (eof) n = -1
+        }
+        val frames = filled / bytesPerFrame
+        var f = 0
+        while (f < frames) {
+          val seg = ((frameIdx * 8) / totalFrames).toInt min 7
+          var c = 0
+          while (c < channels) {
+            val off = f * bytesPerFrame + 2 * c
+            val s = ((buf(off) & 0xff) | (buf(off + 1) << 8)).toShort.toInt
+            val a = if (s == Short.MinValue) 32768 else math.abs(s)
+            if (a > segPeak(seg)) segPeak(seg) = a
+            c += 1
+          }
+          f += 1
+          frameIdx += 1
+        }
+        if (frames == 0) eof = true // defensive: no forward progress
+      }
+      segPeak.map(p => p / 32768f)
+    }
+  }
+
+  /** The production dispatch codec: every JDK-real decoder where one
+    * exists — image via [[ImageIoCodec]] (javax.imageio), audio via
+    * [[AudioCodec]] (javax.sound.sampled) — and the honest deterministic
+    * fake for video, where the JDK genuinely ships no codec. */
+  object JdkCodec extends MediaCodec {
+    def decode(kind: String, content: Array[Byte]): Option[DecodedRow0] =
+      kind match {
+        case "audio" => AudioCodec.decodeAudio(content)
+        case _ => ImageIoCodec.decode(kind, content) // image real, rest fake
+      }
   }
 
   final case class DecodedRow0(width: Int, height: Int, nFrames: Int, features: Array[Float])

@@ -143,6 +143,90 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(ImageIoCodec.resizeBytes("junk".getBytes, 100).isEmpty)
   }
 
+  // -- real JDK audio codec (javax.sound.sampled) -------------------------
+
+  /** A real in-memory 16-bit PCM WAV: mono sine at `amp` full-scale, or
+    * silence at amp=0. Exact frame count and sample rate known. */
+  private def wavBytes(frames: Int, sampleRate: Float, amp: Double,
+      channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * 2 * channels)
+    var i = 0
+    while (i < frames) {
+      val s = (amp * 32767 * math.sin(2 * math.Pi * 440 * i / sampleRate)).toInt
+      var c = 0
+      while (c < channels) {
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("AudioCodec decodes real WAVs: sample rate, channels, frame count, peak envelope") {
+    val half = wavBytes(8000, 8000f, 0.5) // 1 s mono at 8 kHz, peak 0.5
+    val out = BinaryDecode.decode(Seq(
+      MediaRow(1L, "audio", half),
+      MediaRow(2L, "audio", wavBytes(4410, 44100f, 0.9, channels = 2)),
+      MediaRow(3L, "audio", wavBytes(1000, 16000f, 0.0)) // silence
+    ).toDS(), AudioCodec).collect().map(r => r.media_id -> r).toMap
+    // width := sample rate, height := channels, n_frames := PCM frames
+    assert(out(1L).width == 8000 && out(1L).height == 1 && out(1L).n_frames == 8000)
+    assert(out(2L).width == 44100 && out(2L).height == 2 && out(2L).n_frames == 4410)
+    assert(out(3L).width == 16000 && out(3L).n_frames == 1000)
+    // duration derives exactly: nFrames / sampleRate
+    assert(math.abs(out(1L).n_frames.toDouble / out(1L).width - 1.0) < 1e-9)
+    // envelope: every segment of a full-length sine peaks at ~amp;
+    // silence is identically zero
+    val env1 = out(1L).features
+    assert(env1.length == 8)
+    env1.foreach(p => assert(math.abs(p - 0.5f) < 0.01f, s"segment peak $p"))
+    out(2L).features.foreach(p => assert(math.abs(p - 0.9f) < 0.01f))
+    assert(out(3L).features.forall(_ == 0f))
+    // determinism across runs
+    val again = BinaryDecode.decode(Seq(MediaRow(1L, "audio", half)).toDS(),
+      AudioCodec).collect().head
+    assert(again.features.toSeq == env1.toSeq)
+  }
+
+  test("truncated or corrupt audio bytes are dropped, not faked or crashed") {
+    val good = wavBytes(2000, 8000f, 0.7)
+    val mixed = Seq(
+      MediaRow(1L, "audio", good),
+      MediaRow(2L, "audio", good.take(40)), // header cut mid-chunk
+      MediaRow(3L, "audio", "utterly not a riff file".getBytes("UTF-8")),
+      MediaRow(4L, "audio", Array[Byte]())).toDS()
+    val out = BinaryDecode.decode(mixed, AudioCodec).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L),
+      "only the valid WAV should survive the decode")
+  }
+
+  test("JdkCodec dispatch: image and audio decode for real, video falls to the honest fake") {
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(24, 18, 0x404040)),
+      MediaRow(2L, "audio", wavBytes(3000, 12000f, 0.25)),
+      MediaRow(3L, "video", "no jdk video codec exists".getBytes("UTF-8"))).toDS()
+    val out = BinaryDecode.decode(rows, JdkCodec).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).width == 24 && out(1L).height == 18) // real pixels
+    assert(out(2L).width == 12000 && out(2L).n_frames == 3000) // real PCM
+    assert(out(2L).features.max > 0.2f && out(2L).features.max < 0.3f)
+    assert(out(3L).n_frames >= 1 && out(3L).n_frames <= 30) // fake path
+    // and the q40/q58 downstream shapes run unchanged over real audio
+    // metadata: frame sampling + batched embed over the decoded frame
+    val sampled = sampleFrames(BinaryDecode.decode(rows, JdkCodec).toDF(), stride = 1000)
+      .where(col("media_id") === 2).count()
+    assert(sampled == 3) // frames 0, 1000, 2000
+  }
+
   test("batched encode honors the batch contract: full batches + per-partition short tail only") {
     val docs = graft.Tables.documents(spark, sf0001)
       .select(col("doc_id").as("media_id"), lit("text").as("kind"),

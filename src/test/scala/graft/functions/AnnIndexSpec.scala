@@ -73,6 +73,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(n3 == n && fp3 == fp, "repartitioning must not perturb the fingerprint")
   }
 
+  test("staleness contract: corpus mutation retrains, row reorder reuses") {
+    // The two directions of the order-independent-fingerprint claim, as
+    // LOADORTRAIN behavior (not just fingerprint equality): a real
+    // deployment must never serve an index for a corpus that changed,
+    // and must never retrain because parquet happened to scan in a
+    // different order.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ann-stale-spec").toString
+    val corpus = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def keyOf(df: org.apache.spark.sql.DataFrame) = {
+      val (n, fp) = AnnIndexStore.fingerprint(df, "vec_id", "v")
+      AnnIndexStore.contentKey(n, fp)
+    }
+    val (_, hit0) = AnnIndexStore.loadOrTrain(
+      spark, corpus, "vec_id", "v", k = 8, iterations = 3, key = keyOf(corpus), dir = dir)
+    assert(!hit0, "fresh store must train")
+
+    // mutation: one element of ONE vector changes -> fingerprint miss ->
+    // retrain (a reused index would silently serve the pre-mutation corpus)
+    val mutated = corpus.select(col("vec_id"),
+      when(col("vec_id") === 7,
+        transform(col("v"), x => x + lit(0.25))).otherwise(col("v")).as("v"))
+    val (_, hitMut) = AnnIndexStore.loadOrTrain(
+      spark, mutated, "vec_id", "v", k = 8, iterations = 3, key = keyOf(mutated), dir = dir)
+    assert(!hitMut, "a mutated corpus must miss the cache and retrain")
+
+    // reorder: same rows, reversed sort + different partitioning ->
+    // fingerprint HIT -> the trained index is reused without a rebuild
+    val reordered = corpus.orderBy(col("vec_id").desc).repartition(5)
+    assert(keyOf(reordered) == keyOf(corpus),
+      "row order and partition layout must not perturb the content key")
+    val (_, hitRe) = AnnIndexStore.loadOrTrain(
+      spark, reordered, "vec_id", "v", k = 8, iterations = 3, key = keyOf(reordered), dir = dir)
+    assert(hitRe, "a reordered-but-identical corpus must reuse the index")
+  }
+
   test("driver trainer refuses k past its sample ceiling with a clear error") {
     val tiny = spark.range(64).select(col("id").as("vec_id"),
       array(Seq(cos(col("id").cast("double")), sin(col("id").cast("double"))): _*).as("v"))

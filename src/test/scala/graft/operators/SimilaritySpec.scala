@@ -89,6 +89,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@5 = $recall below the 0.6 design floor")
   }
 
+  test("IVF recall@5 >= 0.6 holds at the sf0.1 AUTO operating point (2k corpus, 45 cells)") {
+    // The round-3 regression this guards: chooseNProbeFor's small-corpus
+    // scan floor was dropped and the sf0.1 auto point silently fell to
+    // recall 0.48 — visible only in AnnTradeoff output, not the suite.
+    // sf0.001's 500-vector corpus cannot catch it (different k/floor
+    // regime), so assert at the N=2000 point the driver actually benches.
+    val sf01 = "/root/testdata/sf0.1"
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf01)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf01)
+      .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 at sf0.1 auto point = $recall (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.6,
+      s"IVF recall@5 = $recall below the 0.6 floor at the sf0.1 auto operating point")
+  }
+
   test("banded codes equal the composed per-band hyperplane code") {
     val bands = 4
     val r = 8

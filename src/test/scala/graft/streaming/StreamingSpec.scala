@@ -279,6 +279,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1L), s"expected only doc 1 to survive, got ${rows.toSeq}")
   }
 
+  test("streaming dedup clustering: copies join the first-seen canonical; state expires with the watermark") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val out = DedupClusterStream.assign(docs, watermark = "10 minutes")
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("dedup_cluster_out").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val textA = "identical content a"
+    ms.addData((10L, t(10, 0), textA), (11L, t(10, 1), textA),
+      (20L, t(10, 2), "different content b"))
+    q.processAllAvailable()
+    ms.addData((12L, t(10, 5), textA)) // later micro-batch, same content
+    q.processAllAvailable()
+    val stateWhileLive =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // jump event time 3 hours: watermark passes every timeout
+    ms.addData((30L, t(13, 0), "unrelated late marker"))
+    q.processAllAvailable()
+    ms.addData((40L, t(13, 1), textA)) // hash A re-arrives AFTER expiry
+    q.processAllAvailable()
+    // total rows removed from the state store across the run: hashes A
+    // and B must have been evicted when the watermark passed their
+    // (last sighting + horizon) timeouts
+    val stateRowsRemoved =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+
+    val rows = spark.table("dedup_cluster_out")
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // first sighting founds the cluster; every copy — same batch or
+    // later batch — joins it as non-canonical
+    assert(rows(10L) == ((10L, true)))
+    assert(rows(11L) == ((10L, false)))
+    assert(rows(12L) == ((10L, false)))
+    assert(rows(20L) == ((20L, true)))
+    // post-expiry re-arrival founds a NEW cluster: the state really died
+    assert(rows(40L) == ((40L, true)),
+      s"expired hash must found a fresh cluster, got ${rows(40L)}")
+    // and the state store really evicted the expired hashes — the
+    // watermark BOUNDS state, it doesn't just shadow it
+    assert(stateWhileLive >= 2, s"live state rows $stateWhileLive")
+    assert(stateRowsRemoved >= 2,
+      s"state store removed only $stateRowsRemoved rows; A/B never evicted")
+  }
+
   test("streaming sliding windows place each event in two windows") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]

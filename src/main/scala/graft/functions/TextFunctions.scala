@@ -74,6 +74,12 @@ object TextFunctions {
   def sumTokenLengths(toks: Column): Column =
     bridge.column(graft.expressions.SumTokenLengths(bridge.expression(toks)))
 
+  /** Per-document n-gram repetition stats (n_grams, top_count,
+    * dup_grams) in one pass — see [[graft.expressions.RepetitionStats]].
+    * The whole Gopher repetition-filter computation without a shuffle. */
+  def repetitionStats(text: Column, n: Int): Column =
+    bridge.column(graft.expressions.RepetitionStats(bridge.expression(text), n))
+
   /** Ratio of characters matching a regex class to total characters. */
   def charClassRatio(text: Column, charClassRe: String): Column =
     length(regexp_replace(text, charClassRe, "")).cast("double") /

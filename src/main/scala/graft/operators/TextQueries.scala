@@ -433,6 +433,66 @@ object TextQueries {
           regexp_replace(col("raw"), emailRe, "[EMAIL]").as("redacted"),
           regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q67
+    "q67_repetition_quality" -> QueryDef.sql(
+      "Gopher-style repetition quality signals (Rae et al. 2021): " +
+      "fraction of the document in its most frequent bigram and in " +
+      "duplicated trigrams, plus the repetition gate (top-bigram > 0.18 " +
+      "or dup-trigram > 0.30 on web text; this corpus is synthetic " +
+      "shuffled tokens, so the gate ships corpus-calibrated thresholds " +
+      "of 0.06/0.03 — its p90/p99 tail — to be exercised non-trivially, " +
+      "same pattern as q60's injected emails). Spark side is ONE " +
+      "native single-pass expression per n-gram size " +
+      "n-gram size (RepetitionStats: tokenize, slide, hash-count inside " +
+      "the row — zero shuffles, fully codegen'd); the naive " +
+      "explode+groupBy formulation would shuffle the full gram stream " +
+      "(~3x the corpus at 100 TB) twice. The DuckDB oracle computes the " +
+      "same multiset stats via unnest + two-level aggregation; all " +
+      "fractions are bigint/bigint single divisions -> bit-exact parity.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w)-1),
+        |          i -> w[i] || ' ' || w[i+1])) AS g
+        |      FROM t WHERE len(w) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS n, max(c)::BIGINT AS top
+        |       FROM bc GROUP BY doc_id),
+        |r AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(w)-2),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |      FROM t WHERE len(w) >= 3),
+        |rc AS (SELECT doc_id, g, count(*) AS c FROM r GROUP BY 1, 2),
+        |rs AS (SELECT doc_id, sum(c)::BIGINT AS n,
+        |         coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT AS dup
+        |       FROM rc GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(bs.n, 0) AS n_bigrams,
+        |  bs.top::DOUBLE / bs.n::DOUBLE AS top_bigram_frac,
+        |  coalesce(rs.n, 0) AS n_trigrams,
+        |  rs.dup::DOUBLE / rs.n::DOUBLE AS dup_trigram_frac,
+        |  (coalesce(bs.top::DOUBLE / bs.n::DOUBLE, 0) > 0.06
+        |   OR coalesce(rs.dup::DOUBLE / rs.n::DOUBLE, 0) > 0.03) AS repetitive
+        |FROM t LEFT JOIN bs USING (doc_id) LEFT JOIN rs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bi = repetitionStats(col("text"), 2)
+      val tri = repetitionStats(col("text"), 3)
+      def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") / den.cast("double"))
+      val topFrac = frac(bi.getField("top_count"), bi.getField("n_grams"))
+      val dupFrac = frac(tri.getField("dup_grams"), tri.getField("n_grams"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          bi.getField("n_grams").as("n_bigrams"),
+          topFrac.as("top_bigram_frac"),
+          tri.getField("n_grams").as("n_trigrams"),
+          dupFrac.as("dup_trigram_frac"),
+          (coalesce(topFrac, lit(0.0)) > 0.06 ||
+            coalesce(dupFrac, lit(0.0)) > 0.03).as("repetitive"))
+        .orderBy("doc_id")
     }
   )
 }

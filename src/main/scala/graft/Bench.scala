@@ -78,15 +78,26 @@ object Bench {
       // sub-second jitter never triggers it — a genuine data-proportional
       // cost (q65's propagation loop, q46's HLL pass) sits well under 3x
       // its own warmup figure and is never masked.
-      val retime = sec > math.max(3 * math.max(warmSec, 0.05), 0.75)
+      // ... but NEVER re-time a shot whose own BUILD dominates (index
+      // training on a cold store): that cost is real one-off work, not
+      // ambient noise — re-running would hit the now-persisted index and
+      // silently swap the training figure for a cache-hit one. A heavy
+      // build is reported as-is, with the split visible under build_sec.
+      val retime = build <= 0.2 &&
+        sec > math.max(3 * math.max(warmSec, 0.05), 0.75)
       if (retime) {
         val (s2, b2) = shot()
         if (s2 < sec) { sec = s2; build = b2 }
       }
       name -> ((sec, build, retime))
     }
-    def f3(v: Double) = f"$v%.3f" // keep the one-line JSON within the
-    val qs = results              // driver's finite output-tail buffer
+    // 3 decimals keeps the one-line JSON inside the driver's finite
+    // output-tail buffer; Locale.ROOT because the f-interpolator uses the
+    // JVM default locale — a comma-decimal locale would emit 0,499 and
+    // break the JSON parse this precision change exists to protect
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    val qs = results
       .map { case (k, (v, _, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Only builds that cost real time (index training) are worth listing —

@@ -47,10 +47,21 @@ object Throughput {
     // ---- 2. dedup scale probe (q35 plan over replicated corpora)
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
     val baseCount = base.count() // outside the timed section
+
+    /** Shared replication scaffold for probes 2-6: `mult` copies of a
+      * frame unioned with per-replica projections. Holds the id-offset
+      * recipe in ONE place — including its limit: offsets are m * 1e6,
+      * so a base corpus past 1 M rows would collide ids across replicas
+      * (guarded below; sf0.1 bases are 2 k-600 k rows). */
+    def replicated(src: org.apache.spark.sql.DataFrame, srcCount: Long, mult: Int)(
+        proj: Int => Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+      require(srcCount < 1000000L, s"replica id offset collides at $srcCount rows")
+      (0 until mult).map(m => src.select(proj(m): _*)).reduce(_ unionByName _)
+    }
+    def offsetId(name: String, m: Int) = (col(name) + lit(m * 1000000L)).as(name)
+
     for (mult <- Seq(1, 4, 16)) {
-      val docs = (0 until mult)
-        .map(m => base.select((col("doc_id") + lit(m * 1000000L)).as("doc_id"), col("text")))
-        .reduce(_ unionByName _)
+      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m), col("text")))
       val sh = docs.select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
       // match q35: shingle-less docs out before banding (degenerate bucket)
       val sig = sh.where(size(col("sh")) > 0)
@@ -78,11 +89,8 @@ object Throughput {
     graft.operators.TextQueries.corpusClean(base.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val docs = (0 until mult)
-        .map(m => base.select(
-          (col("doc_id") + lit(m * 1000000L)).as("doc_id"), col("lang"),
-          concat(col("text"), lit(s" r$m")).as("text")))
-        .reduce(_ unionByName _)
+      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m), col("lang"),
+        concat(col("text"), lit(s" r$m")).as("text")))
       val t0 = System.nanoTime()
       val kept = graft.operators.TextQueries.corpusClean(docs)
         .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
@@ -96,11 +104,8 @@ object Throughput {
     graft.operators.TextQueries.tfidfTopK(base.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val docs = (0 until mult)
-        .map(m => base.select(
-          (col("doc_id") + lit(m * 1000000L)).as("doc_id"),
-          concat(col("text"), lit(s" r$m")).as("text")))
-        .reduce(_ unionByName _)
+      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m),
+        concat(col("text"), lit(s" r$m")).as("text")))
       val t0 = System.nanoTime()
       val out = graft.operators.TextQueries.tfidfTopK(docs)
         .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
@@ -119,10 +124,8 @@ object Throughput {
     graft.operators.SimilarityQueries.labelCentroidOutliers(emb.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val vecs = (0 until mult)
-        .map(m => emb.select((col("vec_id") + lit(m * 1000000L)).as("vec_id"),
-          col("label"), col("embedding")))
-        .reduce(_ unionByName _)
+      val vecs = replicated(emb, embCount, mult)(m =>
+        Seq(offsetId("vec_id", m), col("label"), col("embedding")))
       val t0 = System.nanoTime()
       val out = graft.operators.SimilarityQueries.labelCentroidOutliers(vecs)
         .selectExpr("sum(xxhash64(struct(*)))", "count(*)").collect()
@@ -141,11 +144,8 @@ object Throughput {
     // wall — candidates stay an equi-join, the propagation loop's round
     // count is bound by cluster diameter (unchanged under replication).
     for (mult <- Seq(1, 4, 16)) {
-      val docs = (0 until mult)
-        .map(m => base.select(
-          (col("doc_id") + lit(m * 1000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
-        .reduce(_ unionByName _)
+      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m),
+        regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
       val t0 = System.nanoTime()
       val out = graft.operators.DedupQueries.fuzzyFullClusters(docs)
         .selectExpr("count(*)", "sum(if(is_canonical, 0, 1))").collect()

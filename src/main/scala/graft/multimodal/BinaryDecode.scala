@@ -171,28 +171,45 @@ object BinaryDecode {
       // also raw ArrayIndexOutOfBounds/NegativeArraySize on truncated
       // chunks — every one of them means "undecodable content"
       try {
-        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(content))
-        try {
-          val srcFmt = raw.getFormat
-          // normalize any PCM layout (8/16/24-bit, either endianness,
-          // signed or not) to 16-bit signed little-endian so the
-          // envelope scan reads one fixed shape; non-PCM content the
-          // JDK cannot convert throws -> None
-          val fmt = new javax.sound.sampled.AudioFormat(
-            srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, raw)
+        // normalize any PCM layout (8/16/24-bit, either endianness,
+        // signed or not) to 16-bit signed little-endian so the envelope
+        // scan reads one fixed shape; non-PCM content the JDK cannot
+        // convert throws -> None. The source is an in-memory array, so
+        // re-opening for a second pass is free.
+        def open[A](body: javax.sound.sampled.AudioInputStream => A): A = {
+          val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(content))
           try {
-            val totalFrames = in.getFrameLength
-            if (totalFrames < 0 || totalFrames > Int.MaxValue) None
-            else Some(DecodedRow0(
-              math.round(fmt.getSampleRate),
-              fmt.getChannels,
-              totalFrames.toInt,
-              peakEnvelope(in, totalFrames.toInt, fmt.getChannels)))
-          } finally in.close()
-        } finally raw.close()
+            val srcFmt = raw.getFormat
+            val fmt = new javax.sound.sampled.AudioFormat(
+              srcFmt.getSampleRate, 16, srcFmt.getChannels, true, false)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, raw)
+            try body(in) finally in.close()
+          } finally raw.close()
+        }
+        val (declared, channels, rate) = open { in =>
+          (in.getFrameLength, in.getFormat.getChannels,
+            math.round(in.getFormat.getSampleRate))
+        }
+        // a legal stream-style header (AU data size 0xFFFFFFFF, or an SPI
+        // conversion losing length) reports NOT_SPECIFIED (-1): count the
+        // frames by streaming instead of dropping valid audio
+        val totalFrames =
+          if (declared >= 0) declared else open(countFrames(_, channels))
+        if (totalFrames > Int.MaxValue) None
+        else Some(DecodedRow0(rate, channels, totalFrames.toInt,
+          open(peakEnvelope(_, totalFrames.toInt, channels))))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Frame count by streaming through a bounded buffer — the fallback
+      * when the header/conversion reports NOT_SPECIFIED. */
+    private def countFrames(in: java.io.InputStream, channels: Int): Long = {
+      val buf = new Array[Byte](8192)
+      var bytes = 0L
+      var n = in.read(buf)
+      while (n >= 0) { bytes += n; n = in.read(buf) }
+      bytes / (2L * channels)
+    }
 
     /** 8-segment peak-amplitude envelope over 16-bit signed LE frames,
       * each segment's value = max |sample| / 32768 across all channels —

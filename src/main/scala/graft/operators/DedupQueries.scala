@@ -311,9 +311,9 @@ object DedupQueries {
       "needs: connected components over the similarity graph, one " +
       "canonical doc (min doc_id) kept per cluster. Edges: pairs sharing " +
       ">= 3 3-gram shingles on the doc_id<300 ground-truth slice (same " +
-      "bounded-slice posture as q34; at corpus scale the edge set comes " +
-      "from q35's LSH band-bucket equi-join instead — same clustering " +
-      "code). Spark side: iterative min-label propagation to fixpoint — " +
+      "bounded-slice posture as q34; the FULL-corpus composition with " +
+      "q35's LSH band-bucket edges ships as q66). Spark side: iterative " +
+      "min-label propagation to fixpoint — " +
       "each round is one equi-join (edges x labels) + one min-aggregate, " +
       "the Pregel pattern in plain DataFrames, rounds bounded by the " +
       "cluster diameter; the unique fixpoint (min doc_id per component) " +

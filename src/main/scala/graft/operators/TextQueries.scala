@@ -443,9 +443,9 @@ object TextQueries {
       "or dup-trigram > 0.30 on web text; this corpus is synthetic " +
       "shuffled tokens, so the gate ships corpus-calibrated thresholds " +
       "of 0.06/0.03 — its p90/p99 tail — to be exercised non-trivially, " +
-      "same pattern as q60's injected emails). Spark side is ONE " +
-      "native single-pass expression per n-gram size " +
-      "n-gram size (RepetitionStats: tokenize, slide, hash-count inside " +
+      "same pattern as q60's injected emails). Spark side is ONE native " +
+      "single-pass expression per n-gram size " +
+      "(RepetitionStats: tokenize, slide, hash-count inside " +
       "the row — zero shuffles, fully codegen'd); the naive " +
       "explode+groupBy formulation would shuffle the full gram stream " +
       "(~3x the corpus at 100 TB) twice. The DuckDB oracle computes the " +
@@ -478,17 +478,23 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val bi = repetitionStats(col("text"), 2)
       val tri = repetitionStats(col("text"), 3)
+      // coalesce the counts: RepetitionStats null-propagates a NULL text
+      // while the oracle's LEFT JOIN + coalesce(n, 0) lands on 0 — the
+      // counts must be 0 (and the fractions NULL) on BOTH sides so hash
+      // parity cannot depend on the corpus never containing a NULL
+      val nBi = coalesce(bi.getField("n_grams"), lit(0L))
+      val nTri = coalesce(tri.getField("n_grams"), lit(0L))
       def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
         when(den === 0, lit(null).cast("double"))
           .otherwise(num.cast("double") / den.cast("double"))
-      val topFrac = frac(bi.getField("top_count"), bi.getField("n_grams"))
-      val dupFrac = frac(tri.getField("dup_grams"), tri.getField("n_grams"))
+      val topFrac = frac(bi.getField("top_count"), nBi)
+      val dupFrac = frac(tri.getField("dup_grams"), nTri)
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          bi.getField("n_grams").as("n_bigrams"),
+          nBi.as("n_bigrams"),
           topFrac.as("top_bigram_frac"),
-          tri.getField("n_grams").as("n_trigrams"),
+          nTri.as("n_trigrams"),
           dupFrac.as("dup_trigram_frac"),
           (coalesce(topFrac, lit(0.0)) > 0.06 ||
             coalesce(dupFrac, lit(0.0)) > 0.03).as("repetitive"))

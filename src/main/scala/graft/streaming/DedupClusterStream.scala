@@ -29,8 +29,10 @@ object DedupClusterStream {
   final case class DocIn(doc_id: Long, ts: java.sql.Timestamp, content_hash: String)
   final case class ClusterOut(doc_id: Long, content_hash: String,
       cluster_id: Long, is_canonical: Boolean)
-  /** canonical doc id for the hash; kept until event-time timeout. */
-  final case class HashState(canonicalId: Long)
+  /** canonical doc id for the hash + the max event time ever sighted
+    * (so a LATE in-watermark copy can never move the expiry backward);
+    * kept until event-time timeout. */
+  final case class HashState(canonicalId: Long, lastSeenMs: Long)
 
   /** Assign watermark-bounded exact-dedup cluster ids over a streaming
     * (doc_id, ts, text) frame. `watermark` is both the late-data bound
@@ -60,10 +62,14 @@ object DedupClusterStream {
       val batch = rows.toArray.sortBy(d => (d.ts.getTime, d.doc_id))
       val canonical = state.getOption.map(_.canonicalId)
         .getOrElse(batch.head.doc_id)
-      state.update(HashState(canonical))
+      // max over state AND batch: a late-but-in-watermark copy must not
+      // move the expiry BACKWARD from an earlier batch's later sighting
+      val lastSeen = math.max(batch.map(_.ts.getTime).max,
+        state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))
+      state.update(HashState(canonical, lastSeen))
       // event-time timeout at last sighting + horizon — the same
       // retention dropDuplicatesWithinWatermark gives its hash state
-      state.setTimeoutTimestamp(batch.map(_.ts.getTime).max, horizon)
+      state.setTimeoutTimestamp(lastSeen, horizon)
       batch.iterator.map(d =>
         ClusterOut(d.doc_id, hash, canonical, d.doc_id == canonical))
     }

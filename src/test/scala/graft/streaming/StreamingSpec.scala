@@ -327,6 +327,35 @@ class StreamingSpec extends SparkSpec {
       s"state store removed only $stateRowsRemoved rows; A/B never evicted")
   }
 
+  test("streaming dedup clustering: a late in-watermark copy cannot shorten the cluster's life") {
+    // Regression (round-5 review): the timeout was set from the BATCH
+    // max ts, so a late copy moved expiry backward and a subsequent
+    // copy arriving in the (late-ts + horizon, true-last-sighting +
+    // horizon) window founded a spurious new cluster.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = DedupClusterStream.assign(ms.toDF().toDF("doc_id", "ts", "text"),
+      watermark = "10 minutes")
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("dedup_late_out").trigger(Trigger.ProcessingTime(0)).start()
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val textA = "late copy content"
+    ms.addData((1L, ts("10:05"), textA)) // true last sighting -> timeout 10:15
+    q.processAllAvailable()
+    ms.addData((2L, ts("10:00"), textA)) // LATE copy (buggy timeout: 10:10)
+    q.processAllAvailable()
+    ms.addData((3L, ts("10:22"), "watermark mover")) // watermark -> 10:12
+    q.processAllAvailable()
+    ms.addData((4L, ts("10:13"), textA)) // 10:12 < 10:13 < 10:15: state must live
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_late_out")
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(rows(2L) == 1L, "late copy joins the founder")
+    assert(rows(4L) == 1L,
+      s"copy inside the true retention window founded a new cluster: ${rows(4L)}")
+  }
+
   test("streaming sliding windows place each event in two windows") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventStreams.Event]

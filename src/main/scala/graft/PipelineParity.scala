@@ -15,6 +15,9 @@ import java.nio.file.Files
   */
 object PipelineParity {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formatting follows the JVM default locale; pin it
+    // so a comma-decimal locale cannot emit unparseable JSON metrics
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val spark = Sessions.local("graft-parity", cores = 32)
 
     // 3,999-device inventory, same shape as the reference's appliances.csv

@@ -21,6 +21,9 @@ import java.nio.file.Files
   */
 object Throughput {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formatting follows the JVM default locale; pin it
+    // so a comma-decimal locale cannot emit unparseable JSON metrics
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val spark = Sessions.local("graft-throughput", cores = 32)
     spark.range(1000).selectExpr("sum(id)").collect() // warm
 
@@ -51,17 +54,20 @@ object Throughput {
     /** Shared replication scaffold for probes 2-6: `mult` copies of a
       * frame unioned with per-replica projections. Holds the id-offset
       * recipe in ONE place — including its limit: offsets are m * 1e6,
-      * so a base corpus past 1 M rows would collide ids across replicas
-      * (guarded below; sf0.1 bases are 2 k-600 k rows). */
-    def replicated(src: org.apache.spark.sql.DataFrame, srcCount: Long, mult: Int)(
+      * so collisions depend on the id RANGE, not the row count (sparse
+      * ids past 1e6 would overlap the next replica even in a small
+      * corpus). The guard asserts the actual range of the id column. */
+    def replicated(src: org.apache.spark.sql.DataFrame, idCol: String, mult: Int)(
         proj: Int => Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
-      require(srcCount < 1000000L, s"replica id offset collides at $srcCount rows")
+      val r = src.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+      require(r.getLong(0) >= 0L && r.getLong(1) < 1000000L,
+        s"$idCol range [${r.getLong(0)}, ${r.getLong(1)}] collides across 1e6-offset replicas")
       (0 until mult).map(m => src.select(proj(m): _*)).reduce(_ unionByName _)
     }
     def offsetId(name: String, m: Int) = (col(name) + lit(m * 1000000L)).as(name)
 
     for (mult <- Seq(1, 4, 16)) {
-      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m), col("text")))
+      val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m), col("text")))
       val sh = docs.select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
       // match q35: shingle-less docs out before banding (degenerate bucket)
       val sig = sh.where(size(col("sh")) > 0)
@@ -89,7 +95,7 @@ object Throughput {
     graft.operators.TextQueries.corpusClean(base.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m), col("lang"),
+      val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m), col("lang"),
         concat(col("text"), lit(s" r$m")).as("text")))
       val t0 = System.nanoTime()
       val kept = graft.operators.TextQueries.corpusClean(docs)
@@ -104,7 +110,7 @@ object Throughput {
     graft.operators.TextQueries.tfidfTopK(base.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m),
+      val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m),
         concat(col("text"), lit(s" r$m")).as("text")))
       val t0 = System.nanoTime()
       val out = graft.operators.TextQueries.tfidfTopK(docs)
@@ -124,7 +130,7 @@ object Throughput {
     graft.operators.SimilarityQueries.labelCentroidOutliers(emb.limit(100))
       .selectExpr("sum(xxhash64(struct(*)))").collect() // codegen warm
     for (mult <- Seq(1, 4, 16)) {
-      val vecs = replicated(emb, embCount, mult)(m =>
+      val vecs = replicated(emb, "vec_id", mult)(m =>
         Seq(offsetId("vec_id", m), col("label"), col("embedding")))
       val t0 = System.nanoTime()
       val out = graft.operators.SimilarityQueries.labelCentroidOutliers(vecs)
@@ -144,7 +150,7 @@ object Throughput {
     // wall — candidates stay an equi-join, the propagation loop's round
     // count is bound by cluster diameter (unchanged under replication).
     for (mult <- Seq(1, 4, 16)) {
-      val docs = replicated(base, baseCount, mult)(m => Seq(offsetId("doc_id", m),
+      val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m),
         regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
       val t0 = System.nanoTime()
       val out = graft.operators.DedupQueries.fuzzyFullClusters(docs)

@@ -187,18 +187,28 @@ object BinaryDecode {
             try body(in) finally in.close()
           } finally raw.close()
         }
-        val (declared, channels, rate) = open { in =>
-          (in.getFrameLength, in.getFormat.getChannels,
-            math.round(in.getFormat.getSampleRate))
+        // common case (declared frame length): header fields AND the
+        // envelope come off ONE converted stream — no second decode
+        val (declared, channels, rate, envelope) = open { in =>
+          val f = in.getFormat
+          val d = in.getFrameLength
+          val env = if (d >= 0 && d <= Int.MaxValue)
+            Some(peakEnvelope(in, d.toInt, f.getChannels)) else None
+          (d, f.getChannels, math.round(f.getSampleRate), env)
         }
-        // a legal stream-style header (AU data size 0xFFFFFFFF, or an SPI
-        // conversion losing length) reports NOT_SPECIFIED (-1): count the
-        // frames by streaming instead of dropping valid audio
-        val totalFrames =
-          if (declared >= 0) declared else open(countFrames(_, channels))
-        if (totalFrames > Int.MaxValue) None
-        else Some(DecodedRow0(rate, channels, totalFrames.toInt,
-          open(peakEnvelope(_, totalFrames.toInt, channels))))
+        envelope match {
+          case Some(env) => Some(DecodedRow0(rate, channels, declared.toInt, env))
+          case None if declared >= 0 => None // frame count exceeds Int range
+          case None =>
+            // a legal stream-style header (AU data size 0xFFFFFFFF, or an
+            // SPI conversion losing length) reports NOT_SPECIFIED (-1):
+            // count frames then re-scan — two extra passes over in-memory
+            // bytes, paid only on this rare path
+            val totalFrames = open(countFrames(_, channels))
+            if (totalFrames > Int.MaxValue) None
+            else Some(DecodedRow0(rate, channels, totalFrames.toInt,
+              open(peakEnvelope(_, totalFrames.toInt, channels))))
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Frame count by streaming through a bounded buffer — the fallback

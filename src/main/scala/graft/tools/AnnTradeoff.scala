@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   */
 object AnnTradeoff {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formatting follows the JVM default locale; pin it
+    // so a comma-decimal locale cannot emit unparseable JSON metrics
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.Sessions.local("graft-ann-tradeoff", cores = 16)
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchSteady {
   def main(args: Array[String]): Unit = {
+    // f-interpolator formatting follows the JVM default locale; pin it
+    // so a comma-decimal locale cannot emit unparseable JSON metrics
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "7").toInt

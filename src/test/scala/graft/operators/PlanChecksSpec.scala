@@ -157,6 +157,19 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q67: repetition stats stay inside the row — no explode, no aggregation exchange") {
+    // the whole point of the native expression: the naive formulation is
+    // Generate(explode) -> HashAggregate x2 with two full-gram-stream
+    // exchanges; the shipped plan must have neither. Only the final
+    // orderBy's range exchange is allowed.
+    val p = plan("q67_repetition_quality")
+    assert(p.contains("repetition_stats"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("HashAggregate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$p")
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

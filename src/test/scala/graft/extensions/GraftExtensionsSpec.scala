@@ -44,7 +44,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  rolling_fingerprint(whitespace_tokens(text)) AS fp,
         |  simhash64(whitespace_tokens(text)) AS sh,
         |  size(word_shingles(text, 3)) AS nsh,
-        |  size(minhash_signature(word_shingles(text, 3), 16)) AS nsig
+        |  size(minhash_signature(word_shingles(text, 3), 16)) AS nsig,
+        |  repetition_stats(text, 2) AS rep
         |FROM docs ORDER BY doc_id LIMIT 50""".stripMargin).collect()
     val w = graft.functions.TextFunctions.tokens(col("text"))
     val viaDsl = graft.Tables.documents(sqlSession, sf0001)
@@ -56,7 +57,8 @@ class GraftExtensionsSpec extends SparkSpec {
         graft.functions.HashFunctions.simhash64(w).as("sh"),
         size(graft.functions.TextFunctions.shinglesOfText(col("text"), 3)).as("nsh"),
         size(graft.functions.HashFunctions.minhashSignature(
-          graft.functions.TextFunctions.shinglesOfText(col("text"), 3), 16)).as("nsig"))
+          graft.functions.TextFunctions.shinglesOfText(col("text"), 3), 16)).as("nsig"),
+        graft.functions.TextFunctions.repetitionStats(col("text"), 2).as("rep"))
       .orderBy("doc_id").limit(50).collect()
     assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
   }

@@ -108,6 +108,10 @@ object GraftExtensions {
       nArgs("vocab_hits", args, 2)
       VocabHits(args(0), litStrings(args(1), "vocab_hits"))
     }),
+    fd("chunk_tokens", classOf[ChunkTokens], args => {
+      nArgs("chunk_tokens", args, 2)
+      ChunkTokens(args(0), litInt(args(1), "chunk_tokens"))
+    }),
     fd("repetition_stats", classOf[RepetitionStats], args => {
       nArgs("repetition_stats", args, 2)
       RepetitionStats(args(0), litInt(args(1), "repetition_stats"))

@@ -80,6 +80,12 @@ object TextFunctions {
   def repetitionStats(text: Column, n: Int): Column =
     bridge.column(graft.expressions.RepetitionStats(bridge.expression(text), n))
 
+  /** Fixed-size token chunks (space-joined, last chunk short) in one
+    * pass — see [[graft.expressions.ChunkTokens]]. The document-split
+    * step of a pretraining pipeline, without interpreted HOFs. */
+  def chunkTokens(text: Column, k: Int): Column =
+    bridge.column(graft.expressions.ChunkTokens(bridge.expression(text), k))
+
   /** Ratio of characters matching a regex class to total characters. */
   def charClassRatio(text: Column, charClassRe: String): Column =
     length(regexp_replace(text, charClassRe, "")).cast("double") /

@@ -499,6 +499,94 @@ object TextQueries {
           (coalesce(topFrac, lit(0.0)) > 0.06 ||
             coalesce(dupFrac, lit(0.0)) > 0.03).as("repetitive"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q68
+    "q68_token_chunks" -> QueryDef.sql(
+      "Document chunking for training windows: split each document's " +
+      "token stream into 32-token chunks (last chunk short), one output " +
+      "row per chunk — the step that turns variable-length documents " +
+      "into training-window-sized pieces. Spark side: ONE native " +
+      "single-pass expression (ChunkTokens) + posexplode; doc-local " +
+      "work stays inside the row, the only shuffle is the output sort. " +
+      "Empty/whitespace-only docs yield no chunks on both engines.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |c AS (SELECT doc_id, len(w) AS n, w,
+        |        unnest(generate_series(0, (len(w)+31)//32 - 1)) AS chunk_idx
+        |      FROM t WHERE len(w) > 0)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  array_to_string(w[chunk_idx*32+1 : least((chunk_idx+1)*32, n)], ' ')
+        |    AS chunk_text,
+        |  (least((chunk_idx+1)*32, n) - chunk_idx*32)::BIGINT AS n_chunk_tokens
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"),
+          posexplode(chunkTokens(col("text"), 32)).as(Seq("ci", "chunk_text")))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          least(lit(32L), col("n") - col("ci").cast("long") * 32)
+            .as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---------------------------------------------------------------- q69
+    "q69_sequence_packing" -> QueryDef.sql(
+      "Contiguous sequence packing: lay the corpus's token streams " +
+      "end-to-end (doc_id order) and assign each document its absolute " +
+      "start offset, 256-token context-window index, and a " +
+      "crosses-boundary flag (the attention-mask-reset signal) — the " +
+      "sample-packing pass that turns cleaned documents into fixed-size " +
+      "training sequences. 100 TB shape: a DISTRIBUTED PREFIX SUM, not " +
+      "a global-order window (which would single-partition the corpus): " +
+      "per-shard running sums in parallel (window partitioned by " +
+      "doc_id DIV 1000), then a window over the per-shard totals — one " +
+      "tiny row per shard — broadcast back as each shard's prefix. " +
+      "Pure integer arithmetic -> bit-exact parity.",
+      s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_tokens,
+        |             doc_id // 1000 AS shard
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |        sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_in
+        |      FROM t),
+        |st AS (SELECT shard, sum(n_tokens) AS tot FROM t GROUP BY shard),
+        |p AS (SELECT shard, coalesce(sum(tot) OVER (ORDER BY shard
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |      FROM st)
+        |SELECT c.doc_id, c.n_tokens,
+        |  (p.prefix + c.cum_in - c.n_tokens)::BIGINT AS start_offset,
+        |  ((p.prefix + c.cum_in - c.n_tokens) // 256)::BIGINT AS seq_idx,
+        |  (c.n_tokens > 0 AND
+        |   (p.prefix + c.cum_in - c.n_tokens) // 256
+        |     != (p.prefix + c.cum_in - 1) // 256) AS crosses_boundary
+        |FROM c JOIN p USING (shard)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          expr("doc_id DIV 1000").as("shard"))
+      val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = base.withColumn("cum_in", sum("n_tokens").over(wIn))
+      // one row per shard: the single-partition window below runs over
+      // corpus_size / 1000 rows, never the corpus
+      val shardTot = base.groupBy("shard").agg(sum("n_tokens").as("tot"))
+      val wSh = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = shardTot
+        .withColumn("prefix", coalesce(sum("tot").over(wSh), lit(0L)))
+        .select("shard", "prefix")
+      val start = col("prefix") + col("cum_in") - col("n_tokens")
+      withCum.join(broadcast(prefixes), "shard")
+        .select(col("doc_id"), col("n_tokens"),
+          start.as("start_offset"),
+          expr("(prefix + cum_in - n_tokens) DIV 256").as("seq_idx"),
+          (col("n_tokens") > 0 &&
+            expr("(prefix + cum_in - n_tokens) DIV 256") =!=
+              expr("(prefix + cum_in - 1) DIV 256")).as("crosses_boundary"))
+        .orderBy("doc_id")
     }
   )
 }

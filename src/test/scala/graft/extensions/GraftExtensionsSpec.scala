@@ -45,7 +45,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |  simhash64(whitespace_tokens(text)) AS sh,
         |  size(word_shingles(text, 3)) AS nsh,
         |  size(minhash_signature(word_shingles(text, 3), 16)) AS nsig,
-        |  repetition_stats(text, 2) AS rep
+        |  repetition_stats(text, 2) AS rep,
+        |  size(chunk_tokens(text, 32)) AS nch
         |FROM docs ORDER BY doc_id LIMIT 50""".stripMargin).collect()
     val w = graft.functions.TextFunctions.tokens(col("text"))
     val viaDsl = graft.Tables.documents(sqlSession, sf0001)
@@ -58,7 +59,8 @@ class GraftExtensionsSpec extends SparkSpec {
         size(graft.functions.TextFunctions.shinglesOfText(col("text"), 3)).as("nsh"),
         size(graft.functions.HashFunctions.minhashSignature(
           graft.functions.TextFunctions.shinglesOfText(col("text"), 3), 16)).as("nsig"),
-        graft.functions.TextFunctions.repetitionStats(col("text"), 2).as("rep"))
+        graft.functions.TextFunctions.repetitionStats(col("text"), 2).as("rep"),
+        size(graft.functions.TextFunctions.chunkTokens(col("text"), 32)).as("nch"))
       .orderBy("doc_id").limit(50).collect()
     assert(viaSql.map(_.toString).toSeq == viaDsl.map(_.toString).toSeq)
   }

@@ -76,7 +76,9 @@ object Bench {
       // Ambient-load guard (rounds 2-4 each produced one spurious driver
       // headline — q30/q55, q54, q19 — that BenchSteady later measured at
       // 5-8x below the single shot): a shot far above the warmup-derived
-      // expectation is re-run once and the better of the two reported.
+      // expectation is re-run and the MEDIAN of three shots reported (the
+      // round-5 min-of-2 biased retimed figures downward; the median is a
+      // robust central estimate and the full spread is emitted alongside).
       // Threshold: 3x the post-JIT sf0.001 wall, floored at 0.75 s so
       // sub-second jitter never triggers it — a genuine data-proportional
       // cost (q65's propagation loop, q46's HLL pass) sits well under 3x
@@ -91,11 +93,14 @@ object Bench {
       // re-time exactly when it is most needed.
       val retime = build < 0.5 * sec &&
         sec > math.max(3 * math.max(warmSec, 0.05), 0.75)
+      var spread: Option[(Double, Double)] = None
       if (retime) {
-        val (s2, b2) = shot()
-        if (s2 < sec) { sec = s2; build = b2 }
+        val shots = Vector((sec, build), shot(), shot()).sortBy(_._1)
+        spread = Some((shots.head._1, shots.last._1))
+        val (s2, b2) = shots(1) // median of 3
+        sec = s2; build = b2
       }
-      name -> ((sec, build, retime))
+      name -> ((sec, build, spread))
     }
     // 3 decimals keeps the one-line JSON inside the driver's finite
     // output-tail buffer; Locale.ROOT because the f-interpolator uses the
@@ -110,10 +115,20 @@ object Bench {
     // ordinary Catalyst plan analysis is 0.05-0.15 s and would be noise.
     val builds = results.collect { case (k, (_, b, _)) if b > 0.2 =>
       s"\"" + k + "\":" + f3(b) }.mkString("{", ",", "}")
-    val retimed = results.collect { case (k, (_, _, true)) => s"\"" + k + "\"" }
+    val retimed = results.collect { case (k, (_, _, Some(_))) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // min..max of the 3 retime shots, so readers see what the median hides.
+    val spreads = results.collect { case (k, (_, _, Some((lo, hi)))) =>
+      s"\"" + k + "\":[" + f3(lo) + "," + f3(hi) + "]" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retimed":$retimed,"sf":"$sfDir"}""")
+    // Human-facing full detail first; the driver-facing line LAST. The
+    // per-query map for 70 queries overflows the driver's finite output-tail
+    // buffer (rounds 4 and 5 both recorded "parsed": null), so the line of
+    // record is a short, fixed-size summary guaranteed to fit any tail
+    // window. It carries the contract keys (metric/value/unit/queries/sf)
+    // with an EMPTY queries map plus total_sec/n_queries/retimed.
+    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"total_sec":${f3(total)},"n_queries":${results.size},"retimed":$retimed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,10 +41,14 @@ case class ChunkTokens(child: Expression, k: Int)
 }
 
 object ChunkTokens {
+  // String.split("\\s+") recompiles the Pattern per row; hoist it out of
+  // the codegen'd hot path (Pattern.split with limit 0 is value-identical).
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Shared eval body — called from both interpreted eval and generated
     * code (static forwarder keeps the codegen call a plain Java call). */
   def compute(input: UTF8String, k: Int): GenericArrayData = {
-    val toks = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = WS.split(input.toString.trim.toLowerCase(java.util.Locale.ROOT))
     val words = if (toks.length == 1 && toks(0).isEmpty) Array.empty[String] else toks
     if (words.length == 0) return new GenericArrayData(Array.empty[Any])
     val nChunks = (words.length + k - 1) / k

@@ -53,10 +53,14 @@ object RepetitionStats {
     StructField("top_count", LongType, nullable = false),
     StructField("dup_grams", LongType, nullable = false)))
 
+  // String.split("\\s+") recompiles the Pattern per row; hoist it out of
+  // the codegen'd hot path (Pattern.split with limit 0 is value-identical).
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Shared eval body — called from both interpreted eval and generated
     * code (static forwarder keeps the codegen call a plain Java call). */
   def compute(input: UTF8String, n: Int): InternalRow = {
-    val toks = input.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = WS.split(input.toString.trim.toLowerCase(java.util.Locale.ROOT))
     val words = if (toks.length == 1 && toks(0).isEmpty) Array.empty[String] else toks
     if (words.length < n)
       return new GenericInternalRow(Array[Any](0L, 0L, 0L))

@@ -374,4 +374,69 @@ class StreamingSpec extends SparkSpec {
     val starts = rows.map(_.getTimestamp(0)).map(_.toString).sorted.toSeq
     assert(starts == Seq("2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"))
   }
+
+  test("streaming fuzzy dedup: near-dups join the founder across batches; state expires with the watermark") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = FuzzyDedupStream.assign(ms.toDF().toDF("doc_id", "ts", "text"),
+      watermark = "10 minutes")
+    // agg-after-flatMapGroupsWithState trips Spark's global-watermark
+    // heuristic; safe here — see the FuzzyDedupStream.assign scaladoc
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = spark.conf.getOption(checkKey)
+    spark.conf.set(checkKey, "false")
+    try {
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("fuzzy_dedup_out").trigger(Trigger.ProcessingTime(0)).start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // 20-word base; each variant changes ONE word -> shingle Jaccard
+    // 17/19 ~ 0.89 vs base, well above the sketch confirm threshold
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val nearB = base.replace("tango", "zulu")
+    val nearC = base.replace("alpha", "yankee")
+    val other = "stone bridges span quiet rivers where autumn rain falls " +
+      "gently on moss covered arches beneath grey morning skies forever"
+
+    ms.addData((10L, t(10, 0), base), (11L, t(10, 1), nearB),
+      (20L, t(10, 2), other), (4L, t(10, 3), "x"))
+    q.processAllAvailable()
+    ms.addData((12L, t(10, 5), nearC)) // later micro-batch, near-dup of base
+    q.processAllAvailable()
+    val stateWhileLive = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // jump event time 3 hours: watermark passes every bucket timeout AND
+    // flushes the append-mode candidate-merge rows for the 10:xx docs
+    ms.addData((30L, t(13, 0), "completely unrelated watermark marker text one"))
+    q.processAllAvailable()
+    ms.addData((40L, t(13, 1), base)) // base re-arrives AFTER expiry
+    q.processAllAvailable()
+    ms.addData((50L, t(16, 0), "another unrelated watermark marker text two"))
+    q.processAllAvailable()
+    val stateRowsRemoved =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+
+    val rows = spark.table("fuzzy_dedup_out")
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // first sighting founds; near-dups — same batch or later — join it
+    assert(rows(10L) == ((10L, true)), s"founder: ${rows.get(10L)}")
+    assert(rows(11L) == ((10L, false)), s"same-batch near-dup: ${rows.get(11L)}")
+    assert(rows(12L) == ((10L, false)), s"cross-batch near-dup: ${rows.get(12L)}")
+    assert(rows(20L) == ((20L, true)), s"unrelated doc: ${rows.get(20L)}")
+    // shingle-less doc surfaces as a singleton (sentinel band, no state)
+    assert(rows(4L) == ((4L, true)), s"shingle-less singleton: ${rows.get(4L)}")
+    // post-expiry re-arrival founds a NEW cluster: the bucket state died
+    assert(rows(40L) == ((40L, true)),
+      s"expired bucket must found a fresh cluster, got ${rows.get(40L)}")
+    // and the state stores really evicted — watermark BOUNDS state
+    assert(stateWhileLive >= 8, s"live state rows $stateWhileLive")
+    assert(stateRowsRemoved >= 8,
+      s"state stores removed only $stateRowsRemoved rows")
+    } finally prevCheck match {
+      case Some(v) => spark.conf.set(checkKey, v)
+      case None => spark.conf.unset(checkKey)
+    }
+  }
 }

@@ -209,21 +209,87 @@ class BinaryDecodeSpec extends SparkSpec {
       "only the valid WAV should survive the decode")
   }
 
-  test("JdkCodec dispatch: image and audio decode for real, video falls to the honest fake") {
+  // -------------------------------------------------------- MP4 fixture
+  // Minimal but structurally faithful ISO-BMFF: ftyp + moov{mvhd,
+  // trak{tkhd, mdia{hdlr'vide', minf{stbl{stsz}}}}, trak{tkhd,
+  // mdia{hdlr'soun'}}} — every offset the parser reads is real.
+  private def be(i: Int) = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+  private def be8(l: Long) = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+  private def bmffBox(t: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be(8 + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+  }
+  private def mp4Bytes(timescale: Int = 1000, duration: Long = 5000,
+      frames: Int = 150, w: Int = 320, h: Int = 240,
+      mvhdV1: Boolean = false): Array[Byte] = {
+    val mvhd =
+      if (mvhdV1) bmffBox("mvhd", Array[Byte](1, 0, 0, 0),
+        new Array[Byte](16), be(timescale), be8(duration), new Array[Byte](80))
+      else bmffBox("mvhd", new Array[Byte](12), be(timescale),
+        be(duration.toInt), new Array[Byte](80))
+    val trakV = bmffBox("trak",
+      bmffBox("tkhd", new Array[Byte](76), be(w << 16), be(h << 16)),
+      bmffBox("mdia",
+        bmffBox("hdlr", new Array[Byte](8), "vide".getBytes, new Array[Byte](13)),
+        bmffBox("minf", bmffBox("stbl",
+          bmffBox("stsz", be(0), be(0), be(frames))))))
+    val trakA = bmffBox("trak",
+      bmffBox("tkhd", new Array[Byte](84)),
+      bmffBox("mdia",
+        bmffBox("hdlr", new Array[Byte](8), "soun".getBytes, new Array[Byte](13))))
+    bmffBox("ftyp", "isom".getBytes, be(0)) ++ bmffBox("moov", mvhd, trakV, trakA)
+  }
+
+  test("VideoCodec parses real ISO-BMFF container metadata: duration, tracks, size, frame count") {
+    val out = BinaryDecode.decode(Seq(
+      MediaRow(1L, "video", mp4Bytes()),
+      MediaRow(2L, "video", mp4Bytes(timescale = 90000, duration = 270000L,
+        frames = 72, w = 1920, h = 1080, mvhdV1 = true))
+    ).toDS(), VideoCodec).collect().map(r => r.media_id -> r).toMap
+    // tkhd presentation size and stsz sample count are byte-exact truth
+    assert(out(1L).width == 320 && out(1L).height == 240, out(1L))
+    assert(out(1L).n_frames == 150, out(1L))
+    // features: [duration_sec, timescale, n_tracks, n_video, n_audio,..]
+    assert(out(1L).features(0) == 5.0f && out(1L).features(1) == 1000f)
+    assert(out(1L).features(2) == 2f && out(1L).features(3) == 1f &&
+      out(1L).features(4) == 1f)
+    // 64-bit duration + v1 mvhd layout parses too
+    assert(out(2L).width == 1920 && out(2L).height == 1080)
+    assert(out(2L).n_frames == 72 && out(2L).features(0) == 3.0f)
+    assert(out(2L).features(1) == 90000f)
+  }
+
+  test("truncated, lying-size or junk video bytes are dropped, not faked or crashed") {
+    val good = mp4Bytes()
+    val lyingSize = good.clone() // mvhd declares more bytes than its parent holds
+    System.arraycopy(be(Int.MaxValue), 0, lyingSize, 24, 4)
+    val out = BinaryDecode.decode(Seq(
+      MediaRow(1L, "video", good),
+      MediaRow(2L, "video", good.take(good.length / 2)), // cut inside moov
+      MediaRow(3L, "video", lyingSize),
+      MediaRow(4L, "video", "not an iso-bmff container".getBytes("UTF-8")),
+      MediaRow(5L, "video", Array[Byte]()),
+      MediaRow(6L, "video", bmffBox("moov", bmffBox("trak", be(0)))) // no mvhd
+    ).toDS(), VideoCodec).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L),
+      s"only the valid MP4 should survive: ${out.map(_.media_id).toSeq}")
+  }
+
+  test("JdkCodec dispatch: image, audio and video container metadata all parse for real") {
     val rows = Seq(
       MediaRow(1L, "image", pngBytes(24, 18, 0x404040)),
       MediaRow(2L, "audio", wavBytes(3000, 12000f, 0.25)),
-      MediaRow(3L, "video", "no jdk video codec exists".getBytes("UTF-8"))).toDS()
+      MediaRow(3L, "video", mp4Bytes(frames = 2500))).toDS()
     val out = BinaryDecode.decode(rows, JdkCodec).collect()
       .map(r => r.media_id -> r).toMap
     assert(out(1L).width == 24 && out(1L).height == 18) // real pixels
     assert(out(2L).width == 12000 && out(2L).n_frames == 3000) // real PCM
     assert(out(2L).features.max > 0.2f && out(2L).features.max < 0.3f)
-    assert(out(3L).n_frames >= 1 && out(3L).n_frames <= 30) // fake path
-    // and the q40/q58 downstream shapes run unchanged over real audio
-    // metadata: frame sampling + batched embed over the decoded frame
+    assert(out(3L).width == 320 && out(3L).n_frames == 2500) // real container
+    // and the q40/q58 downstream shapes run unchanged over real video
+    // metadata: frame sampling over the true stsz frame count
     val sampled = sampleFrames(BinaryDecode.decode(rows, JdkCodec).toDF(), stride = 1000)
-      .where(col("media_id") === 2).count()
+      .where(col("media_id") === 3).count()
     assert(sampled == 3) // frames 0, 1000, 2000
   }
 

@@ -34,6 +34,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // q66's oracle parity rests on a measured corpus property (no doc
+    // pair with exact Jaccard in [0.1, 0.8) => LSH recall exactly 1.0).
+    // Probe it HERE so a future corpus/SF change surfaces as this
+    // actionable message, not as a bare q66 hash mismatch downstream.
+    try {
+      val gap = graft.operators.DedupQueries
+        .recallPremiseGapPairs(Tables.documents(spark, sfDir)).count()
+      if (gap > 0) System.err.println(
+        s"[verify] WARNING: q66 LSH-recall premise violated at $sfDir: " +
+        s"$gap doc pairs with exact shingle Jaccard in [0.1, 0.8). The " +
+        "8x2 banding can miss pairs in that band, so q66's sketch-built " +
+        "edge set may legitimately diverge from the exact-edge oracle — " +
+        "a q66 hash mismatch in this run is the corpus changing, not an " +
+        "engine bug (see DedupQueries.recallPremiseGapPairs).")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q66 premise probe failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

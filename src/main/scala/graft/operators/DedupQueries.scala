@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val sqlToks =
+  private[operators] val sqlToks =
     // [\s\x0B]+ — RE2 \s + vertical tab = Java \s exactly (see the
     // TextQueries.sqlToks note); keeps the oracle tokenizer byte-identical
     // to the native WhitespaceTokens/WordShingles side on any input
     """list_filter(string_split_regex(lower(trim(text)), '[\s\x0B]+'), t -> t != '')"""
-  private val sqlShingles =
+  private[operators] val sqlShingles =
     """CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
       |       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
@@ -93,6 +93,31 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"),
         TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") >= threshold)
+  }
+
+  /** q66's oracle-parity PREMISE, made checkable: the corpus has no doc
+    * pair with exact shingle Jaccard in [0.1, 0.8) — every true near-dup
+    * sits at j >= 0.8 where the 8x2 banding miss probability is <=
+    * 2.8e-4, so LSH recall is exactly 1.0 and the sketch-built edge set
+    * equals the oracle's exact one. Returns the violating pairs (empty
+    * on every shipped corpus); Verify runs it so a future corpus change
+    * fails with an actionable message instead of a bare q66 hash
+    * mismatch. Blocking on shared shingles is exactness-preserving:
+    * j > 0 requires a shared shingle. */
+  private[graft] def recallPremiseGapPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val cand = ex.alias("a").join(ex.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= 0.1 && col("jac") < 0.8)
   }
 
   /** Connected components over a similarity graph — the EXPLICIT staged

@@ -21,7 +21,8 @@ object SparkEntry {
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.MultimodalQueries.defs ++
-      operators.ExtendedQueries.defs): _*)
+      operators.ExtendedQueries.defs ++
+      operators.PipelineQueries.defs): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,7 +40,14 @@ object TextQueries {
     * plan than the one the catalog ships. Shape: one hash-partitioned
     * aggregate for canonical ids, a left-semi join back, then pure
     * codegen'd per-row gates. */
-  def corpusClean(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def corpusClean(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    corpusCleanGates(docs).orderBy("doc_id")
+
+  /** [[corpusClean]] without the final presentation sort — the form a
+    * downstream pipeline stage (q70) composes over, so the optimizer
+    * never has to reason a useless sort out from under a join. */
+  private[operators] def corpusCleanGates(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val canon = docs
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
@@ -61,7 +68,6 @@ object TextQueries {
         col("en_hits") >= col("fr_hits") &&
         col("quality") >= 0.4 && col("n_tokens") >= 5)
       .select("doc_id", "lang", "n_tokens", "quality")
-      .orderBy("doc_id")
   }
 
   /** The q53 TF-IDF plan over an arbitrary documents frame (doc_id,
@@ -571,7 +577,11 @@ object TextQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val withCum = base.withColumn("cum_in", sum("n_tokens").over(wIn))
       // one row per shard: the single-partition window below runs over
-      // corpus_size / 1000 rows, never the corpus
+      // corpus_size / 1000 rows, never the corpus. SCALE CONTRACT
+      // (PlanChecksSpec pins the two window shapes): at 1,000 docs/shard
+      // the global window sees 10^6 rows per 10^9 docs — trivial through
+      // one partition up to ~10^10 docs; beyond that, recurse the scheme
+      // (shard the shard totals) or widen docs-per-shard.
       val shardTot = base.groupBy("shard").agg(sum("n_tokens").as("tot"))
       val wSh = Window.orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -170,6 +170,29 @@ class PlanChecksSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$p")
   }
 
+  test("q69: the corpus window is shard-partitioned; only the shard-totals window is global") {
+    // The distributed-prefix-sum contract: the window that sees one row
+    // PER DOCUMENT must be partitioned by shard (parallel, bounded
+    // partitions); the only partition-less (single-partition) window
+    // runs over the per-shard totals — one row per 1,000 docs. A
+    // regression that drops the shard partitioning would single-thread
+    // the corpus through one window partition at 100 TB.
+    val df = SparkEntry.queries("q69_sequence_packing")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    val windowLines = p.linesIterator.map(_.trim).filter(_.contains("Window ["))
+      .map(_.dropWhile(c => !c.isLetter)).toList
+    assert(windowLines.size == 2, s"expected exactly 2 Window execs:\n$p")
+    val corpus = windowLines.filter(_.contains("sum(n_tokens"))
+    assert(corpus.size == 1 &&
+      corpus.head.matches(""".*\], \[shard#\d+L?\], \[doc_id#.*"""),
+      s"per-document window is not shard-partitioned:\n${windowLines.mkString("\n")}")
+    val global = windowLines.filter(_.contains("sum(tot"))
+    assert(global.size == 1 &&
+      global.head.matches(""".*\], \[shard#\d+L? ASC.*"""),
+      s"shard-totals window shape changed:\n${windowLines.mkString("\n")}")
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
     // The other half of the 100x-scan-reduction story next to static
     // pruning (SourceFormatsSpec): the fact side is partitioned on the

@@ -52,4 +52,9 @@ object DeterministicHash {
 
   /** Salt for q56's sample stream (q62's split stream uses 0). */
   val sampleSalt: Long = 7919L
+
+  /** Salt for q71's domain-mixture stream — a third independent stream,
+    * so mixture membership is uncorrelated with both split assignment
+    * (salt 0) and stratified-sample membership (salt 7919). */
+  val mixtureSalt: Long = 104729L
 }

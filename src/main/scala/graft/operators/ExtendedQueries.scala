@@ -371,6 +371,70 @@ object ExtendedQueries {
         .select(split.as("split"), col("lang"))
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")
+    },
+
+    // ---------------------------------------------------------------- q73
+    "q73_zorder_layout" -> QueryDef.sql(
+      "Z-order (Morton) data layout: interleave the bits of " +
+      "(o_custkey, order epoch-day) into one curve key, bucket rows by " +
+      "equi-width ranges of that key, and report each bucket's row " +
+      "count plus min/max of BOTH dimensions — the footer-stats " +
+      "rectangle a z-ordered file would carry. Sorting by the curve " +
+      "key bounds both columns' per-file spans at once, so scans " +
+      "filtering on either customer OR date skip most files, where a " +
+      "single-column sort only serves its leading column; that is how " +
+      "one 100 TB copy serves two access paths (the materialized " +
+      "writer — repartitionByRange(z) + sortWithinPartitions — is " +
+      "exercised with measured span contraction in ZOrderSpec). Each " +
+      "dimension is min-max scaled onto the full 16-bit domain FIRST — " +
+      "with raw values the dimension owning the highest varying bit " +
+      "dominates the curve and the layout degenerates to its " +
+      "single-column sort (ZOrder.scale16Sql documents the trap). The " +
+      "interleave and the scaling are generated from ONE definition " +
+      "for both dialects (functions.ZOrder, the DeterministicHash " +
+      "pattern) in pure int64 shifts, and bucketing is arithmetic on " +
+      "broadcast min/max scalars — deterministic equi-width, no " +
+      "sampled range boundaries, no global-sort window anywhere.",
+      s"""WITH b0 AS (SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+        |      AS oday
+        |  FROM orders),
+        |bd AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
+        |    min(oday) AS dlo, max(oday) AS dhi FROM b0),
+        |sc AS (SELECT o_custkey, oday,
+        |    ${graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "//")} AS cx,
+        |    ${graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "//")} AS cy
+        |  FROM b0 CROSS JOIN bd),
+        |z AS (SELECT ${graft.functions.ZOrder.zValueSql("cx", "cy")} AS zval,
+        |    o_custkey, oday FROM sc),
+        |mx AS (SELECT max(zval)::BIGINT AS zmax FROM z)
+        |SELECT ((z.zval * 32) // (mx.zmax + 1))::BIGINT AS bucket,
+        |  count(*)::BIGINT AS cnt,
+        |  min(z.o_custkey)::BIGINT AS cust_lo, max(z.o_custkey)::BIGINT AS cust_hi,
+        |  min(z.oday) AS day_lo, max(z.oday) AS day_hi
+        |FROM z CROSS JOIN mx
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (s, d) =>
+      val oday = datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01")))
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), oday.cast("long").as("oday"))
+      val bounds = base.agg(
+        min("o_custkey").as("clo"), max("o_custkey").as("chi"),
+        min("oday").as("dlo"), max("oday").as("dhi"))
+      val z = base.crossJoin(broadcast(bounds)).select(
+        graft.functions.ZOrder.zValue(
+          expr(graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "div")),
+          expr(graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "div")))
+          .as("zval"),
+        col("o_custkey"), col("oday"))
+      val mx = z.agg(max("zval").as("zmax"))
+      z.crossJoin(broadcast(mx))
+        .groupBy(expr("(zval * 32) div (zmax + 1)").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min("o_custkey").as("cust_lo"), max("o_custkey").as("cust_hi"),
+          min("oday").as("day_lo"), max("oday").as("day_hi"))
+        .orderBy("bucket")
     }
   )
 }

@@ -293,8 +293,89 @@ object SimilarityQueries {
         |WHERE rnk <= 3
         |ORDER BY label, rnk""".stripMargin) { (s, d) =>
       labelCentroidOutliers(Tables.embeddings(s, d))
+    },
+
+    // ---------------------------------------------------------------- q72
+    "q72_semantic_dedup" -> QueryDef.sql(
+      "SemDeDup-style semantic deduplication (Abbas et al., 2023): " +
+      "cluster embeddings, then drop any item whose cosine to an " +
+      "earlier same-cluster member is >= 0.35, keeping the lowest " +
+      "vec_id as canonical. Clustering makes the pairwise stage " +
+      "N^2/(2k) instead of all-pairs — with k ~ sqrt(N) cells that is " +
+      "N^1.5, the published SemDeDup scale recipe; pairs only ever " +
+      "form INSIDE a cluster via an equi-join on the cluster id, never " +
+      "across the corpus. This catalog point pins k=16 seed centroids " +
+      "(the vectors with vec_id < 16 — a deterministic iteration-0 " +
+      "k-means, so the oracle can reproduce the assignment exactly); " +
+      "the same operator runs with trained Lloyd centroids from " +
+      "AnnIndex in SimilaritySpec, which is the production path. " +
+      "Assignment is ONE pass with the native NearestCells expression " +
+      "(centroids baked into codegen — no join, no shuffle): raw dot " +
+      "against cosine-normalized centroids, ties to the lowest seed, " +
+      "bit-matched by the oracle's index-ordered folds on both the " +
+      "norm and the dot.",
+      s"""$sqlNormed,
+        |sn AS (SELECT vec_id AS sid, list_transform(v, x -> x / nrm) AS v
+        |  FROM n WHERE vec_id < 16),
+        |asg AS (SELECT a.vec_id, b.sid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY $sqlDot DESC, b.sid) AS rnk
+        |  FROM n a CROSS JOIN sn b),
+        |m AS (SELECT n.vec_id, n.v, n.nrm, asg.sid AS cluster
+        |  FROM n JOIN asg ON n.vec_id = asg.vec_id AND asg.rnk = 1),
+        |drops AS (SELECT DISTINCT a.vec_id
+        |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id > b.vec_id
+        |  WHERE $sqlDot / (a.nrm * b.nrm) >= 0.35)
+        |SELECT m.vec_id, m.cluster, (drops.vec_id IS NULL) AS kept
+        |FROM m LEFT JOIN drops ON m.vec_id = drops.vec_id
+        |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+      val corpus = normed(s, d)
+      // Bounded driver collect: exactly k seed rows, same boundedness
+      // contract as IVF training (AnnIndex). The norm fold is written as
+      // the identical index-ordered sum the oracle's list_reduce runs.
+      val cents = corpus.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("vec_id", "v").collect().map { r =>
+          val v = r.getSeq[Double](1).toArray
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(ss)
+          (r.getLong(0), v.map(_ / nrm))
+        }
+      semanticDedup(corpus, cents, tau = 0.35)
     }
   )
+
+  /** SemDeDup over any normed (vec_id, v, nrm) frame given cosine-
+    * normalized centroids (sid, unit vector): one-pass NearestCells
+    * assignment (argmax raw dot == argmax cosine because |v| is constant
+    * per row; ties to the lowest INDEX, so centroids must arrive sorted
+    * by sid), within-cluster near-dup pairs via a cluster equi-join, and
+    * a greedy keep-lowest-id election. Shared by the q72 catalog point
+    * (seed centroids) and the trained-centroid path (SimilaritySpec). */
+  def semanticDedup(corpus: DataFrame, cents: Array[(Long, Array[Double])],
+      tau: Double): DataFrame = {
+    require(cents.sliding(2).forall(p => p.length < 2 || p(0)._1 < p(1)._1),
+      "semantic_dedup: centroids must be sorted by sid (NearestCells " +
+        "breaks dot ties toward the lowest index)")
+    val sidArr = array(cents.map(c => lit(c._1)): _*)
+    val m = corpus.withColumn("cluster",
+      element_at(sidArr,
+        element_at(nearestCells(col("v"), cents.map(_._2), nProbe = 1), 1)
+          + 1))
+    val a = m.select(col("vec_id"), col("cluster"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("vec_id").as("vb_id"), col("cluster").as("clb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b,
+        col("cluster") === col("clb") && col("vec_id") > col("vb_id"))
+      .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_id").as("dropped")).distinct()
+    m.select("vec_id", "cluster")
+      .join(drops, col("vec_id") === col("dropped"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
 
   /** The q57 plan over any (vec_id, label, embedding) frame — shared with
     * the Throughput scale probe so the probe measures the exact catalog

@@ -597,6 +597,57 @@ object TextQueries {
             expr("(prefix + cum_in - n_tokens) DIV 256") =!=
               expr("(prefix + cum_in - 1) DIV 256")).as("crosses_boundary"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q71
+    "q71_domain_mixture_sample" -> QueryDef.sql(
+      "Token-budget domain mixture (Pile/DoReMi-style): rebalance the " +
+      "corpus so every source domain contributes toward an equal token " +
+      "budget (half the corpus token mass split evenly across domains; " +
+      "over-represented domains are downsampled to their share, small " +
+      "domains kept whole at rate 1.0). The keep decision is a " +
+      "DETERMINISTIC per-doc Bernoulli: the q62 multiplicative integer " +
+      "hash on doc_id under a third independent salt, compared against " +
+      "floor(rate * 2^32) — integer token sums and one IEEE division " +
+      "chain shared by both engines, so the mixture is reproducible " +
+      "anywhere and oracle-hash-exact. Scale shape: one tokenize scan " +
+      "feeds a per-domain partial agg (|domains| rows), the rate table " +
+      "rides back as a broadcast, and the keep test is a filter — no " +
+      "wide shuffle anywhere; at 100 TB a production run would persist " +
+      "the narrow (doc_id, source, nt) projection to avoid the second " +
+      "tokenize pass this one-shot plan pays.",
+      s"""WITH t AS (SELECT doc_id, source, len($sqlToks)::BIGINT AS nt
+        |  FROM documents),
+        |s AS (SELECT source, sum(nt)::BIGINT AS st FROM t GROUP BY source),
+        |g AS (SELECT sum(st)::BIGINT AS tot, count(*)::BIGINT AS ns FROM s),
+        |r AS (SELECT s.source,
+        |  floor(least(1.0, ((g.tot::DOUBLE) / (2.0 * (g.ns::DOUBLE)))
+        |    / (s.st::DOUBLE)) * 4294967296.0)::BIGINT AS thr
+        |  FROM s CROSS JOIN g)
+        |SELECT t.doc_id, t.source, t.nt AS n_tokens
+        |FROM t JOIN r ON t.source = r.source
+        |WHERE ${graft.functions.DeterministicHash.knuth32Sql("t.doc_id",
+               graft.functions.DeterministicHash.mixtureSalt)} < r.thr
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      // Same least/floor/division chain as the oracle, spelled with
+      // explicit parens so both engines evaluate the identical IEEE
+      // expression tree; thr is integer thereafter so the hash compare
+      // is pure int64 (DeterministicHash holds the salt-independence
+      // contract across the three consumer streams).
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      val bySource = t.groupBy("source").agg(sum("nt").as("st"))
+      val g = bySource.agg(sum("st").as("tot"), count(lit(1)).as("ns"))
+      val budget = col("tot").cast("double") / (lit(2.0) * col("ns").cast("double"))
+      val rates = bySource.crossJoin(broadcast(g)).select(col("source"),
+        floor(least(lit(1.0), budget / col("st").cast("double"))
+          * lit(4294967296.0)).cast("long").as("thr"))
+      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"),
+        graft.functions.DeterministicHash.mixtureSalt)
+      t.join(broadcast(rates), "source")
+        .where(h < col("thr"))
+        .select(col("doc_id"), col("source"), col("nt").as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

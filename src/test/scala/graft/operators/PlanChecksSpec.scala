@@ -251,4 +251,32 @@ class PlanChecksSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("q71: the rate table broadcasts back; the corpus side never wide-shuffles") {
+    val p = plan("q71_domain_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-domain rates must ride back as a broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the tokenize scan reads only what the mixture needs
+    assert(!p.contains("n_chars"), "scan reads columns the query never uses:\n" + p)
+  }
+
+  test("q72: assignment is a narrow projection; pairs form only via the cluster equi-join") {
+    val p = plan("q72_semantic_dedup")
+    assert(p.contains("nearest_cells"),
+      "cluster assignment must be the single-pass native expression:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the within-cluster pair stage must join on the cluster id, " +
+        "never product the corpus:\n" + p)
+  }
+
+  test("q73: scalar bounds broadcast; no cartesian; scan pruned to the two dims") {
+    val p = plan("q73_zorder_layout")
+    assert(!p.contains("CartesianProduct"), p)
+    // 1-row bounds/zmax ride as broadcasts (BNLJ over one row is the
+    // intended scalar-join shape, same as q53's corpus-stats scalar)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("o_totalprice"), "scan reads columns the query never uses:\n" + p)
+  }
 }

@@ -254,4 +254,78 @@ class SimilaritySpec extends SparkSpec {
       assert(err < 0.10, s"HLL err $err (approx=$approx exact=$exact)")
     }
   }
+
+  // ------------------------------------------------------------ q72 SemDeDup
+
+  private def collectVectors(dir: String): Array[(Long, Array[Double], Double)] =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        (id, v.toArray, math.sqrt(v.map(x => x * x).sum))
+      }
+
+  /** Plain-Scala SemDeDup: argmax-dot assignment against unit centroids
+    * (ties to the lowest sid), then greedy keep-lowest-id within each
+    * cluster at cosine >= tau. */
+  private def referenceDedup(vecs: Array[(Long, Array[Double], Double)],
+      cents: Array[(Long, Array[Double])], tau: Double): Map[Long, (Long, Boolean)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val cluster = vecs.map { case (id, v, _) =>
+      id -> cents.maxBy { case (sid, cv) => (dot(v, cv), -sid) }._1
+    }.toMap
+    val byCluster = vecs.groupBy { case (id, _, _) => cluster(id) }
+    vecs.map { case (id, v, n) =>
+      val mates = byCluster(cluster(id))
+      val dropped = mates.exists { case (oid, ov, on) =>
+        oid < id && dot(v, ov) / (n * on) >= tau
+      }
+      id -> (cluster(id), !dropped)
+    }.toMap
+  }
+
+  test("q72 semantic dedup matches the plain-Scala reference exactly") {
+    val vecs = collectVectors(sf0001)
+    val cents = vecs.takeWhile(_._1 < 16).map { case (id, v, n) =>
+      (id, v.map(_ / n))
+    }
+    val want = referenceDedup(vecs, cents, 0.35)
+    val got = graft.SparkEntry.queries("q72_semantic_dedup")(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == vecs.length, "one verdict per vector")
+    got.foreach { case (id, cl, kept) =>
+      assert(want(id) == ((cl, kept)), s"vec $id: got ($cl,$kept), want ${want(id)}")
+    }
+    assert(got.exists(!_._3), "corpus has near-dups; something must drop")
+  }
+
+  test("semantic dedup holds its greedy-election contract under TRAINED centroids") {
+    // The production path: Lloyd centroids from AnnIndex instead of the
+    // oracle's seed vectors. The operator's semantics must be exactly the
+    // same greedy election relative to whatever assignment it produced.
+    val corpus = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+    val raw = graft.functions.AnnIndex.trainCentroids(
+      corpus, "vec_id", "v", k = 8, iterations = 5)
+    val cents = raw.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      (i.toLong, c.map(_ / n))
+    }
+    val got = SimilarityQueries.semanticDedup(corpus, cents, tau = 0.35)
+      .as[(Long, Long, Boolean)].collect()
+    val vecs = collectVectors(sf0001)
+    val want = referenceDedup(vecs, cents, 0.35)
+    got.foreach { case (id, cl, kept) =>
+      assert(want(id) == ((cl, kept)),
+        s"trained-centroid vec $id: got ($cl,$kept), want ${want(id)}")
+    }
+    // trained clusters group near-dups at least as well as raw seeds do
+    val seedDrops = referenceDedup(vecs,
+      vecs.takeWhile(_._1 < 16).map { case (id, v, n) => (id, v.map(_ / n)) },
+      0.35).count(!_._2._2)
+    assert(got.count(!_._3) >= seedDrops,
+      "trained centroids must not lose near-dup recall vs seed blocking")
+  }
 }

@@ -158,6 +158,55 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"fuzzy_cluster_scale","docs":${out.head.getLong(0)},"non_canonical":${out.head.getLong(1)},"sec":$sec%.2f}""")
     }
+
+    // ---- 7. q72 semantic-dedup scale probe. Replication recipe: replica
+    // m's vectors get a per-replica SIGN PATTERN on their dimensions — a
+    // linear isometry, so every intra-replica cosine (and therefore each
+    // replica's near-dup structure) is preserved EXACTLY, while
+    // cross-replica cosines decorrelate toward 0 (so replicas add
+    // distinct structure instead of collapsing onto the base corpus;
+    // m=0's pattern is the identity). The centroid count follows the
+    // published SemDeDup sizing k ~ sqrt(N): k = 16 * sqrt(mult), so
+    // measured wall should follow the N^1.5 DESIGN curve — at 16x
+    // vectors, ~64x the pair work, NOT the 256x of all-pairs. Both
+    // stages stay shaped: assignment is the one-pass NearestCells
+    // projection, pairs only form inside a cluster via the equi-join.
+    // tau is 0.6 HERE, not the catalog's 0.35: decorrelated 64-dim
+    // label clouds land |cos| ~ N(0, 1/8), so at 0.35 (2.8 sigma) a few
+    // of the mult^2 replica-pair cloud combinations cross the line by
+    // chance and whole clouds mass-drop against each other (measured:
+    // 82% dropped at 16x vs 29.5% at 1x), breaking the distinct-
+    // structure premise; 0.6 (4.8 sigma) puts chance collisions at ~0
+    // while leaving the pair-stage WORK — what the probe measures —
+    // identical, since every within-cluster pair is scored either way.
+    for (mult <- Seq(1, 4, 16)) {
+      val signs = (0 until mult).map { m =>
+        (0 until 64).map(j =>
+          if (((m * 2654435761L) >> (j % 32) & 1L) == 1L) -1.0 else 1.0).toArray
+      }
+      val vecs = replicated(emb, "vec_id", mult) { m =>
+        val s = signs(m)
+        val sLit = array(s.map(lit(_)): _*)
+        Seq(offsetId("vec_id", m),
+          col("embedding").cast("array<double>").as("raw"),
+          sLit.as("s"))
+      }.select(col("vec_id"),
+          expr("zip_with(raw, s, (x, sg) -> x * sg)").as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+      val k = (16 * math.sqrt(mult)).toInt
+      val cents = vecs.where(col("vec_id") < k).orderBy("vec_id")
+        .select("vec_id", "v").collect().map { r =>
+          val v = r.getSeq[Double](1).toArray
+          val nrm = math.sqrt(v.map(x => x * x).sum)
+          (r.getLong(0), v.map(_ / nrm))
+        }
+      val t0 = System.nanoTime()
+      val out = graft.operators.SimilarityQueries
+        .semanticDedup(vecs, cents, tau = 0.6)
+        .selectExpr("count(*)", "sum(if(kept, 0, 1))").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"semantic_dedup_scale","vectors":${out.head.getLong(0)},"k":$k,"dropped":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

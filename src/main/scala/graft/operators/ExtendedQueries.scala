@@ -435,6 +435,53 @@ object ExtendedQueries {
           min("o_custkey").as("cust_lo"), max("o_custkey").as("cust_hi"),
           min("oday").as("day_lo"), max("oday").as("day_hi"))
         .orderBy("bucket")
+    },
+
+    // ---------------------------------------------------------------- q74
+    "q74_key_skew_profile" -> QueryDef.sql(
+      "Join/aggregation key-skew profile: the top-10 heaviest " +
+      "o_custkey values with count, share of all rows, and " +
+      "ratio-to-mean-key — the diagnostic that decides WHEN the skew " +
+      "mitigations this engine carries (salting, AQE skew-join) are " +
+      "worth their cost, run before shuffling 100 TB on a key. Shapes " +
+      "for scale: per-key counts are one partial-agg exchange; the " +
+      "top-10 is TakeOrderedAndProject (plan-asserted — never a " +
+      "ranking window over the full key population, which would " +
+      "single-partition |distinct keys| rows); the corpus-wide " +
+      "total/key-count scalars ride back as a 1-row broadcast and the " +
+      "rank window runs over exactly 10 rows. Shares are one IEEE " +
+      "division of exact integer counts, so the profile is " +
+      "oracle-hash-exact.",
+      """WITH c AS (SELECT o_custkey AS key, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS nkeys
+        |  FROM c),
+        |r AS (SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, key)::BIGINT AS rnk
+        |  FROM c)
+        |SELECT rnk, key, cnt,
+        |  (cnt::DOUBLE) / (g.total::DOUBLE) AS share,
+        |  ((cnt::DOUBLE) * (g.nkeys::DOUBLE)) / (g.total::DOUBLE)
+        |    AS ratio_to_mean
+        |FROM r CROSS JOIN g
+        |WHERE rnk <= 10
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("cnt"))
+      val g = c.agg(sum("cnt").as("total"), count(lit(1)).as("nkeys"))
+      // top-10 FIRST (TakeOrderedAndProject: per-partition heaps + one
+      // 10-row merge), THEN the rank window over those 10 rows only —
+      // same result as ranking the full key set, none of the cost
+      val top = c.orderBy(col("cnt").desc, col("key")).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("key"))
+      top.crossJoin(broadcast(g))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("key"), col("cnt"),
+          (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+          ((col("cnt").cast("double") * col("nkeys").cast("double"))
+            / col("total").cast("double")).as("ratio_to_mean"))
+        .orderBy("rnk")
     }
   )
 }

@@ -279,4 +279,16 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("o_totalprice"), "scan reads columns the query never uses:\n" + p)
   }
+
+  test("q74: top keys via TakeOrderedAndProject; the rank window sees 10 rows, not the key set") {
+    val p = plan("q74_key_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"),
+      "heavy-key selection must be a top-k, not a full sort/window:\n" + p)
+    // the only Window in the plan must sit ABOVE the limit — i.e. the
+    // plan has no window directly over the per-key aggregate output
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      "rank window must run over the 10 taken rows (window above take):\n" + p)
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{HashFunctions, TextFunctions}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the documents table — the core
@@ -245,6 +246,90 @@ object DedupQueries {
     clustersOf(docs.select("doc_id"), edges)
   }
 
+  /** Asymmetric LSH candidate pairs: incoming docs probed against a
+    * corpus side, confirmed by exact shingle Jaccard at `threshold` —
+    * the delta-ingest shape behind q75. Same MinHash(16) + 8x2 banding
+    * as [[lshConfirmedPairs]], but the band-bucket equi-join crosses the
+    * two frames instead of self-joining one, so cost tracks
+    * |delta| x collision rate — the corpus is only touched through its
+    * (precomputable) signature index plus the shingle lookup for
+    * confirmed candidates, never corpus x corpus.
+    *
+    * Output: (doc_id, cand_id, jac) — one row per confirmed
+    * (incoming, corpus) pair.
+    */
+  private[operators] def lshCrossPairs(corpus: DataFrame, incoming: DataFrame,
+      threshold: Double): DataFrame = {
+    def prep(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sh = docs.select(col("doc_id"),
+        TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      // shingle-less docs dropped before banding for the same reason as
+      // lshConfirmedPairs: the degenerate all-null signature would form
+      // one giant bucket per band
+      val sig = sh.where(size(col("sh")) > 0)
+        .select(col("doc_id"), HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+      (sh, bands)
+    }
+    val (corSh, corBands) = prep(corpus)
+    val (incSh, incBands) = prep(incoming)
+    val cand = incBands.alias("i").join(corBands.alias("c"),
+        col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))
+      .select(col("i.doc_id").as("doc_id"), col("c.doc_id").as("cand_id"))
+      .distinct()
+    cand
+      .join(incSh.select(col("doc_id"), col("sh").as("sh_i")), "doc_id")
+      .join(corSh.select(col("doc_id").as("cand_id"), col("sh").as("sh_c")), "cand_id")
+      .select(col("doc_id"), col("cand_id"),
+        TextFunctions.jaccard(col("sh_i"), col("sh_c")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** The incremental (delta-vs-corpus) dedup operator behind q75: tier
+    * every incoming doc against the standing corpus —
+    *
+    *   - `exact_dup`  when its md5 content hash matches a corpus doc
+    *                  (matched_id = the corpus canonical, min doc_id
+    *                  with that hash; match_jac = 1.0);
+    *   - `near_dup`   when exact shingle Jaccard >= 0.5 with some corpus
+    *                  doc (matched_id = best match — max jac, ties to
+    *                  the smallest corpus doc_id; match_jac = that jac);
+    *   - `keep`       otherwise (matched_id / match_jac NULL).
+    *
+    * Exact beats near when both hold. In-delta duplicates are NOT
+    * collapsed here — each incoming doc is judged against the corpus
+    * independently; dedup WITHIN a batch is q33/q66's job.
+    *
+    * Takes the two frames directly so tests can exercise all three
+    * tiers on synthetic splits; the catalog entry applies the
+    * deterministic doc_id %% 10 >= 8 delta split. */
+  private[graft] def incrementalDedup(corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    val corpusHashIndex = corpus
+      .groupBy(md5(col("text").cast("binary")).as("hh"))
+      .agg(min("doc_id").as("exact_id"))
+    val exact = incoming
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hh"))
+      .join(corpusHashIndex, Seq("hh"), "left")
+      .select(col("doc_id"), col("exact_id"))
+    val best = lshCrossPairs(corpus, incoming, 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("jac").desc, col("cand_id"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_id"), col("jac"))
+    exact.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact_dup"))
+          .when(col("cand_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("exact_id").isNotNull, col("exact_id"))
+          .otherwise(col("cand_id")).as("matched_id"),
+        when(col("exact_id").isNotNull, lit(1.0))
+          .otherwise(col("jac")).as("match_jac"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -435,6 +520,62 @@ object DedupQueries {
           HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
         .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q75
+    "q75_incremental_dedup" -> QueryDef.sql(
+      "Incremental (delta-vs-corpus) dedup — the shape a 100 TB corpus " +
+      "actually runs daily: you never re-cluster the world, you tier " +
+      "each INCOMING doc (deterministic delta split doc_id % 10 >= 8) " +
+      "against the STANDING corpus as exact_dup (md5 hash hit, matched " +
+      "to the corpus canonical), near_dup (shingle Jaccard >= 0.5, " +
+      "matched to the best corpus doc — max jac, ties to smallest id), " +
+      "or keep. Scale shape: the exact tier is one equi-join on a " +
+      "16-byte key against the corpus hash index; the fuzzy tier " +
+      "probes the corpus LSH band index with an asymmetric equi-join " +
+      "whose cost tracks |delta| x collision rate, never corpus^2 — " +
+      "both indexes are precomputable assets that persist between " +
+      "ingests (recomputed inline here; the plan shape is identical). " +
+      "Oracle parity on the fuzzy tier holds for the same reason as " +
+      "q66: no corpus pair sits in the [0.1, 0.8) Jaccard gap (the " +
+      "Verify premise probe guards this), so 8x2-banding recall is " +
+      "exactly 1.0 and the sketch-probed match set equals the oracle's " +
+      "exact shared-shingle-blocked one; jac doubles are one IEEE " +
+      "division of exact ints on both engines.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |sgl AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |cor AS (SELECT * FROM sgl WHERE doc_id % 10 < 8),
+        |inc AS (SELECT * FROM sgl WHERE doc_id % 10 >= 8),
+        |corh AS (SELECT md5(text) AS hh, min(doc_id)::BIGINT AS exact_id
+        |         FROM documents WHERE doc_id % 10 < 8 GROUP BY md5(text)),
+        |ex AS (SELECT d.doc_id, corh.exact_id
+        |       FROM documents d LEFT JOIN corh ON md5(d.text) = corh.hh
+        |       WHERE d.doc_id % 10 >= 8),
+        |pairs AS (SELECT i.doc_id, c.doc_id AS cand_id,
+        |    len(list_intersect(i.sh, c.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(i.sh, c.sh)))::DOUBLE AS jac
+        |  FROM inc i JOIN cor c ON len(list_intersect(i.sh, c.sh)) >= 1
+        |  WHERE len(list_intersect(i.sh, c.sh))::DOUBLE
+        |      / len(list_distinct(list_concat(i.sh, c.sh)))::DOUBLE >= 0.5),
+        |best AS (SELECT doc_id, cand_id, jac,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY jac DESC, cand_id) AS rn
+        |  FROM pairs)
+        |SELECT ex.doc_id,
+        |  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN b.cand_id IS NOT NULL THEN 'near_dup'
+        |       ELSE 'keep' END AS verdict,
+        |  (CASE WHEN ex.exact_id IS NOT NULL THEN ex.exact_id
+        |        ELSE b.cand_id END)::BIGINT AS matched_id,
+        |  (CASE WHEN ex.exact_id IS NOT NULL THEN 1.0
+        |        ELSE b.jac END)::DOUBLE AS match_jac
+        |FROM ex LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON ex.doc_id = b.doc_id
+        |ORDER BY ex.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      incrementalDedup(
+        docs.where(col("doc_id") % 10 < 8),
+        docs.where(col("doc_id") % 10 >= 8))
     }
   )
 }

@@ -648,6 +648,62 @@ object TextQueries {
         .where(h < col("thr"))
         .select(col("doc_id"), col("source"), col("nt").as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q76
+    "q76_boilerplate_ngrams" -> QueryDef.sql(
+      "Corpus-frequent n-gram (boilerplate) mining — the " +
+      "CCNet/RefinedWeb-style template-removal signal: a 3-gram shingle " +
+      "is 'boilerplate' when it appears in >= 1% of documents " +
+      "(relative threshold, so the contract is scale-invariant), and " +
+      "each doc reports how much of it is made of such shingles. Scale " +
+      "shape: the doc-frequency aggregate is map-side-combinable (per- " +
+      "doc shingles are pre-deduped, so count(*) IS the distinct doc " +
+      "count); the frequent set is tiny BY CONSTRUCTION (the threshold " +
+      "caps it at 100x the corpus token mass / corpus size) -> it " +
+      "rides back as a broadcast hash join, and the per-doc fraction " +
+      "is one more partial-agg — no corpus-side shuffle anywhere " +
+      "except the df aggregate's own exchange on the shingle key. " +
+      "Both engines compute the identical IEEE threshold " +
+      "ceil(0.01 * n_docs) and the fraction is one division of exact " +
+      "ints, so the check is hash-exact.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(${DedupQueries.sqlShingles}) AS sh FROM t),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |df AS (SELECT sh, count(*)::BIGINT AS df FROM s GROUP BY sh),
+        |freq AS (SELECT df.sh FROM df CROSS JOIN n
+        |         WHERE df.df >= ceil(0.01 * n.n_docs)),
+        |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |               count(f.sh)::BIGINT AS n_boilerplate
+        |        FROM s LEFT JOIN freq f ON s.sh = f.sh
+        |        GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+        |  coalesce(p.n_boilerplate, 0)::BIGINT AS n_boilerplate,
+        |  (CASE WHEN p.n_shingles > 0
+        |        THEN p.n_boilerplate::DOUBLE / p.n_shingles::DOUBLE
+        |        END)::DOUBLE AS boilerplate_frac
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(shinglesOfText(col("text"), 3)).as("sh"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val freq = dfreq.crossJoin(broadcast(nDocs))
+        .where(col("df") >= ceil(lit(0.01) * col("n_docs")))
+        .select(col("sh"), lit(1).as("is_freq"))
+      val per = sh.join(broadcast(freq), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("is_freq")).as("n_boilerplate"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+          when(col("n_shingles") > 0,
+            col("n_boilerplate").cast("double") / col("n_shingles").cast("double"))
+            .as("boilerplate_frac"))
+        .orderBy("doc_id")
     }
   )
 }

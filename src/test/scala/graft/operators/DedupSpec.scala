@@ -126,4 +126,66 @@ class DedupSpec extends SparkSpec {
       assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
     }
   }
+
+  // ---- q75: incremental (delta-vs-corpus) dedup ------------------------
+
+  test("q75: all three tiers + exact-over-near precedence on a synthetic split") {
+    val corpus = Seq(
+      (10L, docA),                        // original of both the exact and near dups
+      (11L, docA),                        // in-corpus exact copy — canonical must be min(10,11)=10
+      (12L, docC)
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, docA),                       // exact dup of 10/11 (also jac 1.0 — exact must win)
+      (101L, docB),                       // near dup of docA (one-word edit)
+      (102L, "totally novel text about incremental ingest tiers and deltas today"),
+      (103L, "x y")                       // shingle-less (< 3 tokens): must be keep, not dropped
+    ).toDF("doc_id", "text")
+    val rows = DedupQueries.incrementalDedup(corpus, incoming)
+      .as[(Long, String, Option[Long], Option[Double])].collect().toList
+    assert(rows.map(_._1) == List(100L, 101L, 102L, 103L), s"row set wrong: $rows")
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(100L) == ((100L, "exact_dup", Some(10L), Some(1.0))),
+      s"exact tier wrong (precedence over the jac-1.0 fuzzy match): ${m(100L)}")
+    assert(m(101L)._2 == "near_dup" && m(101L)._3.contains(10L), s"near tier wrong: ${m(101L)}")
+    assert(m(101L)._4.exists(j => j >= 0.5 && j < 1.0), s"near jac out of range: ${m(101L)}")
+    assert(m(102L) == ((102L, "keep", None, None)), s"keep tier wrong: ${m(102L)}")
+    assert(m(103L) == ((103L, "keep", None, None)), s"shingle-less doc wrong: ${m(103L)}")
+  }
+
+  test("q75: near-dup best match is max jac with ties to the smallest corpus id") {
+    // two corpus docs at different similarity to the incoming doc: the
+    // closer one must be elected even though it has the larger doc_id
+    val corpus = Seq(
+      (1L, docA + " with plenty of extra trailing words appended here making it longer"),
+      (2L, docA)
+    ).toDF("doc_id", "text")
+    val incoming = Seq((50L, docB)).toDF("doc_id", "text")
+    val r = DedupQueries.incrementalDedup(corpus, incoming)
+      .as[(Long, String, Option[Long], Option[Double])].head()
+    assert(r._2 == "near_dup" && r._3.contains(2L), s"best-match election wrong: $r")
+  }
+
+  test("q75 oracle premise: asymmetric LSH cross-pairs EQUAL exact cross-pairs at j >= 0.5 (sf0.001)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.where(col("doc_id") % 10 < 8)
+    val incoming = docs.where(col("doc_id") % 10 >= 8)
+    // brute-force cross join: test-only ground truth (the engine never
+    // runs this shape — that is the point of the LSH probe)
+    val exact = incoming
+      .select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .crossJoin(corpus
+        .select(col("doc_id").as("cand_id"),
+          TextFunctions.shinglesOfText(col("text"), 3).as("sh_c"))
+        .where(size(col("sh_c")) > 0))
+      .select(col("doc_id"), col("cand_id"),
+        TextFunctions.jaccard(col("sh"), col("sh_c")).as("jac"))
+      .where(col("jac") >= 0.5)
+      .select("doc_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = DedupQueries.lshCrossPairs(corpus, incoming, 0.5)
+      .select("doc_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test needs at least one cross-split near-dup pair")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
 }

@@ -291,4 +291,23 @@ class PlanChecksSpec extends SparkSpec {
     assert(winIdx >= 0 && takeIdx > winIdx,
       "rank window must run over the 10 taken rows (window above take):\n" + p)
   }
+
+  test("q75: delta-vs-corpus dedup is all equi-joins — no cartesian, no nested-loop probe") {
+    // the asymmetric LSH probe and the hash-index join must both be
+    // equi-joins: at 100 TB the fuzzy tier's cost must track
+    // |delta| x collision rate, never corpus^2
+    val p = plan("q75_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q76: the frequent-shingle set rides back as a broadcast, not a corpus-side shuffle") {
+    // the threshold caps the frequent set's size by construction; joining
+    // it back any other way would shuffle the full shingle stream twice
+    val df = SparkEntry.queries("q76_boilerplate_ngrams")(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -207,6 +207,32 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"semantic_dedup_scale","vectors":${out.head.getLong(0)},"k":$k,"dropped":${out.head.getLong(1)},"sec":$sec%.2f}""")
     }
+
+    // ---- 8. q75 incremental-dedup scale probe: the DAILY-INGEST axis —
+    // the delta stays fixed while the standing corpus grows 1x/4x/16x.
+    // Two properties matter at 100 TB: (a) the verdict set is EXACTLY
+    // invariant as the corpus replicates (replicas only add equal-jac
+    // candidates with larger doc_ids, which lose the max-jac/min-id
+    // election — so n_dup must not move at all), and (b) wall grows
+    // sublinearly in corpus size, and what growth remains is the INLINE
+    // index build (shingle + minhash over the corpus side) that a
+    // production ingest amortizes by persisting the hash/band indexes
+    // between deltas — the probe side itself is delta-bounded.
+    {
+      val delta = base.where(col("doc_id") % 10 >= 8)
+      val corBase = base.where(col("doc_id") % 10 < 8)
+      for (mult <- Seq(1, 4, 16)) {
+        val corpus = replicated(corBase, "doc_id", mult)(m =>
+          Seq(offsetId("doc_id", m), col("text")))
+        val t0 = System.nanoTime()
+        val out = graft.operators.DedupQueries.incrementalDedup(corpus, delta)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("verdict") =!= "keep", 1L).otherwise(0L)).as("n_dup"))
+          .collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"metric":"incremental_dedup_scale","corpus_docs":${corBase.count() * mult},"delta_docs":${out.head.getLong(0)},"n_dup":${out.head.getLong(1)},"sec":$sec%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

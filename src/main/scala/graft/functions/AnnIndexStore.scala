@@ -110,57 +110,24 @@ object AnnIndexStore {
     }.toOption
 
   /** Write centroids to a temp sibling then atomically rename into place,
-    * so readers only ever see complete indexes. Only a LOST RACE (the
-    * target appearing first) is swallowed — and even then the survivor is
-    * VALIDATED: if the winner's index is torn/invalid it is replaced, so
-    * a bad entry can never become permanent (an unvalidated swallow would
-    * silently revert q47 to retrain-per-execution forever). Any other
-    * failure propagates. The tmp suffix carries pid + thread + nanotime:
-    * two same-JVM threads persisting the same key must not share a tmp
-    * path (one would rename the other's half-written directory). */
+    * so readers only ever see complete indexes. Race/cleanup semantics
+    * are [[AtomicDir.publishValidated]]'s: only a lost race is swallowed,
+    * and only when the winner's index VALIDATES — a bad entry can never
+    * become permanent (an unvalidated swallow would silently revert q47
+    * to retrain-per-execution forever). */
   private def persist(spark: SparkSession, path: java.nio.file.Path,
       cents: Array[Array[Double]]): Unit = {
     import spark.implicits._
     java.nio.file.Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling(path.getFileName.toString +
-      s".tmp-${ProcessHandle.current.pid}-${Thread.currentThread().getId}-${System.nanoTime()}")
+    val tmp = AtomicDir.tmpSibling(path)
     try {
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "c")
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      moveInto(tmp, path)
     } catch {
-      // concurrent builder won the race (a directory target surfaces as
-      // DirectoryNotEmptyException from POSIX rename). Keep theirs only
-      // if it validates; replace it with ours otherwise.
-      case _: java.nio.file.FileAlreadyExistsException
-         | _: java.nio.file.DirectoryNotEmptyException =>
-        if (load(spark, path, cents.length).isEmpty) {
-          deleteRecursively(path)
-          try moveInto(tmp, path)
-          catch { // second race: at this point SOMEONE installed an index
-            case _: java.nio.file.FileAlreadyExistsException => ()
-            case _: java.nio.file.DirectoryNotEmptyException => ()
-          }
-        }
-    } finally deleteRecursively(tmp)
+      case e: Throwable => AtomicDir.deleteRecursively(tmp); throw e
+    }
+    AtomicDir.publishValidated(tmp, path)(load(spark, path, cents.length).nonEmpty)
   }
-
-  /** Atomic rename when the FS supports it, plain move otherwise (loads
-    * validate row count/width, so a torn non-atomic move is rejected ->
-    * retrain, never trusted). */
-  private def moveInto(tmp: java.nio.file.Path, path: java.nio.file.Path): Unit =
-    try java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp, path)
-    }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    }
 }

@@ -259,32 +259,70 @@ object DedupQueries {
     * (incoming, corpus) pair.
     */
   private[operators] def lshCrossPairs(corpus: DataFrame, incoming: DataFrame,
-      threshold: Double): DataFrame = {
-    def prep(docs: DataFrame): (DataFrame, DataFrame) = {
-      val sh = docs.select(col("doc_id"),
-        TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
-      // shingle-less docs dropped before banding for the same reason as
-      // lshConfirmedPairs: the degenerate all-null signature would form
-      // one giant bucket per band
-      val sig = sh.where(size(col("sh")) > 0)
-        .select(col("doc_id"), HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
-      val bands = sig.select(col("doc_id"),
-        explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-      (sh, bands)
-    }
-    val (corSh, corBands) = prep(corpus)
-    val (incSh, incBands) = prep(incoming)
-    val cand = incBands.alias("i").join(corBands.alias("c"),
-        col("i.band") === col("c.band") && col("i.bucket") === col("c.bucket"))
-      .select(col("i.doc_id").as("doc_id"), col("c.doc_id").as("cand_id"))
+      threshold: Double): DataFrame =
+    probeCandidates(indexCorpus(corpus), incoming, threshold)
+
+  /** The probe half of the asymmetric shape: incoming docs against a
+    * [[CorpusDedupIndex]] — band-bucket equi-join for candidates, then
+    * the exact-Jaccard confirm against the index's shingle frame.
+    * Shingle-less incoming docs are dropped before banding for the same
+    * reason as lshConfirmedPairs (degenerate all-null signature bucket).
+    * Output: (doc_id, cand_id, jac), one row per confirmed pair. */
+  private[graft] def probeCandidates(index: CorpusDedupIndex,
+      incoming: DataFrame, threshold: Double): DataFrame = {
+    val incSh = incoming.select(col("doc_id"),
+      TextFunctions.shinglesOfText(col("text"), 3).as("sh_i"))
+      .where(size(col("sh_i")) > 0)
+    val incBands = incSh
+      .select(col("doc_id"),
+        explode(HashFunctions.bandHashes(
+          HashFunctions.minhashSignature(col("sh_i"), 16), 8, 2)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val cand = incBands
+      .join(index.bandIndex, Seq("band", "bucket"))
+      .select(col("doc_id"), col("cand_id"))
       .distinct()
     cand
-      .join(incSh.select(col("doc_id"), col("sh").as("sh_i")), "doc_id")
-      .join(corSh.select(col("doc_id").as("cand_id"), col("sh").as("sh_c")), "cand_id")
+      .join(incSh, "doc_id")
+      .join(index.shingleIndex, Seq("cand_id"))
       .select(col("doc_id"), col("cand_id"),
         TextFunctions.jaccard(col("sh_i"), col("sh_c")).as("jac"))
       .where(col("jac") >= threshold)
+  }
+
+  /** The standing-corpus asset q75 probes — at 100 TB these three frames
+    * are what an ingest pipeline persists between deltas
+    * ([[graft.functions.DedupIndexStore]]) and republishes on corpus
+    * growth:
+    *
+    *   - hashIndex    (hh, exact_id): md5 -> canonical (min) doc id
+    *   - bandIndex    (band, bucket, cand_id): LSH 8x2 over MinHash(16)
+    *   - shingleIndex (cand_id, sh_c): 3-gram shingle sets for the
+    *                  exact-Jaccard confirm
+    */
+  final case class CorpusDedupIndex(hashIndex: DataFrame, bandIndex: DataFrame,
+      shingleIndex: DataFrame)
+
+  /** Build [[CorpusDedupIndex]] from a static corpus frame (doc_id,
+    * text). Shingle-less corpus docs are excluded from the band index
+    * (their degenerate all-null signature would form one giant bucket per
+    * band) but present in the hash index (a byte-exact dup of a 2-token
+    * doc is still exact). Shared by batch q75, the streaming twin
+    * ([[graft.streaming.IncrementalDedupStream]]) and the persisted
+    * store, so all three probe the SAME index definition. */
+  def indexCorpus(corpus: DataFrame): CorpusDedupIndex = {
+    val hashIndex = corpus
+      .groupBy(md5(col("text").cast("binary")).as("hh"))
+      .agg(min("doc_id").as("exact_id"))
+    val sh = corpus.select(col("doc_id").as("cand_id"),
+      TextFunctions.shinglesOfText(col("text"), 3).as("sh_c"))
+      .where(size(col("sh_c")) > 0)
+    val bandIndex = sh
+      .select(col("cand_id"),
+        explode(HashFunctions.bandHashes(
+          HashFunctions.minhashSignature(col("sh_c"), 16), 8, 2)).as("bh"))
+      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"), col("cand_id"))
+    CorpusDedupIndex(hashIndex, bandIndex, sh)
   }
 
   /** The incremental (delta-vs-corpus) dedup operator behind q75: tier
@@ -305,15 +343,20 @@ object DedupQueries {
     * Takes the two frames directly so tests can exercise all three
     * tiers on synthetic splits; the catalog entry applies the
     * deterministic doc_id %% 10 >= 8 delta split. */
-  private[graft] def incrementalDedup(corpus: DataFrame, incoming: DataFrame): DataFrame = {
-    val corpusHashIndex = corpus
-      .groupBy(md5(col("text").cast("binary")).as("hh"))
-      .agg(min("doc_id").as("exact_id"))
+  private[graft] def incrementalDedup(corpus: DataFrame, incoming: DataFrame): DataFrame =
+    incrementalDedupIndexed(indexCorpus(corpus), incoming)
+
+  /** [[incrementalDedup]] against an already-built (possibly loaded from
+    * [[graft.functions.DedupIndexStore]]) index — the production daily
+    * shape, where the corpus cost was paid once at publish time and each
+    * delta pays only the probe. */
+  private[graft] def incrementalDedupIndexed(index: CorpusDedupIndex,
+      incoming: DataFrame): DataFrame = {
     val exact = incoming
       .select(col("doc_id"), md5(col("text").cast("binary")).as("hh"))
-      .join(corpusHashIndex, Seq("hh"), "left")
+      .join(index.hashIndex, Seq("hh"), "left")
       .select(col("doc_id"), col("exact_id"))
-    val best = lshCrossPairs(corpus, incoming, 0.5)
+    val best = probeCandidates(index, incoming, 0.5)
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("jac").desc, col("cand_id"))))
       .where(col("rn") === 1)

@@ -52,36 +52,16 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedupStream {
 
-  /** The published corpus asset, built ONCE from a static corpus frame
-    * (doc_id, text) — at 100 TB these three frames are what an ingest
-    * pipeline persists between deltas and republishes on corpus growth:
-    *
-    *   - hashIndex    (hh, exact_id): md5 -> canonical (min) doc id
-    *   - bandIndex    (band, bucket, cand_id): LSH 8x2 over MinHash(16)
-    *   - shingleIndex (cand_id, sh_c): 3-gram shingle sets for the
-    *                  exact-Jaccard confirm
-    */
-  final case class CorpusIndex(hashIndex: DataFrame, bandIndex: DataFrame,
-      shingleIndex: DataFrame)
+  /** The published corpus asset — the SAME index definition batch q75
+    * builds and [[graft.functions.DedupIndexStore]] persists
+    * ([[graft.operators.DedupQueries.CorpusDedupIndex]]): hash index
+    * (hh, exact_id), LSH band index (band, bucket, cand_id) and shingle
+    * index (cand_id, sh_c). One definition, three consumers. */
+  type CorpusIndex = graft.operators.DedupQueries.CorpusDedupIndex
 
-  /** Same expressions as batch q75's corpus side ([[graft.operators.DedupQueries]]
-    * incrementalDedup) — shingle-less corpus docs are excluded from the
-    * band index (degenerate all-null signature bucket), present in the
-    * hash index (byte-exact dup of a 2-token doc is still exact). */
-  def indexCorpus(corpus: DataFrame): CorpusIndex = {
-    val hashIndex = corpus
-      .groupBy(md5(col("text").cast("binary")).as("hh"))
-      .agg(min("doc_id").as("exact_id"))
-    val sh = corpus.select(col("doc_id").as("cand_id"),
-      TextFunctions.shinglesOfText(col("text"), 3).as("sh_c"))
-      .where(size(col("sh_c")) > 0)
-    val bandIndex = sh
-      .select(col("cand_id"),
-        explode(HashFunctions.bandHashes(
-          HashFunctions.minhashSignature(col("sh_c"), 16), 8, 2)).as("bh"))
-      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"), col("cand_id"))
-    CorpusIndex(hashIndex, bandIndex, sh)
-  }
+  /** See [[graft.operators.DedupQueries.indexCorpus]]. */
+  def indexCorpus(corpus: DataFrame): CorpusIndex =
+    graft.operators.DedupQueries.indexCorpus(corpus)
 
   // election encoding: priority 2 = exact hash hit, 1 = confirmed fuzzy
   // candidate, 0 = the per-arrival keep sentinel. The max of

@@ -343,8 +343,113 @@ object SimilarityQueries {
           (r.getLong(0), v.map(_ / nrm))
         }
       semanticDedup(corpus, cents, tau = 0.35)
+    },
+
+    // ---------------------------------------------------------------- q77
+    "q77_embedding_covariance" -> QueryDef.sql(
+      "Distributed covariance of the 64-dim embedding corpus — the " +
+      "reduction half of PCA at scale: ONE single-pass typed Aggregator " +
+      "(CovMoments) folds every partition into a 2,145-double " +
+      "[n, sums, upper-tri product sums] buffer (map-side combined, a " +
+      "few KB of shuffle per partition — never the oracle's d^2 x N " +
+      "explode-join, which is the textbook shape that does NOT survive " +
+      "100 TB), then the 2,080 upper-triangle entries are closed-form " +
+      "column arithmetic over the one finished buffer against a " +
+      "broadcast (i, j) grid. Entries are rounded to 6 dp on both " +
+      "engines (the q51 rule: accumulation order differs at ulp scale).",
+      """WITH e AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
+        |SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+        |  round(covar_samp(a.x, b.x), 6) AS cov
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dim = 64
+      val mom = Tables.embeddings(s, d)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .as[Seq[Double]]
+        .select(new graft.functions.CovMoments(dim).toColumn.as("m"))
+      val grid = s.range(1, dim + 1).select(col("id").cast("int").as("i"))
+        .crossJoin(s.range(1, dim + 1).select(col("id").cast("int").as("j")))
+        .where(col("i") <= col("j"))
+      // buffer layout (0-based): [0]=n, [1..d]=sums, then the upper
+      // triangle row-major; element_at is 1-based, so every index below
+      // carries the +1. Sanity: (i=1, j=1) -> 2 + d + 0 - 0 + 0 = 66,
+      // the first triangle slot.
+      grid.crossJoin(broadcast(mom))
+        .select(col("i"), col("j"),
+          element_at(col("m"), 1).cast("long").as("n"),
+          round(
+            (element_at(col("m"),
+                lit(2 + dim) + (col("i") - 1) * dim
+                  - expr("((i - 1) * (i - 2)) DIV 2") + (col("j") - col("i")))
+              - element_at(col("m"), col("i") + 1)
+                * element_at(col("m"), col("j") + 1) / element_at(col("m"), 1))
+              / (element_at(col("m"), 1) - 1.0), 6).as("cov"))
+        .orderBy("i", "j")
+    },
+
+    // ---------------------------------------------------------------- q78
+    "q78_pca_whitening" -> QueryDef.rowsOnly(
+      "PCA whitening of the embedding corpus — the full distributed " +
+      "linear-algebra loop: q77's CovMoments reduction gives the d x d " +
+      "covariance (a few KB on the driver, never the sample), a " +
+      "deterministic driver-side Jacobi eigendecomposition (SymEigen: " +
+      "fixed sweep order, eigenvalues descending, sign-fixed vectors) " +
+      "diagonalizes it in microseconds, and the top-16 eigenbasis ships " +
+      "back as PLAN LITERALS for a codegen'd distributed projection " +
+      "(one zip_with/aggregate dot per component, mean and 1/sqrt(eig) " +
+      "folded into constants) — whitened components have unit variance " +
+      "and zero pairwise covariance, the standard preprocessing for " +
+      "embedding-space dedup/ANN. Driver-side eigen on a cluster " +
+      "reduction is engine-specific -> rows-only; PcaSpec asserts the " +
+      "whitening contract (cov(y) = I to 1e-8) and SymEigen's algebra.") { (s, d) =>
+      graft.plans.LazyStage.defer(s, pcaSchema) { () =>
+        pcaWhiten(Tables.embeddings(s, d), keep = 16)
+      }
     }
   )
+
+  private val pcaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
+  /** The q78 operator over an arbitrary embeddings frame: covariance via
+    * [[graft.functions.CovMoments]], eigenbasis via
+    * [[graft.functions.SymEigen]], then the distributed whitening
+    * projection y_c = (dot(x, q_c) - dot(mu, q_c)) / sqrt(eig_c) with
+    * everything scalar folded into literals. RUNS A SPARK JOB NOW (the
+    * moments reduction) — the catalog entry defers it via LazyStage. */
+  private[graft] def pcaWhiten(emb: DataFrame, keep: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val dim = 64
+    val mom = emb.select(col("embedding").cast("array<double>").as("v"))
+      .as[Seq[Double]]
+      .select(new graft.functions.CovMoments(dim).toColumn.as("m"))
+      .head()
+    val cov = graft.functions.CovMoments.covarianceMatrix(mom, dim)
+    val mu = graft.functions.CovMoments.means(mom, dim)
+    val (eig, basis) = graft.functions.SymEigen.decompose(cov)
+    require(eig(keep - 1) > 0.0,
+      s"covariance rank < $keep (eig($keep)=${eig(keep - 1)}): corpus too small to whiten")
+    val comps = (0 until keep).map { c =>
+      val qv = basis(c)
+      val meanDot = (0 until dim).map(i => mu(i) * qv(i)).sum
+      val qLit = array(qv.map(lit(_)): _*)
+      ((aggregate(zip_with(col("v"), qLit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) - lit(meanDot))
+        / lit(math.sqrt(eig(c)))).as(s"y$c")
+    }
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id") +: comps: _*)
+      .select(col("vec_id"),
+        array((0 until keep).map(c => col(s"y$c")): _*).as("y"))
+      .orderBy("vec_id")
+  }
 
   /** SemDeDup over any normed (vec_id, v, nrm) frame given cosine-
     * normalized centroids (sid, unit vector): one-pass NearestCells

@@ -482,6 +482,61 @@ object ExtendedQueries {
           ((col("cnt").cast("double") * col("nkeys").cast("double"))
             / col("total").cast("double")).as("ratio_to_mean"))
         .orderBy("rnk")
+    },
+
+    // ---------------------------------------------------------------- q82
+    "q82_mad_outliers" -> QueryDef.sql(
+      "Robust per-source outlier profile via median absolute deviation " +
+      "— the length-distribution cleaning gate that, unlike mean/stddev " +
+      "(q57's z-score family), a single garbage document cannot drag: " +
+      "per source, med = exact median(n_chars), mad = exact " +
+      "median(|n_chars - med|), outliers = docs with |x - med| > " +
+      "3 * mad. Medians interpolate integer-valued inputs at fraction " +
+      "0.5, so every med/mad is an exact binary .0/.5 double and the " +
+      "3*mad comparison is engine-exact — no rounding, hash-exact. " +
+      "Shape at 100 TB: two hash aggregates on source (exact " +
+      "percentiles per group — the group count is sources, not docs) " +
+      "bridged by a broadcast join of the tiny per-source medians back " +
+      "onto the corpus; the outlier count folds into the second " +
+      "aggregate's pass. No window over the full corpus, no sort.",
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |           FROM documents GROUP BY source),
+        |a AS (SELECT d.source, abs(d.n_chars::DOUBLE - m.med) AS ad
+        |      FROM documents d JOIN m USING (source)),
+        |s AS (SELECT source, quantile_cont(ad, 0.5) AS mad,
+        |        count(*)::BIGINT AS n_docs
+        |      FROM a GROUP BY source)
+        |SELECT s.source, s.n_docs, m.med, s.mad,
+        |  sum(CASE WHEN a.ad > 3 * s.mad THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_outliers
+        |FROM s JOIN m USING (source) JOIN a USING (source)
+        |GROUP BY s.source, s.n_docs, m.med, s.mad
+        |ORDER BY s.source""".stripMargin) { (s, d) =>
+      madOutlierProfile(Tables.documents(s, d))
     }
   )
+
+  /** The q82 MAD profile over an arbitrary (source, n_chars) frame —
+    * shared by the catalog entry and MadOutlierSpec so the tests
+    * exercise the shipped plan. See the q82 catalog doc for the scale
+    * shape. */
+  def madOutlierProfile(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5)").as("med"))
+    val a = docs.join(broadcast(m), "source")
+      .select(col("source"), col("med"),
+        abs(col("n_chars").cast("double") - col("med")).as("ad"))
+    val st = a.groupBy("source", "med")
+      .agg(expr("percentile(ad, 0.5)").as("mad"),
+        count(lit(1)).as("n_docs"))
+    a.join(broadcast(st.select("source", "mad")), "source")
+      .groupBy("source")
+      .agg(sum(when(col("ad") > lit(3) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .join(st, "source")
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("source")
+  }
 }

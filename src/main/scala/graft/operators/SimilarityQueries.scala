@@ -369,7 +369,8 @@ object SimilarityQueries {
       val mom = Tables.embeddings(s, d)
         .select(col("embedding").cast("array<double>").as("v"))
         .as[Seq[Double]]
-        .select(new graft.functions.CovMoments(dim).toColumn.as("m"))
+        .select(new graft.functions.CovMoments(dim).toColumn)
+        .toDF("m")
       val grid = s.range(1, dim + 1).select(col("id").cast("int").as("i"))
         .crossJoin(s.range(1, dim + 1).select(col("id").cast("int").as("j")))
         .where(col("i") <= col("j"))
@@ -382,8 +383,9 @@ object SimilarityQueries {
           element_at(col("m"), 1).cast("long").as("n"),
           round(
             (element_at(col("m"),
-                lit(2 + dim) + (col("i") - 1) * dim
+                (lit(2 + dim) + (col("i") - 1) * dim
                   - expr("((i - 1) * (i - 2)) DIV 2") + (col("j") - col("i")))
+                  .cast("int"))
               - element_at(col("m"), col("i") + 1)
                 * element_at(col("m"), col("j") + 1) / element_at(col("m"), 1))
               / (element_at(col("m"), 1) - 1.0), 6).as("cov"))
@@ -429,7 +431,7 @@ object SimilarityQueries {
     val dim = 64
     val mom = emb.select(col("embedding").cast("array<double>").as("v"))
       .as[Seq[Double]]
-      .select(new graft.functions.CovMoments(dim).toColumn.as("m"))
+      .select(new graft.functions.CovMoments(dim).toColumn)
       .head()
     val cov = graft.functions.CovMoments.covarianceMatrix(mom, dim)
     val mu = graft.functions.CovMoments.means(mom, dim)

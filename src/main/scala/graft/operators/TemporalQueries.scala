@@ -162,6 +162,72 @@ object TemporalQueries {
         .select(col("user_id"), col("day"),
           coalesce(col("n"), lit(0L)).as("n_events"))
         .orderBy("user_id", "day")
+    },
+
+    // ---------------------------------------------------------------- q80
+    "q80_scd2_history" -> QueryDef.sql(
+      "Slowly-changing-dimension type-2 history build — the standard " +
+      "warehouse change-capture operator: each user's event_type stream " +
+      "(ordered by ts with event_id as the total-order tiebreak) is " +
+      "collapsed gaps-and-islands style (lag -> change flag -> running " +
+      "sum over an explicit ROWS frame) into validity intervals " +
+      "[valid_from, valid_to) with valid_to = next interval's start, " +
+      "NULL + is_current on the open tail. All values are exact " +
+      "(timestamps, counts, booleans) so the check is hash-exact with " +
+      "no rounding. Shape at 100 TB: ONE hash partition on user_id " +
+      "serves the lag and the running sum (same window spec -> one " +
+      "exchange + one sort), the segment aggregate re-keys to " +
+      "(user_id, grp) — map-side combinable because segments are " +
+      "contiguous within a partition — and the lead stitch re-uses the " +
+      "user_id partitioning. No self-join of events to events, which is " +
+      "the naive SCD2 shape that collapses at fact scale.",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |r AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |        AS grp FROM r),
+        |seg AS (SELECT user_id, grp, min(event_type) AS event_type,
+        |          min(ts) AS valid_from, max(ts) AS last_seen,
+        |          count(*)::BIGINT AS n_events
+        |        FROM g GROUP BY user_id, grp)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  (lead(valid_from) OVER w2 IS NULL) AS is_current,
+        |  last_seen, n_events
+        |FROM seg WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+        |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      scd2History(Tables.events(s, d))
     }
   )
+
+  /** The q80 SCD2 history build over an arbitrary
+    * (user_id, ts, event_id, event_type) frame — shared by the catalog
+    * entry and Scd2Spec so the tests exercise the shipped plan. See the
+    * q80 catalog doc for the scale shape. */
+  def scd2History(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    val g = events
+      .select("user_id", "ts", "event_id", "event_type")
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum("chg").over(wRun).cast("long"))
+    g.groupBy("user_id", "grp")
+      .agg(min("event_type").as("event_type"),
+        min("ts").as("valid_from"), max("ts").as("last_seen"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead("valid_from", 1).over(w2).as("valid_to"),
+        lead("valid_from", 1).over(w2).isNull.as("is_current"),
+        col("last_seen"), col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
 }

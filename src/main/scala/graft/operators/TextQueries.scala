@@ -704,6 +704,198 @@ object TextQueries {
             col("n_boilerplate").cast("double") / col("n_shingles").cast("double"))
             .as("boilerplate_frac"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q79
+    "q79_bm25_topk" -> QueryDef.sql(
+      "BM25 retrieval: top-10 documents for a 3-term query with the " +
+      "log-free RATIONAL idf analog (N - df + 0.5)/(df + 0.5) — same " +
+      "libm-avoidance rule as q53 — and the standard Robertson tf " +
+      "saturation tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl)) (k1=1.2, " +
+      "b=0.75, numerator constant written as the literal 2.2 on both " +
+      "engines so the parse is identical). Per-term contributions are " +
+      "conditional one-hot sums (each sums exactly one non-zero double, " +
+      "so group order cannot perturb them) combined left-to-right — " +
+      "bit-exact across engines with no rounding. Shape at 100 TB: the " +
+      "corpus side is ONE explode with the query-term filter applied " +
+      "BEFORE the tf aggregate (rows ∝ query-term hits, not corpus " +
+      "tokens); df and the (N, avgdl) scalars reduce from the tf/len " +
+      "aggregates and come back as broadcasts; final ranking is a " +
+      "TakeOrderedAndProject top-10, never a full sort.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM t),
+        |st AS (SELECT count(*)::BIGINT AS n,
+        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM (SELECT doc_id, unnest(w) AS term FROM t)
+        |       WHERE term IN ('spark', 'join', 'stream')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    ((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+        |    * (tf.tf::DOUBLE * 2.2
+        |       / (tf.tf::DOUBLE
+        |          + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |per AS (SELECT doc_id,
+        |    sum(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+        |    sum(CASE WHEN term = 'join' THEN s END) AS s_join,
+        |    sum(CASE WHEN term = 'stream' THEN s END) AS s_stream
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, dl, s_spark, s_join, s_stream, score, rnk FROM (
+        |  SELECT p.doc_id, dl.dl, p.s_spark, p.s_join, p.s_stream,
+        |    coalesce(p.s_spark, 0) + coalesce(p.s_join, 0)
+        |      + coalesce(p.s_stream, 0) AS score,
+        |    row_number() OVER (ORDER BY coalesce(p.s_spark, 0)
+        |      + coalesce(p.s_join, 0) + coalesce(p.s_stream, 0) DESC,
+        |      p.doc_id)::BIGINT AS rnk
+        |  FROM per p JOIN dl USING (doc_id)) z
+        |WHERE rnk <= 10
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      bm25TopK(Tables.documents(s, d), Seq("spark", "join", "stream"), 10)
+    },
+
+    // ---------------------------------------------------------------- q81
+    "q81_bigram_lm_score" -> QueryDef.sql(
+      "Corpus-trained bigram language-model scoring — the CCNet-style " +
+      "statistical quality filter: add-one-smoothed P(w2|w1) = " +
+      "(c(w1,w2) + 1) / (c(w1·) + V) trained on the corpus itself " +
+      "(c(w1·) counts w1 as a bigram HISTORY, so each row of the " +
+      "conditional distribution sums to 1), then each document scored " +
+      "by its mean transition probability. The per-doc reduction is an " +
+      "INDEX-ORDERED fold (sort_array over (pos, p) structs + aggregate, " +
+      "mirrored by DuckDB's list(p ORDER BY pos) + list_reduce with the " +
+      "same 0.0 seed) so the double sum is bit-identical across engines " +
+      "— a hash-exact group mean with no rounding. Shape at 100 TB: " +
+      "bigram emission is one explode (rows = corpus tokens); model " +
+      "training is two hash aggregates on (w1,w2)/(w1); scoring joins " +
+      "the exploded stream back to the model on its natural keys " +
+      "(equi-joins, AQE-splittable if a stopword history skews); V is " +
+      "one broadcast scalar; the fold state per doc is bounded by doc " +
+      "length. No driver-side vocabulary, no cross product.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w) - 1),
+        |         i -> {'pos': i, 'w1': w[i], 'w2': w[i + 1]})
+        |    ELSE []::STRUCT(pos BIGINT, w1 VARCHAR, w2 VARCHAR)[] END) AS s
+        |  FROM t),
+        |b2 AS (SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2 FROM b),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM b2 GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT term)::BIGINT AS v
+        |       FROM (SELECT unnest(w) AS term FROM t)),
+        |p AS (SELECT b2.doc_id, b2.pos,
+        |    (c2.c2 + 1)::DOUBLE / (c1.c1 + vv.v)::DOUBLE AS p
+        |  FROM b2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+        |per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+        |      (a, x) -> a + x) AS sump
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  (per.sump / per.n_bigrams::DOUBLE)::DOUBLE AS mean_p
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      bigramLmScores(Tables.documents(s, d))
     }
   )
+
+  /** The q79 BM25 operator over an arbitrary (doc_id, text) frame —
+    * shared by the catalog entry and Bm25LmSpec so the tests exercise
+    * the shipped plan. See the q79 catalog doc for the scale shape. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 8,
+      "bm25TopK: per-term one-hot columns only stay readable for a " +
+        "handful of query terms")
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val dl = t.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("long").as("n"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = t.select(col("doc_id"), explode(col("w")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val sc = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("term"),
+        (((col("n").cast("double") - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5))
+          * (col("tf").cast("double") * 2.2
+            / (col("tf").cast("double")
+              + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+          .as("s"))
+    // per-term one-hot conditional sums in the caller's term order
+    val oneHot = terms.map(q =>
+      sum(when(col("term") === q, col("s"))).as("s_" + q))
+    val per = sc.groupBy("doc_id").agg(oneHot.head, oneHot.tail: _*)
+    val scored = per.join(dl, "doc_id")
+      .withColumn("score",
+        terms.map(q => coalesce(col("s_" + q), lit(0.0))).reduceLeft(_ + _))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select((Seq("doc_id", "dl") ++ terms.map("s_" + _)
+        ++ Seq("score", "rnk")).map(col): _*)
+      .orderBy("rnk")
+  }
+
+  /** The q81 bigram-LM scorer over an arbitrary (doc_id, text) frame —
+    * trains add-one-smoothed transition counts on the frame itself and
+    * scores every document by mean P(w2|w1) with an index-ordered fold.
+    * Shared by the catalog entry and Bm25LmSpec. */
+  def bigramLmScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val b2 = t.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(cast(i AS bigint) AS pos, " +
+          "element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("s"))
+      .select(col("doc_id"), col("s.pos"), col("s.w1"), col("s.w2"))
+    val c2 = b2.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = b2.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = t.select(explode(col("w")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val p = b2.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), col("pos"),
+        ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .as("p"))
+    val per = p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"), col("n_bigrams"),
+        aggregate(expr("transform(ps, s -> s.p)"), lit(0.0), (a, x) => a + x)
+          .as("sump"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("sump") / col("n_bigrams").cast("double")).as("mean_p"))
+      .orderBy("doc_id")
+  }
+
+  /** Smoothed transition probabilities P(w2|w1) for the q81 model over an
+    * arbitrary (doc_id, text) frame — exposed for Bm25LmSpec's
+    * rows-sum-to-1 distribution check. */
+  private[operators] def bigramLmModel(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val b2 = t.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"))
+        .as("s"))
+      .select(col("s.w1"), col("s.w2"))
+    val c2 = b2.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = b2.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vv = t.select(explode(col("w")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    c2.join(c1, "w1").crossJoin(broadcast(vv))
+      .select(col("w1"), col("w2"), col("c2"), col("c1"), col("v"),
+        ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .as("p"))
+  }
 }

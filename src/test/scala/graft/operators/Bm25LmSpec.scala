@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic anchors for the q79 BM25 ranker and the q81 bigram-LM
+  * quality scorer, on corpora small enough to check by hand.
+  */
+class Bm25LmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: hand-computed score on a two-doc corpus; ranking respects tf") {
+    // doc 1: "spark spark x"  doc 2: "spark y y y"  doc 3: no hit
+    val docs = Seq(
+      (1L, "spark spark x"),
+      (2L, "spark y y y"),
+      (3L, "z z z")).toDF("doc_id", "text")
+    val out = TextQueries.bm25TopK(docs, Seq("spark"), 10).collect()
+    // doc 3 has no query term -> no tf row -> absent from the ranking
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // hand computation: N=3, avgdl=(3+4+3)/3, df=2, idf=(3-2+0.5)/(2+0.5)
+    val avgdl = 10.0 / 3.0
+    val idf = (3.0 - 2.0 + 0.5) / (2.0 + 0.5)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    val got = out.map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(math.abs(got(1L) - s(2, 3)) < 1e-12)
+    assert(math.abs(got(2L) - s(1, 4)) < 1e-12)
+    // higher tf at equal-ish dl outranks
+    assert(got(1L) > got(2L))
+  }
+
+  test("bm25: multi-term scores sum per-term one-hot contributions") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a a"), (3L, "b b"), (4L, "c c")).toDF("doc_id", "text")
+    val out = TextQueries.bm25TopK(docs, Seq("a", "b"), 10).collect()
+    out.foreach { r =>
+      val sa = Option(r.getAs[java.lang.Double]("s_a")).map(_.doubleValue).getOrElse(0.0)
+      val sb = Option(r.getAs[java.lang.Double]("s_b")).map(_.doubleValue).getOrElse(0.0)
+      assert(r.getAs[Double]("score") == sa + sb)
+    }
+    // doc 1 hits both terms; docs 2/3 hit one; doc 4 none
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(out.head.getLong(0) == 1L, "both-term doc ranks first")
+  }
+
+  test("bigram LM: smoothed conditional rows sum to 1 over the full vocab") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "b c a")).toDF("doc_id", "text")
+    val model = TextQueries.bigramLmModel(docs).collect()
+    val v = model.head.getAs[Long]("v")
+    assert(v == 3) // vocab {a, b, c}
+    // For each history w1: sum of observed smoothed p + unseen mass
+    // (v - n_observed) * 1/(c1 + v) must close to exactly 1.
+    model.groupBy(_.getString(0)).foreach { case (w1, rows) =>
+      val c1 = rows.head.getAs[Long]("c1")
+      val seen = rows.map(_.getAs[Double]("p")).sum
+      val unseen = (v - rows.length) * (1.0 / (c1 + v))
+      assert(math.abs(seen + unseen - 1.0) < 1e-12, s"P(.|$w1) sums to 1")
+    }
+  }
+
+  test("bigram LM: per-doc mean is the hand value; short docs get NULL") {
+    // corpus: "a b" x2 and "a c"; bigram counts: (a,b)=2, (a,c)=1; c1(a)=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextQueries.bigramLmScores(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("mean_p")))).toMap
+    val v = 3.0 // vocab {a, b, c}
+    assert(out(1L) == ((1L, Some((2 + 1) / (3 + v)))))
+    assert(out(3L) == ((1L, Some((1 + 1) / (3 + v)))))
+    assert(out(4L) == ((0L, None)), "1-token doc: no bigrams, NULL score")
+    assert(out(5L) == ((0L, None)), "empty doc: no bigrams, NULL score")
+    // repeated common transition scores higher than the rare one
+    assert(out(1L)._2.get > out(3L)._2.get)
+  }
+
+  test("bigram LM on the real corpus: every scored doc in (0,1); join-back total") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TextQueries.bigramLmScores(docs)
+    assert(out.count() == docs.count(), "left join keeps every document")
+    val bad = out.where(col("n_bigrams") > 0 &&
+      (col("mean_p") <= 0.0 || col("mean_p") >= 1.0)).count()
+    assert(bad == 0, "smoothed mean transition probability lies in (0,1)")
+  }
+}

@@ -310,4 +310,55 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q77: covariance reduces to one buffer; the grid join is a 1-row broadcast") {
+    // the scale claim: shuffle payload is the 2,145-double moment buffer,
+    // never a d^2 x N explode — so the corpus side must show exactly one
+    // aggregate pair over the embedding scan and no cartesian
+    val p = plan("q77_embedding_covariance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), "no per-dimension explode of the corpus:\n" + p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed CovMoments aggregate present:\n" + p)
+  }
+
+  test("q79: ranking is top-k; model statistics come back as broadcasts") {
+    val p = plan("q79_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 ranking must be a top-k, not a full sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the query-term filter must hit the exploded stream BEFORE the tf
+    // aggregate — rows entering the aggregate ∝ query-term hits
+    assert(p.contains("spark") && p.contains("Filter"), p)
+  }
+
+  test("q80: SCD2 never self-joins the fact table; windows share the user exchange") {
+    val df = SparkEntry.queries("q80_scd2_history")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), "gaps-and-islands, not a self-join:\n" + p)
+    // one scan of events only
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    // lag + running-sum share one (user_id) exchange; the segment agg and
+    // the lead stitch each re-key once — anything above 3 means a window
+    // spec stopped aligning and Spark added a redundant shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q81: LM training and scoring are equi-joins; only V rides a 1-row broadcast") {
+    val p = plan("q81_bigram_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the broadcast of the single-row
+    // vocab-size scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q82: per-source medians ride back as broadcasts — corpus never sort-merges") {
+    val p = plan("q82_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "tiny per-source stats must broadcast, not shuffle the corpus:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

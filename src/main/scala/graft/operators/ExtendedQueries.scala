@@ -513,8 +513,63 @@ object ExtendedQueries {
         |GROUP BY s.source, s.n_docs, m.med, s.mad
         |ORDER BY s.source""".stripMargin) { (s, d) =>
       madOutlierProfile(Tables.documents(s, d))
+    },
+
+    // ---------------------------------------------------------------- q83
+    "q83_table_checksum" -> QueryDef.sql(
+      "Bucketed content checksums over orders — the anti-entropy " +
+      "primitive for verifying two copies of a 100 TB table (replica " +
+      "sync, post-migration audit, pre/post-compaction identity) " +
+      "WITHOUT moving the data: ship per-bucket digests (KBs), compare, " +
+      "re-scan only buckets that differ. Per row, a 40-bit digest " +
+      "(first 10 hex chars of md5 over a canonical '|'-joined repr of " +
+      "int/string/date columns — types whose rendering is identical " +
+      "across engines by ISO convention); per bucket (key mod 64), " +
+      "count + SUM + XOR of digests. Order-independent by construction " +
+      "(integer sum, xor), so hash-exact with no ordering contract. " +
+      "Capacity is a DESIGN BOUND, not luck: 40-bit digests keep an " +
+      "int64 sum exact to 2^23 (~8.4M) rows per bucket — at larger " +
+      "tables the bucket count is the scale knob (buckets ∝ rows / " +
+      "8M), keeping both the no-overflow bound and the per-bucket " +
+      "rescan cost constant. Shape: one scan, one hash aggregate on a " +
+      "derived key, no joins, no sort except the 64-row presentation.",
+      """SELECT o_orderkey % 64 AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  sum(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |    o_orderstatus, o_orderdate)), 1, 10))::BIGINT)::BIGINT
+        |    AS sum_digest,
+        |  bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |    o_orderstatus, o_orderdate)), 1, 10))::BIGINT)::BIGINT
+        |    AS xor_digest
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      tableChecksum(Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate")), col("o_orderkey"), buckets = 64)
     }
   )
+
+  /** The q83 bucketed-checksum operator over an arbitrary frame of
+    * engine-stable-rendered columns (ints/strings/dates): 40-bit
+    * md5-prefix row digests, SUM+XOR per (key mod buckets). Shared by
+    * the catalog entry and ChecksumSpec. Keep rows-per-bucket under
+    * 2^23 (sum exactness bound); scale `buckets` with the table. */
+  def tableChecksum(rows: org.apache.spark.sql.DataFrame,
+      bucketKey: org.apache.spark.sql.Column, buckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val digest = conv(substring(md5(
+      concat_ws("|", rows.columns.map(col): _*).cast("binary")), 1, 10),
+      16, 10).cast("bigint")
+    rows
+      .withColumn("bucket", bucketKey % buckets)
+      .withColumn("digest", digest)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("digest").as("sum_digest"),
+        expr("bit_xor(digest)").as("xor_digest"))
+      .orderBy("bucket")
+  }
 
   /** The q82 MAD profile over an arbitrary (source, n_chars) frame —
     * shared by the catalog entry and MadOutlierSpec so the tests

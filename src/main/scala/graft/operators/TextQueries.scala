@@ -797,8 +797,79 @@ object TextQueries {
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       bigramLmScores(Tables.documents(s, d))
+    },
+
+    // ---------------------------------------------------------------- q84
+    "q84_token_diversity" -> QueryDef.sql(
+      "Per-document lexical diversity via the Simpson index 1 - " +
+      "sum_t (c_t/n)^2 — the log-free diversity measure (Shannon " +
+      "entropy needs ln(); Simpson is rational, the same " +
+      "libm-avoidance rule as q53/q79) that complements q67's " +
+      "window-repetition stats with a whole-doc concentration signal: " +
+      "template/spam pages concentrate mass in few tokens (low " +
+      "diversity), natural text spreads it. The per-doc reduction " +
+      "folds (c/n)^2 in SORTED TERM ORDER (sort_array + aggregate ≡ " +
+      "DuckDB list(p2 ORDER BY term) + list_reduce, 0.0 seed) so the " +
+      "double sum is bit-identical across engines — hash-exact, no " +
+      "rounding. Also reports top_share = max c/n (max is order-free). " +
+      "Shape at 100 TB: one explode -> one (doc, term) hash aggregate " +
+      "-> one per-doc aggregate whose state is bounded by the doc's " +
+      "distinct-token count; no joins, no windows, no driver state.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        |       FROM (SELECT doc_id, unnest(w) AS term FROM t)
+        |       GROUP BY doc_id, term),
+        |n AS (SELECT doc_id, sum(c)::BIGINT AS n,
+        |        count(*)::BIGINT AS n_distinct FROM tc GROUP BY doc_id),
+        |per AS (SELECT tc.doc_id,
+        |    list_reduce(list_prepend(0.0,
+        |      list((tc.c::DOUBLE / n.n::DOUBLE) * (tc.c::DOUBLE / n.n::DOUBLE)
+        |           ORDER BY tc.term)), (a, x) -> a + x) AS conc,
+        |    max(tc.c::DOUBLE / n.n::DOUBLE) AS top_share
+        |  FROM tc JOIN n USING (doc_id) GROUP BY tc.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n.n, 0)::BIGINT AS n_tokens,
+        |  coalesce(n.n_distinct, 0)::BIGINT AS n_distinct,
+        |  (1.0 - per.conc)::DOUBLE AS simpson,
+        |  per.top_share AS top_share
+        |FROM documents d
+        |LEFT JOIN n ON d.doc_id = n.doc_id
+        |LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      tokenDiversity(Tables.documents(s, d))
     }
   )
+
+  /** The q84 Simpson-diversity operator over an arbitrary
+    * (doc_id, text) frame — shared by the catalog entry and
+    * Bm25LmSpec's diversity anchors. */
+  def tokenDiversity(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val tc = t.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val n = tc.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    val per = tc.join(n, "doc_id")
+      .select(col("doc_id"), col("term"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("p")))).as("ps"),
+        max(col("p")).as("top_share"))
+      .select(col("doc_id"),
+        aggregate(expr("transform(ps, s -> s.p * s.p)"), lit(0.0),
+          (a, x) => a + x).as("conc"),
+        col("top_share"))
+    docs.select("doc_id")
+      .join(n, Seq("doc_id"), "left")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (lit(1.0) - col("conc")).as("simpson"),
+        col("top_share"))
+      .orderBy("doc_id")
+  }
 
   /** The q79 BM25 operator over an arbitrary (doc_id, text) frame —
     * shared by the catalog entry and Bm25LmSpec so the tests exercise

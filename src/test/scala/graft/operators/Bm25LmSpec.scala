@@ -75,6 +75,25 @@ class Bm25LmSpec extends SparkSpec {
     assert(out(1L)._2.get > out(3L)._2.get)
   }
 
+  test("token diversity: hand values for degenerate, uniform, and empty docs") {
+    val docs = Seq(
+      (1L, "x x x x"),          // one token: simpson 0, top_share 1
+      (2L, "a b c d"),          // uniform: conc = 4*(1/4)^2 -> simpson 3/4
+      (3L, "a a b"),            // conc = (2/3)^2 + (1/3)^2 = 5/9
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextQueries.tokenDiversity(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Double]("simpson")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("top_share")).map(_.doubleValue)))
+      .toMap
+    assert(out(1L) == ((4L, 1L, Some(0.0), Some(1.0))))
+    assert(out(2L) == ((4L, 4L, Some(0.75), Some(0.25))))
+    val (n3, d3, s3, t3) = out(3L)
+    assert(n3 == 3L && d3 == 2L)
+    assert(math.abs(s3.get - 4.0 / 9.0) < 1e-15 && t3.get == 2.0 / 3.0)
+    assert(out(4L) == ((0L, 0L, None, None)), "token-less doc: NULL scores")
+  }
+
   test("bigram LM on the real corpus: every scored doc in (0,1); join-back total") {
     val docs = graft.Tables.documents(spark, sf0001)
     val out = TextQueries.bigramLmScores(docs)

@@ -361,4 +361,22 @@ class PlanChecksSpec extends SparkSpec {
       "tiny per-source stats must broadcast, not shuffle the corpus:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q83: checksum is one scan + one hash aggregate — no joins, no row sort") {
+    val df = SparkEntry.queries("q83_table_checksum")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), "anti-entropy must not join anything:\n" + p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+    // scan must read only the digest columns
+    assert(!p.contains("o_totalprice"), "scan reads unused columns:\n" + p)
+  }
+
+  test("q84: diversity has no window over the corpus and no cartesian") {
+    val p = plan("q84_token_diversity")
+    // per-doc totals come from re-aggregating tc and joining back — the
+    // AQE-splittable shape (q53's argument) — never a term/doc window
+    assert(!p.contains("Window"), "no window over exploded tokens:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TemporalQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+/** Scd2Stream: closed intervals emit only after the watermark seals
+  * them, out-of-order arrivals land in the right segment, state drains
+  * with the watermark, and — on the real corpus — the emitted set
+  * equals batch q80's closed rows exactly. */
+class Scd2StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("segments close in order; late-but-in-watermark arrival is re-sequenced") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = Scd2Stream.intervals(
+      ms.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scd2_out").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: A at :00/:01, B at :03 — but deliver B BEFORE the
+      // second A to prove sealing re-sequences by event time
+      ms.addData((1L, t(10, 3), 12L, "B"), (1L, t(10, 0), 10L, "A"),
+        (1L, t(10, 1), 11L, "A"))
+      q.processAllAvailable()
+      assert(spark.table("scd2_out").isEmpty,
+        "nothing may emit while the watermark sits below the arrivals")
+      // batch 2: watermark pushes past batch 1 (wm = 11:00 - 5 min)
+      ms.addData((1L, t(11, 0), 13L, "C"))
+      q.processAllAvailable()
+      // one more batch so the new watermark takes effect for sealing
+      ms.addData((2L, t(12, 0), 14L, "X"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_out")
+        .as[Scd2Stream.SegOut].collect().sortBy(_.valid_from.getTime)
+      // sealed prefix: A-run [10:00, 10:03) with 2 events, B [10:03, 11:00)
+      assert(rows.map(r => (r.user_id, r.event_type, r.valid_from,
+        r.valid_to, r.n_events)).toSeq == Seq(
+        (1L, "A", t(10, 0), t(10, 3), 2L),
+        (1L, "B", t(10, 3), t(11, 0), 1L)),
+        s"got: ${rows.mkString(", ")}")
+      assert(rows(0).last_seen == t(10, 1), "last A sighting at 10:01")
+    } finally q.stop()
+  }
+
+  test("real corpus: emitted closed intervals equal batch q80's closed rows") {
+    implicit val sq = spark.sqlContext
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val batchClosed = TemporalQueries.scd2History(ev)
+      .where(col("valid_to").isNotNull)
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "last_seen", "n_events")
+      .as[(Long, String, Timestamp, Timestamp, Timestamp, Long)]
+      .collect().toSet
+
+    val data = ev.as[(Long, Timestamp, Long, String)].collect()
+    val maxTs = data.map(_._2.getTime).max
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = Scd2Stream.intervals(
+      ms.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scd2_real").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // two micro-batches of real data, then sentinel pushes for a
+      // throwaway user to drive the watermark past every real event
+      val (b1, b2) = data.splitAt(data.length / 2)
+      ms.addData(b1.toSeq)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq)
+      q.processAllAvailable()
+      ms.addData((999999L, new Timestamp(maxTs + 3600L * 1000), 1L, "Z"))
+      q.processAllAvailable()
+      ms.addData((999999L, new Timestamp(maxTs + 7200L * 1000), 2L, "Z"))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_real")
+        .as[Scd2Stream.SegOut].collect()
+        .map(r => (r.user_id, r.event_type, r.valid_from, r.valid_to,
+          r.last_seen, r.n_events)).toSet
+      assert(streamed == batchClosed,
+        s"stream/batch diverge: only-stream=${(streamed -- batchClosed).take(3)} " +
+          s"only-batch=${(batchClosed -- streamed).take(3)} " +
+          s"(${streamed.size} vs ${batchClosed.size})")
+    } finally q.stop()
+  }
+
+  test("state drains: pending buffers empty once the watermark passes them") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val out = Scd2Stream.intervals(
+      ms.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      watermark = "5 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("scd2_state").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData((1L, t(10, 0), 1L, "A"), (2L, t(10, 0), 2L, "B"))
+      q.processAllAvailable()
+      ms.addData((3L, t(12, 0), 3L, "C"))
+      q.processAllAvailable()
+      ms.addData((3L, t(13, 0), 4L, "C"))
+      q.processAllAvailable()
+      // users 1 and 2: buffers sealed into open segments (no closures
+      // emitted — single-type streams), state rows persist as the
+      // constant-size open-segment entries; nothing emitted is fine,
+      // the bound we assert is state ROWS == active users, not events
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 3, s"one state row per user, got $stateRows")
+      assert(spark.table("scd2_state").isEmpty,
+        "single-type histories never close a segment")
+    } finally q.stop()
+  }
+}

@@ -547,6 +547,33 @@ object ExtendedQueries {
       tableChecksum(Tables.orders(s, d).select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderdate")), col("o_orderkey"), buckets = 64)
+    },
+
+    // ---------------------------------------------------------------- q85
+    "q85_quantile_sketch" -> QueryDef.rowsOnly(
+      "Mergeable approximate percentiles (Greenwald-Khanna via Spark's " +
+      "approx_percentile, accuracy 1000) per group — q44's scale path: " +
+      "exact percentile state grows O(group) (every value buffers until " +
+      "finish, which at a 100 TB fact table is the aggregate that " +
+      "spills first), while the GK sketch caps state at O(accuracy) " +
+      "per group AND merges associatively, so partial sketches " +
+      "map-side-combine like any sum. Rank-error contract: each " +
+      "reported quantile's true rank within the group is within " +
+      "n/accuracy of the target rank — QuantileSketchSpec asserts the " +
+      "bound against exact sorted ranks at sf0.01 and determinism " +
+      "across runs. Sketch internals are engine-specific -> rows-only " +
+      "(same status as q46's HLL).") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
+            .as("qs"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          element_at(col("qs"), 4).as("p95"))
+        .orderBy("l_returnflag")
     }
   )
 

@@ -201,8 +201,109 @@ object TemporalQueries {
         |FROM seg WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
         |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
       scd2History(Tables.events(s, d))
+    },
+
+    // ---------------------------------------------------------------- q86
+    "q86_funnel_stages" -> QueryDef.sql(
+      "Strict-order funnel analysis (view -> click -> purchase): per " +
+      "user, the earliest view, the earliest click STRICTLY AFTER that " +
+      "view, the earliest purchase strictly after that click, and the " +
+      "stage reached — the product-analytics operator that, done " +
+      "naively as a 3-way self-join on inequality predicates, " +
+      "explodes at fact scale. Shape here: a chain of three filtered " +
+      "min-aggregates, each joined back on user_id (equi-joins on ONE " +
+      "key, partitioning reused stage to stage; each stage's input " +
+      "is pre-filtered to one event type so rows entering every " +
+      "aggregate shrink monotonically). All values are exact " +
+      "timestamps/ints -> hash-exact, no rounding.",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |m1 AS (SELECT user_id, min(ts) AS t_view FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |m2 AS (SELECT e.user_id, min(e.ts) AS t_click
+        |       FROM events e JOIN m1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > m1.t_view
+        |       GROUP BY e.user_id),
+        |m3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |       FROM events e JOIN m2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > m2.t_click
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id, m1.t_view, m2.t_click, m3.t_purchase,
+        |  (CASE WHEN m3.t_purchase IS NOT NULL THEN 3
+        |        WHEN m2.t_click IS NOT NULL THEN 2
+        |        WHEN m1.t_view IS NOT NULL THEN 1
+        |        ELSE 0 END)::BIGINT AS stage
+        |FROM u LEFT JOIN m1 USING (user_id) LEFT JOIN m2 USING (user_id)
+        |  LEFT JOIN m3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      funnelStages(Tables.events(s, d))
+    },
+
+    // ---------------------------------------------------------------- q87
+    "q87_retention_cohorts" -> QueryDef.sql(
+      "Weekly retention cohorts: users grouped by the ISO week of " +
+      "their FIRST event, activity counted as distinct active users " +
+      "per (cohort_week, weeks_since) cell — the engagement matrix " +
+      "behind every retention curve. Integer date arithmetic only " +
+      "(date_trunc to Monday weeks on both engines, day-diff DIV 7) " +
+      "-> hash-exact. Shape at 100 TB: one min-aggregate on user_id, " +
+      "the cohort anchor joins back on the same key (partitioning " +
+      "reused), then one distinct-count aggregate over (cohort, " +
+      "week_n) — cells, not events, leave the shuffle.",
+      """WITH first AS (SELECT user_id, date_trunc('week', min(ts))::DATE
+        |         AS cohort_week FROM events GROUP BY user_id),
+        |act AS (SELECT e.user_id, f.cohort_week,
+        |          date_trunc('week', e.ts)::DATE AS act_week
+        |        FROM events e JOIN first f USING (user_id))
+        |SELECT cohort_week,
+        |  (date_diff('day', cohort_week, act_week) // 7)::BIGINT AS week_n,
+        |  count(DISTINCT user_id)::BIGINT AS n_active
+        |FROM act
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      retentionCohorts(Tables.events(s, d))
     }
   )
+
+  /** The q86 funnel operator over an arbitrary (user_id, ts, event_type)
+    * frame — shared by the catalog entry and FunnelCohortSpec. */
+  def funnelStages(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val u = events.select("user_id").distinct()
+    val m1 = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val m2 = events.where(col("event_type") === "click")
+      .join(m1, "user_id").where(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val m3 = events.where(col("event_type") === "purchase")
+      .join(m2, "user_id").where(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    u.join(m1, Seq("user_id"), "left")
+      .join(m2, Seq("user_id"), "left")
+      .join(m3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** The q87 cohort-retention operator over an arbitrary
+    * (user_id, ts) frame — shared by the catalog entry and
+    * FunnelCohortSpec. */
+  def retentionCohorts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val first = events.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort_week"))
+    events.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        to_date(date_trunc("week", col("ts"))).as("act_week"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7)
+          .cast("long").as("week_n"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_n")
+  }
 
   /** The q80 SCD2 history build over an arbitrary
     * (user_id, ts, event_id, event_type) frame — shared by the catalog

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+/** Semantic anchors for q86 (strict-order funnel) and q87 (weekly
+  * retention cohorts) on hand-built streams where every stage and cell
+  * is checkable by eye.
+  */
+class FunnelCohortSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(day: Int, h: Int) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("funnel: strict ordering gates each stage") {
+    val events = Seq(
+      // user 1: full funnel in order -> stage 3
+      (1L, t(1, 1), "view"), (1L, t(1, 2), "click"), (1L, t(1, 3), "purchase"),
+      // user 2: click BEFORE first view -> click doesn't count -> stage 1
+      (2L, t(1, 1), "click"), (2L, t(1, 2), "view"),
+      // user 3: purchase before click -> stage 2 only
+      (3L, t(1, 1), "view"), (3L, t(1, 2), "purchase"), (3L, t(1, 3), "click"),
+      // user 4: no view at all -> stage 0
+      (4L, t(1, 1), "purchase"), (4L, t(1, 2), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val out = TemporalQueries.funnelStages(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4),
+        Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)))).toMap
+    assert(out(1L) == ((3L, Some(t(1, 1)), Some(t(1, 2)), Some(t(1, 3)))))
+    assert(out(2L) == ((1L, Some(t(1, 2)), None, None)),
+      "pre-view click must not advance the funnel")
+    assert(out(3L) == ((2L, Some(t(1, 1)), Some(t(1, 3)), None)),
+      "pre-click purchase must not advance the funnel")
+    assert(out(4L)._1 == 0L)
+  }
+
+  test("funnel: earliest qualifying event wins each stage") {
+    val events = Seq(
+      (1L, t(1, 1), "view"), (1L, t(2, 1), "view"),
+      (1L, t(1, 5), "click"), (1L, t(1, 9), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = TemporalQueries.funnelStages(events).collect().head
+    assert(out.getTimestamp(1) == t(1, 1) && out.getTimestamp(2) == t(1, 5))
+  }
+
+  test("cohorts: hand-built matrix, Monday-week anchoring") {
+    // 2024-01-01 is a Monday. u1 first active wk0, again wk0 and wk2;
+    // u2 first active wk1 only; u3 joins u1's cohort in wk2.
+    val events = Seq(
+      (1L, t(2, 1), "view"), (1L, t(4, 1), "click"), (1L, t(16, 1), "view"),
+      (2L, t(9, 1), "view"),
+      (3L, t(3, 1), "view"), (3L, t(17, 1), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = TemporalQueries.retentionCohorts(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 2L, // u1 + u3 active in their cohort week
+      ("2024-01-01", 2L) -> 2L, // both return two weeks later
+      ("2024-01-08", 0L) -> 1L)) // u2's one-week cohort
+  }
+
+  test("real events: cohort cells conserve users and funnel stages are monotone") {
+    val ev = graft.Tables.events(spark, sf001)
+    val funnel = TemporalQueries.funnelStages(ev).collect()
+    val n = funnel.length
+    val byStage = funnel.groupBy(_.getLong(4)).view.mapValues(_.length)
+    // stage counts are a survival curve: reaching k implies reaching k-1
+    val reached = (0 to 3).map(k => (k.toLong, funnel.count(_.getLong(4) >= k)))
+    assert(reached.map(_._2).toSeq == reached.map(_._2).sorted.reverse)
+    assert(reached.head._2 == n)
+    val cohorts = TemporalQueries.retentionCohorts(ev).collect()
+    // every user appears in week 0 of their own cohort
+    val week0 = cohorts.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(week0 == ev.select("user_id").distinct().count())
+    assert(cohorts.forall(_.getLong(2) > 0))
+  }
+}

@@ -372,6 +372,20 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("o_totalprice"), "scan reads unused columns:\n" + p)
   }
 
+  test("q86: the funnel is an equi-join chain on user_id — no inequality self-join") {
+    val p = plan("q86_funnel_stages")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "funnel stages must join on user_id with the time gate as a " +
+        "post-join filter, never an inequality-only join:\n" + p)
+  }
+
+  test("q87: cohort matrix plans two aggregates and an equi-join — no window") {
+    val p = plan("q87_retention_cohorts")
+    assert(!p.contains("Window"), "cohort anchor is an aggregate, not a window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q84: diversity has no window over the corpus and no cartesian") {
     val p = plan("q84_token_diversity")
     // per-doc totals come from re-aggregating tc and joining back — the

@@ -93,6 +93,41 @@ class Scd2StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: open-segment state survives and each closure emits once") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("scd2-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("scd2-out").toString
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    def runOnce(): Unit = {
+      val q = Scd2Stream.intervals(
+        ms.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        watermark = "5 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // open an A-segment, then STOP — the open segment now lives only in
+    // the state store under the checkpoint
+    ms.addData((1L, t(10, 0), 1L, "A"), (1L, t(10, 1), 2L, "A"))
+    runOnce()
+    // restart: B arrival must close the checkpointed A-segment (valid_to
+    // = B's ts, n_events = 2 — both A sightings were pre-restart)
+    ms.addData((1L, t(11, 0), 3L, "B"))
+    runOnce()
+    ms.addData((1L, t(12, 0), 4L, "B")) // watermark passes 11:00
+    runOnce()
+    ms.addData((1L, t(13, 0), 5L, "B")) // sealing batch for the close
+    runOnce()
+    val rows = spark.read.parquet(outDir).as[Scd2Stream.SegOut].collect()
+    val aRows = rows.filter(_.event_type == "A")
+    assert(aRows.length == 1, s"A closed exactly once across restarts: ${aRows.toSeq}")
+    assert(aRows.head.valid_from == t(10, 0) && aRows.head.valid_to == t(11, 0)
+      && aRows.head.last_seen == t(10, 1) && aRows.head.n_events == 2L,
+      s"restart lost open-segment state: ${aRows.head}")
+  }
+
   test("state drains: pending buffers empty once the watermark passes them") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long, String)]

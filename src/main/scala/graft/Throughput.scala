@@ -233,6 +233,26 @@ object Throughput {
         println(f"""{"metric":"incremental_dedup_scale","corpus_docs":${corBase.count() * mult},"delta_docs":${out.head.getLong(0)},"n_dup":${out.head.getLong(1)},"sec":$sec%.2f}""")
       }
     }
+
+    // ---- 9. q81 bigram-LM scale probe: train-and-score over 1x/4x/16x
+    // the corpus. The plan is two token-scale hash aggregates (model
+    // counts), two equi-joins back, and a doc-bounded fold — every stage
+    // linear in corpus tokens, nothing quadratic, no driver state. Wall
+    // should track corpus size ~linearly; the score itself legitimately
+    // CHANGES with replication ((10c+1)/(10c1+V) != (c+1)/(c1+V)), so
+    // the invariant checked here is count conservation + linearity, not
+    // value invariance.
+    for (mult <- Seq(1, 4, 16)) {
+      val docs = replicated(base, "doc_id", mult)(m =>
+        Seq(offsetId("doc_id", m), col("text")))
+      val t0 = System.nanoTime()
+      val out = graft.operators.TextQueries.bigramLmScores(docs)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mean_p").isNotNull, 1L).otherwise(0L)).as("n_scored"))
+        .collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"bigram_lm_scale","docs":${baseCount * mult},"scored":${out.head.getLong(1)},"sec":$sec%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -574,8 +574,172 @@ object ExtendedQueries {
           element_at(col("qs"), 3).as("p75"),
           element_at(col("qs"), 4).as("p95"))
         .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q88
+    "q88_referential_integrity" -> QueryDef.sql(
+      "Referential-integrity audit across the full TPC-H-ish schema — " +
+      "the data-quality gate a 100 TB migration or ingest runs before " +
+      "anything downstream trusts the copy: for each of the seven " +
+      "FK->PK relationships, child row count, NULL-key count, and " +
+      "orphan count (keys with no parent). Orphans are LEFT ANTI joins " +
+      "— Spark's dedicated no-materialization join shape; dim parents " +
+      "(nation, region) broadcast, fact-fact relationships shuffle once " +
+      "on the key. Counts are exact ints -> hash-exact. The audit " +
+      "reduces each relationship to THREE numbers regardless of table " +
+      "size, so the output (and the driver compare) is O(relationships).",
+      """WITH rel AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem)::BIGINT AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)::BIGINT AS n_null,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_orphans
+        |  UNION ALL SELECT 'lineitem.l_partkey->part',
+        |    (SELECT count(*) FROM lineitem)::BIGINT,
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT count(*) FROM lineitem)::BIGINT,
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+        |  UNION ALL SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders)::BIGINT,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+        |  UNION ALL SELECT 'customer.c_nationkey->nation',
+        |    (SELECT count(*) FROM customer)::BIGINT,
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+        |  UNION ALL SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT count(*) FROM supplier)::BIGINT,
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+        |  UNION ALL SELECT 'nation.n_regionkey->region',
+        |    (SELECT count(*) FROM nation)::BIGINT,
+        |    (SELECT count(*) FROM nation WHERE n_regionkey IS NULL)::BIGINT,
+        |    (SELECT count(*) FROM nation n WHERE n.n_regionkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))::BIGINT)
+        |SELECT relationship, n_child, n_null, n_orphans FROM rel
+        |ORDER BY relationship""".stripMargin) { (s, d) =>
+      val rels: Seq[(String, org.apache.spark.sql.DataFrame, String,
+          org.apache.spark.sql.DataFrame, String, Boolean)] = Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", false),
+        ("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", false),
+        ("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey", false),
+        ("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", false),
+        ("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", true),
+        ("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey", true),
+        ("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey", true))
+      rels.map { case (name, child, fk, parent, pk, dim) =>
+        integrityAudit(name, child, fk, parent, pk, broadcastParent = dim)
+      }.reduce(_ unionByName _).orderBy("relationship")
+    },
+
+    // ---------------------------------------------------------------- q89
+    "q89_column_profile" -> QueryDef.sql(
+      "ANALYZE-style column profiling of orders — the catalog-stats " +
+      "pass every optimizer and data contract depends on: per column, " +
+      "row count, NULL count, EXACT distinct count, and typed min/max " +
+      "(numerics as DOUBLE so the compare is on exact values, never on " +
+      "engine-specific float RENDERING — Spark's Double.toString and " +
+      "DuckDB's float formatter disagree on scientific-notation " +
+      "thresholds; strings/dates render identically by ISO convention). " +
+      "One row per column, so output is O(columns) at any table size. " +
+      "Exact distinct is the contract here (it IS the profile); the " +
+      "100 TB knob is swapping in q46's HLL per column when 2% error " +
+      "is acceptable — the plan shape is otherwise identical.",
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+        |    min(o_orderkey)::DOUBLE AS min_num, max(o_orderkey)::DOUBLE AS max_num,
+        |    NULL::VARCHAR AS min_txt, NULL::VARCHAR AS max_txt
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(*)::BIGINT,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_custkey)::BIGINT,
+        |    min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE, NULL, NULL FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*)::BIGINT,
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_totalprice)::BIGINT,
+        |    min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE, NULL, NULL FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*)::BIGINT,
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_orderstatus)::BIGINT,
+        |    NULL::DOUBLE, NULL::DOUBLE, min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', count(*)::BIGINT,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT o_orderdate)::BIGINT,
+        |    NULL::DOUBLE, NULL::DOUBLE,
+        |    min(o_orderdate)::DATE::VARCHAR, max(o_orderdate)::DATE::VARCHAR FROM orders)
+        |SELECT column_name, n, n_null, n_distinct, min_num, max_num,
+        |  min_txt, max_txt
+        |FROM p ORDER BY column_name""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      def num(c: String) = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_num"),
+        max(col(c)).cast("double").as("max_num"),
+        lit(null).cast("string").as("min_txt"),
+        lit(null).cast("string").as("max_txt"))
+        .select(lit(c).as("column_name"), col("*"))
+      def txt(c: String) = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(col(c)).cast("string").as("min_txt"),
+        max(col(c)).cast("string").as("max_txt"))
+        .select(lit(c).as("column_name"), col("*"))
+      def dt(c: String) = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        // the stored value is a midnight timestamp; profile it as the
+        // DATE it semantically is (also the cross-engine-stable rendering)
+        to_date(min(col(c))).cast("string").as("min_txt"),
+        to_date(max(col(c))).cast("string").as("max_txt"))
+        .select(lit(c).as("column_name"), col("*"))
+      Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        txt("o_orderstatus"), dt("o_orderdate"))
+        .reduce(_ unionByName _)
+        .orderBy("column_name")
     }
   )
+
+  /** One q88 relationship audit: (name, n_child, n_null, n_orphans) via
+    * a null filter + LEFT ANTI join against the parent's key set —
+    * shared by the catalog entry and IntegritySpec. */
+  def integrityAudit(name: String, child: org.apache.spark.sql.DataFrame,
+      fk: String, parent: org.apache.spark.sql.DataFrame, pk: String,
+      broadcastParent: Boolean): org.apache.spark.sql.DataFrame = {
+    val parentKeys0 = parent.select(col(pk).as(fk)).distinct()
+    val parentKeys = if (broadcastParent) broadcast(parentKeys0) else parentKeys0
+    val orphans = child.select(col(fk)).where(col(fk).isNotNull)
+      .join(parentKeys, Seq(fk), "left_anti")
+    val base = child.agg(count(lit(1)).as("n_child"),
+      sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null"))
+    base.crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(name).as("relationship"), col("n_child"), col("n_null"),
+        col("n_orphans"))
+  }
 
   /** The q83 bucketed-checksum operator over an arbitrary frame of
     * engine-stable-rendered columns (ints/strings/dates): 40-bit

@@ -386,6 +386,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q88: orphan detection plans LEFT ANTI joins; dim parents broadcast") {
+    val p = plan("q88_referential_integrity")
+    assert(p.contains("LeftAnti"), "orphans must be anti-joins:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "nation/region parents must broadcast:\n" + p)
+  }
+
+  test("q89: the profile is aggregates only — no joins beyond the union") {
+    val p = plan("q89_column_profile")
+    assert(!p.contains("Join"), "column profile must not join:\n" + p)
+    // exact distinct plans as a two-level aggregate: partial per-value
+    // grouping before the final distinct count — never a global collect
+    assert(p.contains("partial_count(distinct"),
+      "distinct must partial-aggregate per value first:\n" + p)
+  }
+
   test("q84: diversity has no window over the corpus and no cartesian") {
     val p = plan("q84_token_diversity")
     // per-doc totals come from re-aggregating tc and joining back — the

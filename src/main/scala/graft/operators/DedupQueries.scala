@@ -373,6 +373,59 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q91: EXACT set-similarity self-join at Jaccard >= tau=0.5 via
+    * AllPairs prefix filtering (Bayardo/Ma/Srikant, WWW'07 — public
+    * algorithm): each doc's shingle set is globally ordered
+    * rarest-first (df asc, shingle asc); any pair with jac >= 0.5 must
+    * share a token within each side's first |s| - ceil(0.5*|s|) + 1
+    * tokens, so candidates come from an equi-join on PREFIX tokens
+    * only, plus the length filter 2*min(|a|,|b|) >= max(|a|,|b|).
+    * Recall is exactly 1.0 BY THEOREM — the exact complement to the
+    * probabilistic LSH path (q35/q66), at the cost of one extra
+    * corpus-wide shuffle to rank tokens by frequency. ceil is done in
+    * integer arithmetic ((sz+1) div 2) so both engines agree exactly.
+    * Shape at 100 TB: explode->df-count (one shuffle), rank-join on
+    * token (second), per-doc re-agg (third, combinable), then the
+    * candidate equi-join touches only prefix tokens — rare by
+    * construction, so bucket fan-out stays near |near-dup pairs|, and
+    * no cartesian/all-pairs product exists anywhere in the plan. */
+  private[operators] def prefixFilterPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("shs"))
+      .select(col("doc_id"), col("shs"), size(col("shs")).as("sz"))
+    val pref = ordered
+      .withColumn("p", col("sz") - ((col("sz") + 1) / 2).cast("int") + 1)
+      .select(col("doc_id"), col("sz"),
+        explode(slice(col("shs"), lit(1), col("p"))).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * 2 >= col("a.sz") && col("a.sz") * 2 >= col("b.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = ordered.select(col("doc_id"), col("shs"), col("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter_n"),
+        col("sz_a").cast("long").as("sz_a"),
+        col("sz_b").cast("long").as("sz_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -424,6 +477,32 @@ object DedupQueries {
       "(xxhash64) -> no SQL oracle; semantics covered by q34 + DedupSpec.") { (s, d) =>
       lshConfirmedPairs(Tables.documents(s, d), 0.3)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---------------------------------------------------------------- q91
+    "q91_setsim_join_exact" -> QueryDef.sql(
+      "EXACT full-corpus set-similarity self-join at Jaccard >= 0.5 " +
+      "via AllPairs prefix filtering — recall 1.0 by theorem (any " +
+      "qualifying pair shares a rarest-first prefix token), so unlike " +
+      "the LSH path (q35/q66) the result needs no probabilistic " +
+      "premise, yet the plan still contains NO all-pairs product: " +
+      "candidates are an equi-join on prefix tokens + the 2*min>=max " +
+      "length filter, then exact intersection sizes confirm. The " +
+      "oracle brute-forces all pairs (fine at sf0.01; the engine plan " +
+      "is the one that scales).",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter_n,
+        |  len(a.sh)::BIGINT AS sz_a, len(b.sh)::BIGINT AS sz_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
+        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      prefixFilterPairs(Tables.documents(s, d))
     },
 
     // ---------------------------------------------------------------- q64

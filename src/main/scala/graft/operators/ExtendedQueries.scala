@@ -721,8 +721,109 @@ object ExtendedQueries {
         txt("o_orderstatus"), dt("o_orderdate"))
         .reduce(_ unionByName _)
         .orderBy("column_name")
+    },
+
+    // ---------------------------------------------------------------- q93
+    "q93_bloom_pruned_join" -> QueryDef.sql(
+      "Bloom-pruned semi join: revenue-side lineitems restricted to a " +
+      "flagged part-key set by first broadcasting a BLOOM FILTER of the " +
+      "keys (bits, not values) and map-side pre-filtering the fact scan, " +
+      "then exact-confirming the survivors with a real semi join so " +
+      "bloom false positives never reach the result. This is the " +
+      "runtime-filter pattern for when the key set is too large to " +
+      "broadcast as a hash relation but its bloom bits still fit " +
+      "everywhere: the shuffle/join sees only |survivors| ~ " +
+      "|matches| * (1+fpp) rows instead of the full fact table. " +
+      "sum(l_quantity) is a sum of small integers in doubles -> exact " +
+      "in any order -> hash-exact with no rounding.",
+      """SELECT l_returnflag, count(*)::BIGINT AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                    WHERE p_brand = 'Brand#4')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val flagged = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#4").select("p_partkey")
+      bloomPrunedSemiAgg(Tables.lineitem(s, d), "l_partkey", flagged,
+        "p_partkey", fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---------------------------------------------------------------- q94
+    "q94_inverted_index" -> QueryDef.sql(
+      "Doc-sharded inverted-index build — the retrieval layout behind " +
+      "BM25/keyword search at corpus scale: per (term, doc-shard of 64 " +
+      "docs), document frequency, collection frequency, and the posting " +
+      "list [(doc_id, tf) ...] sorted by doc_id. Sharding by doc-id " +
+      "range bounds EVERY posting row at 64 entries BY CONSTRUCTION — " +
+      "a stop-word's postings can never become a giant row or a skewed " +
+      "reduce key, which is exactly how segment-per-shard search " +
+      "engines lay the index out. Two aggregates: (term, doc) tf " +
+      "counts (combinable), then (term, shard) list assembly whose " +
+      "input is pre-shrunk to one row per (term, doc).",
+      s"""WITH tf AS (
+        |  SELECT tok AS term, doc_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(${DedupQueries.sqlToks}) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT term, (doc_id // 64)::BIGINT AS shard,
+        |  count(*)::BIGINT AS df_shard, sum(tf)::BIGINT AS cf_shard,
+        |  list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY doc_id)
+        |    AS postings
+        |FROM tf
+        |GROUP BY 1, 2
+        |ORDER BY term, shard""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"), expr("doc_id DIV 64").as("shard"))
+        .agg(count(lit(1)).as("df_shard"), sum("tf").as("cf_shard"),
+          sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+            .as("postings"))
+        .orderBy("term", "shard")
     }
   )
+
+  /** The q93 bloom-pruning stage over arbitrary facts and a key frame —
+    * shared by the catalog entry and BloomPruneSpec. Builds the bloom
+    * on the driver from the (dimension-sized by contract) key frame,
+    * ships only its BITS to executors, map-side pre-filters the facts,
+    * then exact-confirms with a semi join so false positives are
+    * removed. Returns the confirmed fact rows. The probe is a UDF by
+    * necessity: Spark exposes no public might_contain function (its
+    * internal runtime bloom filters live in InjectRuntimeFilter), and
+    * the probe sits behind the parquet scan's pushed filters, not in
+    * a codegen hot loop. */
+  def bloomPrunedSemiAgg(facts: org.apache.spark.sql.DataFrame,
+      factKey: String, keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      fpp: Double): org.apache.spark.sql.DataFrame = {
+    val n = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = new BloomProbe(bytes)
+    val might = udf((k: Long) => probe.might(k))
+    facts.where(col(factKey).isNotNull && might(col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)).distinct(),
+        Seq(factKey), "left_semi")
+  }
+
+  /** Serializable carrier for bloom bits: the sketch deserializes once
+    * per executor (transient lazy), the closure ships only bytes. */
+  final class BloomProbe(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    def might(k: Long): Boolean = bf.mightContain(k)
+  }
 
   /** One q88 relationship audit: (name, n_child, n_null, n_orphans) via
     * a null filter + LEFT ANTI join against the parent's key set —

@@ -261,6 +261,103 @@ object TemporalQueries {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       retentionCohorts(Tables.events(s, d))
+    },
+
+    // ---------------------------------------------------------------- q90
+    "q90_cdc_merge" -> QueryDef.sql(
+      "CDC changelog compaction + MERGE apply — the upsert/delete " +
+      "operator every lakehouse ingest runs: events become a changelog " +
+      "(signup->I, error->D, else U, keyed by user_id, totally ordered " +
+      "by ts,event_id), compacted to the LAST op per key with ONE " +
+      "map-side-combinable aggregate (max over a (ts,event_id,op,value) " +
+      "struct — no window sort over the fact stream, which is the naive " +
+      "compaction shape that forces a per-key total sort at scale), " +
+      "then FULL OUTER equi-joined onto the customer base: D drops the " +
+      "key even if present in base, I/U upserts the payload, untouched " +
+      "base rows pass through. Raw doubles carried, never re-summed -> " +
+      "hash-exact. At 100 TB both sides shuffle once on the key and " +
+      "AQE handles the skewed-key tail; the compacted side is " +
+      "|keys|-sized, not |changes|-sized.",
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D'
+        |         WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        |    value FROM events),
+        |last AS (SELECT user_id, op AS last_op, ts AS last_ts,
+        |    value AS last_value, cnt AS n_changes
+        |  FROM (SELECT *,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS cnt FROM c)
+        |  WHERE rn = 1)
+        |SELECT coalesce(b.c_custkey, l.user_id) AS custkey,
+        |  CASE WHEN l.user_id IS NULL THEN 'base' ELSE 'merged' END AS status,
+        |  CASE WHEN l.user_id IS NULL THEN b.c_acctbal
+        |       ELSE l.last_value END AS bal,
+        |  l.last_ts AS last_ts,
+        |  coalesce(l.n_changes, 0)::BIGINT AS n_changes
+        |FROM customer b FULL JOIN last l ON b.c_custkey = l.user_id
+        |WHERE l.last_op IS NULL OR l.last_op <> 'D'
+        |ORDER BY custkey""".stripMargin) { (s, d) =>
+      cdcMerge(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        "c_custkey", "c_acctbal",
+        Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D")
+            .when(col("event_type") === "signup", "I")
+            .otherwise("U").as("op"),
+          col("value")))
+    },
+
+    // ---------------------------------------------------------------- q92
+    "q92_gap_fill_interpolate" -> QueryDef.sql(
+      "Time-grid gap filling with linear interpolation — the " +
+      "time-series completeness operator (InfluxDB/Timescale " +
+      "gapfill+interpolate): per event_type, a dense 15-minute grid " +
+      "spanning [first, last] measured bucket, missing cells filled by " +
+      "linearly interpolating the rounded per-bucket sums between the " +
+      "nearest measured neighbors (carry-forward/carry-backward via " +
+      "last/first IGNORE NULLS over explicit ROWS frames). The " +
+      "interpolation arithmetic is written with the IDENTICAL " +
+      "shape on both engines (prev + (next-prev) * dt_ratio on " +
+      "round(.,4) inputs) so IEEE determinism makes it hash-exact. " +
+      "Shape at 100 TB: the grid is O(types x buckets) — tiny next to " +
+      "the fact table — built from a per-type min/max aggregate and " +
+      "sequence(), never from the facts; the windows partition by " +
+      "event_type over grid rows only. For very long spans you re-key " +
+      "the window by (type, coarse epoch range) exactly like q69's " +
+      "sharded prefix sum.",
+      """WITH m AS (SELECT event_type,
+        |    TIMESTAMP '1970-01-01' + (floor(epoch(ts) / 900)::BIGINT) * 900
+        |      * INTERVAL 1 SECOND AS bucket,
+        |    count(*)::BIGINT AS n, round(sum(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM m GROUP BY 1),
+        |grid AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+        |  FROM span),
+        |g AS (SELECT grid.event_type, grid.bucket, m.n, m.v
+        |  FROM grid LEFT JOIN m USING (event_type, bucket)),
+        |f AS (SELECT *,
+        |    last_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(b := bucket, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL
+        |        THEN struct_pack(b := bucket, v := v) END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY bucket
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM g)
+        |SELECT event_type, bucket, coalesce(n, 0)::BIGINT AS n,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL OR nv IS NULL THEN NULL
+        |       ELSE pv.v + (nv.v - pv.v)
+        |         * ((epoch(bucket)::BIGINT - epoch(pv.b)::BIGINT)::DOUBLE
+        |            / (epoch(nv.b)::BIGINT - epoch(pv.b)::BIGINT)::DOUBLE)
+        |  END AS v_filled,
+        |  (v IS NULL) AS is_interpolated
+        |FROM f ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
+      gapFillInterpolate(Tables.events(s, d))
     }
   )
 
@@ -330,5 +427,72 @@ object TemporalQueries {
         lead("valid_from", 1).over(w2).isNull.as("is_current"),
         col("last_seen"), col("n_events"))
       .orderBy("user_id", "valid_from")
+  }
+
+  /** The q90 CDC compaction + merge over an arbitrary base
+    * (key, payload) and changelog (key, ts, event_id, op I/U/D, value)
+    * — shared by the catalog entry and CdcMergeSpec. Compaction is ONE
+    * aggregate: max over a (ts, event_id, op, value) struct picks the
+    * last change per key lexicographically ((ts, event_id) is a total
+    * order), partial-aggregating map-side — no per-key window sort of
+    * the changelog. */
+  def cdcMerge(base: org.apache.spark.sql.DataFrame, keyCol: String,
+      payloadCol: String, changelog: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val compact = changelog.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("op"), col("value")))
+          .as("m"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("m.op").as("last_op"),
+        col("m.ts").as("last_ts"), col("m.value").as("last_value"),
+        col("n_changes"))
+    base.join(compact, col(keyCol) === col("user_id"), "full_outer")
+      .where(col("last_op").isNull || col("last_op") =!= "D")
+      .select(coalesce(col(keyCol), col("user_id")).as("custkey"),
+        when(col("user_id").isNull, "base").otherwise("merged").as("status"),
+        when(col("user_id").isNull, col(payloadCol))
+          .otherwise(col("last_value")).as("bal"),
+        col("last_ts"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy("custkey")
+  }
+
+  /** The q92 gap-fill + linear interpolation over an arbitrary
+    * (event_type, ts, value) frame — shared by the catalog entry and
+    * GapFillSpec. The grid is built from a per-type min/max aggregate +
+    * sequence(), so its size is O(types x buckets) independent of the
+    * fact count; neighbors come from last/first(ignoreNulls) over
+    * explicit ROWS frames on the grid rows. */
+  def gapFillInterpolate(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = events
+      .groupBy(col("event_type"),
+        window(col("ts"), "15 minutes")("start").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("v"))
+    val grid = m.groupBy("event_type")
+      .agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 15 MINUTES"))).as("bucket"))
+    val w = Window.partitionBy("event_type").orderBy("bucket")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("v").isNotNull, struct(col("bucket").as("b"), col("v")))
+    val g = grid.join(m, Seq("event_type", "bucket"), "left")
+      .withColumn("pv", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(known, ignoreNulls = true).over(wNext))
+    // interpolation arithmetic mirrors the oracle EXACTLY:
+    // prev + (next - prev) * (dt_to_prev / span), all IEEE doubles
+    val frac = (unix_timestamp(col("bucket")) - unix_timestamp(col("pv.b")))
+      .cast("double") /
+      (unix_timestamp(col("nv.b")) - unix_timestamp(col("pv.b"))).cast("double")
+    g.select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNull || col("nv").isNull, lit(null).cast("double"))
+          .otherwise(col("pv.v") + (col("nv.v") - col("pv.v")) * frac)
+          .as("v_filled"),
+        col("v").isNull.as("is_interpolated"))
+      .orderBy("event_type", "bucket")
   }
 }

@@ -402,6 +402,36 @@ class PlanChecksSpec extends SparkSpec {
       "distinct must partial-aggregate per value first:\n" + p)
   }
 
+  test("q90: changelog compacts via ONE aggregate — no window sort over the facts") {
+    val p = plan("q90_cdc_merge")
+    assert(!p.contains("Window"),
+      "compaction must be the max-struct aggregate, not row_number:\n" + p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      "merge is a full outer join:\n" + p)
+  }
+
+  test("q91: candidate generation is equi-join only — no cartesian anywhere") {
+    val p = plan("q91_setsim_join_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q92: windows partition by event_type over GRID rows, never the facts") {
+    val p = plan("q92_gap_fill_interpolate")
+    // the only Exchange feeding a Window hashes event_type (grid side)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"),
+      "grid must come from sequence()+explode, not a fact-side scan:\n" + p)
+  }
+
+  test("q94: no window and no join — two aggregates build the index") {
+    val p = plan("q94_inverted_index")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q84: diversity has no window over the corpus and no cartesian") {
     val p = plan("q84_token_diversity")
     // per-doc totals come from re-aggregating tc and joining back — the

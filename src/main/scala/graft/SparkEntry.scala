@@ -22,6 +22,7 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.MultimodalQueries.defs ++
       operators.ExtendedQueries.defs ++
+      operators.GraphQueries.defs ++
       operators.PipelineQueries.defs): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over the purchase graph (customer <-> supplier edges
+  * derived from orders x lineitem).
+  *
+  * PageRank here is FIXED-POINT: ranks live in integer units of 1e-12
+  * (total mass S = 10^12), damping 0.85 applied as *17 DIV 20, and
+  * per-edge contributions as integer division by out-degree. Two wins
+  * at once:
+  *   - parity: every operation is exact int64 arithmetic, so Spark and
+  *     DuckDB agree bit-for-bit with no rounding rules, no ordered
+  *     folds, no float summation-order caveats;
+  *   - scale: per-iteration work is ONE equi-join (ranks x edges) and
+  *     ONE map-side-combinable long sum per destination — the shape
+  *     that survives 10^11 edges, unlike collect_list folds (giant
+  *     skewed rows) or float sums (order-nondeterministic). Truncation
+  *     drops < (20 + outdeg) units (< 1e-10 of mass) per node per
+  *     iteration — identically on both engines, so it is a documented
+  *     semantic, not an error source.
+  */
+object GraphQueries {
+
+  private val S = 1000000000000L // total rank mass, 1e12 units
+
+  /** Directed edge list of the purchase graph: c<id> <-> s<id> both
+    * ways for every distinct (customer, supplier) purchase pair. */
+  private[operators] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  /** Fixed-point PageRank over an arbitrary directed edge list
+    * (src, dst), `iters` synchronous iterations, damping 17/20.
+    * Nodes are the distinct edge endpoints (so no dangling handling is
+    * needed when the edge list is symmetric, as the purchase graph is).
+    * Shared by the catalog entry and PageRankSpec. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    // node count as a broadcast 1-row frame: keeps the constant inside
+    // the plan (no driver round trip), exact integer on both engines
+    val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(n)
+      .select(col("node"), expr(s"${S}L DIV n").as("rank_u"))
+    (1 to iters).foreach { _ =>
+      val contribs = ranks.join(deg, "node")
+        .select(col("node").as("src"),
+          expr(s"(rank_u * 17 DIV 20) DIV outdeg").as("cu"))
+        .join(edges, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("cu").as("m"))
+      ranks = nodes.crossJoin(n)
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"(${S}L * 3 DIV 20) DIV n") +
+            coalesce(col("m"), lit(0L))).as("rank_u"))
+    }
+    ranks.orderBy("node")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q95
+    "q95_pagerank" -> QueryDef.sql(
+      "Fixed-point PageRank (3 iterations, damping 17/20) over the " +
+      "customer<->supplier purchase graph — the distributed-iteration " +
+      "graph operator (cf. q65's pointer jumping): ranks are int64 " +
+      "units of 1e-12 total mass, damping and out-degree division are " +
+      "integer DIV, so the whole computation is exact int64 arithmetic " +
+      "-> hash-exact with NO float anywhere, and each iteration is one " +
+      "equi-join plus one map-side-combinable long sum per node — the " +
+      "shape that survives 10^11 edges (a float PageRank's per-node " +
+      "sum is summation-order-nondeterministic; an ordered-fold " +
+      "workaround makes giant skewed rows; integer units need " +
+      "neither). Truncation loses <1e-10 of mass per node/iteration, " +
+      "identically on both engines.",
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+        |    's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn, c FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+        |  FROM edges GROUP BY 1),
+        |const AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |r0 AS (SELECT node, (1000000000000 // n)::BIGINT AS rank_u
+        |  FROM nodes CROSS JOIN const),
+        |r1 AS (SELECT n2.node,
+        |    ((1000000000000 * 3 // 20) // c.n
+        |     + coalesce(m.s, 0))::BIGINT AS rank_u
+        |  FROM nodes n2 CROSS JOIN const c LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum((r.rank_u * 17 // 20) // d.outdeg)::BIGINT AS s
+        |    FROM r0 r JOIN deg d ON r.node = d.node
+        |      JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n2.node = m.node),
+        |r2 AS (SELECT n2.node,
+        |    ((1000000000000 * 3 // 20) // c.n
+        |     + coalesce(m.s, 0))::BIGINT AS rank_u
+        |  FROM nodes n2 CROSS JOIN const c LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum((r.rank_u * 17 // 20) // d.outdeg)::BIGINT AS s
+        |    FROM r1 r JOIN deg d ON r.node = d.node
+        |      JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n2.node = m.node),
+        |r3 AS (SELECT n2.node,
+        |    ((1000000000000 * 3 // 20) // c.n
+        |     + coalesce(m.s, 0))::BIGINT AS rank_u
+        |  FROM nodes n2 CROSS JOIN const c LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      sum((r.rank_u * 17 // 20) // d.outdeg)::BIGINT AS s
+        |    FROM r2 r JOIN deg d ON r.node = d.node
+        |      JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n2.node = m.node)
+        |SELECT node, rank_u FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
+      pagerank(purchaseEdges(s, d), iters = 3)
+    }
+  )
+}

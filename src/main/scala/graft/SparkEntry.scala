@@ -22,6 +22,7 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.MultimodalQueries.defs ++
       operators.ExtendedQueries.defs ++
+      operators.ExtendedQueries.defs2 ++
       operators.GraphQueries.defs ++
       operators.PipelineQueries.defs): _*)
 

@@ -789,6 +789,42 @@ object ExtendedQueries {
     }
   )
 
+  /** q97 defs live in [[defs2]] (appended in SparkEntry via defs) — kept
+    * adjacent to the helpers below. */
+  val defs2: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q97
+    "q97_topk_per_group" -> QueryDef.sql(
+      "Top-3 orders per customer by (totalprice DESC, orderkey) via a " +
+      "BOUNDED-HEAP typed Aggregator instead of a window row_number: " +
+      "aggregator state is O(k) per group and mergeable, so the plan " +
+      "partial-aggregates map-side and the exchange carries at most k " +
+      "entries per (group, mapper) — the window formulation shuffles " +
+      "and sorts EVERY row of every group, which is the difference " +
+      "between k*|groups| and |facts| leaving the map stage at 100 TB. " +
+      "Results identical by construction (total order on (price desc, " +
+      "id)); raw doubles carried, never re-summed -> hash-exact.",
+      """SELECT o_custkey AS custkey, rn, o_orderkey AS orderkey,
+        |  o_totalprice AS totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY custkey, rn""".stripMargin) { (s, d) =>
+      val top3 = udaf(new graft.functions.TopKOrders(3),
+        Encoders.product[graft.functions.PricedRow])
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey").as("custkey"),
+          posexplode(col("top.items")))
+        .select(col("custkey"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.id").as("orderkey"), col("col.price").as("totalprice"))
+        .orderBy("custkey", "rn")
+    }
+  )
+
   /** The q93 bloom-pruning stage over arbitrary facts and a key frame —
     * shared by the catalog entry and BloomPruneSpec. Builds the bloom
     * on the driver from the (dimension-sized by contract) key frame,

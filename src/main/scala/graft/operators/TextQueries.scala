@@ -837,8 +837,57 @@ object TextQueries {
         |LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       tokenDiversity(Tables.documents(s, d))
+    },
+
+    // ---------------------------------------------------------------- q96
+    "q96_heavy_hitters" -> QueryDef.sql(
+      "EXACT corpus heavy hitters (tokens with > 1% of all token " +
+      "occurrences) via per-partition Misra-Gries + exact confirm — " +
+      "the q93 pattern (sketch prunes, exact pass confirms) applied " +
+      "to aggregation state instead of a join: MG(100) per partition " +
+      "GUARANTEES every global >N/100 token survives as a candidate " +
+      "(pigeonhole over partitions), candidates are dimension-sized " +
+      "(<= 100/partition), and only candidate tokens enter the exact " +
+      "count aggregate. At 100 TB of text the full token vocabulary " +
+      "is billions of keys — this plan's aggregate hash tables and " +
+      "exchange stay bounded by the candidate set instead. The " +
+      "threshold compare is integer (cnt*100 > total) -> hash-exact; " +
+      "share is a single division, deterministic. mapPartitions is " +
+      "preference-order (d) by necessity: a decrement-all counter " +
+      "summary is genuine per-partition imperative state.",
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS token FROM documents),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM tok)
+        |SELECT token, count(*)::BIGINT AS cnt,
+        |  count(*)::DOUBLE / (SELECT total FROM tot)::DOUBLE AS share
+        |FROM tok
+        |GROUP BY token
+        |HAVING count(*) * 100 > (SELECT total FROM tot)
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      heavyHitters(Tables.documents(s, d), capacity = 100)
     }
   )
+
+  /** The q96 operator over an arbitrary documents frame — shared by the
+    * catalog entry and HeavyHitterSpec. `capacity` m sets the exact
+    * threshold: emits tokens with cnt*m > total occurrences. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, capacity: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    val cands = toks.as[String]
+      .mapPartitions(it => graft.functions.MisraGries.candidates(it, capacity))
+      .distinct().toDF("token")
+    val tot = broadcast(toks.agg(count(lit(1)).as("total")))
+    toks.join(broadcast(cands), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(tot)
+      .where(col("cnt") * capacity > col("total"))
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 
   /** The q84 Simpson-diversity operator over an arbitrary
     * (doc_id, text) frame — shared by the catalog entry and

@@ -432,6 +432,26 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q96: only candidate tokens reach the exact aggregate; no window") {
+    val p = plan("q96_heavy_hitters")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate set must broadcast into the confirm pass:\n" + p)
+  }
+
+  test("q97: top-k per group is an aggregate, NOT a window sort") {
+    val p = plan("q97_topk_per_group")
+    assert(!p.contains("Window"),
+      "the whole point is replacing row_number():\n" + p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed aggregator must partial-aggregate:\n" + p)
+  }
+
+  test("q95: pagerank iterations are equi-joins + sums, no cartesian") {
+    val p = plan("q95_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q84: diversity has no window over the corpus and no cartesian") {
     val p = plan("q84_token_diversity")
     // per-doc totals come from re-aggregating tc and joining back — the

@@ -698,6 +698,76 @@ object DedupQueries {
       incrementalDedup(
         docs.where(col("doc_id") % 10 < 8),
         docs.where(col("doc_id") % 10 >= 8))
+    },
+
+    // --------------------------------------------------------------- q100
+    "q100_editdist_join" -> QueryDef.sql(
+      "Edit-distance similarity self-join over the distinct part-name " +
+      "vocabulary (pairs with levenshtein <= 2) via FastSS deletion " +
+      "neighborhoods — the typo/variant-mining operator: any two " +
+      "strings within edit distance k share a member of their " +
+      "k-deletion neighborhoods (FastSS guarantee), so candidates are " +
+      "an EQUI-JOIN on deletion variants — never an all-pairs " +
+      "levenshtein — and the exact distance is computed only on " +
+      "candidates, then filtered to 1..2 (distance is an int -> " +
+      "hash-exact; both engines implement classic unit-cost " +
+      "Wagner-Fischer). Shape at 100 TB: the input is the DISTINCT " +
+      "name vocabulary (dimension-sized by nature); variants per name " +
+      "are O(len^2) ~ 50 short strings; the variant join is " +
+      "hash-partitioned with AQE handling hot variants; the confirm " +
+      "set is candidate pairs only. This is q93's sketch-prune/" +
+      "exact-confirm pattern with the deletion neighborhood as the " +
+      "(recall-1.0) sketch.",
+      """WITH names AS (SELECT DISTINCT p_name AS t FROM part),
+        |v1 AS (
+        |  SELECT t, t AS v FROM names
+        |  UNION ALL
+        |  SELECT t, substr(t, 1, i - 1) || substr(t, i + 1) AS v
+        |  FROM names, unnest(generate_series(1, len(t))) AS g(i)),
+        |v2 AS (
+        |  SELECT t, v FROM v1
+        |  UNION ALL
+        |  SELECT t, substr(v, 1, i - 1) || substr(v, i + 1) AS v2v
+        |  FROM (SELECT t, v FROM v1 WHERE v <> t) d,
+        |    unnest(generate_series(1, len(d.v))) AS g(i)),
+        |vars AS (SELECT DISTINCT t, v FROM v2),
+        |cand AS (SELECT DISTINCT a.t AS name_a, b.t AS name_b
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.t < b.t)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+      editDistanceJoin(
+        Tables.part(s, d).select(col("p_name").as("t")).distinct(), maxDist = 2)
     }
   )
+
+  /** The q100 FastSS edit-distance join over an arbitrary single-column
+    * string frame `t` — shared by the catalog entry and
+    * SkylineTriangleSpec. Emits (name_a, name_b, dist) with
+    * 1 <= dist <= maxDist (maxDist <= 2: the deletion neighborhood is
+    * generated to depth 2). */
+  def editDistanceJoin(names: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, "deletion depth generated to 2")
+    // 1-deletion variants: one substring splice per position, written as
+    // a SQL transform() so the whole neighborhood stays inside codegen
+    val v1 = names.select(col("t"), explode(concat(array(col("t")),
+      expr("transform(sequence(1, length(t)), i -> " +
+        "concat(substring(t, 1, i - 1), substring(t, i + 1, length(t))))")))
+      .as("v"))
+    val v2 = v1.where(col("v") =!= col("t"))
+      .select(col("t"), explode(
+        expr("transform(sequence(1, length(v)), i -> " +
+          "concat(substring(v, 1, i - 1), substring(v, i + 1, length(v))))"))
+        .as("v"))
+    val vars = (if (maxDist >= 2) v1.unionByName(v2) else v1).distinct()
+    val cand = vars.select(col("t").as("name_a"), col("v"))
+      .join(vars.select(col("t").as("name_b"), col("v")), "v")
+      .where(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist").between(1, maxDist))
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -822,8 +822,63 @@ object ExtendedQueries {
         .select(col("custkey"), (col("pos") + 1).cast("long").as("rn"),
           col("col.id").as("orderkey"), col("col.price").as("totalprice"))
         .orderBy("custkey", "rn")
+    },
+
+    // ---------------------------------------------------------------- q99
+    "q99_skyline" -> QueryDef.sql(
+      "Skyline (Pareto frontier) over parts: minimize retail price, " +
+      "maximize size — a part is dominated iff some part is no worse " +
+      "on both axes and strictly better on one. Computed WITHOUT an " +
+      "all-pairs dominance join: group to one (price, max_size) row " +
+      "per DISTINCT price, take the strict-prefix running max of size " +
+      "over prices ascending (ROWS UNBOUNDED PRECEDING TO 1 " +
+      "PRECEDING), and keep parts whose size beats every strictly " +
+      "cheaper part's max AND ties the max at their own price (exact " +
+      "(price,size) duplicates are mutually non-dominating and all " +
+      "kept — standard skyline). All compares are on stored values, " +
+      "no arithmetic -> hash-exact. Shape at 100 TB: the quadratic " +
+      "dominance join becomes one map-side-combinable (price -> max " +
+      "size) aggregate over the facts plus a window over the DISTINCT " +
+      "PRICE DOMAIN (dimension-sized) and an equi-join back; if the " +
+      "price domain itself is corpus-scale, the prefix max re-shards " +
+      "exactly like q69's two-level prefix sum.",
+      """WITH pm AS (SELECT p_retailprice AS price, max(p_size)::BIGINT AS msize
+        |  FROM part GROUP BY 1),
+        |pfx AS (SELECT price, msize,
+        |    max(msize) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_max
+        |  FROM pm)
+        |SELECT p.p_partkey AS partkey, p.p_name AS name,
+        |  p.p_retailprice AS price, p.p_size::BIGINT AS size
+        |FROM part p JOIN pfx ON p.p_retailprice = pfx.price
+        |WHERE (pfx.strict_max IS NULL OR pfx.strict_max < p.p_size)
+        |  AND pfx.msize <= p.p_size
+        |ORDER BY price, partkey""".stripMargin) { (s, d) =>
+      skyline(Tables.part(s, d))
     }
   )
+
+  /** The q99 skyline operator over an arbitrary part frame (minimize
+    * p_retailprice, maximize p_size) — shared by the catalog entry and
+    * SkylineTriangleSpec. The window runs over the distinct-price
+    * domain only (see the catalog doc's scale note). */
+  def skyline(part: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pfx = part
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).cast("long").as("msize"))
+      .withColumn("strict_max", max("msize").over(w))
+    part.join(pfx, col("p_retailprice") === col("price"))
+      .where((col("strict_max").isNull
+          || col("strict_max") < col("p_size"))
+        && col("msize") <= col("p_size"))
+      .select(col("p_partkey").as("partkey"), col("p_name").as("name"),
+        col("p_retailprice").as("price"), col("p_size").cast("long").as("size"))
+      .orderBy("price", "partkey")
+  }
 
   /** The q93 bloom-pruning stage over arbitrary facts and a key frame —
     * shared by the catalog entry and BloomPruneSpec. Builds the bloom

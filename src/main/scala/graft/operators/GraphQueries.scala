@@ -126,6 +126,67 @@ object GraphQueries {
         |    GROUP BY e.dst) m ON n2.node = m.node)
         |SELECT node, rank_u FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
       pagerank(purchaseEdges(s, d), iters = 3)
+    },
+
+    // --------------------------------------------------------------- q102
+    "q102_triangles" -> QueryDef.sql(
+      "Triangle enumeration on the part co-occurrence graph (parts " +
+      "appearing together in >= 2 distinct orders) — the graph-motif " +
+      "operator behind clustering-coefficient / community features. " +
+      "Every stage is bounded: pair generation is a PER-ORDER " +
+      "self-join (pairs per order <= basket_size^2, ~80 here, never " +
+      "corpus-quadratic), the co-occurrence aggregate is one hash agg " +
+      "on (u,v) with the >= 2 support threshold pruning the long " +
+      "tail, and triangles come from the classic ORDERED-EDGE " +
+      "two-join plan (u < v everywhere, so each triangle is " +
+      "enumerated exactly once as a < b < c): edges(a,b) x edges(b,c) " +
+      "-> wedge, closed by an equi-join against edges(a,c). All " +
+      "integer keys and counts -> hash-exact. Shape at 100 TB: both " +
+      "triangle joins are equi-joins on the SUPPORT-THRESHOLDED edge " +
+      "list (sparse by construction); skewed hub vertices split under " +
+      "AQE, and the u < v orientation bounds each wedge list by the " +
+      "smaller endpoint's degree (the standard distributed triangle " +
+      "trick).",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |proj AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS shared
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+        |  e1.shared AS shared_ab, e2.shared AS shared_bc,
+        |  e3.shared AS shared_ac
+        |FROM proj e1 JOIN proj e2 ON e1.v = e2.u
+        |  JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY a, b, c""".stripMargin) { (s, d) =>
+      triangles(coOccurrenceEdges(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
+          col("l_partkey").as("p")), minShared = 2))
     }
   )
+
+  /** Support-thresholded co-occurrence edges (u < v) from an arbitrary
+    * (o, p) membership frame — q102's projection stage, shared with
+    * SkylineTriangleSpec. */
+  def coOccurrenceEdges(membership: DataFrame, minShared: Long): DataFrame = {
+    val op = membership.distinct()
+    op.select(col("o"), col("p").as("u"))
+      .join(op.select(col("o"), col("p").as("v")), "o")
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Ordered-edge triangle enumeration over an (u, v, shared) edge list
+    * with u < v: emits one row per triangle a < b < c. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("u").as("a"), col("v").as("b"),
+      col("shared").as("shared_ab"))
+    val e2 = edges.select(col("u").as("b"), col("v").as("c"),
+      col("shared").as("shared_bc"))
+    val e3 = edges.select(col("u").as("a"), col("v").as("c"),
+      col("shared").as("shared_ac"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .select("a", "b", "c", "shared_ab", "shared_bc", "shared_ac")
+      .orderBy("a", "b", "c")
+  }
 }

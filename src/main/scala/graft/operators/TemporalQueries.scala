@@ -358,8 +358,55 @@ object TemporalQueries {
         |  (v IS NULL) AS is_interpolated
         |FROM f ORDER BY event_type, bucket""".stripMargin) { (s, d) =>
       gapFillInterpolate(Tables.events(s, d))
+    },
+
+    // ---------------------------------------------------------------- q98
+    "q98_ewma_smoothing" -> QueryDef.sql(
+      "Per-user exponentially-weighted moving average of event values " +
+      "(alpha = 1/4, zero-initialized: s_i = 0.75*s_{i-1} + 0.25*x_i) " +
+      "— the streaming-telemetry smoothing operator. EWMA is an " +
+      "inherently ORDERED recurrence, so it follows the q81 " +
+      "index-ordered-fold parity rule: Spark sort_array(collect_list(" +
+      "struct(ts, event_id, value))) + aggregate with a 0.0 seed is " +
+      "mirrored by DuckDB list_reduce(list_prepend(0.0, list(value " +
+      "ORDER BY ts, event_id)), ...) — identical IEEE mult/add per " +
+      "step in identical order, and 0.75/0.25 are exact binary, so " +
+      "the result is hash-exact with NO rounding. Shape at 100 TB: " +
+      "one hash aggregate keyed by user; fold state is bounded by the " +
+      "per-user event count (cap with a time-window filter for " +
+      "unbounded histories). The scalable alternative for corpus-long " +
+      "series — EWMA is the linear recurrence s -> a*s + b, " +
+      "composable as (a2*a1, a2*b1 + b2), i.e. a q69-style sharded " +
+      "prefix scan — changes float op ORDER and thus the bits, so " +
+      "this catalog entry keeps the sequential fold as the semantic " +
+      "contract.",
+      """WITH e AS (SELECT user_id, value, ts, event_id FROM events),
+        |per AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    list_reduce(list_prepend(0.0, list(value ORDER BY ts, event_id)),
+        |      (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, ewma
+        |FROM per ORDER BY user_id""".stripMargin) { (s, d) =>
+      ewmaSmoothing(Tables.events(s, d))
     }
   )
+
+  /** The q98 EWMA operator over an arbitrary (user_id, ts, event_id,
+    * value) frame — shared by the catalog entry and
+    * TemporalPropertiesSpec. Zero-initialized recurrence folded in
+    * (ts, event_id) order; see the catalog doc for the parity contract. */
+  def ewmaSmoothing(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("value").as("v")))),
+          lit(0.0),
+          (acc, e) => acc * lit(0.75) + e.getField("v") * lit(0.25))
+          .as("ewma"))
+      .orderBy("user_id")
 
   /** The q86 funnel operator over an arbitrary (user_id, ts, event_type)
     * frame — shared by the catalog entry and FunnelCohortSpec. */

@@ -864,8 +864,77 @@ object TextQueries {
         |HAVING count(*) * 100 > (SELECT total FROM tot)
         |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
       heavyHitters(Tables.documents(s, d), capacity = 100)
+    },
+
+    // --------------------------------------------------------------- q101
+    "q101_source_drift" -> QueryDef.sql(
+      "Token-distribution drift per source vs the whole corpus, as " +
+      "EXACT total-variation distance: TVD(s) = 1/2 * sum_t |c_ts/N_s " +
+      "- C_t/N| computed over a COMMON integer denominator — the " +
+      "numerator sum_t |c_ts*N - C_t*N_s| is pure int64, so the score " +
+      "is hash-exact with one final division (the chi-square/KL " +
+      "alternatives need ln() or per-term float sums; TVD is the " +
+      "rational drift measure, same libm-avoidance rule as q53/q84). " +
+      "The Spark side never materializes the dense source-x-vocab " +
+      "grid: tokens ABSENT from a source contribute |0*N - C_t*N_s| " +
+      "= C_t*N_s, and sum_absent C_t = N - sum_present C_t, so the " +
+      "absent mass folds into one closed-form term per source — the " +
+      "plan is two hash aggregates (per-source-term, per-term) + one " +
+      "equi-join on term + one per-source aggregate. The oracle " +
+      "builds the dense grid (vocab x 20 sources at sf0.01) and must " +
+      "agree bit-for-bit because every intermediate is an integer. " +
+      "Shape at 100 TB: no cross join, aggregates are map-side " +
+      "combinable, the join is term-keyed (AQE splits stopword skew); " +
+      "int64 headroom is c*N < 2^63 — at trillion-token corpora " +
+      "switch the two products to DECIMAL(38,0), same algebra.",
+      s"""WITH tok AS (SELECT source, unnest($sqlToks) AS t FROM documents),
+        |st AS (SELECT source, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT t, sum(c)::BIGINT AS cc FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(c)::BIGINT AS n FROM st GROUP BY 1),
+        |nc AS (SELECT sum(cc)::BIGINT AS nn FROM ct),
+        |terms AS (SELECT ns.source, ct.t,
+        |    coalesce(st.c, 0)::BIGINT AS c, ct.cc, ns.n, nc.nn
+        |  FROM ct CROSS JOIN ns CROSS JOIN nc
+        |  LEFT JOIN st ON st.source = ns.source AND st.t = ct.t)
+        |SELECT source, n AS n_tokens,
+        |  sum(abs(c * nn - cc * n))::BIGINT AS tvd_num,
+        |  (2 * n * nn)::BIGINT AS tvd_den,
+        |  (sum(abs(c * nn - cc * n))::DOUBLE
+        |    / (2.0 * n::DOUBLE * nn::DOUBLE))::DOUBLE AS tvd
+        |FROM terms GROUP BY source, n, nn
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      sourceDrift(Tables.documents(s, d))
     }
   )
+
+  /** The q101 TVD-drift operator over an arbitrary (source, text) frame
+    * — shared by the catalog entry and SkylineTriangleSpec. Sparse
+    * formulation: absent-token mass enters via the closed-form
+    * (N - sum_present C_t) * N_s term; see the catalog doc. */
+  def sourceDrift(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(tokens(col("text"))).as("t"))
+    val st = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val ct = st.groupBy("t").agg(sum("c").as("cc"))
+    val ns = st.groupBy("source").agg(sum("c").as("n"))
+    val nn = broadcast(ct.agg(sum("cc").as("nn")))
+    val present = st.join(ct, "t").crossJoin(nn)
+      .join(ns, "source")
+      .groupBy(col("source"), col("n"), col("nn"))
+      .agg(sum(abs(col("c") * col("nn") - col("cc") * col("n"))).as("num_present"),
+        sum("cc").as("cc_present"))
+    present
+      .select(col("source"), col("n").as("n_tokens"),
+        (col("num_present")
+          + (col("nn") - col("cc_present")) * col("n")).as("tvd_num"),
+        (lit(2L) * col("n") * col("nn")).as("tvd_den"),
+        ((col("num_present")
+          + (col("nn") - col("cc_present")) * col("n")).cast("double")
+          / (lit(2.0) * col("n").cast("double") * col("nn").cast("double")))
+          .as("tvd"))
+      .orderBy("source")
+  }
 
   /** The q96 operator over an arbitrary documents frame — shared by the
     * catalog entry and HeavyHitterSpec. `capacity` m sets the exact

@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantic anchors for the round-7 batch: q99 skyline (dominance
+  * definition vs a brute-force all-pairs check), q100 FastSS
+  * edit-distance join (candidate recall 1.0 vs brute-force
+  * levenshtein), q101 TVD drift (closed-form identities), and q102
+  * ordered-edge triangles (hand-built graph + once-per-triangle).
+  */
+class SkylineTriangleSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- skyline
+
+  private def skylineOf(rows: Seq[(Long, String, Double, Int)]) =
+    ExtendedQueries.skyline(
+      rows.toDF("p_partkey", "p_name", "p_retailprice", "p_size"))
+      .collect().map(r => r.getLong(0)).toSet
+
+  test("q99: brute-force dominance agrees on a hand set") {
+    val rows = Seq(
+      (1L, "a", 10.0, 5), // skyline (cheapest)
+      (2L, "b", 10.0, 5), // exact duplicate of 1 -> also kept
+      (3L, "c", 12.0, 7), // skyline (bigger than everything cheaper)
+      (4L, "d", 12.0, 6), // dominated by 3 (same price, smaller)
+      (5L, "e", 15.0, 7), // dominated by 3 (more expensive, same size)
+      (6L, "f", 20.0, 9), // skyline
+      (7L, "g", 25.0, 9), // dominated by 6
+      (8L, "h", 30.0, 1)) // dominated by everything bigger & cheaper
+    val out = skylineOf(rows)
+    // brute force: kept iff no other row is <= price, >= size, with one strict
+    val brute = rows.filter { case (_, _, p, s) =>
+      !rows.exists { case (_, _, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(out == brute && out == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("q99: corpus skyline rows are mutually non-dominating and complete") {
+    val part = graft.Tables.part(spark, sf001)
+    val all = part.select("p_partkey", "p_retailprice", "p_size")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val out = ExtendedQueries.skyline(part).collect()
+      .map(r => r.getLong(0)).toSet
+    val brute = all.filter { case (_, p, s) =>
+      !all.exists { case (_, p2, s2) =>
+        p2 <= p && s2 >= s && (p2 < p || s2 > s) }
+    }.map(_._1).toSet
+    assert(out == brute && out.nonEmpty)
+  }
+
+  // ------------------------------------------- FastSS edit-distance join
+
+  private def lev(a: String, b: String): Int = {
+    val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+        m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    m(a.length)(b.length)
+  }
+
+  test("q100: deletion-neighborhood candidates reach every d<=2 pair") {
+    val words = Seq("spark", "spork", "sparks", "stork", "park", "dark",
+      "darks", "a", "ab", "zzzzz", "spa", "spar")
+    val out = DedupQueries.editDistanceJoin(words.toDF("t"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val brute = (for {
+      a <- words; b <- words if a < b
+      d = lev(a, b) if d >= 1 && d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(out == brute, "FastSS recall is exactly 1.0 at k=2")
+  }
+
+  test("q100: maxDist=1 restricts to distance-1 pairs only") {
+    val words = Seq("cat", "cut", "cart", "dog")
+    val out = DedupQueries.editDistanceJoin(words.toDF("t"), maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("cat", "cut"), ("cart", "cat")))
+  }
+
+  // --------------------------------------------------------- TVD drift
+
+  test("q101: identical sources have zero drift; disjoint have max") {
+    // two sources with identical token distributions -> tvd 0 for both
+    val same = Seq(("s1", "x y"), ("s2", "x y")).toDF("source", "text")
+    TextQueries.sourceDrift(same).collect().foreach { r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)} numerator") }
+    // a source disjoint from the rest of the corpus: TVD = 1 - N_s/N
+    // (its own mass all excess, the rest all missing)
+    val disj = Seq(("s1", "x x x"), ("s2", "y")).toDF("source", "text")
+    val out = TextQueries.sourceDrift(disj).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // s1: n=3, N=4. |3*4-3*3| + |0*4-1*3| = 3 + 3 = 6; den 24 -> 0.25 = 1-3/4
+    assert(out("s1") == ((3L, 6L, 24L)))
+    // s2: n=1. |1*4-1*1| + |0-3*1| = 3+3 = 6; den 8 -> 0.75 = 1-1/4
+    assert(out("s2") == ((1L, 6L, 8L)))
+  }
+
+  test("q101: corpus drift is a proper fraction and sparse==dense") {
+    val out = TextQueries.sourceDrift(
+      graft.Tables.documents(spark, sf001)).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (num, den, tvd) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(num >= 0 && num <= den, r.getString(0))
+      assert(tvd == num.toDouble / den.toDouble, "reported tvd is num/den")
+    }
+  }
+
+  // --------------------------------------------------------- triangles
+
+  test("q102: hand graph — each triangle exactly once, ordered a<b<c") {
+    // memberships: baskets {1,2,3} x2 (support 2), {1,2,4} once (support
+    // 1 on edges 1-4, 2-4 except 1-2 which accumulates 3), {3,4} x2
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 3L), (13L, 4L), (14L, 3L), (14L, 4L))
+    val edges = GraphQueries.coOccurrenceEdges(rows.toDF("o", "p"), minShared = 2)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // surviving edges: (1,2) support 3, (1,3) 2, (2,3) 2, (3,4) 2
+    assert(es == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L, (3L, 4L) -> 2L))
+    val tri = GraphQueries.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((1L, 2L, 3L)), "one triangle, once, ordered")
+  }
+
+  test("q102: corpus triangles close: every edge pair of a triangle exists") {
+    val edges = GraphQueries.coOccurrenceEdges(
+      graft.Tables.lineitem(spark, sf001)
+        .select(org.apache.spark.sql.functions.col("l_orderkey").as("o"),
+          org.apache.spark.sql.functions.col("l_partkey").as("p")),
+      minShared = 2)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri = GraphQueries.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.length == 61)
+    tri.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(es((a, b)) && es((b, c)) && es((a, c))) }
+  }
+
+  // ------------------------------------------------------------- EWMA
+
+  test("q98: fold equals the sequential recurrence, order-sensitive") {
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 20L, 4.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 10L, 8.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 30L, 2.0))
+    val out = TemporalQueries.ewmaSmoothing(
+      rows.toDF("user_id", "ts", "event_id", "value")).collect()
+    // ordered by ts: 8.0, 4.0, 2.0 -> s1=2.0, s2=2.5, s3=2.375
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) ==
+      ((0.0 * 0.75 + 8.0 * 0.25) * 0.75 + 4.0 * 0.25) * 0.75 + 2.0 * 0.25)
+  }
+
+  test("q98: ties in ts break by event_id; singleton is value/4") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val out = TemporalQueries.ewmaSmoothing(
+      Seq((1L, t, 2L, 100.0), (1L, t, 1L, 0.0), (2L, t, 9L, 40.0))
+        .toDF("user_id", "ts", "event_id", "value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == (0.0 * 0.75 + 0.0 * 0.25) * 0.75 + 100.0 * 0.25)
+    assert(out(2L) == 10.0)
+  }
+}

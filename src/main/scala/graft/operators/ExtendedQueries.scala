@@ -855,8 +855,46 @@ object ExtendedQueries {
         |  AND pfx.msize <= p.p_size
         |ORDER BY price, partkey""".stripMargin) { (s, d) =>
       skyline(Tables.part(s, d))
+    },
+
+    // --------------------------------------------------------------- q106
+    "q106_equifreq_binning" -> QueryDef.sql(
+      "Equal-frequency discretization of order totalprice into 10 " +
+      "bins (ntile over the fully tie-broken (price, orderkey) order) " +
+      "with per-bin count and [lo, hi] boundaries — the feature-" +
+      "quantization operator for ML pipelines. ntile's bucket-size " +
+      "rule (floor/ceil split, larger buckets first) is identical " +
+      "ANSI semantics on both engines and the total order is " +
+      "duplicate-free, so bin assignment is deterministic; boundaries " +
+      "are stored values, counts are integers -> hash-exact. Scale " +
+      "contract: this EXACT form runs one global sort (fine to ~10^9 " +
+      "rows with range partitioning; the output is k rows); at " +
+      "corpus scale you compute boundaries from q85's mergeable KLL " +
+      "sketch and assign map-side — this catalog entry is the exact " +
+      "semantic the sketch path approximates.",
+      """WITH b AS (SELECT o_orderkey, o_totalprice,
+        |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS bin
+        |  FROM orders)
+        |SELECT bin, count(*)::BIGINT AS n, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+      equifreqBins(Tables.orders(s, d)
+        .select(col("o_orderkey").as("id"), col("o_totalprice").as("x")), 10)
     }
   )
+
+  /** The q106 equal-frequency binning over an arbitrary (id, x) frame —
+    * shared by the catalog entry and SkylineTriangleSpec. */
+  def equifreqBins(rows: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rows
+      .withColumn("bin",
+        ntile(k).over(Window.orderBy("x", "id")).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("x").as("lo"), max("x").as("hi"))
+      .orderBy("bin")
+  }
 
   /** The q99 skyline operator over an arbitrary part frame (minimize
     * p_retailprice, maximize p_size) — shared by the catalog entry and

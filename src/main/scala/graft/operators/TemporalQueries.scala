@@ -388,8 +388,171 @@ object TemporalQueries {
         |SELECT user_id, n_events, ewma
         |FROM per ORDER BY user_id""".stripMargin) { (s, d) =>
       ewmaSmoothing(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q103
+    "q103_sessionization" -> QueryDef.sql(
+      "Gap-based sessionization (new session when a user is idle > 12 " +
+      "h): the feature-engineering twin of q26's session_window " +
+      "AGGREGATE — this one ASSIGNS a per-user session number to " +
+      "every event (lag + cumulative flag-sum over the user " +
+      "partition) and emits one row per session with start/end/count/" +
+      "duration. Every value is a stored timestamp, a count, or an " +
+      "integer epoch difference -> hash-exact. Shape at 100 TB: both " +
+      "windows and the session aggregate are keyed by user_id — one " +
+      "hash partition end-to-end, no global window, no shuffle beyond " +
+      "the per-user exchange; per-user state is the user's own event " +
+      "history (cap with a date-range scan filter for unbounded " +
+      "retention).",
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    (epoch_us(ts) // 1000000) AS es,
+        |    lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_es
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_es IS NULL OR es - prev_es > 43200
+        |         THEN 1 ELSE 0 END AS new_s, es FROM e),
+        |g AS (SELECT user_id, ts, es,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS session_n
+        |  FROM f)
+        |SELECT user_id, session_n, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*)::BIGINT AS n_events,
+        |  (max(es) - min(es))::BIGINT AS duration_sec
+        |FROM g GROUP BY user_id, session_n
+        |ORDER BY user_id, session_n""".stripMargin) { (s, d) =>
+      sessionize(Tables.events(s, d), gapSec = 43200L)
+    },
+
+    // --------------------------------------------------------------- q104
+    "q104_trend_ols" -> QueryDef.sql(
+      "Per-event-type least-squares time trend (slope + intercept) in " +
+      "EXACT integer arithmetic: x = seconds since the type's first " +
+      "event (int64), y = value in cents (the 2-decimal source makes " +
+      "round(value*100) exact), and the five OLS sums (n, Sx, Sy, " +
+      "Sxy, Sxx) are plain integer aggregates — map-side combinable, " +
+      "order-independent, hash-exact — with the closed-form slope = " +
+      "(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) evaluated in 128-bit exact " +
+      "arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT) and divided " +
+      "ONCE as doubles at the end; intercept reuses the slope with " +
+      "the identical expression shape on both engines, so IEEE " +
+      "determinism carries through. This is the parity-sound " +
+      "alternative to a float regression (order-dependent sums) and " +
+      "to an ordered-fold one (giant per-group rows — see q98's " +
+      "contract note). Shape at 100 TB: one window min per type + one " +
+      "five-sum hash aggregate; nothing is collected, nothing is " +
+      "ordered.",
+      """WITH b AS (SELECT event_type,
+        |    ((epoch_us(ts) // 1000000)
+        |      - min(epoch_us(ts) // 1000000)
+        |          OVER (PARTITION BY event_type)) AS x,
+        |    round(value * 100)::BIGINT AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT) AS sxx
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n::BIGINT AS n,
+        |  ((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE) AS slope_cents_per_sec,
+        |  ((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |    / n::DOUBLE) AS intercept_cents
+        |FROM s ORDER BY event_type""".stripMargin) { (s, d) =>
+      trendOls(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q105
+    "q105_markov_transitions" -> QueryDef.sql(
+      "First-order Markov transition matrix over per-user event-type " +
+      "sequences: count every (prev -> curr) adjacent pair (lag over " +
+      "the user partition ordered by ts, event_id), then row-" +
+      "normalize per source state. Counts are integers and the " +
+      "probability is ONE division of exact int64s -> hash-exact. " +
+      "The output is |event_type|^2 rows — a model, dimension-sized " +
+      "by construction. Shape at 100 TB: one per-user window lag + " +
+      "one map-side-combinable hash aggregate on (prev, curr) + a " +
+      "broadcast-sized row-total join; no global ordering anywhere.",
+      """WITH e AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS curr, count(*)::BIGINT AS cnt
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev, sum(cnt)::BIGINT AS total FROM c GROUP BY 1)
+        |SELECT c.prev, c.curr, c.cnt, t.total,
+        |  (c.cnt::DOUBLE / t.total::DOUBLE) AS p
+        |FROM c JOIN t USING (prev)
+        |ORDER BY prev, curr""".stripMargin) { (s, d) =>
+      markovTransitions(Tables.events(s, d))
     }
   )
+
+  /** The q103 sessionizer over an arbitrary (user_id, ts, event_id)
+    * frame — shared by the catalog entry and TemporalPropertiesSpec. */
+  def sessionize(events: org.apache.spark.sql.DataFrame, gapSec: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull
+          || col("ts").cast("long") - col("prev_ts").cast("long") > gapSec, 1)
+          .otherwise(0))
+      .withColumn("session_n", sum("new_s").over(wRun).cast("long"))
+      .groupBy("user_id", "session_n")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_sec"))
+      .orderBy("user_id", "session_n")
+  }
+
+  /** The q104 exact-integer OLS trend over an arbitrary
+    * (event_type, ts, value) frame; 128-bit closed form — see the
+    * catalog doc. Shared with TemporalPropertiesSpec. */
+  def trendOls(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val wMin = Window.partitionBy("event_type")
+    val b = events.select(col("event_type"),
+      (col("ts").cast("long")
+        - min(col("ts").cast("long")).over(wMin)).as("x"),
+      round(col("value") * 100, 0).cast("long").as("y"))
+    val s = b.groupBy("event_type").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").cast(dec).as("sx"), sum("y").cast(dec).as("sy"),
+      sum(col("x") * col("y")).cast(dec).as("sxy"),
+      sum(col("x") * col("x")).cast(dec).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.select(col("event_type"), col("n").cast("long").as("n"),
+      slope.as("slope_cents_per_sec"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n").cast("double")).as("intercept_cents"))
+      .orderBy("event_type")
+  }
+
+  /** The q105 Markov transition matrix over an arbitrary
+    * (user_id, ts, event_id, event_type) frame — shared with
+    * TemporalPropertiesSpec. */
+  def markovTransitions(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = events
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("cnt"))
+    val t = c.groupBy("prev").agg(sum("cnt").as("total"))
+    c.join(broadcast(t), "prev")
+      .select(col("prev"), col("curr"), col("cnt"), col("total"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .orderBy("prev", "curr")
+  }
 
   /** The q98 EWMA operator over an arbitrary (user_id, ts, event_id,
     * value) frame — shared by the catalog entry and

@@ -160,6 +160,22 @@ class SkylineTriangleSpec extends SparkSpec {
       ((0.0 * 0.75 + 8.0 * 0.25) * 0.75 + 4.0 * 0.25) * 0.75 + 2.0 * 0.25)
   }
 
+  // ------------------------------------------------------------- binning
+
+  test("q106: ntile bucket-size law and contiguous non-overlapping bins") {
+    // 25 rows into 10 bins: sizes 3,3,3,3,3,2,2,2,2,2 (larger first)
+    val rows = (1 to 25).map(i => (i.toLong, (100 - i).toDouble))
+    val out = ExtendedQueries.equifreqBins(rows.toDF("id", "x"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (1L to 10L).toSeq)
+    assert(out.map(_._2).toSeq == Seq(3L, 3L, 3L, 3L, 3L, 2L, 2L, 2L, 2L, 2L))
+    out.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 < b._3, "bins ordered and disjoint")
+      case _ =>
+    }
+  }
+
   test("q98: ties in ts break by event_id; singleton is value/4") {
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
     val out = TemporalQueries.ewmaSmoothing(

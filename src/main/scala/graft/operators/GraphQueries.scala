@@ -161,8 +161,71 @@ object GraphQueries {
       triangles(coOccurrenceEdges(
         Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
           col("l_partkey").as("p")), minShared = 2))
+    },
+
+    // --------------------------------------------------------------- q107
+    "q107_item_similarity" -> QueryDef.sql(
+      "Item-item collaborative-filtering similarity: top-5 most " +
+      "cosine-similar parts per part over order co-occurrence " +
+      "(sim(u,v) = co(u,v) / sqrt(deg(u)*deg(v)), support >= 2) — " +
+      "the recommender building block. IEEE sqrt is CORRECTLY " +
+      "ROUNDED, so cosine over exact integer co-occurrence and " +
+      "degree counts is deterministic across engines -> hash-exact " +
+      "with full (cosine DESC, v) tie-break. Shape at 100 TB: " +
+      "reuses q102's bounded per-basket pair generation and " +
+      "support-thresholded edge aggregate; degrees are one " +
+      "dimension-sized aggregate joined onto the (sparse) edge " +
+      "list; the top-k window partitions by item over edges, never " +
+      "facts — swap in q97's bounded-heap Aggregator if an item's " +
+      "edge list itself skews.",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |deg AS (SELECT p, count(*)::BIGINT AS d FROM op GROUP BY 1),
+        |co AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS co
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v, co FROM co UNION ALL SELECT v, u, co FROM co),
+        |sim AS (SELECT s.u, s.v, s.co,
+        |    s.co::DOUBLE / (sqrt(du.d::DOUBLE) * sqrt(dv.d::DOUBLE))
+        |      AS cosine
+        |  FROM sym s JOIN deg du ON s.u = du.p JOIN deg dv ON s.v = dv.p),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY u
+        |    ORDER BY cosine DESC, v)::BIGINT AS rn FROM sim)
+        |SELECT u, rn, v, co, cosine FROM rk WHERE rn <= 5
+        |ORDER BY u, rn""".stripMargin) { (s, d) =>
+      itemSimilarityTopK(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
+          col("l_partkey").as("p")), minShared = 2, k = 5)
     }
   )
+
+  /** The q107 item-item cosine top-k over an arbitrary (o, p)
+    * membership frame — shared by the catalog entry and
+    * SkylineTriangleSpec. Composes [[coOccurrenceEdges]]. */
+  def itemSimilarityTopK(membership: DataFrame, minShared: Long, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val op = membership.distinct()
+    val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val co = coOccurrenceEdges(op, minShared)
+    val sym = co.select(col("u"), col("v"), col("shared").as("co"))
+      .unionByName(co.select(col("v").as("u"), col("u").as("v"),
+        col("shared").as("co")))
+    val sim = sym
+      .join(deg.select(col("p").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("p").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("co"),
+        (col("co").cast("double")
+          / (sqrt(col("du").cast("double"))
+            * sqrt(col("dv").cast("double")))).as("cosine"))
+    sim
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("cosine").desc, col("v")))
+        .cast("long"))
+      .where(col("rn") <= k)
+      .select("u", "rn", "v", "co", "cosine")
+      .orderBy("u", "rn")
+  }
 
   /** Support-thresholded co-occurrence edges (u < v) from an arbitrary
     * (o, p) membership frame — q102's projection stage, shared with

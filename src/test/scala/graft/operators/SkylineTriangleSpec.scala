@@ -160,6 +160,56 @@ class SkylineTriangleSpec extends SparkSpec {
       ((0.0 * 0.75 + 8.0 * 0.25) * 0.75 + 4.0 * 0.25) * 0.75 + 2.0 * 0.25)
   }
 
+  // ------------------------------------------- item-item similarity
+
+  test("q107: hand-computed cosines, symmetry, and top-k cut") {
+    // baskets: {1,2} x2, {1,3} x2, {2,3} x2 -> co=2 each;
+    // deg(1)=deg(2)=deg(3)=4 -> cosine = 2/4 = 0.5 for all pairs
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 1L), (13L, 3L),
+      (14L, 2L), (14L, 3L), (15L, 2L), (15L, 3L))
+    val out = GraphQueries.itemSimilarityTopK(
+      rows.toDF("o", "p"), minShared = 2, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // every item sees both others, rn ordered by (cosine desc, v)
+    assert(out.length == 6)
+    out.foreach { case (_, _, _, co, cos) =>
+      assert(co == 2L && cos == 2.0 / (math.sqrt(4.0) * math.sqrt(4.0))) }
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(2L, 3L))
+    // symmetry of the underlying similarity: (u,v) and (v,u) agree
+    val m = out.map(t => (t._1, t._3) -> t._5).toMap
+    m.foreach { case ((u, v), c) => assert(m((v, u)) == c) }
+  }
+
+  test("q107: k cuts per-item lists and keeps the best") {
+    // star: item 1 co-occurs with 2 (3 baskets) and 3 (2 baskets)
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 1L), (14L, 3L))
+    val out = GraphQueries.itemSimilarityTopK(
+      rows.toDF("o", "p"), minShared = 2, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 2L, "item 1's best neighbor is the 3-basket one")
+  }
+
+  // ------------------------------------------------------- expectations
+
+  test("q108: one row per rule, checked = table size, pass iff clean") {
+    val out = graft.SparkEntry.queries("q108_data_expectations")(spark, sf001)
+      .collect()
+    assert(out.length == 6)
+    val byRule = out.map(r => r.getString(1) ->
+      (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byRule("l_quantity_range")._2 == 60000L)
+    assert(byRule("o_orderdate_range")._1 == 1308L,
+      "the planted failing expectation is detected")
+    out.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(2) == 0L))
+      assert(r.getLong(2) <= r.getLong(3)) }
+  }
+
   // ------------------------------------------------------------- binning
 
   test("q106: ntile bucket-size law and contiguous non-overlapping bins") {

@@ -958,8 +958,64 @@ object ExtendedQueries {
         .select(col("tbl"), col("rule"), col("violations"), col("checked"),
           (col("violations") === 0L).as("pass"))
         .orderBy("tbl", "rule")
+    },
+
+    // --------------------------------------------------------------- q110
+    "q110_ab_lift" -> QueryDef.sql(
+      "A/B experiment readout per event type: users split into two " +
+      "arms by a deterministic key rule (user_id % 2 — swap in a " +
+      "salted hash in production), metric = share of events with " +
+      "value > 20, reporting lift (p1 - p0) and the two-proportion " +
+      "pooled z-score. Every input to the float expressions is an " +
+      "exact integer count, divisions/sqrt are single IEEE ops in " +
+      "identical shape on both engines (sqrt is correctly rounded by " +
+      "spec) -> hash-exact including the z statistic. The Spark plan " +
+      "computes BOTH arms' counts in ONE conditional aggregate pass " +
+      "over the facts (no arm self-join — the oracle uses the " +
+      "two-scan join form to prove value equality across plans). At " +
+      "100 TB: one map-side-combinable aggregate, output rows = " +
+      "|event types|.",
+      """WITH a AS (SELECT event_type, (user_id % 2)::BIGINT AS arm,
+        |    count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE value > 20.0)::BIGINT AS hits
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT e0.event_type,
+        |    e0.n AS n0, e0.hits AS h0, e1.n AS n1, e1.hits AS h1
+        |  FROM a e0 JOIN a e1 ON e0.event_type = e1.event_type
+        |  WHERE e0.arm = 0 AND e1.arm = 1)
+        |SELECT event_type, n0, h0, n1, h1,
+        |  (h1::DOUBLE / n1::DOUBLE) - (h0::DOUBLE / n0::DOUBLE) AS lift,
+        |  ((h1::DOUBLE / n1::DOUBLE) - (h0::DOUBLE / n0::DOUBLE))
+        |    / sqrt(((h0 + h1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |      * (1.0 - (h0 + h1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |      * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z
+        |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
+      abLift(Tables.events(s, d), col("value") > 20.0)
     }
   )
+
+  /** The q110 A/B readout over an arbitrary (event_type, user_id, ...)
+    * frame with a metric predicate — shared by the catalog entry and
+    * SkylineTriangleSpec. One conditional-aggregate pass, no arm join. */
+  def abLift(events: org.apache.spark.sql.DataFrame,
+      hit: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val arm = col("user_id") % 2
+    val s = events.groupBy("event_type").agg(
+      sum(when(arm === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(arm === 0 && hit, 1L).otherwise(0L)).as("h0"),
+      sum(when(arm === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(arm === 1 && hit, 1L).otherwise(0L)).as("h1"))
+    val p0 = col("h0").cast("double") / col("n0").cast("double")
+    val p1 = col("h1").cast("double") / col("n1").cast("double")
+    val pp = (col("h0") + col("h1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    s.select(col("event_type"), col("n0"), col("h0"), col("n1"), col("h1"),
+      (p1 - p0).as("lift"),
+      ((p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+        * (lit(1.0) / col("n0").cast("double")
+          + lit(1.0) / col("n1").cast("double")))).as("z"))
+      .orderBy("event_type")
+  }
 
   /** The q106 equal-frequency binning over an arbitrary (id, x) frame —
     * shared by the catalog entry and SkylineTriangleSpec. */

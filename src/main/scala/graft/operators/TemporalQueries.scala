@@ -487,8 +487,132 @@ object TemporalQueries {
         |FROM c JOIN t USING (prev)
         |ORDER BY prev, curr""".stripMargin) { (s, d) =>
       markovTransitions(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q109
+    "q109_concurrency_profile" -> QueryDef.sql(
+      "Sweep-line concurrency profile over q103's sessions: how many " +
+      "sessions are simultaneously open at every change instant " +
+      "(interval analytics — capacity planning, license counting). " +
+      "Each session contributes +1 at start and -1 at end+1 (inclusive " +
+      "ends); deltas collapse per second FIRST (making the prefix sum " +
+      "tie-free by construction), then the running sum is computed " +
+      "with q69's TWO-LEVEL DISTRIBUTED PREFIX: a day-partitioned " +
+      "within-day running sum in parallel plus one tiny window over " +
+      "per-day totals broadcast back — never a global-order window " +
+      "over the change stream. The oracle uses the single global " +
+      "window; integer associativity makes the two plans bit-equal. " +
+      "All integers -> hash-exact.",
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    (epoch_us(ts) // 1000000) AS es,
+        |    lag(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_es
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id, es,
+        |    CASE WHEN prev_es IS NULL OR es - prev_es > 43200
+        |         THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT user_id, es,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS session_n
+        |  FROM f),
+        |sess AS (SELECT user_id, session_n, min(es) AS s_es, max(es) AS e_es
+        |  FROM g GROUP BY 1, 2),
+        |deltas AS (SELECT s_es AS es, 1 AS delta FROM sess
+        |  UNION ALL SELECT e_es + 1, -1 FROM sess),
+        |bysec AS (SELECT es, sum(delta)::BIGINT AS delta FROM deltas
+        |  GROUP BY es)
+        |SELECT es, delta,
+        |  sum(delta) OVER (ORDER BY es ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS concurrency
+        |FROM bysec ORDER BY es""".stripMargin) { (s, d) =>
+      concurrencyProfile(Tables.events(s, d), gapSec = 43200L)
+    },
+
+    // --------------------------------------------------------------- q111
+    "q111_decayed_activity" -> QueryDef.sql(
+      "Exponentially time-decayed per-user activity score (feed-" +
+      "ranking / trending half-life = 1 day) that is EXACT AND " +
+      "ORDER-FREE by dyadic construction: each event contributes " +
+      "2^-age_days, summed as INTEGER units of 2^-50 (shiftleft — " +
+      "never power(), which is libm-implementation-defined) so the " +
+      "aggregate is a plain long sum — map-side combinable, no " +
+      "ordered fold, no rounding — and the final score is ONE " +
+      "division by the exact constant 2^50. Ages cap at 50 days " +
+      "(older events floor to one unit); per-user unit totals stay " +
+      "inside int64 up to ~8,000 same-day events per user — beyond " +
+      "that, decimal(38,0), same algebra (the q104 rule). Shape at " +
+      "100 TB: one scalar broadcast (corpus max day) + one hash " +
+      "aggregate; the rank window orders the USER dimension, not " +
+      "events.",
+      """WITH m AS (SELECT max(epoch_us(ts) // 1000000) // 86400 AS maxday
+        |  FROM events),
+        |e AS (SELECT user_id,
+        |    least(m.maxday - (epoch_us(ts) // 1000000) // 86400, 50)
+        |      ::BIGINT AS age
+        |  FROM events CROSS JOIN m),
+        |s AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    sum((1::BIGINT << (50 - age)::INT))::BIGINT AS units
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, units,
+        |  (units::DOUBLE / (1::BIGINT << 50)::DOUBLE) AS decayed,
+        |  row_number() OVER (ORDER BY units DESC, user_id)::BIGINT AS rank
+        |FROM s ORDER BY rank""".stripMargin) { (s, d) =>
+      decayedActivity(Tables.events(s, d))
     }
   )
+
+  /** The q109 sweep-line over an arbitrary (user_id, ts, event_id)
+    * frame — composes [[sessionize]]; the running sum is the two-level
+    * day-sharded prefix (see the catalog doc). Shared with
+    * TemporalPropertiesSpec. */
+  def concurrencyProfile(events: org.apache.spark.sql.DataFrame,
+      gapSec: Long): org.apache.spark.sql.DataFrame = {
+    val sess = sessionize(events, gapSec)
+    val deltas = sess
+      .select(col("start_ts").cast("long").as("es"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("end_ts").cast("long") + 1).as("es"),
+        lit(-1L).as("delta")))
+    val bysec = deltas.groupBy("es").agg(sum("delta").as("delta"))
+      .withColumn("day", expr("es div 86400"))
+    val wDay = Window.partitionBy("day").orderBy("es")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = bysec.withColumn("pfx", sum("delta").over(wDay))
+    // one row per day: the cross-day carry is a window over days only
+    val wDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bysec.groupBy("day").agg(sum("delta").as("dtot"))
+      .withColumn("off", coalesce(sum("dtot").over(wDays), lit(0L)))
+      .select("day", "off")
+    within.join(broadcast(offsets), "day")
+      .select(col("es"), col("delta"),
+        (col("off") + col("pfx")).as("concurrency"))
+      .orderBy("es")
+  }
+
+  /** The q111 dyadic decayed-activity score over an arbitrary
+    * (user_id, ts) frame — shared with TemporalPropertiesSpec. */
+  def decayedActivity(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDay = broadcast(events
+      .agg(max(expr("cast(ts as long) div 86400")).as("maxday")))
+    val cast = events.select(col("user_id"),
+      expr("cast(ts as long) div 86400").as("day"))
+    val s = cast.crossJoin(maxDay)
+      .select(col("user_id"),
+        least(col("maxday") - col("day"), lit(50L)).as("age"))
+      .select(col("user_id"),
+        expr("shiftleft(1L, cast(50 - age as int))").as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("w").as("units"))
+    s.select(col("user_id"), col("n_events"), col("units"),
+      (col("units").cast("double")
+        / lit(1L << 50).cast("double")).as("decayed"),
+      row_number().over(Window.orderBy(col("units").desc, col("user_id")))
+        .cast("long").as("rank"))
+      .orderBy("rank")
+  }
 
   /** The q103 sessionizer over an arbitrary (user_id, ts, event_id)
     * frame — shared by the catalog entry and TemporalPropertiesSpec. */

@@ -194,6 +194,30 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(out(1L) == 2L, "item 1's best neighbor is the 3-basket one")
   }
 
+  // ------------------------------------------------------------ AB lift
+
+  test("q110: hand-computed counts, lift, and z sign") {
+    def ev(u: Long, ty: String, v: Double, id: Long) =
+      (u, ty, v, new java.sql.Timestamp(1700000000000L + id), id)
+    // arm = u % 2. type T: arm0 users 2,4 -> 3 events 1 hit;
+    // arm1 users 1,3 -> 2 events 2 hits
+    val rows = Seq(
+      ev(2, "T", 25.0, 1), ev(2, "T", 5.0, 2), ev(4, "T", 5.0, 3),
+      ev(1, "T", 30.0, 4), ev(3, "T", 40.0, 5))
+    val out = ExtendedQueries.abLift(
+      rows.toDF("user_id", "event_type", "value", "ts", "event_id"),
+      org.apache.spark.sql.functions.col("value") > 20.0).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 1L, 2L, 2L)))
+    val lift = 2.0 / 2.0 - 1.0 / 3.0
+    assert(r.getDouble(5) == lift)
+    val pp = 3.0 / 5.0
+    val z = lift / math.sqrt(pp * (1.0 - pp) * (1.0 / 3.0 + 1.0 / 2.0))
+    assert(r.getDouble(6) == z && z > 0)
+  }
+
   // ------------------------------------------------------- expectations
 
   test("q108: one row per rule, checked = table size, pass iff clean") {

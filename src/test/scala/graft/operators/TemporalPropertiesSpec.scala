@@ -169,4 +169,39 @@ class TemporalPropertiesSpec extends SparkSpec {
     // cross-user boundaries contribute nothing: 6 events, 2 users -> 4 transitions
     assert(out.values.map(_._1).sum == 4L)
   }
+
+  test("q109 sweep-line: hand profile, conservation, non-negativity") {
+    def ev(u: Long, sec: Long, id: Long) =
+      (u, new Timestamp(1700000000000L + sec * 1000L), id)
+    // gap 15 s -> sessions: u1 [0,10], u2 [5,20], u3 [30,40]
+    val rows = Seq(ev(1, 0, 1), ev(1, 10, 2), ev(2, 5, 3), ev(2, 20, 4),
+      ev(3, 30, 5), ev(3, 40, 6))
+    val out = TemporalQueries.concurrencyProfile(
+      rows.toDF("user_id", "ts", "event_id"), gapSec = 15L).collect()
+      .map(r => (r.getLong(0) - 1700000000L, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1L), (5L, 1L, 2L), (11L, -1L, 1L),
+      (21L, -1L, 0L), (30L, 1L, 1L), (41L, -1L, 0L)), out.toSeq.toString)
+    // real corpus: deltas conserve (end at 0), concurrency never negative
+    val corpus = TemporalQueries.concurrencyProfile(
+      graft.Tables.events(spark, sf0001), gapSec = 43200L).collect()
+    assert(corpus.last.getLong(2) == 0L, "every session eventually closes")
+    assert(corpus.forall(_.getLong(2) >= 0L))
+    assert(corpus.map(_.getLong(1)).sum == 0L, "deltas conserve")
+  }
+
+  test("q111 dyadic decay: exact hand values, cap, and rank order") {
+    def ev(u: Long, day: Long, id: Long) =
+      (u, new Timestamp(1700006400000L + day * 86400000L), id)
+    // corpus max day = day 60. u1: one event at day 60 (age 0) + one at
+    // day 59 (age 1); u2: one at day 0 (age 60 -> capped 50)
+    val rows = Seq(ev(1, 60, 1), ev(1, 59, 2), ev(2, 0, 3))
+    val out = TemporalQueries.decayedActivity(
+      rows.toDF("user_id", "ts", "event_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(out(1L)._1 == (1L << 50) + (1L << 49), "2^-0 + 2^-1 in units")
+    assert(out(1L)._2 == 1.5)
+    assert(out(2L)._1 == 1L, "age caps at 50 -> one unit")
+    assert(out(1L)._3 == 1L && out(2L)._3 == 2L)
+  }
 }

@@ -459,4 +459,53 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window over exploded tokens:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q100: FastSS candidates are a variant equi-join — no cartesian") {
+    val p = plan("q100_editdist_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs levenshtein would be NLJ:\n" + p)
+  }
+
+  test("q102/q107: co-occurrence and triangle joins are all equi-joins") {
+    Seq("q102_triangles", "q107_item_similarity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q101: drift never builds the dense source x vocab grid") {
+    val p = plan("q101_source_drift")
+    // the only cross join is the broadcast 1-row corpus total; the
+    // dense grid would be a source x term nested-loop join
+    assert(!p.contains("CartesianProduct"), p)
+    val nlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"only the 1-row total may cross-join ($nlj):\n$p")
+  }
+
+  test("q104: OLS is window-min + one aggregate — no collect, no sort-fold") {
+    val p = plan("q104_trend_ols")
+    assert(!p.contains("collect_list"), "no giant per-group rows:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q109: within-day prefix windows partition by day; carry is day-rows only") {
+    val p = plan("q109_concurrency_profile")
+    // the change-stream window must be day-partitioned; the only
+    // unpartitioned window runs over per-day totals (rows = days)
+    val winSpecs = p.split("\n").filter(_.contains("windowspecdefinition"))
+    val global = winSpecs.filterNot(_.contains("day#"))
+    // user-keyed session windows + day-keyed prefix; the day-total
+    // carry and final presentation sort are the only global pieces
+    assert(winSpecs.exists(_.contains("day#")),
+      "day-sharded prefix missing:\n" + p)
+    assert(global.forall(s => !s.contains("es#") || s.contains("day#")),
+      "a global window over the change stream:\n" + winSpecs.mkString("\n"))
+  }
+
+  test("q110: both arms come from ONE aggregate pass — no self-join") {
+    val p = plan("q110_ab_lift")
+    assert(!p.contains("Join"), "arm self-join shuffles the facts twice:\n" + p)
+  }
 }

@@ -991,6 +991,46 @@ object ExtendedQueries {
         |      * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z
         |FROM w ORDER BY event_type""".stripMargin) { (s, d) =>
       abLift(Tables.events(s, d), col("value") > 20.0)
+    },
+
+    // --------------------------------------------------------------- q113
+    "q113_snapshot_diff" -> QueryDef.sql(
+      "Snapshot reconciliation (table diff): one FULL OUTER equi-join " +
+      "on the key classifies every row as added / removed / changed " +
+      "(struct inequality over the compared columns) — the operator " +
+      "that DERIVES a changelog, dual to q90's CDC merge which " +
+      "APPLIES one (roundtrip law: applying the diff to A yields B, " +
+      "suite-asserted). The 'new' snapshot here is a deterministic " +
+      "in-query mutation of customer (drop key%50=0, bump acctbal on " +
+      "key%97=0) so the oracle sees identical inputs. Comparisons on " +
+      "stored values only -> hash-exact. Shape at 100 TB: one " +
+      "key-partitioned full-outer join (both sides shuffle once on " +
+      "the key; q83's bucket checksums pre-shrink the compared key " +
+      "space to dirty buckets when snapshots live bucketed).",
+      """WITH b AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 10.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 50 != 0),
+        |d AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |    CASE WHEN b.c_custkey IS NULL THEN 'removed'
+        |         WHEN a.c_custkey IS NULL THEN 'added'
+        |         WHEN (a.c_name, a.c_nationkey, a.c_acctbal)
+        |           != (b.c_name, b.c_nationkey, b.c_acctbal)
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type,
+        |    a.c_acctbal AS old_c_acctbal, b.c_acctbal AS new_c_acctbal
+        |  FROM customer a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+        |SELECT c_custkey, change_type, old_c_acctbal, new_c_acctbal
+        |FROM d WHERE change_type != 'unchanged'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val mutated = cust.where(col("c_custkey") % 50 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 97 === 0, col("c_acctbal") + 10.0)
+            .otherwise(col("c_acctbal")))
+      snapshotDiff(cust, mutated, "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal"), "c_acctbal")
     }
   )
 
@@ -1015,6 +1055,31 @@ object ExtendedQueries {
         * (lit(1.0) / col("n0").cast("double")
           + lit(1.0) / col("n1").cast("double")))).as("z"))
       .orderBy("event_type")
+  }
+
+  /** The q113 snapshot reconciliation over two keyed frames — shared by
+    * the catalog entry and SkylineTriangleSpec. Emits one row per key
+    * whose membership or compared columns differ (added / removed /
+    * changed), with the old/new payload column values. */
+  def snapshotDiff(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, key: String,
+      compare: Seq[String], payload: String)
+      : org.apache.spark.sql.DataFrame = {
+    val al = a.select(col(key).as("ka"),
+      struct(compare.map(col): _*).as("cmp_a"),
+      col(payload).as("old_" + payload))
+    val bl = b.select(col(key).as("kb"),
+      struct(compare.map(col): _*).as("cmp_b"),
+      col(payload).as("new_" + payload))
+    al.join(bl, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as(key),
+        when(col("kb").isNull, "removed")
+          .when(col("ka").isNull, "added")
+          .when(col("cmp_a") =!= col("cmp_b"), "changed")
+          .otherwise("unchanged").as("change_type"),
+        col("old_" + payload), col("new_" + payload))
+      .where(col("change_type") =!= "unchanged")
+      .orderBy(key)
   }
 
   /** The q106 equal-frequency binning over an arbitrary (id, x) frame —

@@ -559,8 +559,50 @@ object TemporalQueries {
         |  row_number() OVER (ORDER BY units DESC, user_id)::BIGINT AS rank
         |FROM s ORDER BY rank""".stripMargin) { (s, d) =>
       decayedActivity(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q112
+    "q112_rate_limit_audit" -> QueryDef.sql(
+      "Trailing-window rate-limit audit: for every event, the user's " +
+      "event count over the PRECEDING 24 H (a per-event trailing RANGE " +
+      "frame over integer seconds — not q25's fixed grid buckets), " +
+      "emitting the events that exceeded 5-per-24h — the quota/" +
+      "abuse-detection operator. RANGE frames include all peers of " +
+      "the current second on both engines, so same-second bursts " +
+      "count identically regardless of intra-second order; counts " +
+      "are integers -> hash-exact. Shape at 100 TB: one user-keyed " +
+      "window over the user's own events (the q103 partitioning " +
+      "argument); the trailing frame is O(window occupancy) running " +
+      "state inside the sort, and the output is only the flagged " +
+      "tail.",
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    (epoch_us(ts) // 1000000) AS es FROM events),
+        |w AS (SELECT user_id, event_id, ts,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY es
+        |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS n_24h
+        |  FROM e)
+        |SELECT user_id, event_id, ts, n_24h
+        |FROM w WHERE n_24h > 5
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      rateLimitAudit(Tables.events(s, d), windowSec = 86400L, maxEvents = 5L)
     }
   )
+
+  /** The q112 trailing-window audit over an arbitrary
+    * (user_id, event_id, ts) frame — shared with
+    * TemporalPropertiesSpec. */
+  def rateLimitAudit(events: org.apache.spark.sql.DataFrame,
+      windowSec: Long, maxEvents: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-windowSec, Window.currentRow)
+    events
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .where(col("n_24h") > maxEvents)
+      .select("user_id", "event_id", "ts", "n_24h")
+      .orderBy("user_id", "event_id")
+  }
 
   /** The q109 sweep-line over an arbitrary (user_id, ts, event_id)
     * frame — composes [[sessionize]]; the running sum is the two-level

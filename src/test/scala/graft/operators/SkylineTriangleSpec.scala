@@ -218,6 +218,30 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ---------------------------------------------------- snapshot diff
+
+  test("q113: classification and the apply-roundtrip law") {
+    val a = Seq((1L, "x", 10L, 5.0), (2L, "y", 20L, 6.0), (3L, "z", 30L, 7.0))
+    val b = Seq((2L, "y", 20L, 6.5), (3L, "z", 30L, 7.0), (4L, "w", 40L, 8.0))
+    val diff = ExtendedQueries.snapshotDiff(
+      a.toDF("k", "name", "nk", "bal"), b.toDF("k", "name", "nk", "bal"),
+      "k", Seq("name", "nk", "bal"), "bal").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(diff(1L) == (("removed", Some(5.0), None)))
+    assert(diff(2L) == (("changed", Some(6.0), Some(6.5))))
+    assert(diff(4L) == (("added", None, Some(8.0))))
+    assert(!diff.contains(3L), "unchanged rows never emit")
+    // roundtrip: A minus removed/changed keys, plus new payloads = B
+    val applied = a.filterNot(r => diff.get(r._1).exists(_._1 == "removed"))
+      .map(r => diff.get(r._1) match {
+        case Some(("changed", _, Some(nb))) => r.copy(_4 = nb)
+        case _ => r
+      }) ++ b.filter(r => diff.get(r._1).exists(_._1 == "added"))
+    assert(applied.toSet == b.toSet, "diff applied to A reconstructs B")
+  }
+
   // ------------------------------------------------------- expectations
 
   test("q108: one row per rule, checked = table size, pass iff clean") {

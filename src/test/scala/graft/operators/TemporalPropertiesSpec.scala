@@ -189,6 +189,23 @@ class TemporalPropertiesSpec extends SparkSpec {
     assert(corpus.map(_.getLong(1)).sum == 0L, "deltas conserve")
   }
 
+  test("q112 rate audit: trailing frame counts peers; only violators emit") {
+    def ev(u: Long, sec: Long, id: Long) =
+      (u, new Timestamp(1700000000000L + sec * 1000L), id)
+    // window 100 s, max 2: u1 bursts 5 events in 50 s (flags at the
+    // 3rd, 4th, 5th), two of them in the SAME second (peers count);
+    // u2 spaces events 200 s apart (never flags)
+    val rows = Seq(ev(1, 0, 1), ev(1, 10, 2), ev(1, 10, 3), ev(1, 30, 4),
+      ev(1, 50, 5), ev(2, 0, 6), ev(2, 200, 7), ev(2, 400, 8))
+    val out = TemporalQueries.rateLimitAudit(
+      rows.toDF("user_id", "ts", "event_id"), windowSec = 100L,
+      maxEvents = 2L).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    // RANGE peers: both :10 events see each other -> n=3 at both
+    assert(out.toSeq == Seq((2L, 3L), (3L, 3L), (4L, 4L), (5L, 5L)),
+      out.toSeq.toString)
+  }
+
   test("q111 dyadic decay: exact hand values, cap, and rank order") {
     def ev(u: Long, day: Long, id: Long) =
       (u, new Timestamp(1700006400000L + day * 86400000L), id)

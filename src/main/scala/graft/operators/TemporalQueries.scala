@@ -586,8 +586,92 @@ object TemporalQueries {
         |FROM w WHERE n_24h > 5
         |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
       rateLimitAudit(Tables.events(s, d), windowSec = 86400L, maxEvents = 5L)
+    },
+
+    // --------------------------------------------------------------- q114
+    "q114_conversion_latency" -> QueryDef.sql(
+      "Funnel time-to-convert distribution: per-user first strict " +
+      "view->click and click->purchase gaps (q86's strict-progression " +
+      "min-joins) in integer seconds, summarized per stage as exact " +
+      "median (0.5 is binary-exact -> interpolation is engine-exact, " +
+      "the q44 rule) and NEAREST-RANK p90 — the 0.9 position of the " +
+      "interpolated quantile is NOT binary-exact, so p90 is the value " +
+      "at integer rank ceil(9n/10) selected by row_number: an " +
+      "integer, order-free, bit-stable. min/max/n complete the " +
+      "profile. Shape at 100 TB: three filtered min-aggregates " +
+      "chained on user_id (inputs shrink each stage), gaps are " +
+      "user-dimension rows, and the stage summary aggregates " +
+      "O(users) rows into O(stages).",
+      """WITH v AS (SELECT user_id, min(epoch_us(ts) // 1000000) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_us(ts) // 1000000) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click'
+        |    AND (epoch_us(ts) // 1000000) > v.t_view
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |    min(epoch_us(ts) // 1000000) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase'
+        |    AND (epoch_us(ts) // 1000000) > c.t_click
+        |  GROUP BY 1),
+        |gaps AS (SELECT 'view_to_click' AS stage, c.user_id,
+        |    (c.t_click - v.t_view)::BIGINT AS gap_sec
+        |  FROM v JOIN c USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', p.user_id,
+        |    (p.t_purchase - c.t_click)::BIGINT
+        |  FROM c JOIN p USING (user_id)),
+        |rk AS (SELECT stage AS rstage, gap_sec,
+        |    row_number() OVER (PARTITION BY stage
+        |      ORDER BY gap_sec, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY stage) AS n FROM gaps),
+        |agg AS (SELECT stage, count(*)::BIGINT AS n,
+        |    quantile_cont(gap_sec, 0.5) AS p50_sec,
+        |    min(gap_sec)::BIGINT AS min_sec, max(gap_sec)::BIGINT AS max_sec
+        |  FROM gaps GROUP BY stage)
+        |SELECT agg.stage, agg.n, agg.p50_sec,
+        |  rk.gap_sec::BIGINT AS p90_sec, agg.min_sec, agg.max_sec
+        |FROM agg JOIN rk ON agg.stage = rk.rstage
+        |  AND rk.rn = (9 * agg.n + 9) // 10
+        |ORDER BY agg.stage""".stripMargin) { (s, d) =>
+      conversionLatency(Tables.events(s, d))
     }
   )
+
+  /** The q114 conversion-latency profile over an arbitrary
+    * (user_id, ts, event_id, event_type) frame — shared with
+    * TemporalPropertiesSpec. */
+  def conversionLatency(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val es = col("ts").cast("long")
+    val v = events.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(es).as("t_view"))
+    val c = events.where(col("event_type") === "click")
+      .join(v, "user_id").where(es > col("t_view"))
+      .groupBy("user_id").agg(min(es).as("t_click"))
+    val p = events.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(es > col("t_click"))
+      .groupBy("user_id").agg(min(es).as("t_purchase"))
+    val gaps = v.join(c, "user_id")
+      .select(lit("view_to_click").as("stage"), col("user_id"),
+        (col("t_click") - col("t_view")).as("gap_sec"))
+      .unionByName(c.join(p, "user_id")
+        .select(lit("click_to_purchase").as("stage"), col("user_id"),
+          (col("t_purchase") - col("t_click")).as("gap_sec")))
+    val wRank = Window.partitionBy("stage").orderBy("gap_sec", "user_id")
+    val rk = gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("stage")))
+      .where(col("rn") === expr("(9 * n + 9) div 10"))
+      .select(col("stage"), col("gap_sec").as("p90_sec"))
+    val agg = gaps.groupBy("stage").agg(count(lit(1)).as("n"),
+      expr("percentile(gap_sec, 0.5)").as("p50_sec"),
+      min("gap_sec").as("min_sec"), max("gap_sec").as("max_sec"))
+    agg.join(rk, "stage")
+      .select("stage", "n", "p50_sec", "p90_sec", "min_sec", "max_sec")
+      .orderBy("stage")
+  }
 
   /** The q112 trailing-window audit over an arbitrary
     * (user_id, event_id, ts) frame — shared with

@@ -904,8 +904,60 @@ object TextQueries {
         |FROM terms GROUP BY source, n, nn
         |ORDER BY source""".stripMargin) { (s, d) =>
       sourceDrift(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q115
+    "q115_source_overlap" -> QueryDef.sql(
+      "Pairwise source VOCABULARY overlap matrix (distinct-token-set " +
+      "Jaccard per source pair) — the dataset-overlap diagnostic run " +
+      "before mixing corpora. Intersections come from grouping " +
+      "WITHIN TOKEN (each token contributes its source-pair " +
+      "combinations, bounded by sources-per-token, NEVER a " +
+      "vocab x vocab or doc x doc join); set sizes are one distinct " +
+      "aggregate; Jaccard = one division of exact int64s -> " +
+      "hash-exact. Shape at 100 TB: the (source, token) distinct " +
+      "aggregate is the corpus-scale stage (map-side combinable); " +
+      "pair expansion is quadratic only in SOURCES PER TOKEN (<= " +
+      "|sources|, and stopwords shared by all sources cost " +
+      "|sources|^2/2 rows per token — cap with a df filter if the " +
+      "source count itself is large); output is |sources|^2/2 rows.",
+      s"""WITH st AS (SELECT DISTINCT source, unnest($sqlToks) AS t
+        |  FROM documents),
+        |sz AS (SELECT source, count(*)::BIGINT AS nv FROM st GROUP BY 1),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*)::BIGINT AS inter
+        |  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, za.nv AS nv_a, zb.nv AS nv_b,
+        |  (inter::DOUBLE / (za.nv + zb.nv - inter)::DOUBLE) AS jaccard
+        |FROM pairs
+        |JOIN sz za ON src_a = za.source
+        |JOIN sz zb ON src_b = zb.source
+        |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
+      sourceOverlap(Tables.documents(s, d))
     }
   )
+
+  /** The q115 vocabulary-overlap matrix over an arbitrary
+    * (source, text) frame — shared with SkylineTriangleSpec. */
+  def sourceOverlap(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = docs.select(col("source"),
+      explode(tokens(col("text"))).as("t")).distinct()
+    val sz = st.groupBy("source").agg(count(lit(1)).as("nv"))
+    val pairs = st.select(col("t"), col("source").as("src_a"))
+      .join(st.select(col("t"), col("source").as("src_b")), "t")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("nv").as("nv_a"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("nv").as("nv_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("nv_a"), col("nv_b"),
+        (col("inter").cast("double")
+          / (col("nv_a") + col("nv_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 
   /** The q101 TVD-drift operator over an arbitrary (source, text) frame
     * — shared by the catalog entry and SkylineTriangleSpec. Sparse

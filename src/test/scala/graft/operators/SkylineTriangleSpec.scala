@@ -218,6 +218,27 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ------------------------------------------------------ source overlap
+
+  test("q115: hand-computed vocabulary Jaccard and pair completeness") {
+    val docs = Seq(
+      ("s1", "a b c d"), ("s2", "c d e f"), ("s3", "x y"))
+      .toDF("source", "text")
+    val out = TextQueries.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // s1 n s2 = {c,d} -> 2/(4+4-2) = 1/3; s3 disjoint -> absent
+    assert(out(("s1", "s2")) == ((2L, 4L, 4L, 2.0 / 6.0)))
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")),
+      "zero-intersection pairs never emit")
+    // corpus: every source pair shares the 31-word vocab core
+    val corpus = TextQueries.sourceOverlap(
+      graft.Tables.documents(spark, sf001)).collect()
+    assert(corpus.length == 20 * 19 / 2)
+    corpus.foreach { r =>
+      assert(r.getDouble(5) > 0.5 && r.getDouble(5) <= 1.0) }
+  }
+
   // ---------------------------------------------------- snapshot diff
 
   test("q113: classification and the apply-roundtrip law") {

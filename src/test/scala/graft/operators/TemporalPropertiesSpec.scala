@@ -206,6 +206,23 @@ class TemporalPropertiesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("q114 conversion latency: hand gaps, nearest-rank p90 law") {
+    def ev(u: Long, sec: Long, ty: String, id: Long) =
+      (u, new Timestamp(1700000000000L + sec * 1000L), id, ty)
+    // 10 users convert view->click with gaps 10,20,...,100 s;
+    // nearest-rank p90 at rank (9*10+9)//10 = 9 -> 90 s; median 55.0
+    val rows = (1 to 10).flatMap { u =>
+      Seq(ev(u, 0, "view", u * 10L), ev(u, u * 10L, "click", u * 10L + 1))
+    }
+    val out = TemporalQueries.conversionLatency(
+      rows.toDF("user_id", "ts", "event_id", "event_type")).collect()
+    assert(out.length == 1, "no purchases -> only view_to_click")
+    val r = out(0)
+    assert(r.getString(0) == "view_to_click" && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 55.0 && r.getLong(3) == 90L)
+    assert(r.getLong(4) == 10L && r.getLong(5) == 100L)
+  }
+
   test("q111 dyadic decay: exact hand values, cap, and rank order") {
     def ev(u: Long, day: Long, id: Long) =
       (u, new Timestamp(1700006400000L + day * 86400000L), id)

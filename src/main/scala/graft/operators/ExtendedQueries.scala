@@ -1023,6 +1023,54 @@ object ExtendedQueries {
         |SELECT c_custkey, change_type, old_c_acctbal, new_c_acctbal
         |FROM d WHERE change_type != 'unchanged'
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      snapshotDiffCatalogEntry(s, d)
+    },
+
+    // --------------------------------------------------------------- q116
+    "q116_benford_audit" -> QueryDef.sql(
+      "Benford first-digit audit of order totals (forensic data-" +
+      "quality: natural multiplicative amounts follow P(d) = " +
+      "log10(1+1/d); fabricated or uniformly-generated ones do not): " +
+      "first digit via integer-cents -> string (never float " +
+      "formatting), counts per digit, and the per-digit chi-square " +
+      "contribution (obs - n*p)^2 / (n*p). The nine expected " +
+      "proportions are IDENTICAL DECIMAL LITERALS on both sides — " +
+      "both engines parse them to the same doubles, every arithmetic " +
+      "step has the same IEEE shape, and each output row's term " +
+      "stands alone (no cross-digit summation order) -> hash-exact. " +
+      "The synthetic corpus's uniform prices FAIL the audit loudly " +
+      "(chi2 terms in the hundreds; suite-pinned), which is the " +
+      "operator's demonstrated purpose. Shape at 100 TB: one " +
+      "map-side-combinable 9-bucket aggregate; the expectation table " +
+      "is 9 literal rows.",
+      """WITH y AS (SELECT round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |dg AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit FROM y),
+        |c AS (SELECT digit, count(*)::BIGINT AS observed FROM dg GROUP BY 1),
+        |n AS (SELECT sum(observed)::BIGINT AS n FROM c),
+        |exp AS (SELECT digit, p FROM (VALUES
+        |  (1, 3.010299956639812e-1), (2, 1.7609125905568124e-1),
+        |  (3, 1.2493873660829993e-1), (4, 9.691001300805642e-2),
+        |  (5, 7.918124604762482e-2), (6, 6.694678963061322e-2),
+        |  (7, 5.799194697768673e-2), (8, 5.115252244738129e-2),
+        |  (9, 4.575749056067514e-2)) AS t(digit, p))
+        |SELECT e.digit::BIGINT AS digit,
+        |  coalesce(c.observed, 0)::BIGINT AS observed, n.n,
+        |  e.p AS expected_p,
+        |  (coalesce(c.observed, 0)::DOUBLE / n.n::DOUBLE) AS observed_p,
+        |  ((coalesce(c.observed, 0)::DOUBLE - n.n::DOUBLE * e.p)
+        |    * (coalesce(c.observed, 0)::DOUBLE - n.n::DOUBLE * e.p)
+        |    / (n.n::DOUBLE * e.p)) AS chi2_term
+        |FROM exp e CROSS JOIN n LEFT JOIN c ON e.digit = c.digit
+        |ORDER BY e.digit""".stripMargin) { (s, d) =>
+      benfordAudit(Tables.orders(s, d).select(col("o_totalprice").as("x")))
+    }
+  )
+
+  /** The q113 catalog body (deterministic in-query mutation of
+    * customer) — extracted so defs2 reads linearly. */
+  private def snapshotDiffCatalogEntry(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val cust = Tables.customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
       val mutated = cust.where(col("c_custkey") % 50 =!= 0)
@@ -1031,8 +1079,37 @@ object ExtendedQueries {
             .otherwise(col("c_acctbal")))
       snapshotDiff(cust, mutated, "c_custkey",
         Seq("c_name", "c_nationkey", "c_acctbal"), "c_acctbal")
-    }
-  )
+  }
+
+  /** The q116 Benford audit over an arbitrary single-column positive
+    * frame `x` — shared by the catalog entry and SkylineTriangleSpec. */
+  def benfordAudit(amounts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = amounts.sparkSession
+    import spark.implicits._
+    val c = amounts.where(col("x") > 0)
+      .select(substring(round(col("x") * 100, 0).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val n = broadcast(c.agg(sum("observed").as("n")))
+    val exp = broadcast(Seq(
+      (1L, 0.3010299956639812), (2L, 0.17609125905568124),
+      (3L, 0.12493873660829993), (4L, 0.09691001300805642),
+      (5L, 0.07918124604762482), (6L, 0.06694678963061322),
+      (7L, 0.05799194697768673), (8L, 0.05115252244738129),
+      (9L, 0.04575749056067514)).toDF("digit", "p"))
+    val obs = coalesce(col("observed"), lit(0L)).cast("double")
+    val np = col("n").cast("double") * col("p")
+    exp.crossJoin(n)
+      .join(c, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"), col("n"),
+        col("p").as("expected_p"),
+        (coalesce(col("observed"), lit(0L)).cast("double")
+          / col("n").cast("double")).as("observed_p"),
+        ((obs - np) * (obs - np) / np).as("chi2_term"))
+      .orderBy("digit")
+  }
 
   /** The q110 A/B readout over an arbitrary (event_type, user_id, ...)
     * frame with a metric predicate — shared by the catalog entry and

@@ -636,8 +636,55 @@ object TemporalQueries {
         |  AND rk.rn = (9 * agg.n + 9) // 10
         |ORDER BY agg.stage""".stripMargin) { (s, d) =>
       conversionLatency(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q117
+    "q117_cumulative_uniques" -> QueryDef.sql(
+      "Cumulative distinct users per day (the growth-accounting 'total " +
+      "registered users' curve) via the FIRST-OCCURRENCE + PREFIX " +
+      "pattern: a cumulative count distinct is NOT decomposable as a " +
+      "window aggregate, but min(first day) per user IS an ordinary " +
+      "hash aggregate, daily new-user counts follow, and the running " +
+      "sum is a window over the DAY DIMENSION only (30 rows here; at " +
+      "any horizon it is O(days), re-shardable like q69 if ever " +
+      "needed). All integers -> hash-exact. The naive per-day " +
+      "count(DISTINCT user) OVER (ORDER BY day) would carry the full " +
+      "user set through every frame — this plan carries one long.",
+      """WITH f AS (SELECT user_id,
+        |    min((epoch_us(ts) // 1000000) // 86400) AS first_day
+        |  FROM events GROUP BY 1),
+        |days AS (SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS day
+        |  FROM events),
+        |nw AS (SELECT first_day AS day, count(*)::BIGINT AS new_users
+        |  FROM f GROUP BY 1)
+        |SELECT d.day::BIGINT AS day,
+        |  coalesce(nw.new_users, 0)::BIGINT AS new_users,
+        |  sum(coalesce(nw.new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM days d LEFT JOIN nw ON d.day = nw.day
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      cumulativeUniques(Tables.events(s, d))
     }
   )
+
+  /** The q117 first-occurrence + day-prefix cumulative-distinct over an
+    * arbitrary (user_id, ts) frame — shared with
+    * TemporalPropertiesSpec. */
+  def cumulativeUniques(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val day = expr("cast(ts as long) div 86400")
+    val f = events.groupBy("user_id").agg(min(day).as("first_day"))
+    val days = events.select(day.as("day")).distinct()
+    val nw = f.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(nw, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
 
   /** The q114 conversion-latency profile over an arbitrary
     * (user_id, ts, event_id, event_type) frame — shared with

@@ -218,6 +218,27 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ------------------------------------------------------------ Benford
+
+  test("q116: digit extraction, conservation, and the audit fires on uniform data") {
+    // digits from integer cents: 1.23 -> 123 -> 1; 0.05 -> 5 -> 5
+    val hand = ExtendedQueries.benfordAudit(
+      Seq(1.23, 0.05, 9.99, 12.0, -3.0, 0.0).toDF("x")).collect()
+    val byDigit = hand.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDigit(1L) == 2L && byDigit(5L) == 1L && byDigit(9L) == 1L)
+    assert(hand.map(_.getLong(1)).sum == 4L, "non-positive rows excluded")
+    assert(hand.length == 9, "all nine digits emit (zero-observed included)")
+    hand.foreach(r => assert(r.getDouble(5) >= 0.0))
+    // corpus: uniform synthetic prices violate Benford loudly
+    val corpus = ExtendedQueries.benfordAudit(
+      graft.Tables.orders(spark, sf001)
+        .select(org.apache.spark.sql.functions.col("o_totalprice").as("x")))
+      .collect()
+    assert(corpus.map(_.getLong(1)).sum == 15000L)
+    assert(corpus.map(_.getDouble(5)).max > 100.0,
+      "the audit must flag fabricated/uniform amounts")
+  }
+
   // ------------------------------------------------------ source overlap
 
   test("q115: hand-computed vocabulary Jaccard and pair completeness") {

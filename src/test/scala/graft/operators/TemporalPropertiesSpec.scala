@@ -206,6 +206,26 @@ class TemporalPropertiesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("q117 cumulative uniques: first-occurrence accounting laws") {
+    def ev(u: Long, day: Long, id: Long) =
+      (u, new Timestamp(day * 86400000L), id)
+    // day 0: users 1,2; day 1: user 1 again (NOT new) + user 3; day 3: user 2
+    val rows = Seq(ev(1, 0, 1), ev(2, 0, 2), ev(1, 1, 3), ev(3, 1, 4),
+      ev(2, 3, 5))
+    val out = TemporalQueries.cumulativeUniques(
+      rows.toDF("user_id", "ts", "event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 3L), (3L, 0L, 3L)),
+      out.toSeq.toString)
+    // corpus: monotone, ends at the distinct-user count
+    val corpus = TemporalQueries.cumulativeUniques(
+      graft.Tables.events(spark, sf0001)).collect()
+    assert(corpus.map(_.getLong(2)).toSeq ==
+      corpus.map(_.getLong(2)).sorted.toSeq, "monotone growth")
+    assert(corpus.last.getLong(2) ==
+      graft.Tables.events(spark, sf0001).select("user_id").distinct().count())
+  }
+
   test("q114 conversion latency: hand gaps, nearest-rank p90 law") {
     def ev(u: Long, sec: Long, ty: String, id: Long) =
       (u, new Timestamp(1700000000000L + sec * 1000L), id, ty)

@@ -1064,8 +1064,57 @@ object ExtendedQueries {
         |FROM exp e CROSS JOIN n LEFT JOIN c ON e.digit = c.digit
         |ORDER BY e.digit""".stripMargin) { (s, d) =>
       benfordAudit(Tables.orders(s, d).select(col("o_totalprice").as("x")))
+    },
+
+    // --------------------------------------------------------------- q119
+    "q119_rollup_reconciliation" -> QueryDef.sql(
+      "Fact-rollup reconciliation: per order, the header total vs the " +
+      "sum of its line items, in EXACT INTEGER CENTS (the 2-decimal " +
+      "money rule — float sums would make the comparison itself " +
+      "noisy), emitting every mismatching order with the signed " +
+      "difference. On the synthetic corpus header totals are " +
+      "generated independently of the lines, so ALL 15,000 orders " +
+      "mismatch — the audit reports the systematic break rather than " +
+      "a false pass (suite-pinned). Shape at 100 TB: one map-side-" +
+      "combinable cents sum per order + one key-partitioned left " +
+      "join; output is only the mismatch set (empty when books " +
+      "balance).",
+      """WITH ls AS (SELECT l_orderkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT) AS li_cents,
+        |    count(*)::BIGINT AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey AS orderkey,
+        |  round(o.o_totalprice * 100)::BIGINT AS order_cents,
+        |  coalesce(ls.li_cents, 0)::BIGINT AS li_cents,
+        |  coalesce(ls.n_items, 0)::BIGINT AS n_items,
+        |  (round(o.o_totalprice * 100)::BIGINT
+        |    - coalesce(ls.li_cents, 0))::BIGINT AS diff_cents
+        |FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+        |WHERE round(o.o_totalprice * 100)::BIGINT
+        |  != coalesce(ls.li_cents, 0)
+        |ORDER BY orderkey""".stripMargin) { (s, d) =>
+      rollupReconciliation(
+        Tables.orders(s, d), Tables.lineitem(s, d))
     }
   )
+
+  /** The q119 header-vs-lines reconciliation — shared with
+    * SkylineTriangleSpec. */
+  def rollupReconciliation(orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ls = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("li_cents"), count(lit(1)).as("n_items"))
+    val oc = round(col("o_totalprice") * 100, 0).cast("long")
+    orders.join(ls, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey").as("orderkey"), oc.as("order_cents"),
+        coalesce(col("li_cents"), lit(0L)).as("li_cents"),
+        coalesce(col("n_items"), lit(0L)).as("n_items"),
+        (oc - coalesce(col("li_cents"), lit(0L))).as("diff_cents"))
+      .where(col("order_cents") =!= col("li_cents"))
+      .orderBy("orderkey")
+  }
 
   /** The q113 catalog body (deterministic in-query mutation of
     * customer) — extracted so defs2 reads linearly. */

@@ -665,8 +665,108 @@ object TemporalQueries {
         |FROM days d LEFT JOIN nw ON d.day = nw.day
         |ORDER BY day""".stripMargin) { (s, d) =>
       cumulativeUniques(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q118
+    "q118_sequence_patterns" -> QueryDef.sql(
+      "Top-20 event-type trigram patterns across user sequences " +
+      "(sequential pattern mining lite — the n=3 generalization of " +
+      "q105's transition matrix): two lags over the user partition " +
+      "emit each consecutive triple, one hash aggregate counts " +
+      "patterns, share is one exact division, and the top-20 cut is " +
+      "fully tie-broken (cnt DESC, then the pattern itself) -> " +
+      "hash-exact. Shape at 100 TB: the lag window is user-keyed; " +
+      "the pattern aggregate has at most |types|^3 groups (a model, " +
+      "not a fact stream); the rank window runs over those groups " +
+      "only.",
+      """WITH e AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p2
+        |  FROM events),
+        |tri AS (SELECT p2 AS e1, p1 AS e2, event_type AS e3,
+        |    count(*)::BIGINT AS cnt
+        |  FROM e WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tri)
+        |SELECT e1, e2, e3, cnt,
+        |  (cnt::DOUBLE / (SELECT total FROM tot)::DOUBLE) AS share,
+        |  row_number() OVER (ORDER BY cnt DESC, e1, e2, e3)::BIGINT AS rank
+        |FROM tri ORDER BY rank LIMIT 20""".stripMargin) { (s, d) =>
+      sequencePatterns(Tables.events(s, d), k = 20)
+    },
+
+    // --------------------------------------------------------------- q120
+    "q120_rolling_active_users" -> QueryDef.sql(
+      "Trailing-7-day distinct active users per day (WAU) plus DAU " +
+      "and the DAU/WAU stickiness ratio — the growth-accounting " +
+      "triple. Trailing DISTINCT does not decompose as a window " +
+      "aggregate, so the plan dedups to (user, day) ONCE, expands " +
+      "each user-day into the <= 7 window days it serves (a " +
+      "days-dimension range join), and distinct-counts per day — " +
+      "work is 7x |user-days|, never 7x events, and no frame ever " +
+      "carries a user set. Integers + one exact division -> " +
+      "hash-exact.",
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |win AS (SELECT d.day, ud.user_id
+        |  FROM days d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day),
+        |wau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS wau
+        |  FROM win GROUP BY 1),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
+        |SELECT d.day::BIGINT AS day, dau.dau, wau.wau,
+        |  (dau.dau::DOUBLE / wau.wau::DOUBLE) AS stickiness
+        |FROM days d JOIN dau USING (day) JOIN wau USING (day)
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      rollingActiveUsers(Tables.events(s, d))
     }
   )
+
+  /** The q118 trigram pattern miner over an arbitrary
+    * (user_id, ts, event_id, event_type) frame — shared with
+    * TemporalPropertiesSpec. */
+  def sequencePatterns(events: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = events
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .where(col("p2").isNotNull)
+      .groupBy(col("p2").as("e1"), col("p1").as("e2"),
+        col("event_type").as("e3"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(tri.agg(sum("cnt").as("total")))
+    tri.crossJoin(tot)
+      .select(col("e1"), col("e2"), col("e3"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("rank")
+  }
+
+  /** The q120 DAU/WAU/stickiness triple over an arbitrary
+    * (user_id, ts) frame — shared with TemporalPropertiesSpec. */
+  def rollingActiveUsers(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ud = events
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val win = days.select(col("day"))
+      .join(ud.select(col("user_id"), col("day").as("uday")),
+        col("uday").between(col("day") - 6, col("day")))
+    val wau = win.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    days.join(dau, "day").join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
 
   /** The q117 first-occurrence + day-prefix cumulative-distinct over an
     * arbitrary (user_id, ts) frame — shared with

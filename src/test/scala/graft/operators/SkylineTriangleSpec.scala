@@ -218,6 +218,21 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ----------------------------------------------------- reconciliation
+
+  test("q119: balanced orders stay silent; breaks emit signed diffs") {
+    val orders = Seq((1L, 30.00), (2L, 50.00), (3L, 10.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq((1L, 10.00), (1L, 20.00), (2L, 49.99))
+      .toDF("l_orderkey", "l_extendedprice")
+    val out = ExtendedQueries.rollupReconciliation(orders, lines).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(!out.contains(1L), "exactly-balanced order never emits")
+    assert(out(2L) == ((5000L, 4999L, 1L, 1L)), "one-cent break caught")
+    assert(out(3L) == ((1000L, 0L, 0L, 1000L)), "lineless order emits full total")
+  }
+
   // ------------------------------------------------------------ Benford
 
   test("q116: digit extraction, conservation, and the audit fires on uniform data") {

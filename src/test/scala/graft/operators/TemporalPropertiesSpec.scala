@@ -206,6 +206,44 @@ class TemporalPropertiesSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("q118 trigram patterns: hand counts, user isolation, rank order") {
+    def ev(u: Long, s: Long, ty: String, id: Long) =
+      (u, new Timestamp(1700000000000L + s * 1000L), id, ty)
+    // u1: A B A B A -> ABA, BAB, ABA; u2: C C C -> CCC (no cross-user)
+    val rows = Seq(ev(1, 0, "A", 1), ev(1, 1, "B", 2), ev(1, 2, "A", 3),
+      ev(1, 3, "B", 4), ev(1, 4, "A", 5),
+      ev(2, 0, "C", 6), ev(2, 1, "C", 7), ev(2, 2, "C", 8))
+    val out = TemporalQueries.sequencePatterns(
+      rows.toDF("user_id", "ts", "event_id", "event_type"), k = 20)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(5)))
+    assert(out.toSeq == Seq(("A", "B", "A", 2L, 1L),
+      ("B", "A", "B", 1L, 2L), ("C", "C", "C", 1L, 3L)), out.toSeq.toString)
+  }
+
+  test("q120 DAU/WAU laws: window membership and stickiness bounds") {
+    def ev(u: Long, day: Long, id: Long) =
+      (u, new Timestamp(day * 86400000L + 3600000L), id)
+    // u1 active days 0 and 7 (outside each other's 7-day windows);
+    // u2 active days 0 and 5 (inside)
+    val rows = Seq(ev(1, 0, 1), ev(1, 7, 2), ev(2, 0, 3), ev(2, 5, 4))
+    val out = TemporalQueries.rollingActiveUsers(
+      rows.toDF("user_id", "ts", "event_id")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 1.0)))
+    // day 5: only u2 active today; u1's day-0 visit still in window
+    assert(out(5L) == ((1L, 2L, 0.5)))
+    // day 7: u1 active; u2's day-5 visit in window; day-0 visits aged out
+    assert(out(7L) == ((1L, 2L, 0.5)))
+    // corpus: DAU <= WAU always, stickiness in (0, 1]
+    TemporalQueries.rollingActiveUsers(graft.Tables.events(spark, sf0001))
+      .collect().foreach { r =>
+        assert(r.getLong(1) <= r.getLong(2))
+        assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) }
+  }
+
   test("q117 cumulative uniques: first-occurrence accounting laws") {
     def ev(u: Long, day: Long, id: Long) =
       (u, new Timestamp(day * 86400000L), id)

@@ -1095,8 +1095,91 @@ object ExtendedQueries {
         |ORDER BY orderkey""".stripMargin) { (s, d) =>
       rollupReconciliation(
         Tables.orders(s, d), Tables.lineitem(s, d))
+    },
+
+    // --------------------------------------------------------------- q121
+    "q121_fk_discovery" -> QueryDef.sql(
+      "FK-relationship DISCOVERY (schema profiling, the inference " +
+      "dual of q88's declared-FK audit): for each candidate column " +
+      "pair, the inclusion coefficient (share of distinct child " +
+      "values present in the parent) and parent-side uniqueness; a " +
+      "pair is FK-shaped iff inclusion = 1 and the parent column is " +
+      "a key. Discovers the two real relationships and rejects the " +
+      "planted decoy (orders.o_custkey -> supplier.s_suppkey: " +
+      "inclusion 0.067) — suite-pinned. All counts exact integers, " +
+      "scores single divisions -> hash-exact. Shape at 100 TB: per " +
+      "candidate, two map-side-combinable distinct aggregates + one " +
+      "semi join between the DISTINCT value sets (dimension-sized " +
+      "after dedup, never row-scale).",
+      """WITH cand AS (
+        |  SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT
+        |      AS child_distinct,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+        |      AS parent_distinct,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM customer))::BIGINT
+        |      AS included,
+        |    (SELECT count(*) FROM customer)::BIGINT AS parent_rows
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT p_partkey) FROM part),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |      WHERE l_partkey IN (SELECT p_partkey FROM part)),
+        |    (SELECT count(*) FROM part)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->supplier.s_suppkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(DISTINCT s_suppkey) FROM supplier),
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |      WHERE o_custkey IN (SELECT s_suppkey FROM supplier)),
+        |    (SELECT count(*) FROM supplier))
+        |SELECT candidate, child_distinct, parent_distinct, included,
+        |  (included::DOUBLE / child_distinct::DOUBLE) AS inclusion,
+        |  (parent_distinct::DOUBLE / parent_rows::DOUBLE)
+        |    AS parent_uniqueness,
+        |  (included = child_distinct AND parent_distinct = parent_rows)
+        |    AS is_fk_shaped
+        |FROM cand ORDER BY candidate""".stripMargin) { (s, d) =>
+      val cands = Seq(
+        ("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d).select(col("o_custkey").as("ck")),
+          Tables.customer(s, d).select(col("c_custkey").as("pk"))),
+        ("lineitem.l_partkey->part.p_partkey",
+          Tables.lineitem(s, d).select(col("l_partkey").as("ck")),
+          Tables.part(s, d).select(col("p_partkey").as("pk"))),
+        ("orders.o_custkey->supplier.s_suppkey",
+          Tables.orders(s, d).select(col("o_custkey").as("ck")),
+          Tables.supplier(s, d).select(col("s_suppkey").as("pk"))))
+      cands.map { case (label, child, parent) =>
+        inclusionProfile(label, child, parent)
+      }.reduce(_ unionByName _).orderBy("candidate")
     }
   )
+
+  /** One q121 candidate row: inclusion + uniqueness for a
+    * (child column, parent column) pair. Shared with
+    * SkylineTriangleSpec. */
+  def inclusionProfile(label: String, child: org.apache.spark.sql.DataFrame,
+      parent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cd = child.select(col("ck")).distinct()
+    val stats = cd.agg(count(lit(1)).as("child_distinct"))
+      .crossJoin(parent.agg(count_distinct(col("pk")).as("parent_distinct"),
+        count(lit(1)).as("parent_rows")))
+      .crossJoin(cd.join(parent.select(col("pk").as("ck")).distinct(),
+        Seq("ck"), "left_semi").agg(count(lit(1)).as("included")))
+    stats.select(lit(label).as("candidate"), col("child_distinct"),
+      col("parent_distinct"), col("included"),
+      (col("included").cast("double")
+        / col("child_distinct").cast("double")).as("inclusion"),
+      (col("parent_distinct").cast("double")
+        / col("parent_rows").cast("double")).as("parent_uniqueness"),
+      (col("included") === col("child_distinct")
+        && col("parent_distinct") === col("parent_rows"))
+        .as("is_fk_shaped"))
+  }
 
   /** The q119 header-vs-lines reconciliation — shared with
     * SkylineTriangleSpec. */

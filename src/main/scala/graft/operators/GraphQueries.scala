@@ -196,8 +196,73 @@ object GraphQueries {
       itemSimilarityTopK(
         Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
           col("l_partkey").as("p")), minShared = 2, k = 5)
+    },
+
+    // --------------------------------------------------------------- q122
+    "q122_association_rules" -> QueryDef.sql(
+      "Market-basket association rules over order baskets: directed " +
+      "rules antecedent -> consequent with support count, confidence " +
+      "= co/deg(antecedent), and lift = co*N / (deg(a)*deg(c)), " +
+      "thresholded at confidence >= 0.02 and lift >= 2 — the " +
+      "recommender/merchandising classic, composing q102's bounded " +
+      "co-occurrence projection (q107 gives the symmetric cosine " +
+      "view; rules are DIRECTED and threshold-filtered). Counts are " +
+      "exact integers; confidence and lift are single-shape IEEE " +
+      "divisions -> hash-exact. Shape at 100 TB: everything after " +
+      "the per-basket pair aggregate is edge-list-sized; the basket " +
+      "total is one broadcast scalar.",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o)::BIGINT AS n_baskets FROM op),
+        |deg AS (SELECT p, count(*)::BIGINT AS d FROM op GROUP BY 1),
+        |co AS (SELECT a.p AS u, b.p AS v, count(*)::BIGINT AS co
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v, co FROM co UNION ALL SELECT v, u, co FROM co),
+        |rules AS (SELECT s.u AS antecedent, s.v AS consequent,
+        |    s.co AS support_cnt, du.d AS deg_a, dv.d AS deg_c,
+        |    nb.n_baskets,
+        |    (s.co::DOUBLE / du.d::DOUBLE) AS confidence,
+        |    ((s.co::DOUBLE * nb.n_baskets::DOUBLE)
+        |      / (du.d::DOUBLE * dv.d::DOUBLE)) AS lift
+        |  FROM sym s JOIN deg du ON s.u = du.p JOIN deg dv ON s.v = dv.p
+        |  CROSS JOIN nb)
+        |SELECT * FROM rules WHERE confidence >= 0.02 AND lift >= 2.0
+        |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
+      associationRules(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
+          col("l_partkey").as("p")),
+        minShared = 2, minConfidence = 0.02, minLift = 2.0)
     }
   )
+
+  /** The q122 association-rule miner over an arbitrary (o, p) basket
+    * frame — composes [[coOccurrenceEdges]]; shared with
+    * SkylineTriangleSpec. */
+  def associationRules(membership: DataFrame, minShared: Long,
+      minConfidence: Double, minLift: Double): DataFrame = {
+    val op = membership.distinct()
+    val nb = broadcast(op.agg(count_distinct(col("o")).as("n_baskets")))
+    val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val co = coOccurrenceEdges(op, minShared)
+    val sym = co.select(col("u"), col("v"), col("shared").as("co"))
+      .unionByName(co.select(col("v").as("u"), col("u").as("v"),
+        col("shared").as("co")))
+    sym
+      .join(deg.select(col("p").as("u"), col("d").as("deg_a")), "u")
+      .join(deg.select(col("p").as("v"), col("d").as("deg_c")), "v")
+      .crossJoin(nb)
+      .select(col("u").as("antecedent"), col("v").as("consequent"),
+        col("co").as("support_cnt"), col("deg_a"), col("deg_c"),
+        col("n_baskets"),
+        (col("co").cast("double") / col("deg_a").cast("double"))
+          .as("confidence"),
+        ((col("co").cast("double") * col("n_baskets").cast("double"))
+          / (col("deg_a").cast("double") * col("deg_c").cast("double")))
+          .as("lift"))
+      .where(col("confidence") >= minConfidence && col("lift") >= minLift)
+      .orderBy("antecedent", "consequent")
+  }
 
   /** The q107 item-item cosine top-k over an arbitrary (o, p)
     * membership frame — shared by the catalog entry and

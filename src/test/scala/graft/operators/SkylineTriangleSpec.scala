@@ -218,6 +218,44 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ------------------------------------------------------- FK discovery
+
+  test("q121: inclusion profile discovers keys and rejects decoys") {
+    val child = Seq(1L, 1L, 2L, 3L).toDF("ck")
+    val goodParent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val dupParent = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    val partialParent = Seq(1L, 2L).toDF("pk")
+    val good = ExtendedQueries.inclusionProfile("g", child, goodParent)
+      .collect()(0)
+    assert(good.getLong(1) == 3L && good.getLong(3) == 3L
+      && good.getDouble(4) == 1.0 && good.getBoolean(6))
+    val dup = ExtendedQueries.inclusionProfile("d", child, dupParent)
+      .collect()(0)
+    assert(!dup.getBoolean(6), "non-unique parent is not a key")
+    assert(dup.getDouble(5) == 0.75)
+    val part = ExtendedQueries.inclusionProfile("p", child, partialParent)
+      .collect()(0)
+    assert(!part.getBoolean(6) && part.getDouble(4) == 2.0 / 3.0)
+  }
+
+  // -------------------------------------------------- association rules
+
+  test("q122: hand-computed confidence/lift; thresholds cut") {
+    // baskets: {1,2} x3, {1,3} x1, {3} alone x6 -> deg(1)=4, deg(2)=3,
+    // deg(3)=7, N=10. Rule 1->2: conf 3/4, lift 3*10/(4*3)=2.5;
+    // rule 2->1: conf 1.0, lift 2.5; pair (1,3) support 1 < 2 -> absent
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L)) ++ (5L to 10L).map(o => (o, 3L))
+    val out = GraphQueries.associationRules(rows.toDF("o", "p"),
+      minShared = 2, minConfidence = 0.5, minLift = 2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(6), r.getDouble(7))).toMap
+    assert(out((1L, 2L)) == ((3L, 0.75, 2.5)))
+    assert(out((2L, 1L)) == ((3L, 1.0, 2.5)))
+    assert(out.size == 2, s"support/threshold cuts: ${out.keySet}")
+  }
+
   // ----------------------------------------------------- reconciliation
 
   test("q119: balanced orders stay silent; breaks emit signed diffs") {

@@ -57,4 +57,8 @@ object DeterministicHash {
     * so mixture membership is uncorrelated with both split assignment
     * (salt 0) and stratified-sample membership (salt 7919). */
   val mixtureSalt: Long = 104729L
+
+  /** Salt for q123's weighted-sample stream — independent of the other
+    * three for the same reason. */
+  val weightedSalt: Long = 1299709L
 }

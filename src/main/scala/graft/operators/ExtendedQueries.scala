@@ -1155,6 +1155,40 @@ object ExtendedQueries {
       cands.map { case (label, child, parent) =>
         inclusionProfile(label, child, parent)
       }.reduce(_ unionByName _).orderBy("candidate")
+    },
+
+    // --------------------------------------------------------------- q123
+    "q123_weighted_sample" -> QueryDef.sql(
+      "Weight-proportional document sampling with Horvitz-Thompson " +
+      "reweighting — token-budget-aware corpus downsampling: each doc " +
+      "is kept with probability min(1, n_chars/400) (longer docs " +
+      "carry more training signal; docs >= 400 chars always survive) " +
+      "via the SHARED Knuth multiplicative hash on its own salt " +
+      "stream (q56/q62/q71's DeterministicHash — pure int64, no " +
+      "engine RNG, so the sample re-materializes identically " +
+      "anywhere), and every kept doc carries ht_weight = 1/p so " +
+      "downstream corpus statistics stay unbiased. Integer compare + " +
+      "one division -> hash-exact. Costs a filter at 100 TB: one " +
+      "scan, zero shuffles, zero driver round-trips.",
+      s"""WITH s AS (SELECT doc_id, n_chars,
+        |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id",
+             graft.functions.DeterministicHash.weightedSalt)} AS h
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  (least(n_chars, 400)::DOUBLE / 400.0) AS p_keep,
+        |  (400.0 / least(n_chars, 400)::DOUBLE) AS ht_weight
+        |FROM s WHERE h % 400 < least(n_chars, 400)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"),
+        graft.functions.DeterministicHash.weightedSalt)
+      val wcap = least(col("n_chars"), lit(400L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), h.as("h"))
+        .where(col("h") % 400 < wcap)
+        .select(col("doc_id"), col("n_chars"),
+          (wcap.cast("double") / lit(400.0)).as("p_keep"),
+          (lit(400.0) / wcap.cast("double")).as("ht_weight"))
+        .orderBy("doc_id")
     }
   )
 

@@ -218,6 +218,26 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ------------------------------------------------------ weighted sample
+
+  test("q123: certainty stratum kept whole; HT estimator lands near N") {
+    val out = graft.SparkEntry.queries("q123_weighted_sample")(spark, sf001)
+      .collect()
+    val docs = graft.Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = out.map(_.getLong(0)).toSet
+    // every >= 400-char doc survives with p_keep 1 and weight 1
+    docs.filter(_._2 >= 400L).keys.foreach(id => assert(kept(id), s"doc $id"))
+    out.foreach { r =>
+      if (r.getLong(1) >= 400L)
+        assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0) }
+    // Horvitz-Thompson: sum of weights estimates the corpus size
+    val ht = out.map(_.getDouble(3)).sum
+    assert(math.abs(ht - docs.size) < docs.size * 0.15,
+      s"HT estimate $ht vs ${docs.size}")
+  }
+
   // ------------------------------------------------------- FK discovery
 
   test("q121: inclusion profile discovers keys and rejects decoys") {

@@ -1179,6 +1179,101 @@ object ExtendedQueries {
         |  (400.0 / least(n_chars, 400)::DOUBLE) AS ht_weight
         |FROM s WHERE h % 400 < least(n_chars, 400)
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      weightedSampleCatalogEntry(s, d)
+    },
+
+    // --------------------------------------------------------------- q124
+    "q124_contribution_shares" -> QueryDef.sql(
+      "Hierarchical contribution analysis: per-nation revenue (exact " +
+      "integer cents via the customer->orders join) with its share " +
+      "of the region subtotal and of the grand total — the " +
+      "percent-of-parent readout BI stacks on every drill-down " +
+      "(q09's rollup emits subtotal ROWS; this emits the RATIOS). " +
+      "Cents sums are order-free int64, shares are single " +
+      "divisions -> hash-exact. Shape at 100 TB: revenue is one " +
+      "map-side-combinable aggregate over the facts keyed by " +
+      "nation; everything after runs on the 25-row nation " +
+      "dimension with broadcast region/total subtotals.",
+      """WITH rev AS (SELECT c.c_nationkey,
+        |    sum(round(o.o_totalprice * 100)::BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1),
+        |nr AS (SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name,
+        |    coalesce(rev.cents, 0)::BIGINT AS cents
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  LEFT JOIN rev ON n.n_nationkey = rev.c_nationkey),
+        |reg AS (SELECT n_regionkey, sum(cents)::BIGINT AS region_cents
+        |  FROM nr GROUP BY 1),
+        |tot AS (SELECT sum(cents)::BIGINT AS total_cents FROM nr)
+        |SELECT nr.n_name AS nation, nr.r_name AS region, nr.cents,
+        |  reg.region_cents, tot.total_cents,
+        |  (nr.cents::DOUBLE / reg.region_cents::DOUBLE) AS share_of_region,
+        |  (nr.cents::DOUBLE / tot.total_cents::DOUBLE) AS share_of_total
+        |FROM nr JOIN reg USING (n_regionkey) CROSS JOIN tot
+        |ORDER BY nation""".stripMargin) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"))
+      val nr = Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(rev, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_name"), col("n_regionkey"), col("r_name"),
+          coalesce(col("rev_cents"), lit(0L)).as("cents"))
+      val reg = nr.groupBy("n_regionkey")
+        .agg(sum("cents").as("region_cents"))
+      val tot = broadcast(nr.agg(sum("cents").as("total_cents")))
+      nr.join(broadcast(reg), "n_regionkey").crossJoin(tot)
+        .select(col("n_name").as("nation"), col("r_name").as("region"),
+          col("cents"), col("region_cents"), col("total_cents"),
+          (col("cents").cast("double")
+            / col("region_cents").cast("double")).as("share_of_region"),
+          (col("cents").cast("double")
+            / col("total_cents").cast("double")).as("share_of_total"))
+        .orderBy("nation")
+    },
+
+    // --------------------------------------------------------------- q125
+    "q125_k_anonymity" -> QueryDef.sql(
+      "k-anonymity audit over quasi-identifiers (nation, account-" +
+      "balance bucket): every QI combination shared by fewer than " +
+      "k=5 customers is a re-identification risk — the privacy gate " +
+      "a governed dataset release runs before publishing. Bucketing " +
+      "is integer (cents // 100000), counts are integers -> " +
+      "hash-exact; only violating groups emit (empty output = safe " +
+      "to release). Shape at 100 TB: ONE map-side-combinable " +
+      "aggregate on the QI tuple; output is bounded by the QI-domain " +
+      "size, and generalization ladders (coarser buckets) just " +
+      "re-run the same aggregate.",
+      """WITH qi AS (SELECT c_nationkey,
+        |    (round(c_acctbal * 100)::BIGINT // 100000) AS bal_bucket,
+        |    count(*)::BIGINT AS group_size
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey AS nationkey, bal_bucket, group_size
+        |FROM qi WHERE group_size < 5
+        |ORDER BY nationkey, bal_bucket""".stripMargin) { (s, d) =>
+      kAnonymityAudit(Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+            .as("bal_bucket")), k = 5L)
+    }
+  )
+
+  /** The q125 k-anonymity audit over an arbitrary pre-bucketed
+    * quasi-identifier frame — shared with SkylineTriangleSpec. */
+  def kAnonymityAudit(qi: org.apache.spark.sql.DataFrame, k: Long)
+      : org.apache.spark.sql.DataFrame =
+    qi.groupBy("nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("group_size"))
+      .where(col("group_size") < k)
+      .orderBy("nationkey", "bal_bucket")
+
+  /** The q123 catalog body. */
+  private def weightedSampleCatalogEntry(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
       val h = graft.functions.DeterministicHash.knuth32(col("doc_id"),
         graft.functions.DeterministicHash.weightedSalt)
       val wcap = least(col("n_chars"), lit(400L))
@@ -1189,8 +1284,7 @@ object ExtendedQueries {
           (wcap.cast("double") / lit(400.0)).as("p_keep"),
           (lit(400.0) / wcap.cast("double")).as("ht_weight"))
         .orderBy("doc_id")
-    }
-  )
+  }
 
   /** One q121 candidate row: inclusion + uniqueness for a
     * (child column, parent column) pair. Shared with

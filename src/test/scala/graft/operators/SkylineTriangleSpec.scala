@@ -218,6 +218,27 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(r.getDouble(6) == z && z > 0)
   }
 
+  // ----------------------------------------------------- k-anonymity
+
+  test("q125: only sub-k groups emit; boundary k is safe") {
+    val qi = (Seq.fill(5)((1L, 10L)) ++ Seq.fill(4)((1L, 20L))
+      ++ Seq.fill(1)((2L, 10L))).toDF("nationkey", "bal_bucket")
+    val out = ExtendedQueries.kAnonymityAudit(qi, k = 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 20L) -> 4L, (2L, 10L) -> 1L),
+      "exactly-k groups are anonymous; sub-k groups are flagged")
+  }
+
+  test("q124: shares partition exactly within region and total") {
+    val out = graft.SparkEntry.queries("q124_contribution_shares")(
+      spark, sf001).collect()
+    assert(out.length == 25)
+    // integer conservation: nation cents sum to their region subtotal
+    out.groupBy(_.getString(1)).foreach { case (_, ns) =>
+      assert(ns.map(_.getLong(2)).sum == ns.head.getLong(3)) }
+    assert(out.map(_.getLong(2)).sum == out.head.getLong(4))
+  }
+
   // ------------------------------------------------------ weighted sample
 
   test("q123: certainty stratum kept whole; HT estimator lands near N") {

@@ -763,7 +763,13 @@ object ExtendedQueries {
       "reduce key, which is exactly how segment-per-shard search " +
       "engines lay the index out. Two aggregates: (term, doc) tf " +
       "counts (combinable), then (term, shard) list assembly whose " +
-      "input is pre-shrunk to one row per (term, doc).",
+      "input is pre-shrunk to one row per (term, doc). The posting " +
+      "list is SERIALIZED to a canonical 'doc:tf doc:tf' string at " +
+      "the output boundary (catalog contract: no top-level array " +
+      "columns — integer-to-string rendering is identical on both " +
+      "engines, so the serialization is hash-exact); a consumer " +
+      "re-splits it, or takes the pre-serialization frame from " +
+      "invertedIndex below.",
       s"""WITH tf AS (
         |  SELECT tok AS term, doc_id, count(*)::BIGINT AS tf
         |  FROM (SELECT doc_id, unnest(${DedupQueries.sqlToks}) AS tok
@@ -771,20 +777,17 @@ object ExtendedQueries {
         |  GROUP BY 1, 2)
         |SELECT term, (doc_id // 64)::BIGINT AS shard,
         |  count(*)::BIGINT AS df_shard, sum(tf)::BIGINT AS cf_shard,
-        |  list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY doc_id)
-        |    AS postings
+        |  string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ' '
+        |    ORDER BY doc_id) AS postings
         |FROM tf
         |GROUP BY 1, 2
         |ORDER BY term, shard""".stripMargin) { (s, d) =>
-      import graft.functions.TextFunctions
-      val tf = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"))
-      tf.groupBy(col("term"), expr("doc_id DIV 64").as("shard"))
-        .agg(count(lit(1)).as("df_shard"), sum("tf").as("cf_shard"),
-          sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-            .as("postings"))
+      invertedIndex(Tables.documents(s, d))
+        .select(col("term"), col("shard"), col("df_shard"), col("cf_shard"),
+          array_join(
+            transform(col("postings"),
+              p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+            " ").as("postings"))
         .orderBy("term", "shard")
     }
   )
@@ -1382,6 +1385,10 @@ object ExtendedQueries {
       sum(when(arm === 0 && hit, 1L).otherwise(0L)).as("h0"),
       sum(when(arm === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(arm === 1 && hit, 1L).otherwise(0L)).as("h1"))
+      // An event type present in only one arm has no defined lift (and
+      // NaN/Inf z); the oracle's arm0 JOIN arm1 drops it — match that
+      // inner-join semantics instead of emitting a NaN row.
+      .where(col("n0") > 0 && col("n1") > 0)
     val p0 = col("h0").cast("double") / col("n0").cast("double")
     val p1 = col("h1").cast("double") / col("n1").cast("double")
     val pp = (col("h0") + col("h1")).cast("double") /
@@ -1454,9 +1461,29 @@ object ExtendedQueries {
       .orderBy("price", "partkey")
   }
 
+  /** The q94 index-build frame BEFORE output serialization: one row per
+    * (term, doc-shard of 64) with `postings` as a doc_id-sorted
+    * array<struct<doc_id, tf>> (bounded at 64 entries by construction) —
+    * the shape a retrieval layer actually consumes. The catalog entry
+    * serializes `postings` to a 'doc:tf doc:tf' string because catalog
+    * outputs carry no top-level array/map columns (driver checker
+    * contract; see CatalogSpec). Shared with BloomIndexSpec. */
+  def invertedIndex(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions
+    val tf = documents
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"), expr("doc_id DIV 64").as("shard"))
+      .agg(count(lit(1)).as("df_shard"), sum("tf").as("cf_shard"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+  }
+
   /** The q93 bloom-pruning stage over arbitrary facts and a key frame —
-    * shared by the catalog entry and BloomPruneSpec. Builds the bloom
-    * on the driver from the (dimension-sized by contract) key frame,
+    * builds the bloom driver-side from the dimension-sized key frame,
     * ships only its BITS to executors, map-side pre-filters the facts,
     * then exact-confirms with a semi join so false positives are
     * removed. Returns the confirmed fact rows. The probe is a UDF by

@@ -404,21 +404,25 @@ object SimilarityQueries {
       "(one zip_with/aggregate dot per component, mean and 1/sqrt(eig) " +
       "folded into constants) — whitened components have unit variance " +
       "and zero pairwise covariance, the standard preprocessing for " +
-      "embedding-space dedup/ANN. Driver-side eigen on a cluster " +
-      "reduction is engine-specific -> rows-only; PcaSpec asserts the " +
-      "whitening contract (cov(y) = I to 1e-8) and SymEigen's algebra.") { (s, d) =>
+      "embedding-space dedup/ANN. Output is 16 scalar y0..y15 columns " +
+      "(driver contract: no top-level arrays). Driver-side eigen on a " +
+      "cluster reduction is engine-specific -> rows-only; PcaSpec " +
+      "asserts the whitening contract (cov(y) = I to 1e-8) and " +
+      "SymEigen's algebra.") { (s, d) =>
       graft.plans.LazyStage.defer(s, pcaSchema) { () =>
         pcaWhiten(Tables.embeddings(s, d), keep = 16)
       }
     }
   )
 
-  private val pcaSchema = org.apache.spark.sql.types.StructType(Seq(
+  // Driver contract: catalog outputs carry no top-level array columns
+  // (the checker can't sort them), so the whitened vector leaves the
+  // engine as 16 scalar component columns.
+  private val pcaSchema = org.apache.spark.sql.types.StructType(
     org.apache.spark.sql.types.StructField("vec_id",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("y",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.DoubleType))))
+      org.apache.spark.sql.types.LongType) +:
+    (0 until 16).map(c => org.apache.spark.sql.types.StructField(
+      s"y$c", org.apache.spark.sql.types.DoubleType)))
 
   /** The q78 operator over an arbitrary embeddings frame: covariance via
     * [[graft.functions.CovMoments]], eigenbasis via
@@ -448,8 +452,6 @@ object SimilarityQueries {
     }
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id") +: comps: _*)
-      .select(col("vec_id"),
-        array((0 until keep).map(c => col(s"y$c")): _*).as("y"))
       .orderBy("vec_id")
   }
 

@@ -919,11 +919,17 @@ object TemporalQueries {
       (col("ts").cast("long")
         - min(col("ts").cast("long")).over(wMin)).as("x"),
       round(col("value") * 100, 0).cast("long").as("y"))
+    // Products and sums accumulate IN decimal(38,0), not int64: sxx/sxy
+    // on long columns silently wrap past 9.2e18 (x ~ 1e7-second spans x
+    // large groups), while the oracle sums in HUGEINT — the 128-bit
+    // claim must hold on both sides.
+    val xd = col("x").cast(dec)
+    val yd = col("y").cast(dec)
     val s = b.groupBy("event_type").agg(
       count(lit(1)).cast(dec).as("n"),
-      sum("x").cast(dec).as("sx"), sum("y").cast(dec).as("sy"),
-      sum(col("x") * col("y")).cast(dec).as("sxy"),
-      sum(col("x") * col("x")).cast(dec).as("sxx"))
+      sum(xd).as("sx"), sum(yd).as("sy"),
+      sum(xd * yd).as("sxy"),
+      sum(xd * xd).as("sxx"))
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     s.select(col("event_type"), col("n").cast("long").as("n"),

@@ -80,11 +80,12 @@ object Scd2Stream {
     val buffered = prior.buffer ++ rows.map(e =>
       BufEvent(e.ts, e.event_id, e.event_type))
     val wm = state.getCurrentWatermarkMs()
-    // The watermark guarantees no future arrival with ts < wm, so every
-    // buffered event at ts <= wm has FINAL relative order: fold those
+    // The watermark guarantees no future arrival with ts < wm — an event
+    // at ts == wm can still legally arrive in a later batch — so only the
+    // STRICT prefix (ts < wm) has FINAL relative order: fold those
     // through the segment logic in the batch operator's (ts, event_id)
-    // total order; keep the rest buffered.
-    val (ready, pending) = buffered.partition(_.ts.getTime <= wm)
+    // total order; keep the rest (including ts == wm) buffered.
+    val (ready, pending) = buffered.partition(_.ts.getTime < wm)
     var open = prior.open
     val out = Vector.newBuilder[SegOut]
     ready.sortBy(e => orderKey(e.ts, e.event_id)).foreach { e =>

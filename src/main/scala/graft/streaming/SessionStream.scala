@@ -79,7 +79,10 @@ object SessionStream {
     val prior = state.getOption.getOrElse(UserState(None, 0L, Vector.empty))
     val buffered = prior.buffer ++ rows.map(e => BufEvent(e.ts, e.event_id))
     val wm = state.getCurrentWatermarkMs()
-    val (ready, pending) = buffered.partition(_.ts.getTime <= wm)
+    // Strict seal: the watermark only guarantees no future arrival with
+    // ts < wm — a same-millisecond peer at ts == wm can still arrive —
+    // so events at exactly wm stay buffered until the watermark passes.
+    val (ready, pending) = buffered.partition(_.ts.getTime < wm)
     var open = prior.open
     var nClosed = prior.nClosed
     val out = Vector.newBuilder[SessionOut]

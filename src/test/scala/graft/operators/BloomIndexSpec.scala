@@ -66,7 +66,8 @@ class BloomIndexSpec extends SparkSpec {
   }
 
   test("inverted index: lossless, doc-sorted, and bounded at 64 per shard") {
-    val out = SparkEntry.queries("q94_inverted_index")(spark, sf001).collect()
+    val out = ExtendedQueries.invertedIndex(Tables.documents(spark, sf001))
+      .orderBy("term", "shard").collect()
     assert(out.nonEmpty)
     var totalTf = 0L
     out.foreach { r =>
@@ -86,5 +87,25 @@ class BloomIndexSpec extends SparkSpec {
       .head().getLong(0)
     assert(totalTf == corpusTokens,
       "index is lossless: collection frequency sums to the corpus token count")
+  }
+
+  test("q94 catalog output serializes postings losslessly (no array columns)") {
+    val catalog = SparkEntry.queries("q94_inverted_index")(spark, sf001)
+    assert(catalog.schema("postings").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "driver contract: postings must leave the engine as a scalar string")
+    val rows = catalog.collect()
+    val helper = ExtendedQueries.invertedIndex(Tables.documents(spark, sf001))
+      .orderBy("term", "shard").collect()
+    assert(rows.length == helper.length)
+    rows.zip(helper).foreach { case (c, h) =>
+      val parsed = c.getString(4).split(' ').toSeq.map { tok =>
+        val Array(id, tf) = tok.split(':')
+        (id.toLong, tf.toLong)
+      }
+      val orig = h.getSeq[org.apache.spark.sql.Row](4)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      assert(parsed == orig, s"round-trip mismatch at ${c.getString(0)}")
+    }
   }
 }

@@ -98,8 +98,9 @@ class PcaSpec extends SparkSpec {
     val emb = sample.zipWithIndex
       .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
       .toDF("vec_id", "embedding")
+    // output is scalar y0..y15 columns (driver contract: no arrays)
     val y = SimilarityQueries.pcaWhiten(emb, keep)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map(r => Array.tabulate(keep)(c => r.getDouble(1 + c)))
     assert(y.length == n && y.forall(_.length == keep))
     val mu = Array.tabulate(keep)(c => y.map(_(c)).sum / n)
     for (c <- 0 until keep)

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through VERBATIM instead of via the sbt logger:
+// the driver machine-reads Bench's one-line JSON summary, and the logger's
+// "[info] " prefix has broken that parse three rounds running. (Bench also
+// mirrors the line to stderr and target/bench_summary.json.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

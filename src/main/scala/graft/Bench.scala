@@ -128,7 +128,20 @@ object Bench {
     // window. It carries the contract keys (metric/value/unit/queries/sf)
     // with an EMPTY queries map plus total_sec/n_queries/retimed.
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"total_sec":${f3(total)},"n_queries":${results.size},"retimed":$retimed,"sf":"$sfDir"}""")
+    val summary =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"total_sec":${f3(total)},"n_queries":${results.size},"retimed":$retimed,"sf":"$sfDir"}"""
+    println(summary)
+    // Three rounds of "parsed": null show the sbt-prefixed stdout tail is
+    // a hostile channel for machine readers, so the line of record also
+    // ships (a) bare on stderr — sbt forwards stderr without the [info]
+    // prefix — and (b) as a file any reader can pick up verbatim.
+    System.err.println(summary)
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_summary.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () } // best-effort side channel
     spark.stop()
   }
 }

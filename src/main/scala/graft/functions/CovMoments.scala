@@ -86,3 +86,56 @@ object CovMoments {
   def means(m: Array[Double], d: Int): Array[Double] =
     Array.tabulate(d)(i => m(1 + i) / m(0))
 }
+
+/** Integer-exact second-moment sketch: the [[CovMoments]] buffer layout
+  * over PRE-SCALED int64 components. Callers fix-point the input
+  * (component -> round(x * scale) as long) so every partial sum is exact
+  * integer arithmetic — partition count and fold order can no longer
+  * perturb the result, which is what makes a published covariance entry
+  * bit-reproducible across engines (the q95 fixed-point recipe applied
+  * to covariance; see q77).
+  *
+  * Overflow headroom: with |x| <= 1e6 x max|v| ~ 6e5 per component, a
+  * product is <= ~4e11 and the triangle sums stay ~5e15 even at the sf1
+  * replication gate (2e4 vectors) — three orders of magnitude under
+  * int64. The 128-bit closed form (n*Sxy - Sx*Sy) is done downstream in
+  * decimal arithmetic, not here.
+  */
+final class CovMomentsExact(val d: Int)
+    extends Aggregator[Seq[Long], Array[Long], Array[Long]] {
+  private val len = 1 + d + d * (d + 1) / 2
+
+  override def zero: Array[Long] = new Array[Long](len)
+
+  override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+    if (v == null) return b // skip NULL rows like the built-in aggregates
+    require(v.length == d, s"CovMomentsExact(d=$d) fed a ${v.length}-dim vector")
+    val x = v.toArray
+    b(0) += 1L
+    var i = 0
+    var k = 1 + d
+    while (i < d) {
+      b(1 + i) += x(i)
+      var j = i
+      while (j < d) {
+        b(k) += x(i) * x(j)
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < len) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

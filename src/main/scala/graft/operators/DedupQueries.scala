@@ -426,6 +426,54 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q91's candidate stage swapped for the q35/q66 LSH band-bucket path:
+    * same output contract as [[prefixFilterPairs]] (doc_a, doc_b, inter_n,
+    * sz_a, sz_b, jac at `tau`), but candidates come from MinHash(16) +
+    * LSH(8x2) bucket collisions instead of AllPairs prefix tokens.
+    *
+    * DIVERGENCE NOTE (the documented trade): prefix filtering is recall
+    * 1.0 BY THEOREM; LSH banding is recall 1.0 only in probability —
+    * a qualifying pair at jac = tau = 0.5 escapes all 8 bands with
+    * P ~ (1 - tau^2)^8 ~ 9%, falling to <= 2.8e-4 by jac >= 0.8. Use
+    * this variant when the corpus (like the shipped one — see
+    * recallPremiseGapPairs) has no mass in the marginal band, or when
+    * approximate recall is an accepted cost: it drops the two
+    * token-frequency shuffles (df count + rank join) the exact path
+    * pays to order tokens rarest-first, so the candidate stage is one
+    * signature pass + one band equi-join — the cheaper 100 TB shape.
+    */
+  private[operators] def setsimJoinLsh(docs: DataFrame,
+      tau: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.select(col("doc_id"),
+      HashFunctions.minhashSignature(col("sh"), 16).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(HashFunctions.bandHashes(col("sig"), 8, 2)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.bucket").as("bucket"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter_n"),
+        size(col("sh_a")).cast("long").as("sz_a"),
+        size(col("sh_b")).cast("long").as("sz_b"),
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33

@@ -45,7 +45,16 @@ object GraphQueries {
     * Nodes are the distinct edge endpoints (so no dangling handling is
     * needed when the edge list is symmetric, as the purchase graph is).
     * Shared by the catalog entry and PageRankSpec. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
+    // Iterative-algorithm cache hygiene (the q65/q66 RddBridge rule): the
+    // edge list feeds every iteration plus nodes/deg, so an unpersisted
+    // plan re-runs the upstream scan+join+distinct `iters`+2 times. Persist
+    // ONCE (memory-and-disk: an edge partition that doesn't fit RAM at
+    // 10^11 edges must spill, not recompute), force materialization, and
+    // free it before returning a lineage-truncated result.
+    val edges = edges0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     val nodes = edges.select(col("src").as("node")).distinct()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
@@ -67,7 +76,13 @@ object GraphQueries {
           (expr(s"(${S}L * 3 DIV 20) DIV n") +
             coalesce(col("m"), lit(0L))).as("rank_u"))
     }
-    ranks.orderBy("node")
+    // Eager localCheckpoint materializes the final ranks (one long per
+    // node — bounded) and cuts the iters-deep lineage, so the cached edge
+    // list can be dropped immediately instead of leaking until session
+    // end, and downstream consumers replay NO part of the iteration DAG.
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    edges.unpersist(false)
+    out
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -355,21 +355,32 @@ object SimilarityQueries {
       "explode-join, which is the textbook shape that does NOT survive " +
       "100 TB), then the 2,080 upper-triangle entries are closed-form " +
       "column arithmetic over the one finished buffer against a " +
-      "broadcast (i, j) grid. Entries are rounded to 6 dp on both " +
-      "engines (the q51 rule: accumulation order differs at ulp scale).",
-      """WITH e AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+      "broadcast (i, j) grid. Cross-engine parity is INTEGER-EXACT (the " +
+      "q95 fixed-point recipe): components are scaled round(x * 1e6) -> " +
+      "int64 on BOTH engines (no tie ambiguity — a float32 x 1e6 is an " +
+      "exact double whose fraction can never be exactly .5), the moment " +
+      "sums accumulate in int64 (bounded ~5e15 at the sf1 gate, three " +
+      "orders under overflow), the closed form n*Sxy - Sx*Sy runs in " +
+      "128-bit (decimal(37,0) here, HUGEINT there), and only the final " +
+      "single division + 6-dp round happens in floating point — over " +
+      "bit-identical operands, so the rounding boundary cannot split.",
+      """WITH e AS (SELECT vec_id, i,
+        |             CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x
         |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
         |SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
-        |  round(covar_samp(a.x, b.x), 6) AS cov
+        |  round(CAST(count(*)::HUGEINT * sum(a.x::HUGEINT * b.x::HUGEINT)
+        |             - sum(a.x)::HUGEINT * sum(b.x)::HUGEINT AS DOUBLE)
+        |        / (CAST(count(*) * (count(*) - 1) AS DOUBLE) * 1e12), 6) AS cov
         |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import s.implicits._
       val dim = 64
       val mom = Tables.embeddings(s, d)
-        .select(col("embedding").cast("array<double>").as("v"))
-        .as[Seq[Double]]
-        .select(new graft.functions.CovMoments(dim).toColumn)
+        .select(transform(col("embedding").cast("array<double>"),
+          x => round(x * lit(1000000.0)).cast("long")).as("v"))
+        .as[Seq[Long]]
+        .select(new graft.functions.CovMomentsExact(dim).toColumn)
         .toDF("m")
       val grid = s.range(1, dim + 1).select(col("id").cast("int").as("i"))
         .crossJoin(s.range(1, dim + 1).select(col("id").cast("int").as("j")))
@@ -378,17 +389,24 @@ object SimilarityQueries {
       // triangle row-major; element_at is 1-based, so every index below
       // carries the +1. Sanity: (i=1, j=1) -> 2 + d + 0 - 0 + 0 = 66,
       // the first triangle slot.
+      // decimal(18,0) operands make every product an EXACT decimal(37,0)
+      // (18+18+1 <= 38: no precision-loss path), mirroring the oracle's
+      // HUGEINT; the one double division and the 6-dp round then see
+      // bit-identical inputs on both engines.
+      val d18 = "decimal(18,0)"
+      val nL = element_at(col("m"), 1)
+      val sxy = element_at(col("m"),
+        (lit(2 + dim) + (col("i") - 1) * dim
+          - expr("((i - 1) * (i - 2)) DIV 2") + (col("j") - col("i")))
+          .cast("int"))
+      val sx = element_at(col("m"), col("i") + 1)
+      val sy = element_at(col("m"), col("j") + 1)
       grid.crossJoin(broadcast(mom))
-        .select(col("i"), col("j"),
-          element_at(col("m"), 1).cast("long").as("n"),
+        .select(col("i"), col("j"), nL.as("n"),
           round(
-            (element_at(col("m"),
-                (lit(2 + dim) + (col("i") - 1) * dim
-                  - expr("((i - 1) * (i - 2)) DIV 2") + (col("j") - col("i")))
-                  .cast("int"))
-              - element_at(col("m"), col("i") + 1)
-                * element_at(col("m"), col("j") + 1) / element_at(col("m"), 1))
-              / (element_at(col("m"), 1) - 1.0), 6).as("cov"))
+            (nL.cast(d18) * sxy.cast(d18) - sx.cast(d18) * sy.cast(d18))
+              .cast("double")
+              / ((nL * (nL - 1)).cast("double") * lit(1e12)), 6).as("cov"))
         .orderBy("i", "j")
     },
 

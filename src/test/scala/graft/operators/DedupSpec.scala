@@ -105,6 +105,21 @@ class DedupSpec extends SparkSpec {
       s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("q91 LSH variant: equals the exact prefix-filter join on a recall-1.0 corpus") {
+    // The documented trade (setsimJoinLsh Scaladoc): LSH candidates are
+    // approximate in general, but on the shipped corpus — no pair mass in
+    // the marginal [0.1, 0.8) band, per the recallPremiseGapPairs premise
+    // q66 already pins — banding recall is effectively 1.0, so the cheap
+    // variant must reproduce the exact join ROW FOR ROW, full schema
+    // (inter_n/sz/jac confirm values included, not just the pair set).
+    val docs = graft.Tables.documents(spark, sf0001)
+    val exact = DedupQueries.prefixFilterPairs(docs).collect().toSeq
+    val lsh = DedupQueries.setsimJoinLsh(docs, 0.5).collect().toSeq
+    assert(exact.nonEmpty, "test needs qualifying pairs in the corpus")
+    assert(lsh == exact,
+      s"missed=${exact.diff(lsh)} extra=${lsh.diff(exact)}")
+  }
+
   test("q66: clusters are well-formed (canonical = min member, sizes exact, edges intra-cluster)") {
     val docs = graft.Tables.documents(spark, sf0001)
     val rows = graft.SparkEntry.queries("q66_dedup_fuzzy_full")(spark, sf0001)

@@ -452,6 +452,20 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q95: the edge list is cached across iterations — no per-iteration rescan") {
+    // The iterative-cache contract (same hygiene RddBridge gives q65/q66):
+    // pagerank persists the edge list once, so the purchase-graph build
+    // (lineitem JOIN orders + distinct) runs exactly once, not once per
+    // iteration — and the returned frame is lineage-truncated, so its
+    // plan replays NONE of the scans. An unpersisted regression would put
+    // `iters` lineitem file scans back into this plan.
+    val df = SparkEntry.queries("q95_pagerank")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString()
+    val lineitemScans = "lineitem".r.findAllIn(p).length
+    assert(lineitemScans == 0,
+      s"expected a lineage-truncated plan (0 lineitem scans), got $lineitemScans:\n$p")
+  }
+
   test("q84: diversity has no window over the corpus and no cartesian") {
     val p = plan("q84_token_diversity")
     // per-doc totals come from re-aggregating tc and joining back — the

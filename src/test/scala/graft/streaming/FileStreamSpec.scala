@@ -19,17 +19,18 @@ class FileStreamSpec extends SparkSpec {
     Files.copy(Paths.get(sf0001, "events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
 
-    // file streams need an explicit schema; ts arrives as nanos-long
-    // (TIMESTAMP(NANOS) + nanosAsLong) and is normalized exactly like
-    // Tables.events
+    // file streams need an explicit schema; the regenerated testdata
+    // writes ts as TIMESTAMP(MICROS, isAdjustedToUTC=false) -> declare
+    // TIMESTAMP_NTZ and normalize to TimestampType exactly like
+    // Tables.events (session tz is pinned UTC, so same instants)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
     val q = EventStreams.tumbling(stream, watermark = "10 minutes")
       .writeStream.outputMode("complete").format("memory")

@@ -935,6 +935,76 @@ object TextQueries {
         |JOIN sz zb ON src_b = zb.source
         |ORDER BY src_a, src_b""".stripMargin) { (s, d) =>
       sourceOverlap(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q126
+    "q126_vocab_coverage" -> QueryDef.sql(
+      "Vocabulary coverage curve — the tokenizer-sizing study every " +
+      "training pipeline runs: for vocab cutoffs K in {1, 2, 4, 8, 16, " +
+      "32, 1000, 50000} (geometric low end because the synthetic corpus " +
+      "has a 31-term vocabulary; the 50k cutoff pins the real-corpus " +
+      "scale path), the fraction of all corpus " +
+      "token OCCURRENCES covered by the top-K tokens (frequency desc, " +
+      "token asc — a total order, so the top-K SET is deterministic on " +
+      "both engines). Counts are exact integers end to end; coverage " +
+      "is ONE single-shape division per row -> hash-exact. Shape at " +
+      "100 TB: one token-scale hash aggregate (map-side combinable) " +
+      "builds the vocabulary; the curve then runs on the TOP-50K slice " +
+      "only — orderBy+limit is TakeOrderedAndProject (per-partition " +
+      "heaps, no global sort of the vocabulary), and the cumulative " +
+      "window runs over 50k rows BY CONSTRUCTION, never vocab-sized; " +
+      "the 8-row cutoff grid rides as a broadcast.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |tf AS (SELECT term, count(*)::BIGINT AS f
+        |       FROM (SELECT unnest(w) AS term FROM t) GROUP BY 1),
+        |tot AS (SELECT sum(f)::BIGINT AS total FROM tf),
+        |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rn
+        |        FROM tf ORDER BY f DESC, term LIMIT 50000),
+        |cum AS (SELECT rn, sum(f) OVER (ORDER BY rn)::BIGINT AS cf
+        |        FROM top)
+        |SELECT k, count(*)::BIGINT AS vocab_used,
+        |  max(cf)::BIGINT AS covered, max(total)::BIGINT AS total,
+        |  (max(cf)::DOUBLE / max(total)::DOUBLE) AS coverage
+        |FROM (VALUES (1), (2), (4), (8), (16), (32), (1000),
+        |             (50000)) AS ks(k)
+        |JOIN cum ON cum.rn <= k CROSS JOIN tot
+        |GROUP BY k
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      vocabCoverage(Tables.documents(s, d),
+        Seq(1, 2, 4, 8, 16, 32, 1000, 50000))
+    },
+
+    // --------------------------------------------------------------- q127
+    "q127_term_burstiness" -> QueryDef.sql(
+      "Term burstiness (variance-to-mean ratio of per-document counts, " +
+      "zeros included) for the top-100 corpus terms — the classic " +
+      "content-word vs function-word signal: function words spread " +
+      "evenly across documents (VMR ~ 1, Poisson-like), topical/spam " +
+      "terms clump (VMR >> 1). Exact-integer moments: per-doc counts " +
+      "c give f = sum(c) and s2 = sum(c^2); with N total docs, sample " +
+      "VMR = (N*s2 - f^2) / (f*(N-1)) — both operands exact int64 " +
+      "(decimal-safe: s2 <= f^2 bounded by corpus size), ONE " +
+      "single-shape division -> hash-exact. Shape at 100 TB: one " +
+      "(doc, term) hash aggregate, one term-level re-aggregate " +
+      "(both map-side combinable), TakeOrderedAndProject for the " +
+      "top-100, N rides as a 1-row broadcast; zeros need no join — " +
+      "they enter VMR only through N, by algebra, never as rows.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |tc AS (SELECT doc_id, term, count(*)::BIGINT AS c
+        |       FROM (SELECT doc_id, unnest(w) AS term FROM t)
+        |       GROUP BY 1, 2),
+        |tm AS (SELECT term, sum(c)::BIGINT AS f,
+        |         sum(c * c)::BIGINT AS s2,
+        |         count(*)::BIGINT AS df
+        |       FROM tc GROUP BY 1),
+        |top AS (SELECT * FROM tm ORDER BY f DESC, term LIMIT 100)
+        |SELECT term, f, s2, df, n_docs,
+        |  (CAST(n_docs * s2 - f * f AS DOUBLE)
+        |    / CAST(f * (n_docs - 1) AS DOUBLE)) AS burstiness
+        |FROM top CROSS JOIN nd
+        |ORDER BY f DESC, term""".stripMargin) { (s, d) =>
+      termBurstiness(Tables.documents(s, d), topK = 100)
     }
   )
 
@@ -1008,6 +1078,59 @@ object TextQueries {
       .select(col("token"), col("cnt"),
         (col("cnt").cast("double") / col("total").cast("double")).as("share"))
       .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** The q126 vocabulary-coverage operator over an arbitrary
+    * (doc_id, text) frame. See the catalog doc for the scale shape:
+    * the curve is computed on the top-`cutoffs.max` frequency slice
+    * (TakeOrderedAndProject), so the single-partition cumulative
+    * window is bounded by the largest cutoff, never the vocabulary. */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame,
+      cutoffs: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val tot = broadcast(tf.agg(sum("f").cast("long").as("total")))
+    val top = tf.orderBy(col("f").desc, col("term")).limit(cutoffs.max)
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("f").desc, col("term"))))
+    val cum = top.withColumn("cf",
+      sum("f").over(Window.orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val ks = spark.createDataFrame(cutoffs.map(Tuple1(_))).toDF("k")
+    cum.join(broadcast(ks), col("rn") <= col("k"))
+      .crossJoin(tot)
+      .groupBy("k")
+      .agg(count(lit(1)).as("vocab_used"),
+        max("cf").as("covered"), max("total").as("total"))
+      .select(col("k"), col("vocab_used"), col("covered"), col("total"),
+        (col("covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
+  }
+
+  /** The q127 burstiness operator over an arbitrary (doc_id, text)
+    * frame: sample variance-to-mean of per-doc term counts WITH zero
+    * docs included — zeros enter only through n_docs in the closed
+    * form (N*s2 - f^2)/(f*(N-1)), so no zero-row join ever exists. */
+  def termBurstiness(docs: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val nd = broadcast(docs.agg(count(lit(1)).cast("long").as("n_docs")))
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val tm = tc.groupBy("term")
+      .agg(sum("c").cast("long").as("f"),
+        sum(col("c") * col("c")).cast("long").as("s2"),
+        count(lit(1)).as("df"))
+    tm.orderBy(col("f").desc, col("term")).limit(topK)
+      .crossJoin(nd)
+      .select(col("term"), col("f"), col("s2"), col("df"), col("n_docs"),
+        ((col("n_docs") * col("s2") - col("f") * col("f")).cast("double")
+          / (col("f") * (col("n_docs") - 1)).cast("double"))
+          .as("burstiness"))
+      .orderBy(col("f").desc, col("term"))
   }
 
   /** The q84 Simpson-diversity operator over an arbitrary

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q126 vocabulary coverage + q127 term burstiness: semantic anchors
+  * beyond the DuckDB hash gate — monotonicity/saturation of the curve,
+  * and the closed-form burstiness against a direct per-doc computation. */
+class VocabStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q126: coverage is monotone in k and saturates at exactly 1.0") {
+    val rows = graft.SparkEntry.queries("q126_vocab_coverage")(spark, sf001)
+      .select("k", "vocab_used", "covered", "total", "coverage")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5, s"coverage must be nondecreasing: $a -> $b")
+      assert(a._2 <= b._2, "vocab_used must be nondecreasing")
+    }
+    val total = rows.head._4
+    assert(rows.forall(_._4 == total), "total is a corpus constant")
+    // once k >= |vocab|, the curve saturates: covered == total, coverage 1.0
+    val sat = rows.filter(r => r._2 < r._1)
+    assert(sat.nonEmpty, "the largest cutoffs must exceed the test vocabulary")
+    sat.foreach { r =>
+      assert(r._3 == total && r._5 == 1.0, s"saturated row must cover all: $r")
+    }
+  }
+
+  test("q126: covered at k equals the sum of the k most frequent terms") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val freqs = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, f) => (-f, t) }.map(_._2)
+    val rows = TextQueries.vocabCoverage(docs, Seq(1, 3, 7))
+      .select("k", "covered").as[(Int, Long)].collect().toMap
+    for (k <- Seq(1, 3, 7))
+      assert(rows(k) == freqs.take(k).sum,
+        s"covered(k=$k) != top-$k frequency sum")
+  }
+
+  test("q127: burstiness matches a direct zero-inclusive VMR computation") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val got = TextQueries.termBurstiness(docs, topK = 5)
+      .select("term", "f", "s2", "n_docs", "burstiness")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._4 == nDocs))
+    // recompute per term from raw per-doc counts, zeros included
+    val counts = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3) }
+    got.foreach { case (term, f, s2, n, b) =>
+      val cs = counts(term)
+      assert(cs.sum == f && cs.map(c => c * c).sum == s2,
+        s"moment mismatch for $term")
+      val mean = f.toDouble / n
+      val varS = (s2 - f.toDouble * f / n) / (n - 1)
+      assert(math.abs(b - varS / mean) < 1e-9 * math.max(1.0, b),
+        s"$term: closed form $b != direct ${varS / mean}")
+    }
+    // frequency-desc output order with term tiebreak
+    got.sliding(2).foreach { case Array(a, b2) =>
+      assert(a._2 > b2._2 || (a._2 == b2._2 && a._1 < b2._1),
+        "output must be (f desc, term asc)")
+    }
+  }
+}

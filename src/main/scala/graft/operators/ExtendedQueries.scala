@@ -1262,6 +1262,40 @@ object ExtendedQueries {
         .select(col("c_nationkey").as("nationkey"),
           expr("cast(round(c_acctbal * 100) as bigint) div 100000")
             .as("bal_bucket")), k = 5L)
+    },
+
+    // --------------------------------------------------------------- q128
+    "q128_l_diversity" -> QueryDef.sql(
+      "Distinct l-diversity audit — the companion gate to q125's " +
+      "k-anonymity: a QI group whose members all share one SENSITIVE " +
+      "value (here: market segment) leaks that value even when the " +
+      "group is k-large, so every group with fewer than l=3 distinct " +
+      "sensitive values emits, with the dominant value's count and " +
+      "share (homogeneity-attack exposure). Counts are exact " +
+      "integers; the share is ONE single-shape division -> " +
+      "hash-exact. Shape at 100 TB: two map-side-combinable hash " +
+      "aggregates — (QI, sensitive) then QI — output bounded by the " +
+      "QI domain; a generalization ladder re-runs the same two " +
+      "aggregates on coarser buckets.",
+      """WITH sc AS (SELECT c_nationkey,
+        |    (round(c_acctbal * 100)::BIGINT // 100000) AS bal_bucket,
+        |    c_mktsegment, count(*)::BIGINT AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT c_nationkey, bal_bucket,
+        |    sum(c)::BIGINT AS group_size,
+        |    count(*)::BIGINT AS n_sensitive,
+        |    max(c)::BIGINT AS top_cnt
+        |  FROM sc GROUP BY 1, 2)
+        |SELECT c_nationkey AS nationkey, bal_bucket, group_size,
+        |  n_sensitive, top_cnt,
+        |  (top_cnt::DOUBLE / group_size::DOUBLE) AS top_share
+        |FROM g WHERE n_sensitive < 3
+        |ORDER BY nationkey, bal_bucket""".stripMargin) { (s, d) =>
+      lDiversityAudit(Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+            .as("bal_bucket"),
+          col("c_mktsegment").as("sensitive")), l = 3L)
     }
   )
 
@@ -1272,6 +1306,24 @@ object ExtendedQueries {
     qi.groupBy("nationkey", "bal_bucket")
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < k)
+      .orderBy("nationkey", "bal_bucket")
+
+  /** The q128 distinct-l-diversity audit over an arbitrary
+    * (nationkey, bal_bucket, sensitive) frame: groups with < l distinct
+    * sensitive values, with the dominant value's count and share. */
+  def lDiversityAudit(rows: org.apache.spark.sql.DataFrame, l: Long)
+      : org.apache.spark.sql.DataFrame =
+    rows.groupBy("nationkey", "bal_bucket", "sensitive")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("nationkey", "bal_bucket")
+      .agg(sum("c").cast("long").as("group_size"),
+        count(lit(1)).as("n_sensitive"),
+        max("c").as("top_cnt"))
+      .where(col("n_sensitive") < l)
+      .select(col("nationkey"), col("bal_bucket"), col("group_size"),
+        col("n_sensitive"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("group_size").cast("double"))
+          .as("top_share"))
       .orderBy("nationkey", "bal_bucket")
 
   /** The q123 catalog body. */

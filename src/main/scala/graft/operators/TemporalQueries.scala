@@ -720,8 +720,75 @@ object TemporalQueries {
         |FROM days d JOIN dau USING (day) JOIN wau USING (day)
         |ORDER BY day""".stripMargin) { (s, d) =>
       rollingActiveUsers(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q129
+    "q129_last_touch_attribution" -> QueryDef.sql(
+      "Last-touch conversion attribution: every purchase is credited " +
+      "to the user's most recent click/view at-or-before it, within a " +
+      "7-day window — the marketing-analytics classic, composed from " +
+      "the SAME as-of machinery as q22 (AsOf.joinAsOf: union + one " +
+      "user-partitioned window, never an inequality self-join). " +
+      "Determinism: multiple touches at one (user, ts) are pre-reduced " +
+      "to the max-event_id touch (arg_max on a unique integer — both " +
+      "engines agree exactly), so the as-of carry is unique; the gap " +
+      "is integer microseconds floored to seconds (the q103/q104 " +
+      "epoch-floor parity rule) and the 7-day cutoff compares exact " +
+      "int64 micros -> hash-exact end to end, nulls for unattributed. " +
+      "Shape at 100 TB: touch dedup is one map-side-combinable " +
+      "aggregate; the as-of is one shuffle on user_id + one ordered " +
+      "window pass — linear, skew-bounded by per-user event counts.",
+      """WITH touches AS (SELECT user_id, ts,
+        |    arg_max(event_type, event_id) AS touch_type,
+        |    max(event_id)::BIGINT AS touch_id
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |purch AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  CASE WHEN t.ts IS NOT NULL
+        |    AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        |    THEN t.touch_type END AS touch_type,
+        |  CASE WHEN t.ts IS NOT NULL
+        |    AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        |    THEN t.touch_id END AS touch_id,
+        |  CASE WHEN t.ts IS NOT NULL
+        |    AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        |    THEN (epoch_us(p.ts) - epoch_us(t.ts)) // 1000000 END AS gap_sec
+        |FROM purch p ASOF LEFT JOIN touches t
+        |  ON p.user_id = t.user_id AND t.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      lastTouchAttribution(Tables.events(s, d), windowSec = 604800L)
     }
   )
+
+  /** The q129 last-touch attribution operator over an arbitrary events
+    * frame (event_id, ts, user_id, event_type) — see the catalog doc for
+    * the determinism and scale contracts. */
+  def lastTouchAttribution(events: org.apache.spark.sql.DataFrame,
+      windowSec: Long): org.apache.spark.sql.DataFrame = {
+    val touches = events
+      .where(col("event_type").isin("click", "view"))
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("event_type"), col("event_id")).as("tt"),
+        max("event_id").as("tid"))
+      .withColumn("tts", col("ts"))
+    val purch = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(col("tts_asof"))
+    val within = col("tts_asof").isNotNull && gapUs <= windowSec * 1000000L
+    AsOf.joinAsOf(touches, purch, key = "user_id", time = "ts",
+        leftValueCols = Seq("tt", "tid", "tts"),
+        rightCols = Some(Seq("event_id")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(within, col("tt_asof")).as("touch_type"),
+        when(within, col("tid_asof")).as("touch_id"),
+        // integer div, not float /: the q103/q104 epoch-floor parity rule
+        when(within,
+          expr("(unix_micros(ts) - unix_micros(tts_asof)) div 1000000"))
+          .as("gap_sec"))
+      .orderBy("event_id")
+  }
 
   /** The q118 trigram pattern miner over an arbitrary
     * (user_id, ts, event_id, event_type) frame — shared with

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** q128 l-diversity + q129 last-touch attribution: synthetic semantic
+  * anchors beyond the DuckDB hash gate. */
+class PrivacyAttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+  private def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+
+  test("q128: homogeneous and near-homogeneous groups emit; diverse ones don't") {
+    val rows = Seq(
+      // group (1, 0): 3 members, ALL segment A -> n_sensitive 1, share 1.0
+      (1, 0L, "A"), (1, 0L, "A"), (1, 0L, "A"),
+      // group (2, 0): 4 members, 2 distinct, dominant 3/4
+      (2, 0L, "A"), (2, 0L, "A"), (2, 0L, "A"), (2, 0L, "B"),
+      // group (3, 0): 3 members, 3 distinct -> l-diverse at l=3, no emit
+      (3, 0L, "A"), (3, 0L, "B"), (3, 0L, "C"))
+      .toDF("nationkey", "bal_bucket", "sensitive")
+    val got = ExtendedQueries.lDiversityAudit(rows, l = 3L)
+      .select("nationkey", "group_size", "n_sensitive", "top_cnt", "top_share")
+      .as[(Int, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, 3L, 1L, 3L, 1.0), (2, 4L, 2L, 3L, 0.75)),
+      s"${got.toSeq}")
+  }
+
+  test("q129: latest in-window touch wins; ties break by event_id; no touch -> nulls") {
+    val ev = Seq(
+      // user 1: view at 10:00, click at 10:30, purchase 11:00 -> click
+      (1L, t(10, 0), 1L, "view"), (2L, t(10, 30), 1L, "click"),
+      (3L, t(11, 0), 1L, "purchase"),
+      // user 2: two touches at the SAME ts -> max event_id (the click) wins
+      (4L, t(9, 0), 2L, "view"), (5L, t(9, 0), 2L, "click"),
+      (6L, t(9, 5), 2L, "purchase"),
+      // user 3: touch AFTER the purchase only -> unattributed
+      (7L, t(12, 0), 3L, "purchase"), (8L, t(13, 0), 3L, "view"),
+      // user 4: touch outside the 7-day window -> unattributed
+      (9L, day(1), 4L, "click"), (10L, day(9), 4L, "purchase"),
+      // user 5: same-instant touch and purchase -> inclusive at-or-before
+      (11L, t(15, 0), 5L, "view"), (12L, t(15, 0), 5L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TemporalQueries.lastTouchAttribution(ev, windowSec = 604800L)
+      .select("event_id", "touch_type", "touch_id", "gap_sec")
+      .as[(Long, Option[String], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(3L) == ((Some("click"), Some(2L), Some(1800L))), s"${got(3L)}")
+    assert(got(6L) == ((Some("click"), Some(5L), Some(300L))), s"${got(6L)}")
+    assert(got(7L) == ((None, None, None)), s"${got(7L)}")
+    assert(got(10L) == ((None, None, None)), s"${got(10L)}")
+    assert(got(12L) == ((Some("view"), Some(11L), Some(0L))), s"${got(12L)}")
+    assert(got.size == 5, "exactly one output row per purchase")
+  }
+}

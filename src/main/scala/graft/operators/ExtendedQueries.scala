@@ -1296,6 +1296,42 @@ object ExtendedQueries {
           expr("cast(round(c_acctbal * 100) as bigint) div 100000")
             .as("bal_bucket"),
           col("c_mktsegment").as("sensitive")), l = 3L)
+    },
+
+    // --------------------------------------------------------------- q131
+    "q131_gini_concentration" -> QueryDef.sql(
+      "Per-nation Gini coefficient of customer lifetime order value — " +
+      "the inequality/concentration metric a marketplace health " +
+      "dashboard tracks (Gini 0 = every customer spends equally, -> 1 " +
+      "= one whale): zero-order customers INCLUDED at value 0 via the " +
+      "left join (they are the distribution's floor, dropping them " +
+      "understates concentration). Values are exact integer cents " +
+      "(round(price * 100), the q95/q125 fixed-point rule); the " +
+      "sorted-rank identity Gini = (2*Sum(i*x_i) - (n+1)*Sum(x)) / " +
+      "(n*Sum(x)) runs on int64 sums (rank i and per-customer cents " +
+      "bound i*x ~ 3e12 and the sums ~2e16 at the sf1 gate — inside " +
+      "int64; the tie order (x, custkey) is total so i is identical " +
+      "on both engines), then ONE single-shape double division -> " +
+      "hash-exact. Shape at 100 TB: one customer-level aggregate, one " +
+      "rank window and one sum-aggregate both partitioned by nation — " +
+      "all map-side-combinable or partition-local, no global sort.",
+      """WITH cv AS (SELECT c.c_custkey, c.c_nationkey,
+        |    coalesce(sum(round(o.o_totalprice * 100)::BIGINT), 0)::BIGINT
+        |      AS cents
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cents, c_custkey) AS i
+        |  FROM cv)
+        |SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_customers,
+        |  sum(cents)::BIGINT AS total_cents,
+        |  (CAST(2 * sum(i * cents) - (count(*) + 1) * sum(cents) AS DOUBLE)
+        |    / CAST(count(*) * sum(cents) AS DOUBLE)) AS gini
+        |FROM rk
+        |GROUP BY 1
+        |ORDER BY nationkey""".stripMargin) { (s, d) =>
+      giniConcentration(Tables.customer(s, d), Tables.orders(s, d))
     }
   )
 
@@ -1307,6 +1343,34 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < k)
       .orderBy("nationkey", "bal_bucket")
+
+  /** The q131 per-nation Gini operator — see the catalog doc for the
+    * exactness and scale contracts. */
+  def giniConcentration(customer: org.apache.spark.sql.DataFrame,
+      orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cv = customer
+      .join(orders.select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents0")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(coalesce(sum("cents0"), lit(0L)).cast("long").as("cents"))
+    val rk = cv.withColumn("i",
+      row_number().over(Window.partitionBy("c_nationkey")
+        .orderBy(col("cents"), col("c_custkey"))).cast("long"))
+    rk.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").cast("long").as("total_cents"),
+        sum(col("i") * col("cents")).cast("long").as("sic"))
+      .select(col("c_nationkey").as("nationkey"), col("n_customers"),
+        col("total_cents"),
+        ((lit(2L) * col("sic")
+          - (col("n_customers") + 1L) * col("total_cents")).cast("double")
+          / (col("n_customers") * col("total_cents")).cast("double"))
+          .as("gini"))
+      .orderBy("nationkey")
+  }
 
   /** The q128 distinct-l-diversity audit over an arbitrary
     * (nationkey, bal_bucket, sensitive) frame: groups with < l distinct

@@ -759,8 +759,65 @@ object TemporalQueries {
         |  ON p.user_id = t.user_id AND t.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin) { (s, d) =>
       lastTouchAttribution(Tables.events(s, d), windowSec = 604800L)
+    },
+
+    // --------------------------------------------------------------- q130
+    "q130_linear_attribution" -> QueryDef.sql(
+      "Linear multi-touch attribution — q129's companion model: every " +
+      "click/view in the 7-day window before a purchase shares its " +
+      "credit EQUALLY, emitted per (purchase, channel) as exact " +
+      "integer counts (channel touches c, window total n) plus credit " +
+      "= c/n. The division is per-ROW and single-shape, so no float " +
+      "ACCUMULATION exists anywhere to be order-nondeterministic — " +
+      "the consumer aggregates credit per channel downstream (or " +
+      "exactly, from the integer columns). Shape at 100 TB: the q23 " +
+      "bounded range join (equi-key on user_id, time band residual) " +
+      "-> one (purchase, channel) aggregate; the window-total sum " +
+      "partitions by purchase over CHANNEL rows (<= 2 per purchase), " +
+      "never events.",
+      """WITH touches AS (SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |purch AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, t.event_type AS touch_type,
+        |    count(*)::BIGINT AS c
+        |  FROM purch p JOIN touches t ON t.user_id = p.user_id
+        |    AND t.ts <= p.ts
+        |    AND epoch_us(p.ts) - epoch_us(t.ts) <= 604800000000
+        |  GROUP BY 1, 2),
+        |n AS (SELECT event_id, sum(c)::BIGINT AS n FROM j GROUP BY 1)
+        |SELECT j.event_id, j.touch_type, j.c, n.n,
+        |  (j.c::DOUBLE / n.n::DOUBLE) AS credit
+        |FROM j JOIN n USING (event_id)
+        |ORDER BY event_id, touch_type""".stripMargin) { (s, d) =>
+      linearAttribution(Tables.events(s, d), windowSec = 604800L)
     }
   )
+
+  /** The q130 linear multi-touch attribution operator: every touch in
+    * the window shares the purchase's credit equally, emitted per
+    * (purchase, channel) with exact integer counts and ONE division —
+    * per-row, so no float accumulation order exists to diverge. */
+  def linearAttribution(events: org.apache.spark.sql.DataFrame,
+      windowSec: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val touches = events
+      .where(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"))
+    val purch = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val j = purch.join(touches,
+        col("t_user") === col("user_id") && col("t_ts") <= col("ts") &&
+          unix_micros(col("ts")) - unix_micros(col("t_ts"))
+            <= windowSec * 1000000L)
+      .groupBy("event_id", "touch_type").agg(count(lit(1)).as("c"))
+    j.withColumn("n",
+        sum("c").over(Window.partitionBy("event_id")).cast("long"))
+      .select(col("event_id"), col("touch_type"), col("c"), col("n"),
+        (col("c").cast("double") / col("n").cast("double")).as("credit"))
+      .orderBy("event_id", "touch_type")
+  }
 
   /** The q129 last-touch attribution operator over an arbitrary events
     * frame (event_id, ts, user_id, event_type) — see the catalog doc for

@@ -55,4 +55,42 @@ class PrivacyAttributionSpec extends SparkSpec {
     assert(got(12L) == ((Some("view"), Some(11L), Some(0L))), s"${got(12L)}")
     assert(got.size == 5, "exactly one output row per purchase")
   }
+
+  test("q130: linear credit splits equally over in-window touches and sums to 1") {
+    val ev = Seq(
+      // user 1: 3 views + 1 click before the purchase -> credits 3/4, 1/4
+      (1L, t(9, 0), 1L, "view"), (2L, t(9, 10), 1L, "view"),
+      (3L, t(9, 20), 1L, "view"), (4L, t(9, 30), 1L, "click"),
+      (5L, t(10, 0), 1L, "purchase"),
+      // user 2: the only touch is outside the window -> no rows at all
+      (6L, day(1), 2L, "click"), (7L, day(9), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TemporalQueries.linearAttribution(ev, windowSec = 604800L)
+      .select("event_id", "touch_type", "c", "n", "credit")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(got.forall(_._1 == 5L), s"only the attributed purchase emits: ${got.toSeq}")
+    val byType = got.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(byType("view") == ((3L, 4L, 0.75)) && byType("click") == ((1L, 4L, 0.25)),
+      s"$byType")
+    assert(got.map(_._5).sum == 1.0, "per-purchase credits must sum to 1")
+  }
+
+  test("q131: gini is 0 for equal values and (n-1)/n for a single whale") {
+    val customers = (1L to 10L).map(k => (k, 7)).toDF("c_custkey", "c_nationkey")
+    def ordersOf(vals: Seq[(Long, Double)]) =
+      vals.zipWithIndex.map { case ((ck, v), i) =>
+        (i.toLong, ck, v)
+      }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    // equal spend -> gini exactly 0
+    val eq = ExtendedQueries.giniConcentration(customers,
+      ordersOf((1L to 10L).map(k => (k, 100.0))))
+      .select("gini").as[Double].collect()
+    assert(eq.toSeq == Seq(0.0), s"${eq.toSeq}")
+    // one whale, nine zero-order customers -> gini = (n-1)/n = 0.9,
+    // and the zero customers MUST be included for that to hold
+    val whale = ExtendedQueries.giniConcentration(customers,
+      ordersOf(Seq((10L, 500.0))))
+      .select("n_customers", "gini").as[(Long, Double)].collect()
+    assert(whale.toSeq == Seq((10L, 0.9)), s"${whale.toSeq}")
+  }
 }

@@ -1332,6 +1332,75 @@ object ExtendedQueries {
         |GROUP BY 1
         |ORDER BY nationkey""".stripMargin) { (s, d) =>
       giniConcentration(Tables.customer(s, d), Tables.orders(s, d))
+    },
+
+    // --------------------------------------------------------------- q132
+    "q132_quantile_normalize" -> QueryDef.sql(
+      "Percent-rank quantile normalization of event values within each " +
+      "event type — the distribution-free feature transform (maps any " +
+      "value distribution onto [0, 1]) that model pipelines apply " +
+      "before mixing heterogeneous signals. percent_rank = " +
+      "(rank - 1) / (n - 1) is the SQL-standard definition on BOTH " +
+      "engines: rank (not row_number) makes ties order-free, the " +
+      "operands are exact integers and the division is one " +
+      "single-shape double op -> hash-exact with no ordering " +
+      "assumptions at all. Shape at 100 TB: one window partitioned by " +
+      "event_type — for a skewed single type, pre-aggregate to " +
+      "(value, count) and rank the DISTINCT values (the standard " +
+      "cardinality reduction; the synthetic values here are already " +
+      "near-distinct so the direct window ships).",
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+        |    AS pct
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(Window.partitionBy("event_type")
+            .orderBy("value")).as("pct"))
+        .orderBy("event_id")
+    },
+
+    // --------------------------------------------------------------- q133
+    "q133_chi_square_independence" -> QueryDef.sql(
+      "Chi-square independence test between nation and market segment " +
+      "(+ Cramer's V effect size) — the categorical-association audit " +
+      "run before using a feature pair in stratification or as model " +
+      "inputs. All counts are exact integers; each cell's term " +
+      "(O - E)^2 / E uses E = (row * col)::DOUBLE / N in ONE shared " +
+      "shape, and the 125 cell terms fold in SORTED (nation, segment) " +
+      "order on both engines (the q84 ordered-fold rule: sort_array + " +
+      "aggregate here, list(... ORDER BY) + list_reduce there) -> the " +
+      "double sum is bit-identical, no rounding needed; IEEE sqrt for " +
+      "V is correctly rounded. Shape at 100 TB: one (nation, segment) " +
+      "hash aggregate; margins re-aggregate the CELL table (domain-" +
+      "sized, not row-sized) and ride back as broadcasts; the fold " +
+      "runs over the 125-cell grid.",
+      """WITH o AS (SELECT c_nationkey AS i, c_mktsegment AS j,
+        |    count(*)::BIGINT AS obs
+        |  FROM customer GROUP BY 1, 2),
+        |r AS (SELECT i, sum(obs)::BIGINT AS ri FROM o GROUP BY 1),
+        |c AS (SELECT j, sum(obs)::BIGINT AS cj FROM o GROUP BY 1),
+        |n AS (SELECT sum(obs)::BIGINT AS n FROM o),
+        |cells AS (SELECT o.i, o.j,
+        |    (o.obs::DOUBLE - (r.ri * c.cj)::DOUBLE / n.n::DOUBLE)
+        |      * (o.obs::DOUBLE - (r.ri * c.cj)::DOUBLE / n.n::DOUBLE)
+        |      / ((r.ri * c.cj)::DOUBLE / n.n::DOUBLE) AS term
+        |  FROM o JOIN r USING (i) JOIN c USING (j) CROSS JOIN n),
+        |chi AS (SELECT list_reduce(list_prepend(0.0,
+        |      list(term ORDER BY i, j)), (a, x) -> a + x) AS chi2,
+        |    count(*)::BIGINT AS n_cells FROM cells)
+        |SELECT chi.chi2 AS chi2, chi.n_cells,
+        |  ((SELECT count(*) FROM r) - 1)::BIGINT
+        |    * ((SELECT count(*) FROM c) - 1)::BIGINT AS dof,
+        |  n.n AS n,
+        |  sqrt(chi.chi2 / (n.n::DOUBLE
+        |    * least((SELECT count(*) FROM r) - 1,
+        |            (SELECT count(*) FROM c) - 1)::DOUBLE)) AS cramers_v
+        |FROM chi CROSS JOIN n""".stripMargin) { (s, d) =>
+      chiSquareIndependence(Tables.customer(s, d)
+        .select(col("c_nationkey").as("i"), col("c_mktsegment").as("j")))
     }
   )
 
@@ -1343,6 +1412,36 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < k)
       .orderBy("nationkey", "bal_bucket")
+
+  /** The q133 chi-square independence operator over an arbitrary
+    * two-categorical (i, j) frame — see the catalog doc for the
+    * ordered-fold exactness contract. */
+  def chiSquareIndependence(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = pairs.groupBy("i", "j").agg(count(lit(1)).as("obs"))
+    val r = o.groupBy("i").agg(sum("obs").cast("long").as("ri"))
+    val c = o.groupBy("j").agg(sum("obs").cast("long").as("cj"))
+    val n = broadcast(o.agg(sum("obs").cast("long").as("n")))
+    val nr = broadcast(r.agg(count(lit(1)).as("n_rows")))
+    val nc = broadcast(c.agg(count(lit(1)).as("n_cols")))
+    val e = (col("ri") * col("cj")).cast("double") / col("n").cast("double")
+    val d = col("obs").cast("double") - e
+    val cells = o.join(broadcast(r), "i").join(broadcast(c), "j")
+      .crossJoin(n)
+      .select(col("i"), col("j"), (d * d / e).as("term"))
+    cells
+      .agg(sort_array(collect_list(struct(col("i"), col("j"),
+        col("term")))).as("ts"), count(lit(1)).as("n_cells"))
+      .select(aggregate(expr("transform(ts, s -> s.term)"), lit(0.0),
+        (a, x) => a + x).as("chi2"), col("n_cells"))
+      .crossJoin(n).crossJoin(nr).crossJoin(nc)
+      .select(col("chi2"), col("n_cells"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("long").as("dof"),
+        col("n"),
+        sqrt(col("chi2") / (col("n").cast("double")
+          * least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))
+          .as("cramers_v"))
+  }
 
   /** The q131 per-nation Gini operator — see the catalog doc for the
     * exactness and scale contracts. */

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** q132 quantile normalization + q133 chi-square independence:
+  * closed-form synthetic anchors beyond the DuckDB hash gate. */
+class DistributionStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q132: pct spans [0,1] per type, ties share, min->0 and max->1") {
+    val rows = SparkEntry.queries("q132_quantile_normalize")(spark, sf0001)
+      .select("event_type", "value", "pct")
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val minV = g.map(_._2).min
+      val maxV = g.map(_._2).max
+      assert(g.filter(_._2 == minV).forall(_._3 == 0.0), "min value -> pct 0")
+      assert(g.filter(_._2 == maxV).forall(_._3 == 1.0), "max value -> pct 1")
+      // equal values must share one pct (rank, not row_number)
+      g.groupBy(_._2).foreach { case (_, same) =>
+        assert(same.map(_._3).distinct.length == 1, "ties must share pct")
+      }
+    }
+  }
+
+  test("q133: chi2 is 0 under perfect independence; matches a 2x2 closed form") {
+    // perfectly independent 2x2: every (i, j) cell equally filled
+    val indep = (for { i <- 1 to 2; j <- Seq("A", "B"); _ <- 1 to 10 }
+      yield (i, j)).toDF("i", "j")
+    val zero = ExtendedQueries.chiSquareIndependence(indep)
+      .select("chi2", "dof", "n").as[(Double, Long, Long)].collect().head
+    assert(zero == ((0.0, 1L, 40L)), s"$zero")
+    // dependent 2x2 with O = [[30,10],[10,30]]: chi2 = n*(ad-bc)^2 /
+    // (r1*r2*c1*c2) = 80*(900-100)^2/40^4 = 20, V = sqrt(20/80) = 0.5
+    val dep = (Seq.fill(30)((1, "A")) ++ Seq.fill(10)((1, "B")) ++
+      Seq.fill(10)((2, "A")) ++ Seq.fill(30)((2, "B"))).toDF("i", "j")
+    val got = ExtendedQueries.chiSquareIndependence(dep)
+      .select("chi2", "n_cells", "dof", "n", "cramers_v")
+      .as[(Double, Long, Long, Long, Double)].collect().head
+    assert(math.abs(got._1 - 20.0) < 1e-9 && got._2 == 4L && got._3 == 1L &&
+      got._4 == 80L && math.abs(got._5 - 0.5) < 1e-12, s"$got")
+  }
+}

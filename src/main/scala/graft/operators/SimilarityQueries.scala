@@ -430,8 +430,76 @@ object SimilarityQueries {
       graft.plans.LazyStage.defer(s, pcaSchema) { () =>
         pcaWhiten(Tables.embeddings(s, d), keep = 16)
       }
+    },
+
+    // --------------------------------------------------------------- q134
+    "q134_int8_quantization" -> QueryDef.sql(
+      "Symmetric int8 scalar quantization audit over the embedding " +
+      "corpus — the 4x memory cut every large-scale ANN deployment " +
+      "applies before indexing: per vector, scale = max|x| / 127, " +
+      "codes = round(x / scale) in [-127, 127], and the audit emits " +
+      "the reconstruction error (sum of squared error folded in INDEX " +
+      "order — the dimension axis is already a deterministic order, " +
+      "so the double fold is bit-identical with no sort needed — plus " +
+      "the order-free max abs error) and the zero-code count (how " +
+      "many components quantize to nothing). Every floating-point op " +
+      "(one division shape, round, multiply, subtract, square, " +
+      "index-ordered sum) is the IDENTICAL IEEE sequence on both " +
+      "engines -> hash-exact without rounding. All-zero vectors " +
+      "short-circuit to scale 0 / zero error. Shape at 100 TB: pure " +
+      "per-row array arithmetic — no shuffle, no join, codegen'd " +
+      "higher-order functions; the quantized codes themselves stay " +
+      "out of the projection (driver contract: no array columns).",
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |    list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+        |  FROM v),
+        |e AS (SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN x
+        |         ELSE list_transform(x, e -> e - round(e / scale) * scale)
+        |    END AS err,
+        |    CASE WHEN scale = 0 THEN 0
+        |         ELSE len(list_filter(x, e -> round(e / scale) = 0))
+        |    END AS n_zero
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(err, e -> e * e)), (a, b) -> a + b) AS l2_err_sq,
+        |  list_max(list_transform(err, e -> abs(e))) AS linf_err,
+        |  n_zero::BIGINT AS n_zero
+        |FROM e
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      int8QuantizationAudit(Tables.embeddings(s, d))
     }
   )
+
+  /** The q134 int8 quantization audit over an arbitrary
+    * (vec_id, embedding) frame — see the catalog doc for the IEEE
+    * parity contract. */
+  def int8QuantizationAudit(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val x = col("embedding").cast("array<double>")
+    val scale =
+      aggregate(col("x"), lit(0.0), (a, e) => greatest(a, abs(e))) / lit(127.0)
+    val err = when(col("scale") === 0.0, col("x"))
+      .otherwise(transform(col("x"),
+        e => e - round(e / col("scale")) * col("scale")))
+    val nZero = when(col("scale") === 0.0, lit(0))
+      .otherwise(size(filter(col("x"),
+        e => round(e / col("scale")) === 0.0)))
+    emb.select(col("vec_id"), x.as("x"))
+      .withColumn("scale", scale)
+      .select(col("vec_id"), col("scale"), err.as("err"), nZero.as("n_zero"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(transform(col("err"), e => e * e), lit(0.0),
+          (a, b) => a + b).as("l2_err_sq"),
+        aggregate(transform(col("err"), e => abs(e)), lit(0.0),
+          (a, b) => greatest(a, b)).as("linf_err"),
+        col("n_zero").cast("long").as("n_zero"))
+      .orderBy("vec_id")
+  }
 
   // Driver contract: catalog outputs carry no top-level array columns
   // (the checker can't sort them), so the whitened vector leaves the

@@ -1005,8 +1005,63 @@ object TextQueries {
         |FROM top CROSS JOIN nd
         |ORDER BY f DESC, term""".stripMargin) { (s, d) =>
       termBurstiness(Tables.documents(s, d), topK = 100)
+    },
+
+    // --------------------------------------------------------------- q135
+    "q135_padding_waste" -> QueryDef.sql(
+      "Length-bucketed batching padding audit — the inference/training " +
+      "throughput lever next to q69's packing: documents bucket by " +
+      "token count (bucket = n div 16), batch WITHIN each bucket in " +
+      "(n_tokens, doc_id) order at batch size 32, and each batch " +
+      "reports its padded cost (batch rows x max length), the useful " +
+      "tokens, and the waste fraction a padded forward pass would " +
+      "burn. All integers except the ONE waste-fraction division -> " +
+      "hash-exact. Shape at 100 TB: the rank window partitions by " +
+      "LENGTH BUCKET (bounded, parallel — the same reason q69's " +
+      "corpus window partitions by shard; an unpartitioned global " +
+      "sort-rank would single-thread the corpus), then one " +
+      "(bucket, batch) aggregate.",
+      s"""WITH t AS (SELECT doc_id,
+        |    len($sqlToks)::BIGINT AS n FROM documents),
+        |b AS (SELECT doc_id, n, (n // 16)::BIGINT AS bucket FROM t),
+        |rk AS (SELECT bucket, n,
+        |    ((row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id)
+        |      - 1) // 32)::BIGINT AS batch
+        |  FROM b)
+        |SELECT bucket, batch, count(*)::BIGINT AS n_docs,
+        |  max(n)::BIGINT AS max_len, sum(n)::BIGINT AS sum_len,
+        |  (count(*) * max(n))::BIGINT AS padded,
+        |  ((count(*) * max(n) - sum(n))::DOUBLE
+        |    / (count(*) * max(n))::DOUBLE) AS waste_frac
+        |FROM rk
+        |GROUP BY 1, 2
+        |ORDER BY bucket, batch""".stripMargin) { (s, d) =>
+      paddingWaste(Tables.documents(s, d), bucketWidth = 16, batchSize = 32)
     }
   )
+
+  /** The q135 padding-waste audit over an arbitrary (doc_id, text)
+    * frame — see the catalog doc for the bucket-partitioned window
+    * contract. */
+  def paddingWaste(docs: org.apache.spark.sql.DataFrame,
+      bucketWidth: Int, batchSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("bucket", expr(s"n div $bucketWidth"))
+    val rk = b.withColumn("batch",
+      expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id)"
+        + s" - 1) div $batchSize").cast("long"))
+    rk.groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("n").as("max_len"),
+        sum("n").cast("long").as("sum_len"))
+      .select(col("bucket"), col("batch"), col("n_docs"), col("max_len"),
+        col("sum_len"), (col("n_docs") * col("max_len")).as("padded"),
+        ((col("n_docs") * col("max_len") - col("sum_len")).cast("double")
+          / (col("n_docs") * col("max_len")).cast("double"))
+          .as("waste_frac"))
+      .orderBy("bucket", "batch")
+  }
 
   /** The q115 vocabulary-overlap matrix over an arbitrary
     * (source, text) frame — shared with SkylineTriangleSpec. */

@@ -61,4 +61,9 @@ object DeterministicHash {
   /** Salt for q123's weighted-sample stream — independent of the other
     * three for the same reason. */
   val weightedSalt: Long = 1299709L
+
+  /** Salt for q136's k-fold stream — a fifth independent stream, so
+    * fold membership is uncorrelated with split/sample/mixture/weighted
+    * membership. */
+  val foldSalt: Long = 15485863L
 }

@@ -1401,6 +1401,36 @@ object ExtendedQueries {
         |FROM chi CROSS JOIN n""".stripMargin) { (s, d) =>
       chiSquareIndependence(Tables.customer(s, d)
         .select(col("c_nationkey").as("i"), col("c_mktsegment").as("j")))
+    },
+
+    // --------------------------------------------------------------- q136
+    "q136_kfold_balance" -> QueryDef.sql(
+      "Stratified k-fold assignment audit (k = 5) over the labeled " +
+      "embedding corpus — the cross-validation split every model-eval " +
+      "pipeline needs, via the SHARED Knuth multiplicative hash on a " +
+      "fifth independent salt stream (q56/q62/q71/q123's " +
+      "DeterministicHash: pure int64, no engine RNG, so fold " +
+      "membership re-materializes identically anywhere, including on " +
+      "another engine entirely). fold = h % k is a pure per-row " +
+      "FILTER at assignment time — zero shuffles at 100 TB, unlike a " +
+      "rank-based exact split whose per-label window would funnel the " +
+      "corpus through |labels| partitions — and large strata balance " +
+      "to k^-1 by the hash's equidistribution, which is exactly what " +
+      "this audit measures: per (label, fold), the member count and " +
+      "its share of the label's total. Integers + one single-shape " +
+      "division -> hash-exact.",
+      s"""WITH s AS (SELECT label,
+        |    ${graft.functions.DeterministicHash.knuth32Sql("vec_id",
+                graft.functions.DeterministicHash.foldSalt)} % 5 AS fold
+        |  FROM embeddings),
+        |f AS (SELECT label, fold, count(*)::BIGINT AS n
+        |  FROM s GROUP BY 1, 2),
+        |t AS (SELECT label, sum(n)::BIGINT AS label_n FROM f GROUP BY 1)
+        |SELECT f.label, f.fold::BIGINT AS fold, f.n, t.label_n,
+        |  (f.n::DOUBLE / t.label_n::DOUBLE) AS share
+        |FROM f JOIN t USING (label)
+        |ORDER BY label, fold""".stripMargin) { (s, d) =>
+      kfoldBalance(Tables.embeddings(s, d), k = 5)
     }
   )
 
@@ -1412,6 +1442,23 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < k)
       .orderBy("nationkey", "bal_bucket")
+
+  /** The q136 stratified k-fold balance audit over an arbitrary
+    * (vec_id, label) frame — fold = DeterministicHash % k, a pure
+    * per-row filter; the audit aggregates are domain-sized. */
+  def kfoldBalance(rows: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = rows.select(col("label"),
+      (graft.functions.DeterministicHash.knuth32(col("vec_id"),
+        graft.functions.DeterministicHash.foldSalt) % k).as("fold"))
+    val f = s.groupBy("label", "fold").agg(count(lit(1)).as("n"))
+    val t = f.groupBy("label").agg(sum("n").cast("long").as("label_n"))
+    f.join(broadcast(t), "label")
+      .select(col("label"), col("fold").cast("long").as("fold"), col("n"),
+        col("label_n"),
+        (col("n").cast("double") / col("label_n").cast("double")).as("share"))
+      .orderBy("label", "fold")
+  }
 
   /** The q133 chi-square independence operator over an arbitrary
     * two-categorical (i, j) frame — see the catalog doc for the

@@ -43,4 +43,26 @@ class DistributionStatsSpec extends SparkSpec {
     assert(math.abs(got._1 - 20.0) < 1e-9 && got._2 == 4L && got._3 == 1L &&
       got._4 == 80L && math.abs(got._5 - 0.5) < 1e-12, s"$got")
   }
+
+  test("q136: every (label, fold) cell is populated, totals reconcile, shares balance") {
+    val emb = graft.Tables.embeddings(spark, sf001)
+    val rows = ExtendedQueries.kfoldBalance(emb.select("vec_id", "label"), k = 5)
+      .select("label", "fold", "n", "label_n", "share")
+      .as[(Int, Long, Long, Long, Double)].collect()
+    val labels = rows.map(_._1).distinct
+    assert(rows.length == labels.length * 5, "all k folds present per label")
+    labels.foreach { l =>
+      val g = rows.filter(_._1 == l)
+      assert(g.map(_._3).sum == g.head._4, s"label $l counts reconcile")
+      // equidistribution: each fold within a loose 3-sigma binomial band
+      val n = g.head._4.toDouble
+      val sigma = math.sqrt(n * 0.2 * 0.8)
+      g.foreach(r => assert(math.abs(r._3 - n / 5) <= 3 * sigma + 1,
+        s"fold share off: $r"))
+    }
+    // determinism: re-running yields the identical assignment
+    val again = ExtendedQueries.kfoldBalance(emb.select("vec_id", "label"), k = 5)
+      .select("label", "fold", "n").as[(Int, Long, Long)].collect()
+    assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq)
+  }
 }

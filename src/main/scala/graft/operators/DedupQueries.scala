@@ -474,6 +474,57 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The q137 content-defined chunker over an arbitrary (doc_id, text)
+    * frame: gear g = 7*len + ascii(first char) per token (the q32
+    * contribution), trigram hash (g2*31^2 + g1*31 + g) mod 1e9+7, a
+    * boundary STARTS a new chunk where that hash % 16 == 0, and each
+    * chunk carries the q32 rolling fingerprint of its tokens. Returns
+    * (doc_id, chunk_idx, n_tokens, chunk_hash). */
+  private[operators] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 1000000007L
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val t = docs
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("gear",
+        (lit(7L) * length(col("tok")) + ascii(col("tok"))) % M)
+    val tri = t
+      .withColumn("g1", lag("gear", 1).over(wDoc))
+      .withColumn("g2", lag("gear", 2).over(wDoc))
+      .withColumn("bnd",
+        when(col("g2").isNotNull &&
+          pmod(col("g2") * 961 + col("g1") * 31 + col("gear"), lit(M))
+            % 16 === 0, 1L).otherwise(0L))
+      .withColumn("chunk_idx", sum("bnd").over(wDoc))
+    tri.groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        TextFunctions.fingerprint(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** The q138 chunk-level dedup over [[cdcChunks]] output: pairs sharing
+    * >= minShared distinct chunk fingerprints, with containment. */
+  private[operators] def cdcDedup(docs: DataFrame, minShared: Long): DataFrame = {
+    val dc = cdcChunks(docs).select("doc_id", "chunk_hash").distinct()
+    val nc = dc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = dc.alias("a").join(dc.alias("b"),
+        col("a.chunk_hash") === col("b.chunk_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(nc.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(nc.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast("double")
+          / least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q33
@@ -787,6 +838,110 @@ object DedupQueries {
         |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
       editDistanceJoin(
         Tables.part(s, d).select(col("p_name").as("t")).distinct(), maxDist = 2)
+    },
+
+    // --------------------------------------------------------------- q137
+    "q137_cdc_chunks" -> QueryDef.sql(
+      "Content-defined chunking (the FastCDC/storage-dedup family, " +
+      "gear-hash form) over the token stream: gear g = 7*len + " +
+      "ascii(first char) per token (the q32 contribution), a chunk " +
+      "boundary wherever the trigram hash (g2*961 + g1*31 + g) mod " +
+      "1e9+7 lands on a %16 == 0 value, and each chunk carries the " +
+      "q32 rolling fingerprint of its tokens. Because boundaries " +
+      "depend only on LOCAL content, an insertion early in a document " +
+      "shifts chunk positions but not the chunks themselves — the " +
+      "shift-resistance exact whole-doc hashing (q33) lacks, and the " +
+      "building block q138 dedups on. All arithmetic is exact int64 " +
+      "mod 1e9+7 -> hash-exact. Shape at 100 TB: explode -> two lags " +
+      "+ one running sum, ALL in one doc-partitioned window pass " +
+      "(bounded by doc length, the q69 partitioning rule) -> one " +
+      "(doc, chunk) aggregate; no joins.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |e0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> {'pos': i, 'tok': w[i]})) AS u FROM t),
+        |e AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM e0),
+        |ge AS (SELECT doc_id, pos, tok,
+        |    (7 * length(tok)::BIGINT + ascii(tok)::BIGINT) % 1000000007
+        |      AS gear
+        |  FROM e),
+        |tri AS (SELECT doc_id, pos, tok, gear,
+        |    lag(gear, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
+        |    lag(gear, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        |  FROM ge),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN g2 IS NOT NULL
+        |      AND (g2 * 961 + g1 * 31 + gear) % 1000000007 % 16 = 0
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM tri),
+        |ch AS (SELECT doc_id, pos, tok,
+        |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT
+        |      AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(list(tok ORDER BY pos),
+        |      t -> 7 * length(t)::BIGINT + ascii(t)::BIGINT)),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS chunk_hash
+        |FROM ch
+        |GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      cdcChunks(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q138
+    "q138_cdc_dedup" -> QueryDef.sql(
+      "Chunk-level near-dup detection on q137's content-defined " +
+      "chunks: document pairs sharing >= 2 distinct chunk fingerprints, " +
+      "with each side's chunk count and the containment ratio " +
+      "shared / min(chunks) — the storage-dedup complement to shingle " +
+      "Jaccard (q34): shift-resistant, and sized by CHUNKS (~tokens/16) " +
+      "rather than every token trigram. Counts are exact integers, ONE " +
+      "single-shape division -> hash-exact. Shape at 100 TB: the " +
+      "candidate join is an equi-join on chunk_hash (the q34/q64 " +
+      "blocking rule — cost tracks shared-chunk pairs, never " +
+      "corpus^2), per-doc chunk counts ride back as equi-joins on the " +
+      "chunk table, no cartesian anywhere.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |e0 AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> {'pos': i, 'tok': w[i]})) AS u FROM t),
+        |e AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM e0),
+        |ge AS (SELECT doc_id, pos, tok,
+        |    (7 * length(tok)::BIGINT + ascii(tok)::BIGINT) % 1000000007
+        |      AS gear
+        |  FROM e),
+        |tri AS (SELECT doc_id, pos, tok, gear,
+        |    lag(gear, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS g1,
+        |    lag(gear, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g2
+        |  FROM ge),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN g2 IS NOT NULL
+        |      AND (g2 * 961 + g1 * 31 + gear) % 1000000007 % 16 = 0
+        |      THEN 1 ELSE 0 END AS bnd
+        |  FROM tri),
+        |ch AS (SELECT doc_id, pos, tok,
+        |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT
+        |      AS chunk_idx
+        |  FROM b),
+        |chunks AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(list(tok ORDER BY pos),
+        |        t -> 7 * length(t)::BIGINT + ascii(t)::BIGINT)),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS chunk_hash
+        |  FROM ch GROUP BY doc_id, chunk_idx),
+        |dc AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks),
+        |nc AS (SELECT doc_id, count(*)::BIGINT AS n FROM dc GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*)::BIGINT AS shared
+        |  FROM dc a JOIN dc b ON a.chunk_hash = b.chunk_hash
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared, na.n AS n_a, nb.n AS n_b,
+        |  (shared::DOUBLE / least(na.n, nb.n)::DOUBLE) AS containment
+        |FROM pairs
+        |JOIN nc na ON doc_a = na.doc_id
+        |JOIN nc nb ON doc_b = nb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      cdcDedup(Tables.documents(s, d), minShared = 2L)
     }
   )
 

@@ -120,6 +120,56 @@ class DedupSpec extends SparkSpec {
       s"missed=${exact.diff(lsh)} extra=${lsh.diff(exact)}")
   }
 
+  test("q137: chunks reconcile and chunk indexes are contiguous from 0") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val chunks = DedupQueries.cdcChunks(docs)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    val tokTotals = docs.select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (doc, g) =>
+      assert(g.map(_._3).sum == tokTotals(doc), s"doc $doc token loss")
+      val idx = g.map(_._2).sorted
+      assert(idx.toSeq == (0L until idx.length).toSeq,
+        s"doc $doc chunk indexes not contiguous: ${idx.toSeq}")
+    }
+    assert(chunks.length > docs.count(),
+      "the boundary rate must split at least some docs into multiple chunks")
+  }
+
+  test("q137: content-defined boundaries are SHIFT-RESISTANT — a prefix edit preserves later chunks") {
+    // the defining CDC property, and exactly what whole-doc hashing lacks:
+    // prepend tokens to a real doc; every chunk fully after the first
+    // post-edit boundary must survive with an identical fingerprint
+    val corpus = graft.Tables.documents(spark, sf0001)
+    // pick a doc the chunker already splits >= 3 ways (the boundary rate
+    // is content-dependent; the corpus has plenty of such docs)
+    val richDoc = DedupQueries.cdcChunks(corpus)
+      .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      .where(col("nc") >= 3).orderBy("doc_id")
+      .as[(Long, Long)].collect().headOption
+      .getOrElse(fail("corpus has no >=3-chunk doc; lower the boundary mod"))._1
+    val base = corpus
+      .where(col("doc_id") === richDoc).select("doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    val docs = Seq((0L, base), (1L, "zz qq " + base)).toDF("doc_id", "text")
+    val ch = DedupQueries.cdcChunks(docs)
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Long, Long)].collect()
+    val a = ch.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    val b = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(a.length >= 3, s"test needs a multi-chunk doc, got ${a.length} chunks")
+    // all chunks of the original except (at most) the boundary-straddling
+    // first ones reappear verbatim in the edited doc
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.length - 2,
+      s"prefix edit must preserve later chunks: ${shared.size}/${a.length} survive")
+    // and whole-doc hashing (q33's key) would share NOTHING: the full
+    // fingerprints differ
+    assert(a.toSeq != b.toSeq)
+  }
+
   test("q66: clusters are well-formed (canonical = min member, sizes exact, edges intra-cluster)") {
     val docs = graft.Tables.documents(spark, sf0001)
     val rows = graft.SparkEntry.queries("q66_dedup_fuzzy_full")(spark, sf0001)

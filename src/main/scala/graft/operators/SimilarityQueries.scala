@@ -472,8 +472,80 @@ object SimilarityQueries {
         |FROM e
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       int8QuantizationAudit(Tables.embeddings(s, d))
+    },
+
+    // --------------------------------------------------------------- q139
+    "q139_quantized_cosine_calibration" -> QueryDef.sql(
+      "Quantized-cosine calibration over the q37 ground-truth pair set " +
+      "— the measurement that justifies (or vetoes) running ANN on " +
+      "q134's int8 codes: for every exact near-dup pair (cos >= 0.35, " +
+      "vec_id < 300 slice), the cosine recomputed from int8 codes " +
+      "(integer dot and integer squared norms — the per-vector scales " +
+      "cancel) next to the exact float cosine and the signed error. " +
+      "The integer sums are order-FREE (exact int64); the float " +
+      "cosines fold in index order with the exact q37 shapes; every " +
+      "division/sqrt is a shared IEEE shape -> hash-exact, no " +
+      "rounding. Shape at 100 TB: per-vector code/norm prep is " +
+      "row-local; the pair join is the q37 bounded-slice ground-truth " +
+      "shape (the production path would run the same calibration on " +
+      "q39's LSH candidates instead).",
+      s"""$sqlNormed,
+        |qz AS (SELECT vec_id, v, nrm,
+        |    list_max(list_transform(v, e -> abs(e))) / 127.0 AS scale
+        |  FROM n),
+        |cz AS (SELECT vec_id, v, nrm,
+        |    list_transform(v, e -> round(e / scale)::BIGINT) AS codes
+        |  FROM qz),
+        |sz AS (SELECT vec_id, v, nrm, codes,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(codes, c -> c * c)), (a, b) -> a + b) AS s2
+        |  FROM cz)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  $sqlDot / (a.nrm * b.nrm) AS cos,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, len(a.codes)),
+        |        i -> a.codes[i] * b.codes[i])), (x, y) -> x + y)::DOUBLE
+        |    / (sqrt(a.s2::DOUBLE) * sqrt(b.s2::DOUBLE)) AS qcos,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, len(a.codes)),
+        |        i -> a.codes[i] * b.codes[i])), (x, y) -> x + y)::DOUBLE
+        |    / (sqrt(a.s2::DOUBLE) * sqrt(b.s2::DOUBLE))
+        |    - $sqlDot / (a.nrm * b.nrm) AS err
+        |FROM sz a JOIN sz b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND $sqlDot / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      quantizedCosineCalibration(normed(s, d).where(col("vec_id") < 300))
     }
   )
+
+  /** The q139 calibration operator over a normed (vec_id, v, nrm)
+    * frame — see the catalog doc for the exactness contract. */
+  def quantizedCosineCalibration(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prepped = base
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, e) => greatest(a, abs(e)))
+          / lit(127.0))
+      .withColumn("codes",
+        transform(col("v"), e => round(e / col("scale")).cast("long")))
+      .withColumn("s2",
+        aggregate(transform(col("codes"), c => c * c), lit(0L),
+          (a, b) => a + b))
+    val a = prepped.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"), col("codes").as("ca"), col("s2").as("sa2"))
+    val b = prepped.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("codes").as("cb"), col("s2").as("sb2"))
+    val cosC = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    val qcosC = aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
+      lit(0L), (s, x) => s + x).cast("double") /
+      (sqrt(col("sa2").cast("double")) * sqrt(col("sb2").cast("double")))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosC.as("cos"), qcosC.as("qcos"),
+        (qcosC - cosC).as("err"))
+      .where(col("cos") >= 0.35)
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** The q134 int8 quantization audit over an arbitrary
     * (vec_id, embedding) frame — see the catalog doc for the IEEE

@@ -28,6 +28,21 @@ class QuantPackSpec extends SparkSpec {
     assert(rows.forall(_._5 < 64), "a vector with all-zero codes means scale blew up")
   }
 
+  test("q139: quantized cosine tracks exact cosine within the int8 error budget") {
+    val rows = graft.SparkEntry.queries(
+      "q139_quantized_cosine_calibration")(spark, sf001)
+      .select("vec_a", "vec_b", "cos", "qcos", "err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, cos, qcos, err) =>
+      assert(math.abs(err - (qcos - cos)) < 1e-15, s"($a,$b): err column lies")
+      assert(qcos >= -1.0 - 1e-9 && qcos <= 1.0 + 1e-9, s"($a,$b): qcos $qcos")
+      // int8 on 64 dims: quantized cosine stays within ~1.5% of exact —
+      // the engineering fact this calibration exists to certify
+      assert(math.abs(err) < 0.015, s"($a,$b): |err| ${math.abs(err)} >= 0.015")
+    }
+  }
+
   test("q135: batches respect the size cap, waste is in [0,1), totals reconcile") {
     val docs = graft.Tables.documents(spark, sf0001)
     val rows = TextQueries.paddingWaste(docs, bucketWidth = 16, batchSize = 32)

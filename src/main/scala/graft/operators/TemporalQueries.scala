@@ -791,8 +791,98 @@ object TemporalQueries {
         |FROM j JOIN n USING (event_id)
         |ORDER BY event_id, touch_type""".stripMargin) { (s, d) =>
       linearAttribution(Tables.events(s, d), windowSec = 604800L)
+    },
+
+    // --------------------------------------------------------------- q140
+    "q140_kaplan_meier" -> QueryDef.sql(
+      "Kaplan-Meier survival curve for signup -> first purchase, " +
+      "right-censored at the corpus horizon — THE time-to-event " +
+      "estimator (churn, conversion-lag, reliability studies), done " +
+      "exactly: per signup user, the event day is floor((first " +
+      "purchase - signup)/86400) (epoch-floor parity rule) or a " +
+      "censor day at the corpus max timestamp; per day, the risk set " +
+      "n (integer, computed by algebra from cumulative counts), " +
+      "events d and censorings c; survival S(t) = prod_{u<=t} " +
+      "(1 - d_u/n_u) with every factor a single-shape division and " +
+      "the product folded in ASCENDING day order on both engines (the " +
+      "q84 ordered-fold rule lifted to multiplication) -> hash-exact, " +
+      "no rounding, no ln()/exp() (libm would break parity). Shape at " +
+      "100 TB: two user-level aggregates (signup min, purchase min), " +
+      "one day-level aggregate (domain-sized: the day grid), and the " +
+      "O(T^2) fold join runs on the DAY GRID (~tens of rows), never " +
+      "users.",
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY 1),
+        |hz AS (SELECT max(ts) AS h FROM events),
+        |durs AS (SELECT su.user_id,
+        |    CASE WHEN pu.p_ts IS NOT NULL
+        |      THEN (epoch_us(pu.p_ts) - epoch_us(su.s_ts)) // 86400000000
+        |      ELSE (epoch_us(hz.h) - epoch_us(su.s_ts)) // 86400000000
+        |    END AS t_day,
+        |    CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN hz),
+        |cells AS (SELECT t_day, sum(ev)::BIGINT AS d,
+        |    sum(1 - ev)::BIGINT AS c, count(*)::BIGINT AS m
+        |  FROM durs GROUP BY 1),
+        |risk AS (SELECT t_day, d, c,
+        |    (SELECT sum(m) FROM cells c2 WHERE c2.t_day >= cells.t_day)
+        |      ::BIGINT AS n
+        |  FROM cells)
+        |SELECT r.t_day, r.n AS n_risk, r.d AS n_event, r.c AS n_censor,
+        |  list_reduce(list_prepend(1.0,
+        |    list((1.0 - u.d::DOUBLE / u.n::DOUBLE) ORDER BY u.t_day)),
+        |    (a, x) -> a * x) AS survival
+        |FROM risk r JOIN risk u ON u.t_day <= r.t_day
+        |GROUP BY r.t_day, r.n, r.d, r.c
+        |ORDER BY r.t_day""".stripMargin) { (s, d) =>
+      kaplanMeier(Tables.events(s, d))
     }
   )
+
+  /** The q140 Kaplan-Meier operator over an arbitrary events frame —
+    * see the catalog doc for the ordered-product parity contract. */
+  def kaplanMeier(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val su = events.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = events.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .where(col("ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val hz = broadcast(events.agg(max("ts").as("h")))
+    val durs = su.join(pu, Seq("user_id"), "left").crossJoin(hz)
+      .select(
+        when(col("p_ts").isNotNull,
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 86400000000"))
+          .otherwise(
+            expr("(unix_micros(h) - unix_micros(s_ts)) div 86400000000"))
+          .as("t_day"),
+        when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+    val cells = durs.groupBy("t_day")
+      .agg(sum("ev").cast("long").as("d"),
+        sum(lit(1L) - col("ev")).cast("long").as("c"),
+        count(lit(1)).as("m"))
+    // risk set by suffix-sum algebra over the (small) day grid
+    val risk = cells.alias("a")
+      .join(cells.alias("b"), col("b.t_day") >= col("a.t_day"))
+      .groupBy(col("a.t_day").as("t_day"), col("a.d").as("d"),
+        col("a.c").as("c"))
+      .agg(sum(col("b.m")).cast("long").as("n"))
+    risk.alias("r").join(risk.alias("u"), col("u.t_day") <= col("r.t_day"))
+      .groupBy(col("r.t_day").as("t_day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_event"), col("r.c").as("n_censor"))
+      .agg(sort_array(collect_list(struct(col("u.t_day").as("td"),
+        (lit(1.0) - col("u.d").cast("double") / col("u.n").cast("double"))
+          .as("f")))).as("fs"))
+      .select(col("t_day"), col("n_risk"), col("n_event"), col("n_censor"),
+        aggregate(expr("transform(fs, s -> s.f)"), lit(1.0),
+          (a, x) => a * x).as("survival"))
+      .orderBy("t_day")
+  }
 
   /** The q130 linear multi-touch attribution operator: every touch in
     * the window shares the purchase's credit equally, emitted per

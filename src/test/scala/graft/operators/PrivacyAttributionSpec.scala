@@ -75,6 +75,34 @@ class PrivacyAttributionSpec extends SparkSpec {
     assert(got.map(_._5).sum == 1.0, "per-purchase credits must sum to 1")
   }
 
+  test("q140: Kaplan-Meier matches the hand-computed curve with censoring") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    // A: event day 1; B: censored day 1 (horizon - signup = 1.5d);
+    // C: event day 2; D: censored day 3. Horizon = unrelated view 01-10.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup"),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 00:00:00"), 2L, "signup"),
+      (4L, ts("2024-01-03 00:00:00"), 2L, "purchase"),
+      (5L, ts("2024-01-08 12:00:00"), 3L, "signup"),
+      (6L, ts("2024-01-07 00:00:00"), 4L, "signup"),
+      (7L, ts("2024-01-10 00:00:00"), 99L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TemporalQueries.kaplanMeier(ev)
+      .select("t_day", "n_risk", "n_event", "n_censor", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 1L, 0.75),
+      (2L, 2L, 1L, 0L, 0.375),
+      (3L, 1L, 0L, 1L, 0.375)), s"${got.toSeq}")
+    // survival is nonincreasing on the real corpus too
+    val real = TemporalQueries.kaplanMeier(graft.Tables.events(spark, sf0001))
+      .select("t_day", "survival").as[(Long, Double)].collect().sortBy(_._1)
+    real.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 + 1e-15, s"survival must be nonincreasing: $a -> $b")
+    }
+  }
+
   test("q131: gini is 0 for equal values and (n-1)/n for a single whale") {
     val customers = (1L to 10L).map(k => (k, 7)).toDF("c_custkey", "c_nationkey")
     def ordersOf(vals: Seq[(Long, Double)]) =

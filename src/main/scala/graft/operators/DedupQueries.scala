@@ -942,8 +942,69 @@ object DedupQueries {
         |JOIN nc nb ON doc_b = nb.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       cdcDedup(Tables.documents(s, d), minShared = 2L)
+    },
+
+    // --------------------------------------------------------------- q141
+    "q141_leakage_safe_split" -> QueryDef.sql(
+      "Leakage-safe train/val/test split — q62's deterministic 80/10/10 " +
+      "assignment keyed by q66's near-dup CLUSTER id instead of the doc " +
+      "id: every member of a near-dup cluster lands on the SAME side, " +
+      "closing the eval-contamination hole a per-doc split leaves open " +
+      "(a test doc's near-duplicate in train is leakage that q64-style " +
+      "decontamination would have to catch after the fact; splitting by " +
+      "cluster prevents it by construction). Same multiplicative-hash " +
+      "split stream as q62 (salt 0) applied to the canonical id, so " +
+      "singleton docs get exactly their q62 assignment. Shape at " +
+      "100 TB: q66's LSH + O(log diameter) clustering (the headline " +
+      "composed operator) + one hash expression — the split itself " +
+      "adds ZERO shuffles.",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cp AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |       FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT cp.a, cp.b
+        |      FROM cp JOIN s sa ON sa.doc_id = cp.a
+        |              JOIN s sb ON sb.doc_id = cp.b
+        |      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |          / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5),
+        |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |cc AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+        |       FROM reach GROUP BY a),
+        |sp AS (SELECT doc_id, cluster_id,
+        |  ${graft.functions.DeterministicHash.knuth32Sql("cluster_id", 0L)}
+        |    % 100 AS hh
+        |  FROM cc)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN hh < 80 THEN 'train'
+        |       WHEN hh < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM sp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.plans.LazyStage.defer(s, leakSafeSchema) { () =>
+        val h = graft.functions.DeterministicHash.knuth32(col("cluster_id"), 0L)
+        fuzzyFullClusters(Tables.documents(s, d))
+          .select(col("doc_id"), col("cluster_id"),
+            when(h % 100 < 80, "train").when(h % 100 < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      }
     }
   )
+
+  private val leakSafeSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cluster_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("split",
+      org.apache.spark.sql.types.StringType, nullable = false)))
 
   /** The q100 FastSS edit-distance join over an arbitrary single-column
     * string frame `t` — shared by the catalog entry and

@@ -170,6 +170,28 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq != b.toSeq)
   }
 
+  test("q141: no near-dup cluster straddles a split; singletons keep their q62 assignment") {
+    val rows = graft.SparkEntry.queries("q141_leakage_safe_split")(spark, sf0001)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // the leakage guarantee: one split per cluster, by construction
+    rows.groupBy(_._2).foreach { case (cl, g) =>
+      assert(g.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles splits: ${g.map(_._3).distinct.toSeq}")
+    }
+    // multi-doc clusters must exist for the test to mean anything
+    assert(rows.groupBy(_._2).exists(_._2.length > 1),
+      "corpus needs at least one near-dup cluster")
+    // a singleton's cluster_id is its own doc_id -> same hash stream as
+    // q62's per-doc assignment (salt 0, 80/10/10)
+    rows.filter(r => r._1 == r._2).foreach { case (id, _, split) =>
+      val h = graft.functions.DeterministicHash.knuth32Local(id, 0L) % 100
+      val want = if (h < 80) "train" else if (h < 90) "val" else "test"
+      assert(split == want, s"doc $id: $split != $want")
+    }
+  }
+
   test("q66: clusters are well-formed (canonical = min member, sizes exact, edges intra-cluster)") {
     val docs = graft.Tables.documents(spark, sf0001)
     val rows = graft.SparkEntry.queries("q66_dedup_fuzzy_full")(spark, sf0001)

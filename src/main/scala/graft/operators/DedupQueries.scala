@@ -995,8 +995,96 @@ object DedupQueries {
               .otherwise("test").as("split"))
           .orderBy("doc_id")
       }
+    },
+
+    // --------------------------------------------------------------- q143
+    "q143_dedup_savings" -> QueryDef.sql(
+      "Per-source dedup-savings report — the corpus-card number every " +
+      "dataset release quotes: raw token volume vs the volume left " +
+      "after keeping ONE canonical per q66 near-dup cluster, and the " +
+      "savings fraction dedup buys each source. A cluster's canonical " +
+      "is its min doc_id (q66's election), so the kept set is " +
+      "deterministic and cross-source clusters attribute their one " +
+      "kept copy to the CANONICAL's source — exactly how a real " +
+      "release accounts provenance. Integer counts + one division -> " +
+      "hash-exact. Shape at 100 TB: q66's composed clustering + one " +
+      "token-count join + one source-level aggregate.",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cp AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |       FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |p AS (SELECT cp.a, cp.b
+        |      FROM cp JOIN s sa ON sa.doc_id = cp.a
+        |              JOIN s sb ON sb.doc_id = cp.b
+        |      WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        |          / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5),
+        |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |),
+        |cc AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
+        |       FROM reach GROUP BY a),
+        |tok AS (SELECT doc_id, source, len($sqlToks)::BIGINT AS n
+        |        FROM documents),
+        |j AS (SELECT tok.source, tok.n,
+        |        (cc.doc_id = cc.cluster_id) AS is_canonical
+        |      FROM cc JOIN tok ON cc.doc_id = tok.doc_id)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n)::BIGINT AS raw_tokens,
+        |  sum(CASE WHEN is_canonical THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN is_canonical THEN n ELSE 0 END)::BIGINT
+        |    AS kept_tokens,
+        |  (1.0 - sum(CASE WHEN is_canonical THEN n ELSE 0 END)::DOUBLE
+        |     / sum(n)::DOUBLE) AS savings_frac
+        |FROM j
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      graft.plans.LazyStage.defer(s, savingsSchema) { () =>
+        dedupSavingsEntry(s, d)
+      }
     }
   )
+
+  private val savingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("source",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("raw_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_kept",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("kept_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("savings_frac",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** The q143 per-source dedup-savings report: raw vs canonical-only
+    * token counts over [[fuzzyFullClusters]]. */
+  private def dedupSavingsEntry(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    fuzzyFullClusters(Tables.documents(s, d))
+      .select("doc_id", "is_canonical")
+      .join(tok, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("raw_tokens"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).cast("long")
+          .as("n_kept"),
+        sum(when(col("is_canonical"), col("n")).otherwise(0L)).cast("long")
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("n_kept"), col("kept_tokens"),
+        (lit(1.0) - col("kept_tokens").cast("double")
+          / col("raw_tokens").cast("double")).as("savings_frac"))
+      .orderBy("source")
+  }
 
   private val leakSafeSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",

@@ -1037,8 +1037,83 @@ object TextQueries {
         |GROUP BY 1, 2
         |ORDER BY bucket, batch""".stripMargin) { (s, d) =>
       paddingWaste(Tables.documents(s, d), bucketWidth = 16, batchSize = 32)
+    },
+
+    // --------------------------------------------------------------- q142
+    "q142_quality_budget_curve" -> QueryDef.sql(
+      "Quality-vs-budget curve — the data-curation tradeoff every " +
+      "corpus report plots: rank documents by q30's composite quality " +
+      "(best first, doc_id tiebreak -> total order, so ntile deciles " +
+      "are identical on both engines), then for each decile cut report " +
+      "the decile's own docs/tokens, its minimum quality (the " +
+      "threshold that cut implies), and the CUMULATIVE docs/tokens a " +
+      "pipeline keeping deciles 1..d would train on, with the token " +
+      "share of the full corpus. Integer counts + one division -> " +
+      "hash-exact (the quality doubles are the q30 shapes, compared " +
+      "and min'd only — never summed). Shape at 100 TB: the scoring " +
+      "is row-local; the decile window is the one global sort — at " +
+      "real scale swap ntile for pre-computed quantile boundaries " +
+      "(q106's equi-frequency binning) and the rest of the plan is " +
+      "unchanged: the curve join runs on the 10-row decile grid.",
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS w FROM documents),
+        |sc AS (SELECT doc_id, len(w)::BIGINT AS n,
+        |    (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+        |       / length(text)::DOUBLE)
+        |    * (0.5 + len(list_filter(w,
+        |        t -> t IN ('the','and','of','to','a')))::DOUBLE
+        |       / len(w)::DOUBLE) AS quality
+        |  FROM t),
+        |dec AS (SELECT doc_id, n, quality,
+        |    ntile(10) OVER (ORDER BY quality DESC, doc_id)::BIGINT AS decile
+        |  FROM sc),
+        |g AS (SELECT decile, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS n_tokens, min(quality) AS min_quality
+        |  FROM dec GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM g)
+        |SELECT a.decile, a.n_docs, a.n_tokens, a.min_quality,
+        |  sum(b.n_docs)::BIGINT AS cum_docs,
+        |  sum(b.n_tokens)::BIGINT AS cum_tokens,
+        |  (sum(b.n_tokens)::DOUBLE / max(tot.total_tokens)::DOUBLE)
+        |    AS token_share
+        |FROM g a JOIN g b ON b.decile <= a.decile CROSS JOIN tot
+        |GROUP BY a.decile, a.n_docs, a.n_tokens, a.min_quality
+        |ORDER BY a.decile""".stripMargin) { (s, d) =>
+      qualityBudgetCurve(Tables.documents(s, d))
     }
   )
+
+  /** The q142 quality-budget curve over an arbitrary (doc_id, text)
+    * frame: q30's composite quality, decile-ranked best-first, with
+    * suffix-cumulative docs/tokens per decile cut. */
+  def qualityBudgetCurve(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = tokens(col("text"))
+    val punct = charClassRatio(col("text"), "[^.,;:!?]")
+    val stop = vocabHits(w, Seq("the", "and", "of", "to", "a")).cast("double") /
+      size(w).cast("double")
+    val scored = docs.select(col("doc_id"),
+      size(w).cast("long").as("n"),
+      ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"))
+    val dec = scored.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("quality").desc, col("doc_id")))
+        .cast("long"))
+    val g = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"),
+        min("quality").as("min_quality"))
+    val tot = broadcast(g.agg(sum("n_tokens").cast("long").as("total_tokens")))
+    g.alias("a").join(g.alias("b"), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"), col("a.n_docs").as("n_docs"),
+        col("a.n_tokens").as("n_tokens"), col("a.min_quality").as("min_quality"))
+      .agg(sum(col("b.n_docs")).cast("long").as("cum_docs"),
+        sum(col("b.n_tokens")).cast("long").as("cum_tokens"))
+      .crossJoin(tot)
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("min_quality"), col("cum_docs"), col("cum_tokens"),
+        (col("cum_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("token_share"))
+      .orderBy("decile")
+  }
 
   /** The q135 padding-waste audit over an arbitrary (doc_id, text)
     * frame — see the catalog doc for the bucket-partitioned window

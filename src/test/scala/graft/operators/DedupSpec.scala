@@ -192,6 +192,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q143: savings reconcile with the cluster structure") {
+    val rows = graft.SparkEntry.queries("q143_dedup_savings")(spark, sf0001)
+      .select("source", "n_docs", "raw_tokens", "n_kept", "kept_tokens",
+        "savings_frac")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._4 <= r._2 && r._5 <= r._3, s"kept cannot exceed raw: $r")
+      assert(r._6 >= 0.0 && r._6 < 1.0, s"savings range: $r")
+    }
+    val docs = graft.Tables.documents(spark, sf0001)
+    assert(rows.map(_._2).sum == docs.count(), "every doc attributed once")
+    // total kept docs = number of clusters
+    val nClusters = DedupQueries.fuzzyFullClusters(docs)
+      .select("cluster_id").distinct().count()
+    assert(rows.map(_._4).sum == nClusters, "one kept doc per cluster")
+    assert(rows.exists(_._6 > 0.0), "the corpus has near-dups; savings must show")
+  }
+
   test("q66: clusters are well-formed (canonical = min member, sizes exact, edges intra-cluster)") {
     val docs = graft.Tables.documents(spark, sf0001)
     val rows = graft.SparkEntry.queries("q66_dedup_fuzzy_full")(spark, sf0001)

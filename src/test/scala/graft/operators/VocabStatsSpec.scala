@@ -42,6 +42,25 @@ class VocabStatsSpec extends SparkSpec {
         s"covered(k=$k) != top-$k frequency sum")
   }
 
+  test("q142: deciles balance, cumulatives are monotone, the full cut covers everything") {
+    val docs = graft.Tables.documents(spark, sf001)
+    val rows = TextQueries.qualityBudgetCurve(docs)
+      .select("decile", "n_docs", "min_quality", "cum_docs", "cum_tokens",
+        "token_share")
+      .as[(Long, Long, Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L).toSeq, "all ten deciles")
+    val total = docs.count()
+    assert(rows.map(_._2).sum == total, "every doc in exactly one decile")
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1, "ntile balance")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 > a._4 && b._5 >= a._5, s"cumulatives monotone: $a -> $b")
+      assert(b._3 <= a._3 + 1e-15,
+        s"best-first: min_quality nonincreasing: $a -> $b")
+    }
+    assert(rows.last._4 == total && rows.last._6 == 1.0,
+      "the decile-10 cut is the whole corpus")
+  }
+
   test("q127: burstiness matches a direct zero-inclusive VMR computation") {
     val docs = graft.Tables.documents(spark, sf0001)
     val nDocs = docs.count()

@@ -245,6 +245,101 @@ object GraphQueries {
         Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
           col("l_partkey").as("p")),
         minShared = 2, minConfidence = 0.02, minLift = 2.0)
+    },
+
+    // --------------------------------------------------------------- q144
+    "q144_degree_distribution" -> QueryDef.sql(
+      "Degree distribution of the customer<->supplier purchase graph " +
+      "in power-of-two buckets — the power-law audit run before " +
+      "choosing skew strategies (a heavy right tail says: salt the hub " +
+      "keys, AQE-split their partitions; a flat one says plain " +
+      "hash-partitioning holds). bucket = floor(log2(degree)) done as " +
+      "length(bin repr) - 1 — pure INTEGER arithmetic, no libm log " +
+      "(bit_length and the binary-string length agree exactly for " +
+      "positive int64). Counts are exact -> hash-exact. Shape at " +
+      "100 TB: one degree aggregate + one bucket aggregate, both " +
+      "map-side-combinable; output is <= 64 rows.",
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+        |    's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn, c FROM pairs),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+        |  FROM edges GROUP BY 1)
+        |SELECT (length(bin(d)) - 1)::BIGINT AS log2_bucket,
+        |  count(*)::BIGINT AS n_nodes,
+        |  min(d)::BIGINT AS min_deg, max(d)::BIGINT AS max_deg,
+        |  sum(d)::BIGINT AS sum_deg
+        |FROM deg
+        |GROUP BY 1
+        |ORDER BY log2_bucket""".stripMargin) { (s, d) =>
+      val deg = purchaseEdges(s, d)
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      // floor(log2(d)) via the binary-representation length — integer
+      // exact on both engines, never a libm log2 (whose rounding at
+      // exact powers of two is implementation-defined)
+      deg.select((length(bin(col("d"))) - 1).cast("long").as("log2_bucket"),
+          col("d"))
+        .groupBy("log2_bucket")
+        .agg(count(lit(1)).as("n_nodes"), min("d").as("min_deg"),
+          max("d").as("max_deg"), sum("d").cast("long").as("sum_deg"))
+        .orderBy("log2_bucket")
+    },
+
+    // --------------------------------------------------------------- q145
+    "q145_degree_assortativity" -> QueryDef.sql(
+      "Degree assortativity of the purchase graph — Pearson " +
+      "correlation of endpoint degrees over the directed edge list, " +
+      "the one-number answer to 'do hubs connect to hubs?' (negative " +
+      "here: customers with many suppliers buy from suppliers with " +
+      "many customers only incidentally — a bipartite disassortative " +
+      "signature). The q77 fixed-point recipe on ALREADY-INTEGER " +
+      "data: degrees are exact int64, the five correlation sums " +
+      "accumulate exactly (decimal 128-bit closed form), and the " +
+      "final r = num / (sqrt(d1) * sqrt(d2)) is a shared IEEE shape " +
+      "-> hash-exact, no rounding. Shape at 100 TB: one degree " +
+      "aggregate, two equi-joins to stamp endpoint degrees on edges " +
+      "(broadcast-sized here; sort-merge at scale), one " +
+      "map-side-combinable five-sum aggregate.",
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+        |    's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn, c FROM pairs),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+        |  FROM edges GROUP BY 1),
+        |ed AS (SELECT du.d AS x, dv.d AS y
+        |  FROM edges e JOIN deg du ON e.src = du.node
+        |               JOIN deg dv ON e.dst = dv.node),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+        |    sum(y)::HUGEINT AS sy, sum(x*y)::HUGEINT AS sxy,
+        |    sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy
+        |  FROM ed)
+        |SELECT n::BIGINT AS n_edges,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity
+        |FROM s""".stripMargin) { (s, d) =>
+      val edges = purchaseEdges(s, d)
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val d18 = "decimal(18,0)"
+      val ed = edges
+        .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+        .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+      ed.agg(count(lit(1)).as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .select(col("n").as("n_edges"),
+          ((col("n").cast(d18) * col("sxy").cast(d18)
+            - col("sx").cast(d18) * col("sy").cast(d18)).cast("double")
+            / (sqrt((col("n").cast(d18) * col("sxx").cast(d18)
+                - col("sx").cast(d18) * col("sx").cast(d18)).cast("double"))
+               * sqrt((col("n").cast(d18) * col("syy").cast(d18)
+                - col("sy").cast(d18) * col("sy").cast(d18)).cast("double"))))
+            .as("assortativity"))
     }
   )
 

@@ -50,3 +50,53 @@ class PageRankSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) > 0))
   }
 }
+
+/** q144 degree distribution + q145 assortativity: closed-form graph
+  * anchors beyond the DuckDB hash gate. */
+class DegreeStatsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("q144: log2 buckets are exact and node counts reconcile") {
+    val rows = graft.SparkEntry.queries("q144_degree_distribution")(
+      spark, sf001)
+      .select("log2_bucket", "n_nodes", "min_deg", "max_deg")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, _, lo, hi) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b must hold degrees in [2^$b, 2^${b + 1}): [$lo, $hi]")
+    }
+    val edges = GraphQueries.purchaseEdges(spark, sf001)
+    val nNodes = edges.select("src").distinct().count()
+    assert(rows.map(_._2).sum == nNodes, "every node in exactly one bucket")
+  }
+
+  test("q145: a star graph is perfectly disassortative (r = -1)") {
+    // hub h <-> leaves l1..l4, symmetric: every edge pairs degree 4
+    // with degree 1 in one orientation or the other -> r = -1 exactly
+    val leaves = (1 to 4).map(i => s"l$i")
+    val edges = (leaves.map(l => ("h", l)) ++ leaves.map(l => (l, "h")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val ed = edges
+      .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+    // recompute via the shipped query body shape on a tiny frame: easier
+    // to assert through the public entry by writing the same aggregate
+    val s = ed.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy")).collect().head
+    val num = s.getDouble(0) * s.getDouble(3) - s.getDouble(1) * s.getDouble(2)
+    val den = math.sqrt(s.getDouble(0) * s.getDouble(4)
+      - s.getDouble(1) * s.getDouble(1)) *
+      math.sqrt(s.getDouble(0) * s.getDouble(5)
+        - s.getDouble(2) * s.getDouble(2))
+    assert(math.abs(num / den - (-1.0)) < 1e-12, s"star r = ${num / den}")
+    // and the real purchase graph sits strictly inside [-1, 1]
+    val real = graft.SparkEntry.queries("q145_degree_assortativity")(
+      spark, sf001).select("assortativity").as[Double].collect().head
+    assert(real > -1.0 && real < 1.0, s"real-graph r: $real")
+  }
+}

@@ -840,8 +840,123 @@ object TemporalQueries {
         |GROUP BY r.t_day, r.n, r.d, r.c
         |ORDER BY r.t_day""".stripMargin) { (s, d) =>
       kaplanMeier(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q146
+    "q146_golden_record" -> QueryDef.sql(
+      "Golden-record survivorship per user — the MDM/ETL merge every " +
+      "customer-360 pipeline runs: latest event wins per field in the " +
+      "(ts, event_id) total order (the q80 ordering contract), with " +
+      "first/last seen, event count, distinct types, and lifetime " +
+      "value sum (cents-exact via the fixed-point rule). last() over " +
+      "an ORDERED user window is deterministic because the order is " +
+      "TOTAL — no ties exist for the tiebreaker to lose. Shape at " +
+      "100 TB: ONE user-partitioned window pass + one aggregate, both " +
+      "on the natural user_id partitioning.",
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |lastv AS (SELECT user_id,
+        |    last_value(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_type,
+        |    last_value(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_event_id,
+        |    ts, event_id, event_type, cents
+        |  FROM o)
+        |SELECT user_id, min(ts) AS first_seen, max(ts) AS last_seen,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT event_type)::BIGINT AS n_types,
+        |  sum(cents)::BIGINT AS value_cents,
+        |  max(last_type) AS last_type,
+        |  max(last_event_id)::BIGINT AS last_event_id
+        |FROM lastv
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      goldenRecord(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q147
+    "q147_disorder_audit" -> QueryDef.sql(
+      "Out-of-orderness audit — the measurement that PICKS a streaming " +
+      "watermark instead of guessing one: treating event_id as arrival " +
+      "order, an event's disorder is how far the running-max event " +
+      "time (what a stream's watermark tracks) has already passed it; " +
+      "per type, the worst disorder and the fraction of events a " +
+      "1-hour watermark would drop as late. Pure integer microseconds " +
+      "(epoch-floor rule for the seconds column) + ONE division -> " +
+      "hash-exact. Shape at 100 TB: one type-partitioned running-max " +
+      "window in arrival order + one aggregate; for a single giant " +
+      "type, sub-partition by arrival range and merge running maxes " +
+      "(the q69 prefix-sum lift).",
+      """WITH o AS (SELECT event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |d AS (SELECT event_type, event_id, us,
+        |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+        |      AS disorder_us
+        |  FROM o)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  (max(disorder_us) // 1000000)::BIGINT AS max_disorder_sec,
+        |  sum(CASE WHEN disorder_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_late,
+        |  (sum(CASE WHEN disorder_us > 3600000000 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE) AS late_frac
+        |FROM d
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      disorderAudit(Tables.events(s, d), watermarkSec = 3600L)
     }
   )
+
+  /** The q147 out-of-orderness audit over an arbitrary events frame:
+    * disorder = running-max event time (in arrival order) minus own
+    * event time; per type, the max and the would-be-late fraction at
+    * the candidate watermark. */
+  def disorderAudit(events: org.apache.spark.sql.DataFrame,
+      watermarkSec: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("disorder_us", max("us").over(w) - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("max(disorder_us) div 1000000").as("max_disorder_sec"),
+        sum(when(col("disorder_us") > watermarkSec * 1000000L, 1L)
+          .otherwise(0L)).cast("long").as("n_late"))
+      .select(col("event_type"), col("n"), col("max_disorder_sec"),
+        col("n_late"),
+        (col("n_late").cast("double") / col("n").cast("double"))
+          .as("late_frac"))
+      .orderBy("event_type")
+  }
+
+  /** The q146 golden-record operator over an arbitrary events frame. */
+  def goldenRecord(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .withColumn("last_type", last("event_type").over(w))
+      .withColumn("last_event_id", last("event_id").over(w))
+      .groupBy("user_id")
+      .agg(min("ts").as("first_seen"), max("ts").as("last_seen"),
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum("cents").cast("long").as("value_cents"),
+        max("last_type").as("last_type"),
+        max("last_event_id").as("last_event_id"))
+      .orderBy("user_id")
+  }
 
   /** The q140 Kaplan-Meier operator over an arbitrary events frame —
     * see the catalog doc for the ordered-product parity contract. */

@@ -75,6 +75,43 @@ class PrivacyAttributionSpec extends SparkSpec {
     assert(got.map(_._5).sum == 1.0, "per-purchase credits must sum to 1")
   }
 
+  test("q146: the golden record's last-wins field follows the (ts, event_id) total order") {
+    val ev = Seq(
+      // same-timestamp pair: event_id 3 must win over 2
+      (1L, t(9, 0), 1L, "view", 1.0),
+      (2L, t(10, 0), 1L, "click", 2.0),
+      (3L, t(10, 0), 1L, "purchase", 3.0),
+      (4L, t(8, 0), 2L, "error", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TemporalQueries.goldenRecord(ev)
+      .select("user_id", "first_seen", "last_seen", "n_events", "n_types",
+        "value_cents", "last_type", "last_event_id")
+      .as[(Long, Timestamp, Timestamp, Long, Long, Long, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, t(9, 0), t(10, 0), 3L, 3L, 600L, "purchase", 3L)),
+      s"${got(1L)}")
+    assert(got(2L) == ((2L, t(8, 0), t(8, 0), 1L, 1L, 50L, "error", 4L)),
+      s"${got(2L)}")
+  }
+
+  test("q147: disorder is zero for in-order streams and exact for a known inversion") {
+    val ev = Seq(
+      // type A arrives in order -> zero disorder
+      (1L, t(9, 0), 1L, "A", 0.0), (2L, t(10, 0), 1L, "A", 0.0),
+      // type B: the second ARRIVAL (higher event_id) carries an EARLIER
+      // ts, 2h behind the running max -> late at a 1h watermark
+      (3L, t(12, 0), 2L, "B", 0.0), (4L, t(10, 0), 2L, "B", 0.0),
+      (5L, t(12, 30), 2L, "B", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = TemporalQueries.disorderAudit(
+      ev.select("event_type", "event_id", "ts"), watermarkSec = 3600L)
+      .select("event_type", "n", "max_disorder_sec", "n_late", "late_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 0L, 0L, 0.0)), s"${got("A")}")
+    assert(got("B") == (("B", 3L, 7200L, 1L, 1.0 / 3)), s"${got("B")}")
+  }
+
   test("q140: Kaplan-Meier matches the hand-computed curve with censoring") {
     def ts(s: String) = Timestamp.valueOf(s)
     // A: event day 1; B: censored day 1 (horizon - signup = 1.5d);

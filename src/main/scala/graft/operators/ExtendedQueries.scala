@@ -1431,6 +1431,90 @@ object ExtendedQueries {
         |FROM f JOIN t USING (label)
         |ORDER BY label, fold""".stripMargin) { (s, d) =>
       kfoldBalance(Tables.embeddings(s, d), k = 5)
+    },
+
+    // --------------------------------------------------------------- q148
+    "q148_duplicate_orders" -> QueryDef.sql(
+      "Rapid repeat-order audit: order pairs by the SAME customer " +
+      "placed within 24 hours, with both order values (cents-exact, " +
+      "the fixed-point rule) and their delta — the payments-integrity " +
+      "surface a commerce ledger reviews (a zero delta is the " +
+      "double-charge smoking gun; near-zero deltas are retry " +
+      "artifacts). The join blocks on the customer equi-key with the " +
+      "day window as a residual predicate on exact integer epoch math " +
+      "(the q23 bounded range-join shape; at 100 TB add a day-bucket " +
+      "to the blocking key to bound per-customer products). All " +
+      "integers -> hash-exact.",
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    round(o_totalprice * 100)::BIGINT AS cents,
+        |    epoch_us(o_orderdate) AS us
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a,
+        |  b.o_orderkey AS order_b, a.cents AS cents_a, b.cents AS cents_b,
+        |  abs(b.cents - a.cents)::BIGINT AS cents_delta,
+        |  ((b.us - a.us) // 1000000)::BIGINT AS gap_sec
+        |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND abs(b.us - a.us) <= 86400000000
+        |ORDER BY custkey, order_a, order_b""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        // o_orderdate scans as TIMESTAMP_NTZ (regenerated testdata);
+        // session tz is UTC, so the cast reads the same instants DuckDB's
+        // naive epoch_us sees
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"))
+      val a = o.select(col("o_orderkey").as("order_a"),
+        col("o_custkey").as("custkey"), col("cents").as("cents_a"),
+        col("us").as("us_a"))
+      val b = o.select(col("o_orderkey").as("order_b"),
+        col("o_custkey").as("custkey"), col("cents").as("cents_b"),
+        col("us").as("us_b"))
+      a.join(b, Seq("custkey"))
+        .where(col("order_a") < col("order_b") &&
+          abs(col("us_b") - col("us_a")) <= 86400000000L)
+        .select(col("custkey"), col("order_a"), col("order_b"),
+          col("cents_a"), col("cents_b"),
+          abs(col("cents_b") - col("cents_a")).as("cents_delta"),
+          expr("(us_b - us_a) div 1000000").as("gap_sec"))
+        .orderBy("custkey", "order_a", "order_b")
+    },
+
+    // --------------------------------------------------------------- q149
+    "q149_supplier_hhi" -> QueryDef.sql(
+      "Supplier concentration risk per part — the Herfindahl-Hirschman " +
+      "index over supplied quantities: HHI = sum_s (q_s/Q)^2 = " +
+      "sum(q_s^2) / Q^2, i.e. EXACT integer sums with ONE single-shape " +
+      "division (no per-share float accumulation to order-diverge), " +
+      "plus the top supplier's share and the supplier count. A part " +
+      "near HHI 1 is single-sourced (supply-chain risk); near 1/n is " +
+      "diversified — the sourcing-risk dashboard staple. Quantities " +
+      "are integer-valued in the data (cast exact). Shape at 100 TB: " +
+      "two map-side-combinable hash aggregates, (part, supplier) then " +
+      "part.",
+      """WITH sq AS (SELECT l_partkey, l_suppkey,
+        |    sum(l_quantity)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_partkey AS partkey, count(*)::BIGINT AS n_suppliers,
+        |  sum(q)::BIGINT AS total_qty,
+        |  (sum(q * q)::DOUBLE / (sum(q) * sum(q))::DOUBLE) AS hhi,
+        |  (max(q)::DOUBLE / sum(q)::DOUBLE) AS top_share
+        |FROM sq
+        |GROUP BY 1
+        |ORDER BY partkey""".stripMargin) { (s, d) =>
+      val sq = Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).cast("long").as("q"))
+      sq.groupBy(col("l_partkey").as("partkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum("q").cast("long").as("total_qty"),
+          sum(col("q") * col("q")).cast("long").as("sq2"),
+          max("q").as("maxq"))
+        .select(col("partkey"), col("n_suppliers"), col("total_qty"),
+          (col("sq2").cast("double")
+            / (col("total_qty") * col("total_qty")).cast("double")).as("hhi"),
+          (col("maxq").cast("double") / col("total_qty").cast("double"))
+            .as("top_share"))
+        .orderBy("partkey")
     }
   )
 

@@ -44,6 +44,38 @@ class DistributionStatsSpec extends SparkSpec {
       got._4 == 80L && math.abs(got._5 - 0.5) < 1e-12, s"$got")
   }
 
+  test("q148: pairs are ordered, inside the 24h window, and complete") {
+    val rows = graft.SparkEntry.queries("q148_duplicate_orders")(spark, sf001)
+      .select("order_a", "order_b", "gap_sec")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "the corpus has same-day repeat orders")
+    rows.foreach { case (a, b, gap) =>
+      assert(a < b, s"pair orientation: ($a, $b)")
+      assert(math.abs(gap) <= 86400L, s"window: gap $gap")
+    }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+      "one row per pair")
+  }
+
+  test("q149: HHI sits in [1/n, 1] and single-supplier parts hit exactly 1") {
+    val rows = graft.SparkEntry.queries("q149_supplier_hhi")(spark, sf001)
+      .select("n_suppliers", "hhi", "top_share")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, hhi, top) =>
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12, s"n=$n hhi=$hhi")
+      assert(top >= 1.0 / n - 1e-12 && top <= 1.0 + 1e-12, s"top=$top")
+      // HHI = sum(s^2) <= max(s) * sum(s) = top share, always
+      assert(hhi <= top + 1e-12, s"HHI cannot exceed the top share: $hhi $top")
+      if (n == 1L) assert(hhi == 1.0 && top == 1.0, "single-sourced = 1")
+    }
+    assert(rows.exists(_._1 > 1L), "corpus should have multi-sourced parts")
+    // the [1/n, 1] floor is attained when a part's suppliers ship equal
+    // quantities; verify the bound is TIGHT somewhere (hhi near 1/n)
+    assert(rows.exists(r => r._2 <= 1.5 / r._1),
+      "no part anywhere near the diversified floor is suspicious")
+  }
+
   test("q136: every (label, fold) cell is populated, totals reconcile, shares balance") {
     val emb = graft.Tables.embeddings(spark, sf001)
     val rows = ExtendedQueries.kfoldBalance(emb.select("vec_id", "label"), k = 5)

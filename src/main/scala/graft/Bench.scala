@@ -121,26 +121,42 @@ object Bench {
     val spreads = results.collect { case (k, (_, _, Some((lo, hi)))) =>
       s"\"" + k + "\":[" + f3(lo) + "," + f3(hi) + "]" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    // Human-facing full detail first; the driver-facing line LAST. The
-    // per-query map for 70 queries overflows the driver's finite output-tail
-    // buffer (rounds 4 and 5 both recorded "parsed": null), so the line of
-    // record is a short, fixed-size summary guaranteed to fit any tail
-    // window. It carries the contract keys (metric/value/unit/queries/sf)
-    // with an EMPTY queries map plus total_sec/n_queries/retimed.
-    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"sf":"$sfDir"}""")
+    // Human-facing full detail first; the driver-facing line LAST. A
+    // 149-entry full-name per-query map (~5 KB) overflows the driver's
+    // ~2 KB output-tail window (rounds 4 and 5 both recorded "parsed":
+    // null from exactly that), but an EMPTY map loses machine-readable
+    // per-query regression diffing (round-8 judge finding: the q95
+    // regression was only catchable via the truncatable human tail).
+    // Compromise measured against the window: the line of record
+    // carries the per-query map under SHORT keys — the unique "qNN"
+    // prefix of each catalog name, 2-decimal seconds — ~1.7 KB at 149
+    // queries, inside the tail with headroom. Full-name 3-decimal
+    // detail (plus build/spread splits) goes to target/bench_summary
+    // .json and stderr, where no window applies.
+    def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+      Double.box(v))
+    val qsShort = results
+      .map { case (k, (v, _, _)) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}""")
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"total_sec":${f3(total)},"n_queries":${results.size},"retimed":$retimed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"total_sec":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""
     println(summary)
     // Three rounds of "parsed": null show the sbt-prefixed stdout tail is
-    // a hostile channel for machine readers, so the line of record also
-    // ships (a) bare on stderr — sbt forwards stderr without the [info]
-    // prefix — and (b) as a file any reader can pick up verbatim.
-    System.err.println(summary)
+    // a hostile channel for machine readers, so the per-query numbers
+    // also ship (a) in FULL-name form on stderr — sbt forwards stderr
+    // without the [info] prefix — and (b) as a file any reader can pick
+    // up verbatim. Both carry the driver contract keys (metric/value/
+    // unit/queries/sf) so a reader of any one line has everything.
+    val detail =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_sec":${f3(total)},"n_queries":${results.size},"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}"""
+    System.err.println(detail)
     try {
       val p = java.nio.file.Paths.get("target", "bench_summary.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () } // best-effort side channel
     spark.stop()
   }

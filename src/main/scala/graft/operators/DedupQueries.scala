@@ -957,7 +957,18 @@ object DedupQueries {
       "singleton docs get exactly their q62 assignment. Shape at " +
       "100 TB: q66's LSH + O(log diameter) clustering (the headline " +
       "composed operator) + one hash expression — the split itself " +
-      "adds ZERO shuffles.",
+      "adds ZERO shuffles. PREMISE NOTE (round-9, advisor ask): the " +
+      "no-leakage guarantee is as strong as q66's edge recall. Engine " +
+      "clusters come from MinHash(16)+LSH(8x2) candidates; the oracle " +
+      "derives exact shared-shingle edges — they agree because the " +
+      "shipped corpus has no pair mass in the marginal Jaccard band " +
+      "(recallPremiseGapPairs empty, probed by Verify). On an " +
+      "arbitrary corpus a pair in that band can escape all 8 bands, " +
+      "silently splitting a true near-dup pair across train/test: " +
+      "under LSH the leakage-safety is PROBABILISTIC (miss <= " +
+      "(1-j^2)^8 per pair), not by construction — swap in q91's " +
+      "prefix-filter candidates (recall 1.0 by theorem) when the " +
+      "premise cannot be measured.",
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS w FROM documents),
         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
         |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
@@ -1008,7 +1019,18 @@ object DedupQueries {
       "kept copy to the CANONICAL's source — exactly how a real " +
       "release accounts provenance. Integer counts + one division -> " +
       "hash-exact. Shape at 100 TB: q66's composed clustering + one " +
-      "token-count join + one source-level aggregate.",
+      "token-count join + one source-level aggregate. Edge semantics " +
+      "(round-9, advisor asks): savings_frac is NULL for a source with " +
+      "zero raw tokens (nullif-guarded division, both engines), and " +
+      "CAN legitimately reach 1.0 when every cluster canonical a " +
+      "source's docs elect lives in ANOTHER source — cross-source " +
+      "attribution is a feature, not a bug. PREMISE NOTE (shared with " +
+      "q141): cluster structure comes from q66's MinHash(16)+LSH(8x2) " +
+      "candidates while the oracle derives exact shared-shingle edges, " +
+      "so cross-engine equality rests on the measured corpus premise " +
+      "(recallPremiseGapPairs empty — no pair mass in the marginal " +
+      "Jaccard band); on an arbitrary corpus the savings accounting " +
+      "is probabilistic under LSH recall, not exact by construction.",
       s"""WITH RECURSIVE t AS (SELECT doc_id, $sqlToks AS w FROM documents),
         |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
         |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
@@ -1039,7 +1061,7 @@ object DedupQueries {
         |  sum(CASE WHEN is_canonical THEN n ELSE 0 END)::BIGINT
         |    AS kept_tokens,
         |  (1.0 - sum(CASE WHEN is_canonical THEN n ELSE 0 END)::DOUBLE
-        |     / sum(n)::DOUBLE) AS savings_frac
+        |     / nullif(sum(n), 0)::DOUBLE) AS savings_frac
         |FROM j
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (s, d) =>
@@ -1081,8 +1103,12 @@ object DedupQueries {
           .as("kept_tokens"))
       .select(col("source"), col("n_docs"), col("raw_tokens"),
         col("n_kept"), col("kept_tokens"),
+        // nullif guard (round-9 advisor ask): a source of only
+        // empty-token docs has raw_tokens = 0 — savings is undefined
+        // there, NULL on both engines, never a NaN/divide artifact
         (lit(1.0) - col("kept_tokens").cast("double")
-          / col("raw_tokens").cast("double")).as("savings_frac"))
+          / nullif(col("raw_tokens"), lit(0L)).cast("double"))
+          .as("savings_frac"))
       .orderBy("source")
   }
 

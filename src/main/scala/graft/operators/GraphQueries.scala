@@ -27,18 +27,53 @@ object GraphQueries {
   private val S = 1000000000000L // total rank mass, 1e12 units
 
   /** Directed edge list of the purchase graph: c<id> <-> s<id> both
-    * ways for every distinct (customer, supplier) purchase pair. */
+    * ways for every distinct (customer, supplier) purchase pair.
+    *
+    * The distinct-pair projection (the lineitem⋈orders + distinct — the
+    * expensive part) is served from [[graft.plans.SharedFrames]]: three
+    * catalog queries (q95/q144/q145) derive from it, and before round 9
+    * each rebuilt it from the fact tables — ReuseExchange dedups within
+    * a query, never across queries. One session-scoped persisted copy is
+    * the 100 TB answer (materialize the hot derived projection once per
+    * family), and it is what recovers q95's full-catalog driver-shot
+    * cost: the first family query pays the build, the rest read the
+    * in-memory columnar copy. The symmetric union stays lazy per-call
+    * (a narrow doubling over the cached pairs, cheaper than caching the
+    * doubled frame). */
   private[operators] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
-      .distinct()
+    val pairs = graft.plans.SharedFrames(s, d, "purchase_pairs") {
+      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+        .distinct()
+    }
     pairs.select(col("c").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
   }
+
+  /** Shared basket-family projections for q102/q107/q122: the distinct
+    * (order, part) membership frame and its support-thresholded
+    * co-occurrence edge aggregate (minShared = 2 — all three catalog
+    * entries use the same threshold, so the edge list is identical).
+    * Same rationale as [[purchaseEdges]]: the per-basket self-join +
+    * aggregate is the dominant cost of all three queries and was built
+    * three times per catalog run. */
+  private def basketOp(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.plans.SharedFrames(s, d, "baskets_op") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+
+  private def basketCo2(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.plans.SharedFrames(s, d, "baskets_co2") {
+      coOccurrenceEdgesFromDistinct(basketOp(s, d), minShared = 2)
+    }
 
   /** Fixed-point PageRank over an arbitrary directed edge list
     * (src, dst), `iters` synchronous iterations, damping 17/20.
@@ -170,9 +205,7 @@ object GraphQueries {
         |FROM proj e1 JOIN proj e2 ON e1.v = e2.u
         |  JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
         |ORDER BY a, b, c""".stripMargin) { (s, d) =>
-      triangles(coOccurrenceEdges(
-        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
-          col("l_partkey").as("p")), minShared = 2))
+      triangles(basketCo2(s, d))
     },
 
     // --------------------------------------------------------------- q107
@@ -205,9 +238,7 @@ object GraphQueries {
         |    ORDER BY cosine DESC, v)::BIGINT AS rn FROM sim)
         |SELECT u, rn, v, co, cosine FROM rk WHERE rn <= 5
         |ORDER BY u, rn""".stripMargin) { (s, d) =>
-      itemSimilarityTopK(
-        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
-          col("l_partkey").as("p")), minShared = 2, k = 5)
+      itemSimilarityTopKFrom(basketOp(s, d), basketCo2(s, d), k = 5)
     },
 
     // --------------------------------------------------------------- q122
@@ -241,10 +272,8 @@ object GraphQueries {
         |  CROSS JOIN nb)
         |SELECT * FROM rules WHERE confidence >= 0.02 AND lift >= 2.0
         |ORDER BY antecedent, consequent""".stripMargin) { (s, d) =>
-      associationRules(
-        Tables.lineitem(s, d).select(col("l_orderkey").as("o"),
-          col("l_partkey").as("p")),
-        minShared = 2, minConfidence = 0.02, minLift = 2.0)
+      associationRulesFrom(basketOp(s, d), basketCo2(s, d),
+        minConfidence = 0.02, minLift = 2.0)
     },
 
     // --------------------------------------------------------------- q144
@@ -349,9 +378,19 @@ object GraphQueries {
   def associationRules(membership: DataFrame, minShared: Long,
       minConfidence: Double, minLift: Double): DataFrame = {
     val op = membership.distinct()
+    associationRulesFrom(op, coOccurrenceEdgesFromDistinct(op, minShared),
+      minConfidence, minLift)
+  }
+
+  /** [[associationRules]] over PRE-BUILT distinct membership and
+    * co-occurrence frames — the shared-projection entry point (q122
+    * passes the session-cached [[basketOp]]/[[basketCo2]] so the basket
+    * self-join is computed once per session, not once per family
+    * query). */
+  def associationRulesFrom(op: DataFrame, co: DataFrame,
+      minConfidence: Double, minLift: Double): DataFrame = {
     val nb = broadcast(op.agg(count_distinct(col("o")).as("n_baskets")))
     val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
-    val co = coOccurrenceEdges(op, minShared)
     val sym = co.select(col("u"), col("v"), col("shared").as("co"))
       .unionByName(co.select(col("v").as("u"), col("u").as("v"),
         col("shared").as("co")))
@@ -376,10 +415,17 @@ object GraphQueries {
     * SkylineTriangleSpec. Composes [[coOccurrenceEdges]]. */
   def itemSimilarityTopK(membership: DataFrame, minShared: Long, k: Int)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val op = membership.distinct()
+    itemSimilarityTopKFrom(op, coOccurrenceEdgesFromDistinct(op, minShared), k)
+  }
+
+  /** [[itemSimilarityTopK]] over pre-built distinct membership and
+    * co-occurrence frames — the shared-projection entry point for
+    * q107. */
+  def itemSimilarityTopKFrom(op: DataFrame, co: DataFrame, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val deg = op.groupBy(col("p")).agg(count(lit(1)).as("d"))
-    val co = coOccurrenceEdges(op, minShared)
     val sym = co.select(col("u"), col("v"), col("shared").as("co"))
       .unionByName(co.select(col("v").as("u"), col("u").as("v"),
         col("shared").as("co")))
@@ -402,14 +448,20 @@ object GraphQueries {
   /** Support-thresholded co-occurrence edges (u < v) from an arbitrary
     * (o, p) membership frame — q102's projection stage, shared with
     * SkylineTriangleSpec. */
-  def coOccurrenceEdges(membership: DataFrame, minShared: Long): DataFrame = {
-    val op = membership.distinct()
+  def coOccurrenceEdges(membership: DataFrame, minShared: Long): DataFrame =
+    coOccurrenceEdgesFromDistinct(membership.distinct(), minShared)
+
+  /** [[coOccurrenceEdges]] when the membership frame is ALREADY
+    * distinct — skips the redundant distinct shuffle (a distinct over
+    * the session-cached [[basketOp]] would re-shuffle rows that are
+    * unique by construction). */
+  def coOccurrenceEdgesFromDistinct(op: DataFrame, minShared: Long)
+      : DataFrame =
     op.select(col("o"), col("p").as("u"))
       .join(op.select(col("o"), col("p").as("v")), "o")
       .where(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-  }
 
   /** Ordered-edge triangle enumeration over an (u, v, shared) edge list
     * with u < v: emits one row per triangle a < b < c. */

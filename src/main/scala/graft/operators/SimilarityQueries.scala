@@ -355,24 +355,36 @@ object SimilarityQueries {
       "explode-join, which is the textbook shape that does NOT survive " +
       "100 TB), then the 2,080 upper-triangle entries are closed-form " +
       "column arithmetic over the one finished buffer against a " +
-      "broadcast (i, j) grid. Cross-engine parity is INTEGER-EXACT (the " +
-      "q95 fixed-point recipe): components are scaled round(x * 1e6) -> " +
-      "int64 on BOTH engines (no tie ambiguity — a float32 x 1e6 is an " +
-      "exact double whose fraction can never be exactly .5), the moment " +
-      "sums accumulate in int64 (bounded ~5e15 at the sf1 gate, three " +
-      "orders under overflow), the closed form n*Sxy - Sx*Sy runs in " +
-      "128-bit (decimal(37,0) here, HUGEINT there), and only the final " +
-      "single division + 6-dp round happens in floating point — over " +
-      "bit-identical operands, so the rounding boundary cannot split.",
+      "broadcast (i, j) grid. Cross-engine parity is INTEGER-EXACT end " +
+      "to end (the q95 fixed-point recipe, hardened in round 9): " +
+      "components are scaled round(x * 1e6) -> int64 on BOTH engines " +
+      "(no tie ambiguity — a float32 x 1e6 is an exact double whose " +
+      "fraction can never be exactly .5), the moment sums accumulate in " +
+      "int64 (bounded ~5e15 at the sf1 gate, three orders under " +
+      "overflow), the closed form n*Sxy - Sx*Sy runs in 128-bit " +
+      "(decimal(38,0) here, HUGEINT there), and the covariance ships as " +
+      "cov_micro = the HALF-UP-rounded integer of cov(x_micro)/1e6 per " +
+      "sample-covariance unit — computed as sign * ((2|numer| + den) " +
+      "DIV (2 den)) entirely in 128-bit integers, so NO float exists " +
+      "anywhere in the output. Round-8 post-mortem: the previous " +
+      "round(double, 6) tail was value-identical across engines but one " +
+      "near-zero entry landed as -0.0 on DuckDB and +0.0 on Spark — " +
+      "equal as floats, different BYTES under the driver's hasher. " +
+      "Integer output makes that entire failure class unrepresentable.",
       """WITH e AS (SELECT vec_id, i,
         |             CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS x
-        |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
-        |SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
-        |  round(CAST(count(*)::HUGEINT * sum(a.x::HUGEINT * b.x::HUGEINT)
-        |             - sum(a.x)::HUGEINT * sum(b.x)::HUGEINT AS DOUBLE)
-        |        / (CAST(count(*) * (count(*) - 1) AS DOUBLE) * 1e12), 6) AS cov
-        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY a.i, b.i
+        |           FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |agg AS (SELECT a.i AS i, b.i AS j, count(*)::BIGINT AS n,
+        |    count(*)::HUGEINT * sum(a.x::HUGEINT * b.x::HUGEINT)
+        |      - sum(a.x)::HUGEINT * sum(b.x)::HUGEINT AS numer
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i)
+        |SELECT i, j, n,
+        |  CAST((CASE WHEN numer < 0 THEN -1 ELSE 1 END)
+        |       * ((2 * abs(numer) + n::HUGEINT * (n - 1) * 1000000)
+        |          // (2 * n::HUGEINT * (n - 1) * 1000000)) AS BIGINT)
+        |    AS cov_micro
+        |FROM agg
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       import s.implicits._
       val dim = 64
@@ -391,8 +403,14 @@ object SimilarityQueries {
       // the first triangle slot.
       // decimal(18,0) operands make every product an EXACT decimal(37,0)
       // (18+18+1 <= 38: no precision-loss path), mirroring the oracle's
-      // HUGEINT; the one double division and the 6-dp round then see
-      // bit-identical inputs on both engines.
+      // HUGEINT. cov_micro = half-up-rounded numer/den with
+      // den = n(n-1)*1e6 (the 1e12 component scale over the 1e6 output
+      // grain): sign * ((2|numer| + den) DIV (2 den)) — both engines'
+      // integral division truncates toward zero and both operands are
+      // non-negative, so truncation == floor == the exact half-up round.
+      // Magnitude audit at the sf1 gate (n=2e4): |numer| <= n*|Sxy|
+      // ~ 2e4 * 5e15 = 1e20, 2|numer|+den ~ 2e20 — five orders of
+      // magnitude under decimal(38,0)/HUGEINT capacity.
       val d18 = "decimal(18,0)"
       val nL = element_at(col("m"), 1)
       val sxy = element_at(col("m"),
@@ -403,10 +421,13 @@ object SimilarityQueries {
       val sy = element_at(col("m"), col("j") + 1)
       grid.crossJoin(broadcast(mom))
         .select(col("i"), col("j"), nL.as("n"),
-          round(
-            (nL.cast(d18) * sxy.cast(d18) - sx.cast(d18) * sy.cast(d18))
-              .cast("double")
-              / ((nL * (nL - 1)).cast("double") * lit(1e12)), 6).as("cov"))
+          (nL.cast(d18) * sxy.cast(d18) - sx.cast(d18) * sy.cast(d18))
+            .as("numer"),
+          ((nL * (nL - 1)).cast(d18) * lit(1000000L).cast(d18)).as("den"))
+        .select(col("i"), col("j"), col("n"),
+          expr("""CAST((CASE WHEN numer < 0 THEN -1L ELSE 1L END)
+                 |     * ((2 * abs(numer) + den) DIV (2 * den)) AS BIGINT)
+                 |""".stripMargin).as("cov_micro"))
         .orderBy("i", "j")
     },
 

@@ -200,7 +200,10 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r._4 <= r._2 && r._5 <= r._3, s"kept cannot exceed raw: $r")
-      assert(r._6 >= 0.0 && r._6 < 1.0, s"savings range: $r")
+      // <= 1.0, not < 1.0: a source whose docs' cluster canonicals all
+      // live in OTHER sources legitimately saves 100% of its tokens
+      // (cross-source canonical attribution — see the q143 doc)
+      assert(r._6 >= 0.0 && r._6 <= 1.0, s"savings range: $r")
     }
     val docs = graft.Tables.documents(spark, sf0001)
     assert(rows.map(_._2).sum == docs.count(), "every doc attributed once")

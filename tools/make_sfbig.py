@@ -7,8 +7,20 @@ gate run against this directory is a true parity check at ~sf1 scale —
 the cheapest way to catch floating-point/overflow drift before a real
 scale-up (round-3 verdict item 8).
 
+Documents get the round-5 per-replica token retag (every token of
+replica m > 0 suffixed `r{m}`): an injective map of each replica's
+shingle space, so intra-replica Jaccard — and therefore each replica's
+dedup/cluster structure — is preserved EXACTLY while cross-replica
+Jaccard drops to 0. Verbatim replication instead put every cross-replica
+doc pair at Jaccard ~1 and (round-8 coverage note) created 400 pairs in
+the [0.1, 0.8) band, violating q66's LSH-recall premise and blowing the
+oracle's shared-shingle blocking up to 113 M candidate pairs; the retag
+restores the premise by construction, so the q66/q141/q143 family is
+hash-checkable at the ~sf1 gate again.
+
 Usage: python3 tools/make_sfbig.py [mult] [outdir] [srcdir]
 """
+import re
 import sys
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -46,6 +58,13 @@ for t in TABLES:
             if name in OFFSETS and m > 0:
                 shifted = pc.add(col, m * OFFSETS[name])
                 col = pc.cast(shifted, src.schema.field(name).type)
+            elif t == "documents" and name == "text" and m > 0:
+                # r5 retag: suffix every \S+ token with r{m} — exactly the
+                # Throughput probe's regexp_replace(text, "(\\S+)", "$1r"+m)
+                tagged = [None if v is None
+                          else re.sub(r"(\S+)", r"\g<1>r%d" % m, v)
+                          for v in col.to_pylist()]
+                col = pa.array(tagged, type=src.schema.field(name).type)
             cols.append(col)
         parts.append(pa.table(dict(zip(src.column_names, cols)), schema=src.schema))
     out = pa.concat_tables(parts)

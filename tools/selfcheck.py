@@ -5,8 +5,19 @@ runs each oracle in DuckDB over the same sf tables, and compares
 column-name-sorted, row-sorted values exactly.
 
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Float semantics are BYTE-LEVEL (round-9 hardening): the driver's
+pandas-based hasher hashes the raw float64 bytes, so -0.0 and +0.0 —
+equal under ==, equal under the old `v + 0.0` collapse — hash
+DIFFERENTLY. Round 8's q77 was selfcheck-green / driver-red for two
+rounds on exactly one such entry. This mirror now compares
+struct-packed IEEE bytes, making it at least as strict as the driver:
+selfcheck-green => driver-green. (NaN keeps a single canonical token:
+parquet/duckdb both emit the quiet-NaN pattern, and a non-canonical
+NaN payload surviving a parquet roundtrip would be an engine bug this
+dev tool shouldn't mask as a value diff.)
 """
-import json, math, sys
+import json, math, struct, sys
 import duckdb
 
 def canon(rows, cols):
@@ -22,8 +33,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0
-        return v + 0.0
+        # byte-exact: distinguishes -0.0 from +0.0 like the driver does
+        return struct.pack("<d", v)
     return v
 
 def main():

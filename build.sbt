@@ -31,5 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Size the single-JVM heap to the machine (128 GiB box), not to a
+  // laptop default: local[32] runs 32 concurrent tasks in ONE heap, and
+  // a 150-query session accumulates legitimate long-lived blocks
+  // (clustering checkpoints, shared family projections, ANN indexes).
+  // At 8g the catalog tail ran under visible GC pressure — q95's
+  // full-catalog driver shot measured ~2x its isolated steady state
+  // (rounds 7-8); the heap, not the plan, was the context cost.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

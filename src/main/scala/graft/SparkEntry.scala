@@ -24,6 +24,7 @@ object SparkEntry {
       operators.ExtendedQueries.defs ++
       operators.ExtendedQueries.defs2 ++
       operators.GraphQueries.defs ++
+      operators.WarehouseQueries.defs ++
       operators.PipelineQueries.defs): _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -30,29 +30,46 @@ object GraphQueries {
     * ways for every distinct (customer, supplier) purchase pair.
     *
     * The distinct-pair projection (the lineitem⋈orders + distinct — the
-    * expensive part) is served from [[graft.plans.SharedFrames]]: three
-    * catalog queries (q95/q144/q145) derive from it, and before round 9
-    * each rebuilt it from the fact tables — ReuseExchange dedups within
-    * a query, never across queries. One session-scoped persisted copy is
-    * the 100 TB answer (materialize the hot derived projection once per
-    * family), and it is what recovers q95's full-catalog driver-shot
-    * cost: the first family query pays the build, the rest read the
-    * in-memory columnar copy. The symmetric union stays lazy per-call
-    * (a narrow doubling over the cached pairs, cheaper than caching the
+    * expensive part) is served from [[graft.plans.SharedFrames]] for the
+    * single-pass family members (q144/q145): before round 9 each rebuilt
+    * it from the fact tables — ReuseExchange dedups within a query,
+    * never across queries — and a session-scoped persisted copy is the
+    * 100 TB answer (materialize the hot derived projection once per
+    * family). q95 deliberately does NOT consume the cache — see
+    * [[purchaseEdgesLazy]]. The symmetric union stays lazy per-call (a
+    * narrow doubling over the cached pairs, cheaper than caching the
     * doubled frame). */
   private[operators] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
-    val pairs = graft.plans.SharedFrames(s, d, "purchase_pairs") {
-      Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
-        .distinct()
-    }
+      d: String): DataFrame =
+    symmetrize(graft.plans.SharedFrames(s, d, "purchase_pairs") {
+      purchasePairs(s, d)
+    })
+
+  /** The UNCACHED edge list — q95's input. MEASURED (rounds 8 AND 9):
+    * feeding the PageRank iteration loop from a persisted copy is a
+    * LOSS (~9-12 s vs ~4-7 s full-catalog) — Catalyst's ReuseExchange
+    * already computes the edge subtree's shuffle exactly once across
+    * all iterations in the lazy plan, so the cache adds a
+    * materialization job + row-format conversion for reuse the plan
+    * already had. The cache exists for the NON-iterative family
+    * members (q144/q145: one aggregate pass each), where build-once
+    * genuinely replaces rebuild-per-query. */
+  private[operators] def purchaseEdgesLazy(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    symmetrize(purchasePairs(s, d))
+
+  private def purchasePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+      .distinct()
+
+  private def symmetrize(pairs: DataFrame): DataFrame =
     pairs.select(col("c").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
-  }
 
   /** Shared basket-family projections for q102/q107/q122: the distinct
     * (order, part) membership frame and its support-thresholded
@@ -172,7 +189,7 @@ object GraphQueries {
         |      JOIN edges e ON e.src = r.node
         |    GROUP BY e.dst) m ON n2.node = m.node)
         |SELECT node, rank_u FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
-      pagerank(purchaseEdges(s, d), iters = 3)
+      pagerank(purchaseEdgesLazy(s, d), iters = 3)
     },
 
     // --------------------------------------------------------------- q102

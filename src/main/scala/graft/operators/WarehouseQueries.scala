@@ -158,6 +158,63 @@ object WarehouseQueries {
           max(when(col("is_dead").isNotNull, col("pos"))).cast("long")
             .as("max_dead_pos"))
         .orderBy("file_id")
+    },
+
+    // --------------------------------------------------------------- q152
+    "q152_compaction_plan" -> QueryDef.sql(
+      "Small-file compaction planner — the OPTIMIZE decision a " +
+      "lakehouse maintenance job makes before rewriting anything " +
+      "(q151 decides DV-vs-rewrite per file; this decides which small " +
+      "files merge into which compaction jobs): the orders table's " +
+      "month-partitioned layout yields one 'file' per month, a file " +
+      "is SMALL when its rows are below the table mean (tested as the " +
+      "exact integer cross-product n_rows * n_files < total_rows — no " +
+      "division, no float), and small files pack into jobs by the " +
+      "deterministic greedy rule job_id = (running_sum - n_rows) DIV " +
+      "target with target = 2 * mean (integer DIV) over key order — " +
+      "the first-fit bin packing OPTIMIZE uses, expressed as ONE " +
+      "cumulative-sum window. ALL-INTEGER output -> hash-exact. " +
+      "Shape at 100 TB: file STATS (count-sized, not row-sized) feed " +
+      "one broadcast total + one ordered window over the small-file " +
+      "subset; the planner never touches data rows — exactly why " +
+      "OPTIMIZE planning is metadata-cheap on a real table.",
+      """WITH f AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP
+        |      AS file_month,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS nf
+        |  FROM f),
+        |s AS (SELECT f.file_month, f.n_rows,
+        |    (f.n_rows * t.nf < t.total) AS is_small,
+        |    2 * (t.total // t.nf) AS target
+        |  FROM f CROSS JOIN t),
+        |j AS (SELECT file_month,
+        |    ((sum(n_rows) OVER (ORDER BY file_month
+        |        ROWS UNBOUNDED PRECEDING) - n_rows) // target)::BIGINT
+        |      AS job_id
+        |  FROM s WHERE is_small)
+        |SELECT s.file_month, s.n_rows, s.is_small, j.job_id
+        |FROM s LEFT JOIN j ON s.file_month = j.file_month
+        |ORDER BY s.file_month""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("file_month"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = broadcast(files.agg(sum("n_rows").cast("long").as("total"),
+        count(lit(1)).as("nf")))
+      val stats = files.crossJoin(tot)
+        .select(col("file_month"), col("n_rows"),
+          (col("n_rows") * col("nf") < col("total")).as("is_small"),
+          (lit(2) * expr("total DIV nf")).as("target"))
+      val jobs = stats.where(col("is_small"))
+        .select(col("file_month"),
+          expr("""((sum(n_rows) OVER (ORDER BY file_month
+                 |   ROWS UNBOUNDED PRECEDING) - n_rows) DIV target)
+                 |""".stripMargin).cast("long").as("job_id"))
+      stats.join(jobs, Seq("file_month"), "left")
+        .select(col("file_month"), col("n_rows"), col("is_small"),
+          col("job_id"))
+        .orderBy("file_month")
     }
   )
 }

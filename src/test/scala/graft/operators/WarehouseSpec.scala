@@ -91,4 +91,36 @@ class WarehouseSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
     }
   }
+
+  test("q152: every small file lands in exactly one job; greedy packing respects the target") {
+    val rows = graft.SparkEntry.queries("q152_compaction_plan")(spark, sf0001)
+      .select("file_month", "n_rows", "is_small", "job_id").collect()
+    assert(rows.nonEmpty)
+    val smalls = rows.filter(_.getBoolean(2))
+    val bigs = rows.filterNot(_.getBoolean(2))
+    assert(smalls.nonEmpty && bigs.nonEmpty, "both classes must exist")
+    assert(smalls.forall(!_.isNullAt(3)), "every small file gets a job")
+    assert(bigs.forall(_.isNullAt(3)), "no job for already-right-sized files")
+    // greedy boundary property: the running total within a job stays
+    // under target + the job's last file (first-fit never splits files)
+    val total = rows.map(_.getLong(1)).sum
+    val target = 2 * (total / rows.length)
+    val byJob = smalls.groupBy(_.getLong(3))
+    val jobIds = byJob.keySet
+    assert(jobIds.min == 0, "job ids start at 0")
+    byJob.foreach { case (j, fs) =>
+      val sizes = fs.sortBy(_.getTimestamp(0).getTime).map(_.getLong(1))
+      assert(sizes.init.sum < target,
+        s"job $j overfilled before its last file: ${sizes.toSeq} vs $target")
+    }
+    // jobs fill in key order: max month of job j < min month of job j+1
+    val ordered = jobIds.toSeq.sorted
+    ordered.sliding(2).foreach {
+      case Seq(a, b) =>
+        val maxA = byJob(a).map(_.getTimestamp(0).getTime).max
+        val minB = byJob(b).map(_.getTimestamp(0).getTime).min
+        assert(maxA < minB, s"jobs $a/$b not in key order")
+      case _ => ()
+    }
+  }
 }

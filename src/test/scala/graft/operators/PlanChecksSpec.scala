@@ -524,4 +524,21 @@ class PlanChecksSpec extends SparkSpec {
     val p = plan("q110_ab_lift")
     assert(!p.contains("Join"), "arm self-join shuffles the facts twice:\n" + p)
   }
+
+  test("q150: the CDC window filter pushes to the orders scan; merge is one key join") {
+    // at 100 TB the change feed is the pruned side — a full orders scan
+    // here would defeat the point of windowed CDC
+    val p = plan("q150_merge_cdc_upsert")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      "CDC date window must reach the parquet scan:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q152: compaction planning is metadata-sized — one file-stats aggregate, broadcast total") {
+    val p = plan("q152_compaction_plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row total must ride as a broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

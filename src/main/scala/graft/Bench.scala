@@ -135,10 +135,23 @@ object Bench {
     // .json and stderr, where no window applies.
     def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
       Double.box(v))
-    val qsShort = results
-      .map { case (k, (v, _, _)) =>
+    def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(v))
+    // Growth guard: at ~165+ queries even short keys overflow the tail
+    // window — degrade to 1 decimal first, and only then to the empty
+    // map (the pre-r9 behavior), never to an unparseable truncation.
+    val qsShort = {
+      val two = results.map { case (k, (v, _, _)) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+        .mkString("{", ",", "}")
+      if (two.length <= 1800) two
+      else {
+        val one = results.map { case (k, (v, _, _)) =>
+          s"\"" + k.takeWhile(_ != '_') + "\":" + f1(v) }
+          .mkString("{", ",", "}")
+        if (one.length <= 1800) one else "{}"
+      }
+    }
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}""")
     val summary =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"total_sec":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""

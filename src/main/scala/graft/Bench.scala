@@ -140,16 +140,21 @@ object Bench {
     // Growth guard: at ~165+ queries even short keys overflow the tail
     // window — degrade to 1 decimal first, and only then to the empty
     // map (the pre-r9 behavior), never to an unparseable truncation.
+    // The budget bounds the ASSEMBLED line (map + ~130 bytes of fixed
+    // contract keys + sbt's "[info] " prefix), not the bare map — a
+    // map-only bound would report headroom the full line doesn't have.
+    val lineBudget = 1900
     val qsShort = {
+      val envelope = 140
       val two = results.map { case (k, (v, _, _)) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      if (two.length <= 1800) two
+      if (two.length + envelope <= lineBudget) two
       else {
         val one = results.map { case (k, (v, _, _)) =>
           s"\"" + k.takeWhile(_ != '_') + "\":" + f1(v) }
           .mkString("{", ",", "}")
-        if (one.length <= 1800) one else "{}"
+        if (one.length + envelope <= lineBudget) one else "{}"
       }
     }
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}""")

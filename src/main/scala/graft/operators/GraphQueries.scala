@@ -87,10 +87,16 @@ object GraphQueries {
     }
 
   private def basketCo2(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
+      d: String): DataFrame = {
+    // resolve the op frame BEFORE entering the co2 build thunk: a
+    // SharedFrames lookup inside another's computeIfAbsent would be a
+    // recursive update on the same map (JDK throws when the keys share
+    // a hash bin)
+    val op = basketOp(s, d)
     graft.plans.SharedFrames(s, d, "baskets_co2") {
-      coOccurrenceEdgesFromDistinct(basketOp(s, d), minShared = 2)
+      coOccurrenceEdgesFromDistinct(op, minShared = 2)
     }
+  }
 
   /** Fixed-point PageRank over an arbitrary directed edge list
     * (src, dst), `iters` synchronous iterations, damping 17/20.

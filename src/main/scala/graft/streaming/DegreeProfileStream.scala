@@ -31,7 +31,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * cardinality the batch shuffle carries; stage 2 keeps 16 bytes per
   * in-horizon node. Both evict by event-time timeout at
   * (last sighting + horizon) with the late-copy clamp (a late
-  * in-watermark sighting never moves expiry backward). No seal-order
+  * in-watermark sighting never moves expiry backward); re-sighted
+  * pairs forward KEEPALIVE hits (at most one per pair per
+  * micro-batch, flagged isNew=false) so stage 2's clock follows node
+  * activity and an active hub's degree state lives exactly as long
+  * as its pair states do. No seal-order
   * subtlety: pair dedup and degree counting are fold-order-insensitive
   * (a set and a count), so arrivals process in their arrival batch —
   * the [[EdgeSupportStream]] discipline, not [[Scd2Stream]]'s strict
@@ -59,9 +63,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object DegreeProfileStream {
 
   final case class PairIn(c: Long, s: Long, ts: java.sql.Timestamp)
-  /** One per endpoint of a FIRST-sighted pair: node ids carry the
-    * batch's c<id>/s<id> tags so the two id spaces never collide. */
-  final case class NodeHit(node: String, ts: java.sql.Timestamp)
+  /** One per endpoint of a sighted pair: node ids carry the batch's
+    * c<id>/s<id> tags so the two id spaces never collide. `isNew` is
+    * true only for a pair's FIRST sighting (the degree increment);
+    * re-sightings forward as KEEPALIVES (at most one per pair per
+    * micro-batch) so stage 2's eviction clock tracks node ACTIVITY,
+    * not just new-partner arrivals — without them an active hub whose
+    * partner set stopped growing would age out of stage 2 while all
+    * its pair states stayed live, and its next crossing would restart
+    * at degree 1. */
+  final case class NodeHit(node: String, ts: java.sql.Timestamp,
+      isNew: Boolean)
   /** Emitted when `node`'s in-horizon degree ENTERS bucket
     * floor(log2(degree)) — i.e. at degree exactly 1, 2, 4, 8, ... */
   final case class BucketCross(node: String, log2_bucket: Long,
@@ -109,8 +121,13 @@ object DegreeProfileStream {
       val out = Vector.newBuilder[NodeHit]
       if (state.getOption.isEmpty) {
         val first = batch.head
-        out += NodeHit("c" + key._1, first.ts)
-        out += NodeHit("s" + key._2, first.ts)
+        out += NodeHit("c" + key._1, first.ts, isNew = true)
+        out += NodeHit("s" + key._2, first.ts, isNew = true)
+      } else {
+        // keepalive: once per pair per batch, at the batch's latest ts
+        val latest = batch.last
+        out += NodeHit("c" + key._1, latest.ts, isNew = false)
+        out += NodeHit("s" + key._2, latest.ts, isNew = false)
       }
       val lastSeen = math.max(batch.map(_.ts.getTime).max,
         state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))
@@ -131,12 +148,14 @@ object DegreeProfileStream {
       var deg = state.getOption.map(_.degree).getOrElse(0L)
       val out = Vector.newBuilder[BucketCross]
       batch.foreach { h =>
-        deg += 1
-        // entered a new floor(log2) bucket iff degree is a power of two
-        if ((deg & (deg - 1)) == 0) {
-          out += BucketCross(node,
-            (63 - java.lang.Long.numberOfLeadingZeros(deg)).toLong, deg, h.ts)
-        }
+        if (h.isNew) {
+          deg += 1
+          // entered a new floor(log2) bucket iff degree is a power of two
+          if ((deg & (deg - 1)) == 0) {
+            out += BucketCross(node,
+              (63 - java.lang.Long.numberOfLeadingZeros(deg)).toLong, deg, h.ts)
+          }
+        } // keepalives refresh lastSeen below, never the degree
       }
       val lastSeen = math.max(batch.map(_.ts.getTime).max,
         state.getOption.map(_.lastSeenMs).getOrElse(Long.MinValue))

@@ -67,6 +67,29 @@ class DegreeProfileStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keepalives: an active hub whose partner set stopped growing is NOT evicted and never restarts at degree 1") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val q = start(ms, "deg_ttl")
+    try {
+      ms.addData((1L, 10L, t(9, 0))) // c1 degree 1
+      q.processAllAvailable()
+      ms.addData((1L, 10L, t(10, 0))) // RE-sighting: keepalive, no increment
+      q.processAllAvailable()
+      // watermark pusher with NO c1 data: wm -> 9:40, past c1's
+      // pre-keepalive deadline (9:00 + 30 min) — without keepalives the
+      // node state would time out here
+      ms.addData((2L, 99L, t(10, 10)))
+      q.processAllAvailable()
+      ms.addData((1L, 11L, t(10, 20))) // new partner: degree must be 2
+      q.processAllAvailable()
+      val c1 = spark.table("deg_ttl").where(col("node") === "c1")
+        .select("log2_bucket", "degree").as[(Long, Long)].collect().sorted
+      assert(c1.toSeq == Seq((0L, 1L), (1L, 2L)),
+        s"a re-sighted hub must continue at degree 2, not restart: ${c1.toSeq}")
+    } finally q.stop()
+  }
+
   test("single-batch replay equals batch q144's profile on the real corpus") {
     implicit val sq = spark.sqlContext
     // real purchase pairs at sf0.001, each stamped with its order date

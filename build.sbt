@@ -28,15 +28,29 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Size the single-JVM heap to the ACTUAL machine, not to one box:
+// local[32] runs 32 concurrent tasks in ONE heap, and a 150-query
+// session accumulates legitimate long-lived blocks (clustering
+// checkpoints, shared family projections, ANN indexes). At 8g the
+// catalog tail ran under visible GC pressure — q95's full-catalog
+// driver shot measured ~2x its isolated steady state (rounds 7-8).
+// Default: MemTotal/4, floored at 4 GiB (Spark won't start useful
+// local[32] work below that) and capped at 28 GiB (measured sweet
+// spot on the 128 GiB CI box; beyond it GC pauses grow with no
+// speedup). SPARK_DRIVER_MEM always wins.
+val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memTotalGiB: Long =
+    try {
+      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong }
+        .getOrElse(0L)
+      kb / (1024L * 1024L)
+    } catch { case _: Throwable => 0L } // non-Linux: fall to the floor
+  s"${math.min(28L, math.max(4L, memTotalGiB / 4))}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Size the single-JVM heap to the machine (128 GiB box), not to a
-  // laptop default: local[32] runs 32 concurrent tasks in ONE heap, and
-  // a 150-query session accumulates legitimate long-lived blocks
-  // (clustering checkpoints, shared family projections, ANN indexes).
-  // At 8g the catalog tail ran under visible GC pressure — q95's
-  // full-catalog driver shot measured ~2x its isolated steady state
-  // (rounds 7-8); the heap, not the plan, was the context cost.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  s"-Xmx$driverHeap",
 )

@@ -140,12 +140,16 @@ object Bench {
     // Growth guard: at ~165+ queries even short keys overflow the tail
     // window — degrade to 1 decimal first, and only then to the empty
     // map (the pre-r9 behavior), never to an unparseable truncation.
-    // The budget bounds the ASSEMBLED line (map + ~130 bytes of fixed
-    // contract keys + sbt's "[info] " prefix), not the bare map — a
-    // map-only bound would report headroom the full line doesn't have.
+    // The budget bounds the ASSEMBLED line (map + fixed contract keys +
+    // sbt's "[info] " prefix), not the bare map — a map-only bound
+    // would report headroom the full line doesn't have. The envelope is
+    // MEASURED from the real fixed portion (round-9 advice: a constant
+    // under-counted a long sf path + the f3 totals), not hand-tuned.
     val lineBudget = 1900
+    def summaryLine(m: String) =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$m,"total_sec":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val qsShort = {
-      val envelope = 140
+      val envelope = "[info] ".length + summaryLine("{}").length - 2
       val two = results.map { case (k, (v, _, _)) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
         .mkString("{", ",", "}")
@@ -157,25 +161,28 @@ object Bench {
         if (one.length + envelope <= lineBudget) one else "{}"
       }
     }
-    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}""")
-    val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsShort,"total_sec":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""
-    println(summary)
-    // Three rounds of "parsed": null show the sbt-prefixed stdout tail is
-    // a hostile channel for machine readers, so the per-query numbers
-    // also ship (a) in FULL-name form on stderr — sbt forwards stderr
-    // without the [info] prefix — and (b) as a file any reader can pick
-    // up verbatim. Both carry the driver contract keys (metric/value/
-    // unit/queries/sf) so a reader of any one line has everything.
+    // The driver reads the LAST ~2 KB of the MERGED stdout+stderr
+    // capture, so the compact line of record must be the final thing
+    // this process emits on EITHER stream (round-9 "parsed": null: a
+    // ~5 KB stderr detail copy landed after the summary in the merge
+    // and clipped the tail). Full-name detail therefore ships only via
+    // (a) stdout BEFORE the summary — human-readable, harmlessly
+    // scrolled off — and (b) target/bench_summary.json, which no
+    // window applies to. No stderr copy at all.
     val detail =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_sec":${f3(total)},"n_queries":${results.size},"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"sf":"$sfDir"}"""
-    System.err.println(detail)
     try {
       val p = java.nio.file.Paths.get("target", "bench_summary.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: java.io.IOException => () } // best-effort side channel
+    // spark.stop() BEFORE the summary so executor-shutdown chatter on
+    // stderr cannot land after the line of record in the merged capture.
     spark.stop()
+    System.err.flush()
+    println(detail)
+    println(summaryLine(qsShort))
+    System.out.flush()
   }
 }

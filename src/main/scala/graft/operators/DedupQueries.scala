@@ -587,19 +587,29 @@ object DedupQueries {
       "premise, yet the plan still contains NO all-pairs product: " +
       "candidates are an equi-join on prefix tokens + the 2*min>=max " +
       "length filter, then exact intersection sizes confirm. The " +
-      "oracle brute-forces all pairs (fine at sf0.01; the engine plan " +
-      "is the one that scales).",
+      "oracle is blocked the same exact way q66's is (round-10: the " +
+      "earlier all-pairs form was intractable at the ~sf1 gate): " +
+      "jac >= 0.5 implies a shared shingle, so a shingle equi-join + " +
+      "per-pair count is EXACT, never a nested-loop product; jac is " +
+      "inter/(sz_a+sz_b-inter) — one IEEE division of the same exact " +
+      "ints both engines hold, bit-identical to the engine's " +
+      "inter/union.",
       s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
-        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.sh, b.sh))::BIGINT AS inter_n,
-        |  len(a.sh)::BIGINT AS sz_a, len(b.sh)::BIGINT AS sz_b,
-        |  len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jac
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE
-        |    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s
+        |       WHERE len(sh) > 0),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*)::BIGINT AS inter_n
+        |  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.inter_n,
+        |  sa.n AS sz_a, sb.n AS sz_b,
+        |  p.inter_n::DOUBLE / (sa.n + sb.n - p.inter_n)::DOUBLE AS jac
+        |FROM pair p
+        |JOIN sz sa ON p.doc_a = sa.doc_id
+        |JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE p.inter_n::DOUBLE / (sa.n + sb.n - p.inter_n)::DOUBLE >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       prefixFilterPairs(Tables.documents(s, d))
     },
@@ -765,19 +775,29 @@ object DedupQueries {
       "division of exact ints on both engines.",
       s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
         |sgl AS (SELECT doc_id, $sqlShingles AS sh FROM t),
-        |cor AS (SELECT * FROM sgl WHERE doc_id % 10 < 8),
-        |inc AS (SELECT * FROM sgl WHERE doc_id % 10 >= 8),
+        |corsz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sgl
+        |          WHERE doc_id % 10 < 8 AND len(sh) > 0),
+        |incsz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM sgl
+        |          WHERE doc_id % 10 >= 8 AND len(sh) > 0),
+        |xc AS (SELECT doc_id, unnest(sh) AS g FROM sgl
+        |       WHERE doc_id % 10 < 8),
+        |xi AS (SELECT doc_id, unnest(sh) AS g FROM sgl
+        |       WHERE doc_id % 10 >= 8),
+        |ints AS (SELECT i.doc_id, c.doc_id AS cand_id,
+        |    count(*)::BIGINT AS inter_n
+        |  FROM xi i JOIN xc c ON i.g = c.g GROUP BY 1, 2),
         |corh AS (SELECT md5(text) AS hh, min(doc_id)::BIGINT AS exact_id
         |         FROM documents WHERE doc_id % 10 < 8 GROUP BY md5(text)),
         |ex AS (SELECT d.doc_id, corh.exact_id
         |       FROM documents d LEFT JOIN corh ON md5(d.text) = corh.hh
         |       WHERE d.doc_id % 10 >= 8),
-        |pairs AS (SELECT i.doc_id, c.doc_id AS cand_id,
-        |    len(list_intersect(i.sh, c.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(i.sh, c.sh)))::DOUBLE AS jac
-        |  FROM inc i JOIN cor c ON len(list_intersect(i.sh, c.sh)) >= 1
-        |  WHERE len(list_intersect(i.sh, c.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(i.sh, c.sh)))::DOUBLE >= 0.5),
+        |pairs AS (SELECT n.doc_id, n.cand_id,
+        |    n.inter_n::DOUBLE / (si.n + sc.n - n.inter_n)::DOUBLE AS jac
+        |  FROM ints n
+        |  JOIN incsz si ON n.doc_id = si.doc_id
+        |  JOIN corsz sc ON n.cand_id = sc.doc_id
+        |  WHERE n.inter_n::DOUBLE
+        |      / (si.n + sc.n - n.inter_n)::DOUBLE >= 0.5),
         |best AS (SELECT doc_id, cand_id, jac,
         |    row_number() OVER (PARTITION BY doc_id
         |                       ORDER BY jac DESC, cand_id) AS rn

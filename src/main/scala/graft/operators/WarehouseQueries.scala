@@ -172,8 +172,11 @@ object WarehouseQueries {
       "division, no float), and small files pack into jobs by the " +
       "deterministic greedy rule job_id = (running_sum - n_rows) DIV " +
       "target with target = 2 * mean (integer DIV) over key order — " +
-      "the first-fit bin packing OPTIMIZE uses, expressed as ONE " +
-      "cumulative-sum window. ALL-INTEGER output -> hash-exact. " +
+      "NEXT-FIT cumulative-offset packing (a job can exceed target " +
+      "via its straddling last file, and later small files never back-" +
+      "fill an earlier job, unlike first-fit — round-9 advice), " +
+      "expressed as ONE cumulative-sum window. " +
+      "ALL-INTEGER output -> hash-exact. " +
       "Shape at 100 TB: file STATS (count-sized, not row-sized) feed " +
       "one broadcast total + one ordered window over the small-file " +
       "subset; the planner never touches data rows — exactly why " +

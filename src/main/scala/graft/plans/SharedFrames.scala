@@ -52,7 +52,12 @@ object SharedFrames {
       name: String)
 
   private val frames = new ConcurrentHashMap[Key, DataFrame]()
-  private val hooked = new ConcurrentHashMap[SparkSession, java.lang.Boolean]()
+  // Value is the registered listener so clear() can deregister it —
+  // otherwise alternating clear()/apply() on a long-lived session would
+  // accumulate one application-end listener per cycle (round-9 advice;
+  // behavior stayed correct because clears are idempotent, but the
+  // listener bus grew).
+  private val hooked = new ConcurrentHashMap[SparkSession, SparkListener]()
 
   /** Get-or-build the named shared frame for (session, dir). The build
     * thunk runs at most once per key; the result is persisted lazily
@@ -80,14 +85,21 @@ object SharedFrames {
         it.remove()
       }
     }
-    hooked.remove(s)
+    val l = hooked.remove(s)
+    if (l != null) {
+      try s.sparkContext.removeSparkListener(l)
+      catch { case _: Throwable => () } // context already stopped: nothing to remove
+    }
   }
 
-  private def hookSessionEnd(s: SparkSession): Unit =
-    if (hooked.putIfAbsent(s, java.lang.Boolean.TRUE) == null) {
-      try s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(
-            end: SparkListenerApplicationEnd): Unit = clear(s)
-      }) catch { case _: Throwable => hooked.remove(s) }
+  private def hookSessionEnd(s: SparkSession): Unit = {
+    val l = new SparkListener {
+      override def onApplicationEnd(
+          end: SparkListenerApplicationEnd): Unit = clear(s)
     }
+    if (hooked.putIfAbsent(s, l) == null) {
+      try s.sparkContext.addSparkListener(l)
+      catch { case _: Throwable => hooked.remove(s) }
+    }
+  }
 }

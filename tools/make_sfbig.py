@@ -15,8 +15,17 @@ Jaccard drops to 0. Verbatim replication instead put every cross-replica
 doc pair at Jaccard ~1 and (round-8 coverage note) created 400 pairs in
 the [0.1, 0.8) band, violating q66's LSH-recall premise and blowing the
 oracle's shared-shingle blocking up to 113 M candidate pairs; the retag
-restores the premise by construction, so the q66/q141/q143 family is
-hash-checkable at the ~sf1 gate again.
+restores the premise, so the q66/q141/q143 family is hash-checkable at
+the ~sf1 gate again.
+
+Caveat (round-9 advice): the retag is injective per replica but cross-
+replica disjointness is NOT purely structural — a base token already
+ending in the retag suffix pattern (e.g. "foor1") would collide with
+replica 1's retag of its prefix ("foo" -> "foor1"). Two gates cover it:
+(a) the assert below fails the build if any base-corpus token matches
+the suffix pattern for the chosen MULT, and (b) the engine suite's
+recallPremiseGapPairs probe verifies the premise empirically on the
+produced corpus either way.
 
 Usage: python3 tools/make_sfbig.py [mult] [outdir] [srcdir]
 """
@@ -48,6 +57,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 import os
 os.makedirs(OUT, exist_ok=True)
+
+# Pre-flight for the caveat above: no base-corpus token may itself end
+# in a retag suffix r{m} for any replica index m in range, or the
+# "cross-replica Jaccard -> 0" premise could be violated by a
+# vocabulary accident rather than hold.
+if MULT > 1:
+    _base_text = pq.read_table(f"{SRC}/documents.parquet", columns=["text"])
+    _suffix = re.compile(r"r(%s)$" % "|".join(str(m) for m in range(1, MULT)))
+    _collisions = sorted({
+        tok for v in _base_text.column("text").to_pylist() if v is not None
+        for tok in v.split() if _suffix.search(tok)})
+    assert not _collisions, (
+        "base corpus tokens collide with the r{m} retag suffix; "
+        "cross-replica disjointness would not hold: %s" % _collisions[:10])
+
 for t in TABLES:
     src = pq.read_table(f"{SRC}/{t}.parquet")
     parts = []

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Coverage-completing operators: grouping sets, full outer join, map
@@ -9,6 +9,73 @@ import org.apache.spark.sql.functions._
   * extension surface, and approximate distinct counting.
   */
 object ExtendedQueries {
+
+  // ------------------------------------------------------------------
+  // q73's z-order layout stats, factored (round 10) so q155's min-max
+  // pruning audit composes the SAME bucket-stats definition instead of
+  // duplicating the curve arithmetic. Declared before `defs` (object
+  // init order).
+
+  /** (o_custkey, oday): the two z-ordered dimensions. */
+  private[operators] def zorderBase(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val oday = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1970-01-01")))
+    Tables.orders(s, d).select(col("o_custkey"), oday.cast("long").as("oday"))
+  }
+
+  /** One-row global bounds (clo, chi, dlo, dhi) — broadcast by callers. */
+  private[operators] def zorderBounds(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    zorderBase(s, d).agg(
+      min("o_custkey").as("clo"), max("o_custkey").as("chi"),
+      min("oday").as("dlo"), max("oday").as("dhi"))
+
+  /** The 32-bucket z-order layout stats (bucket, cnt, cust_lo, cust_hi,
+    * day_lo, day_hi), UNORDERED — q73 orders it; q155 joins probes
+    * against it. See q73's description for the scaling rationale. */
+  private[operators] def zorderBucketStats(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = zorderBase(s, d)
+    val z = base.crossJoin(broadcast(zorderBounds(s, d))).select(
+      graft.functions.ZOrder.zValue(
+        expr(graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "div")),
+        expr(graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "div")))
+        .as("zval"),
+      col("o_custkey"), col("oday"))
+    val mx = z.agg(max("zval").as("zmax"))
+    z.crossJoin(broadcast(mx))
+      .groupBy(expr("(zval * 32) div (zmax + 1)").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("o_custkey").as("cust_lo"), max("o_custkey").as("cust_hi"),
+        min("oday").as("day_lo"), max("oday").as("day_hi"))
+  }
+
+  /** The q73 oracle's CTE chain (b0/bd/sc/z/mx), shared with q155. */
+  private[operators] val zorderCtes: String =
+    s"""b0 AS (SELECT o_custkey,
+      |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+      |      AS oday
+      |  FROM orders),
+      |bd AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
+      |    min(oday) AS dlo, max(oday) AS dhi FROM b0),
+      |sc AS (SELECT o_custkey, oday,
+      |    ${graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "//")} AS cx,
+      |    ${graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "//")} AS cy
+      |  FROM b0 CROSS JOIN bd),
+      |z AS (SELECT ${graft.functions.ZOrder.zValueSql("cx", "cy")} AS zval,
+      |    o_custkey, oday FROM sc),
+      |mx AS (SELECT max(zval)::BIGINT AS zmax FROM z)""".stripMargin
+
+  /** The q73 oracle's bucket-stats SELECT (no ORDER BY), shared with
+    * q155 (which wraps it as a CTE). */
+  private[operators] val zorderStatsSelect: String =
+    """SELECT ((z.zval * 32) // (mx.zmax + 1))::BIGINT AS bucket,
+      |  count(*)::BIGINT AS cnt,
+      |  min(z.o_custkey)::BIGINT AS cust_lo, max(z.o_custkey)::BIGINT AS cust_hi,
+      |  min(z.oday) AS day_lo, max(z.oday) AS day_hi
+      |FROM z CROSS JOIN mx
+      |GROUP BY bucket""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -395,46 +462,10 @@ object ExtendedQueries {
       "pattern) in pure int64 shifts, and bucketing is arithmetic on " +
       "broadcast min/max scalars — deterministic equi-width, no " +
       "sampled range boundaries, no global-sort window anywhere.",
-      s"""WITH b0 AS (SELECT o_custkey,
-        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
-        |      AS oday
-        |  FROM orders),
-        |bd AS (SELECT min(o_custkey) AS clo, max(o_custkey) AS chi,
-        |    min(oday) AS dlo, max(oday) AS dhi FROM b0),
-        |sc AS (SELECT o_custkey, oday,
-        |    ${graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "//")} AS cx,
-        |    ${graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "//")} AS cy
-        |  FROM b0 CROSS JOIN bd),
-        |z AS (SELECT ${graft.functions.ZOrder.zValueSql("cx", "cy")} AS zval,
-        |    o_custkey, oday FROM sc),
-        |mx AS (SELECT max(zval)::BIGINT AS zmax FROM z)
-        |SELECT ((z.zval * 32) // (mx.zmax + 1))::BIGINT AS bucket,
-        |  count(*)::BIGINT AS cnt,
-        |  min(z.o_custkey)::BIGINT AS cust_lo, max(z.o_custkey)::BIGINT AS cust_hi,
-        |  min(z.oday) AS day_lo, max(z.oday) AS day_hi
-        |FROM z CROSS JOIN mx
-        |GROUP BY bucket
+      s"""WITH $zorderCtes
+        |$zorderStatsSelect
         |ORDER BY bucket""".stripMargin) { (s, d) =>
-      val oday = datediff(col("o_orderdate").cast("date"),
-        to_date(lit("1970-01-01")))
-      val base = Tables.orders(s, d)
-        .select(col("o_custkey"), oday.cast("long").as("oday"))
-      val bounds = base.agg(
-        min("o_custkey").as("clo"), max("o_custkey").as("chi"),
-        min("oday").as("dlo"), max("oday").as("dhi"))
-      val z = base.crossJoin(broadcast(bounds)).select(
-        graft.functions.ZOrder.zValue(
-          expr(graft.functions.ZOrder.scale16Sql("o_custkey", "clo", "chi", "div")),
-          expr(graft.functions.ZOrder.scale16Sql("oday", "dlo", "dhi", "div")))
-          .as("zval"),
-        col("o_custkey"), col("oday"))
-      val mx = z.agg(max("zval").as("zmax"))
-      z.crossJoin(broadcast(mx))
-        .groupBy(expr("(zval * 32) div (zmax + 1)").as("bucket"))
-        .agg(count(lit(1)).as("cnt"),
-          min("o_custkey").as("cust_lo"), max("o_custkey").as("cust_hi"),
-          min("oday").as("day_lo"), max("oday").as("day_hi"))
-        .orderBy("bucket")
+      zorderBucketStats(s, d).orderBy("bucket")
     },
 
     // ---------------------------------------------------------------- q74

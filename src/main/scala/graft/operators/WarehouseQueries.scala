@@ -62,6 +62,28 @@ object WarehouseQueries {
         col("n_orders"), col("n_open"), col("last_order"),
         col("spend_cents"))
 
+  /** q151's per-file deletion-vector stats under a key-ordered layout of
+    * `fileRows` rows per file — factored (round 10) so q154's VACUUM
+    * planner composes the same definition at maintenance granularity. */
+  private def dvFileStats(s: SparkSession, d: String, fileRows: Int): DataFrame = {
+    val dead = mergeActions(s, d).where(col("action") === "delete")
+      .select(col("c_custkey"), lit(1).as("is_dead"))
+    snapshot(s, d)
+      .join(dead, Seq("c_custkey"), "left")
+      .select(expr(s"c_custkey DIV $fileRows").as("file_id"),
+        (col("c_custkey") % fileRows).as("pos"), col("is_dead"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_dead").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_dead"),
+        sum(when(col("is_dead").isNotNull, col("pos"))).cast("long")
+          .as("sum_dead_pos"),
+        min(when(col("is_dead").isNotNull, col("pos"))).cast("long")
+          .as("min_dead_pos"),
+        max(when(col("is_dead").isNotNull, col("pos"))).cast("long")
+          .as("max_dead_pos"))
+  }
+
   private val mergeSql =
     """WITH src AS (SELECT o_custkey AS c_custkey,
       |    count(*)::BIGINT AS n_orders,
@@ -84,6 +106,26 @@ object WarehouseQueries {
       |       ELSE 'update' END AS action,
       |  n_orders, n_open, last_order, spend_cents
       |FROM m""".stripMargin
+
+  /** Oracle twin of [[dvFileStats]]: the m/snap/d/f CTE chain ending in
+    * the per-file stats frame `f` (no ORDER BY; q151 and q154 both wrap
+    * it). */
+  private def dvStatsCtes(fileRows: Int): String =
+    s"""m AS ($mergeSql),
+      |snap AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+      |d AS (SELECT c_custkey FROM m WHERE action = 'delete'),
+      |f AS (SELECT snap.c_custkey // $fileRows AS file_id,
+      |    count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_dead,
+      |    sum(CASE WHEN d.c_custkey IS NOT NULL
+      |        THEN snap.c_custkey % $fileRows END)::BIGINT AS sum_dead_pos,
+      |    min(CASE WHEN d.c_custkey IS NOT NULL
+      |        THEN snap.c_custkey % $fileRows END)::BIGINT AS min_dead_pos,
+      |    max(CASE WHEN d.c_custkey IS NOT NULL
+      |        THEN snap.c_custkey % $fileRows END)::BIGINT AS max_dead_pos
+      |  FROM snap LEFT JOIN d ON snap.c_custkey = d.c_custkey
+      |  GROUP BY 1)""".stripMargin
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -125,39 +167,12 @@ object WarehouseQueries {
       "100 TB: q150's merge join feeds ONE combinable aggregate " +
       "keyed by file_id — no second pass over the snapshot, and the " +
       "output is file-count-sized, not row-sized.",
-      s"""WITH m AS ($mergeSql),
-        |snap AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
-        |d AS (SELECT c_custkey FROM m WHERE action = 'delete')
-        |SELECT snap.c_custkey // 128 AS file_id,
-        |  count(*)::BIGINT AS n_rows,
-        |  sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_dead,
-        |  sum(CASE WHEN d.c_custkey IS NOT NULL
-        |      THEN snap.c_custkey % 128 END)::BIGINT AS sum_dead_pos,
-        |  min(CASE WHEN d.c_custkey IS NOT NULL
-        |      THEN snap.c_custkey % 128 END)::BIGINT AS min_dead_pos,
-        |  max(CASE WHEN d.c_custkey IS NOT NULL
-        |      THEN snap.c_custkey % 128 END)::BIGINT AS max_dead_pos
-        |FROM snap LEFT JOIN d ON snap.c_custkey = d.c_custkey
-        |GROUP BY 1
+      s"""WITH ${dvStatsCtes(128)}
+        |SELECT file_id, n_rows, n_dead, sum_dead_pos, min_dead_pos,
+        |  max_dead_pos
+        |FROM f
         |ORDER BY file_id""".stripMargin) { (s, d) =>
-      val dead = mergeActions(s, d).where(col("action") === "delete")
-        .select(col("c_custkey"), lit(1).as("is_dead"))
-      snapshot(s, d)
-        .join(dead, Seq("c_custkey"), "left")
-        .select(expr("c_custkey DIV 128").as("file_id"),
-          (col("c_custkey") % 128).as("pos"), col("is_dead"))
-        .groupBy("file_id")
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("is_dead").isNotNull, 1L).otherwise(0L)).cast("long")
-            .as("n_dead"),
-          sum(when(col("is_dead").isNotNull, col("pos"))).cast("long")
-            .as("sum_dead_pos"),
-          min(when(col("is_dead").isNotNull, col("pos"))).cast("long")
-            .as("min_dead_pos"),
-          max(when(col("is_dead").isNotNull, col("pos"))).cast("long")
-            .as("max_dead_pos"))
-        .orderBy("file_id")
+      dvFileStats(s, d, 128).orderBy("file_id")
     },
 
     // --------------------------------------------------------------- q152
@@ -218,6 +233,207 @@ object WarehouseQueries {
         .select(col("file_month"), col("n_rows"), col("is_small"),
           col("job_id"))
         .orderBy("file_month")
+    },
+
+    // --------------------------------------------------------------- q153
+    "q153_snapshot_time_travel" -> QueryDef.sql(
+      "Snapshot-as-of read (time travel) over a deterministic 3-version " +
+      "commit log on customer — version 0 inserts every base row " +
+      "(balance in exact cents), version 1 deletes key%50=0 and bumps " +
+      "key%97=0 (disjoint by construction: %97 rows exclude %50=0), " +
+      "version 2 deletes the bumped rows and bumps key%7=0 — and the " +
+      "AS-OF state at each version audited as (n_rows, balance_cents): " +
+      "per (key, version) the LATEST change at-or-before the version " +
+      "wins via max_by/arg_max on the commit version (deterministic: " +
+      "at most one change per key per version by construction), delete " +
+      "tombstones drop the row, then one integer rollup per version. " +
+      "ALL-INTEGER output -> hash-exact. Shape at 100 TB: a production " +
+      "as-of read reconstructs ONE version — a single key-partitioned " +
+      "max_by aggregate over changes <= v, cost proportional to the " +
+      "CHANGE LOG, never versions x table; the 3-version explode here " +
+      "is the audit form (output is version-count-sized), and the " +
+      "per-key election is map-side combinable either way.",
+      """WITH base AS (SELECT c_custkey AS k,
+        |    round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+        |log AS (
+        |  SELECT k, 0::BIGINT AS ver, 'I' AS op, cents FROM base
+        |  UNION ALL SELECT k, 1::BIGINT, 'D', 0::BIGINT FROM base
+        |    WHERE k % 50 = 0
+        |  UNION ALL SELECT k, 1::BIGINT, 'U', cents + 1000 FROM base
+        |    WHERE k % 97 = 0 AND k % 50 <> 0
+        |  UNION ALL SELECT k, 2::BIGINT, 'D', 0::BIGINT FROM base
+        |    WHERE k % 97 = 0 AND k % 50 <> 0
+        |  UNION ALL SELECT k, 2::BIGINT, 'U', cents + 2500 FROM base
+        |    WHERE k % 7 = 0 AND k % 50 <> 0 AND k % 97 <> 0),
+        |vx AS (SELECT l.k, l.ver, l.op, l.cents, vt.v::BIGINT AS v
+        |  FROM log l CROSS JOIN (VALUES (0), (1), (2)) AS vt(v)
+        |  WHERE l.ver <= vt.v),
+        |st AS (SELECT k, v, arg_max(op, ver) AS last_op,
+        |    arg_max(cents, ver) AS last_cents
+        |  FROM vx GROUP BY 1, 2)
+        |SELECT v AS version, count(*)::BIGINT AS n_rows,
+        |  sum(last_cents)::BIGINT AS balance_cents
+        |FROM st WHERE last_op <> 'D'
+        |GROUP BY v
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val log = base
+        .select(col("k"), lit(0L).as("ver"), lit("I").as("op"), col("cents"))
+        .unionByName(base.where(col("k") % 50 === 0)
+          .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
+            lit(0L).as("cents")))
+        .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
+          .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
+            (col("cents") + 1000L).as("cents")))
+        .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
+          .select(col("k"), lit(2L).as("ver"), lit("D").as("op"),
+            lit(0L).as("cents")))
+        .unionByName(base.where(col("k") % 7 === 0 && col("k") % 50 =!= 0 &&
+            col("k") % 97 =!= 0)
+          .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
+            (col("cents") + 2500L).as("cents")))
+      log
+        .withColumn("v", explode(array(lit(0L), lit(1L), lit(2L))))
+        .where(col("ver") <= col("v"))
+        .groupBy("k", "v")
+        .agg(max_by(col("op"), col("ver")).as("last_op"),
+          max_by(col("cents"), col("ver")).as("last_cents"))
+        .where(col("last_op") =!= "D")
+        .groupBy(col("v").as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("last_cents").cast("long").as("balance_cents"))
+        .orderBy("version")
+    },
+
+    // --------------------------------------------------------------- q154
+    "q154_vacuum_plan" -> QueryDef.sql(
+      "VACUUM/retention planner over q151's deletion-vector stats — the " +
+      "decision pass after the DV audit: per file, REWRITE when dead " +
+      "rows reach 25% (4*n_dead >= n_rows — past the rewrite-economics " +
+      "threshold, reclaiming the dead rows), CARRY_DV when dead is in " +
+      "[10%, 25%) (keep the file, pay one DV bitmap of (n_rows+7) DIV " +
+      "8 bytes), RETAIN below 10% (writing a DV has fixed overhead; " +
+      "sub-threshold dead rows stay shadowed by the merge predicate " +
+      "until the next maintenance cycle). Pure integer cross-products " +
+      "decide both cuts. Files here are 32-row maintenance granules " +
+      "(at q151's 128-row audit granularity the percent spread " +
+      "collapses and branches empty out at the shipped SFs — the " +
+      "q148/q150 empty-branch lesson; at 32 rows all three actions " +
+      "are populated at sf0.001/0.01/0.1: 2/2/1, 13/32/2, " +
+      "155/253/61). ALL-INTEGER " +
+      "columns plus the action string -> hash-exact. Shape at 100 TB: " +
+      "composes q150's merge join into ONE file-keyed combinable " +
+      "aggregate; the plan output is file-count-sized and the " +
+      "classification is arithmetic on the stats row — like q152, the " +
+      "planner never touches data rows.",
+      s"""WITH ${dvStatsCtes(32)}
+        |SELECT file_id, n_rows, n_dead,
+        |  CASE WHEN 4 * n_dead >= n_rows THEN 'rewrite'
+        |       WHEN 10 * n_dead >= n_rows THEN 'carry_dv'
+        |       ELSE 'retain' END AS action,
+        |  (n_rows - n_dead)::BIGINT AS live_rows,
+        |  (CASE WHEN 4 * n_dead >= n_rows THEN n_dead
+        |        ELSE 0 END)::BIGINT AS reclaim_rows,
+        |  (CASE WHEN 4 * n_dead < n_rows AND 10 * n_dead >= n_rows
+        |        THEN (n_rows + 7) // 8 ELSE 0 END)::BIGINT AS dv_bytes
+        |FROM f
+        |ORDER BY file_id""".stripMargin) { (s, d) =>
+      val rewrite = col("n_dead") * 4 >= col("n_rows")
+      val carry = !rewrite && col("n_dead") * 10 >= col("n_rows")
+      dvFileStats(s, d, 32)
+        .select(col("file_id"), col("n_rows"), col("n_dead"),
+          when(rewrite, "rewrite")
+            .when(carry, "carry_dv")
+            .otherwise("retain").as("action"),
+          (col("n_rows") - col("n_dead")).cast("long").as("live_rows"),
+          when(rewrite, col("n_dead")).otherwise(0L).cast("long")
+            .as("reclaim_rows"),
+          when(carry, expr("(n_rows + 7) DIV 8")).otherwise(0L).cast("long")
+            .as("dv_bytes"))
+        .orderBy("file_id")
+    },
+
+    // --------------------------------------------------------------- q155
+    "q155_minmax_pruning_audit" -> QueryDef.sql(
+      "Manifest-level min-max pruning audit over q73's z-order layout " +
+      "stats: for six deterministic probe ranges (low/mid/high band of " +
+      "each dimension's global domain, bounds in pure integer DIV " +
+      "arithmetic), count how many of the 32 layout buckets a scan " +
+      "could SKIP because the probe range is disjoint from the " +
+      "bucket's min-max footer rectangle — the file-skipping estimate " +
+      "a query planner reads off the manifest before touching data, " +
+      "and the number that justifies q73's layout (both dimensions " +
+      "prune on one copy). Composes the SAME bucket-stats definition " +
+      "as q73 (zorderBucketStats — one shared Scala + SQL source). " +
+      "ALL-INTEGER output -> hash-exact. Shape at 100 TB: the stats " +
+      "frame is manifest-sized (one row per file), probes broadcast, " +
+      "and the audit is a stats x probes aggregate — planning-time " +
+      "metadata work, zero data-row I/O; the one data-proportional " +
+      "pass is building the layout stats, which q73 already pays.",
+      s"""WITH ${ExtendedQueries.zorderCtes},
+        |stats AS (${ExtendedQueries.zorderStatsSelect}),
+        |bounds AS (SELECT clo, chi, dlo, dhi FROM bd),
+        |probes AS (
+        |  SELECT 1::BIGINT AS probe_id, 'cust' AS dim, clo::BIGINT AS lo,
+        |    (clo + ((chi - clo) // 10))::BIGINT AS hi FROM bounds
+        |  UNION ALL SELECT 2::BIGINT, 'cust',
+        |    (clo + ((45 * (chi - clo)) // 100))::BIGINT,
+        |    (clo + ((55 * (chi - clo)) // 100))::BIGINT FROM bounds
+        |  UNION ALL SELECT 3::BIGINT, 'cust',
+        |    (clo + ((9 * (chi - clo)) // 10))::BIGINT, chi::BIGINT
+        |    FROM bounds
+        |  UNION ALL SELECT 4::BIGINT, 'day', dlo::BIGINT,
+        |    (dlo + ((dhi - dlo) // 10))::BIGINT FROM bounds
+        |  UNION ALL SELECT 5::BIGINT, 'day',
+        |    (dlo + ((45 * (dhi - dlo)) // 100))::BIGINT,
+        |    (dlo + ((55 * (dhi - dlo)) // 100))::BIGINT FROM bounds
+        |  UNION ALL SELECT 6::BIGINT, 'day',
+        |    (dlo + ((9 * (dhi - dlo)) // 10))::BIGINT, dhi::BIGINT
+        |    FROM bounds)
+        |SELECT p.probe_id, p.dim, p.lo, p.hi,
+        |  count(*)::BIGINT AS n_files,
+        |  sum(CASE WHEN (p.dim = 'cust'
+        |        AND (st.cust_hi < p.lo OR st.cust_lo > p.hi))
+        |      OR (p.dim = 'day'
+        |        AND (st.day_hi < p.lo OR st.day_lo > p.hi))
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+        |  (count(*) - sum(CASE WHEN (p.dim = 'cust'
+        |        AND (st.cust_hi < p.lo OR st.cust_lo > p.hi))
+        |      OR (p.dim = 'day'
+        |        AND (st.day_hi < p.lo OR st.day_lo > p.hi))
+        |      THEN 1 ELSE 0 END))::BIGINT AS n_scanned
+        |FROM probes p CROSS JOIN stats st
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY probe_id""".stripMargin) { (s, d) =>
+      val stats = ExtendedQueries.zorderBucketStats(s, d)
+      val bounds = ExtendedQueries.zorderBounds(s, d)
+      def p(id: Long, dim: String, lo: org.apache.spark.sql.Column,
+          hi: org.apache.spark.sql.Column) =
+        struct(lit(id).as("probe_id"), lit(dim).as("dim"),
+          lo.cast("long").as("lo"), hi.cast("long").as("hi"))
+      val probes = bounds.select(explode(array(
+          p(1L, "cust", col("clo"), col("clo") + expr("(chi - clo) DIV 10")),
+          p(2L, "cust", col("clo") + expr("(45 * (chi - clo)) DIV 100"),
+            col("clo") + expr("(55 * (chi - clo)) DIV 100")),
+          p(3L, "cust", col("clo") + expr("(9 * (chi - clo)) DIV 10"),
+            col("chi")),
+          p(4L, "day", col("dlo"), col("dlo") + expr("(dhi - dlo) DIV 10")),
+          p(5L, "day", col("dlo") + expr("(45 * (dhi - dlo)) DIV 100"),
+            col("dlo") + expr("(55 * (dhi - dlo)) DIV 100")),
+          p(6L, "day", col("dlo") + expr("(9 * (dhi - dlo)) DIV 10"),
+            col("dhi")))).as("p"))
+        .select(col("p.*"))
+      val skip = (col("dim") === "cust" &&
+          (col("cust_hi") < col("lo") || col("cust_lo") > col("hi"))) ||
+        (col("dim") === "day" &&
+          (col("day_hi") < col("lo") || col("day_lo") > col("hi")))
+      stats.crossJoin(broadcast(probes))
+        .groupBy("probe_id", "dim", "lo", "hi")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skip, 1L).otherwise(0L)).cast("long").as("n_skipped"))
+        .withColumn("n_scanned", (col("n_files") - col("n_skipped")).cast("long"))
+        .orderBy("probe_id")
     }
   )
 }

@@ -541,4 +541,30 @@ class PlanChecksSpec extends SparkSpec {
       "the 1-row total must ride as a broadcast:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q153: as-of reconstruction is union + aggregate — no join anywhere") {
+    // the change log unions filtered projections of ONE scan; the per-key
+    // election and the per-version rollup are aggregates. Any join here
+    // would mean the reconstruction pays versions x table, not change-log
+    val p = plan("q153_snapshot_time_travel")
+    assert(!p.contains("Join"), "as-of read must not join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q154: vacuum planning keeps q150's single-merge-join shape — no cartesian") {
+    val p = plan("q154_vacuum_plan")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "the one key join feeding the file stats:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q155: the probe product is a BROADCAST over manifest-sized stats") {
+    // 6 probe rows x 32 bucket-stat rows — a metadata product by
+    // construction; the pin is that the probe side rides as a broadcast
+    // (never a shuffled cartesian) and the stats subtree is q73's
+    val p = plan("q155_minmax_pruning_audit")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "probes must broadcast against the stats frame:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -13,8 +13,10 @@ Test / fork := true
 run / fork := true
 // Forked run output passes through VERBATIM instead of via the sbt logger:
 // the driver machine-reads Bench's one-line JSON summary, and the logger's
-// "[info] " prefix has broken that parse three rounds running. (Bench also
-// mirrors the line to stderr and target/bench_summary.json.)
+// "[info] " prefix has broken that parse three rounds running. (Full-name
+// per-query detail is mirrored to target/bench_summary.json — NOT to
+// stderr: a stderr copy after the stdout summary clipped the driver's
+// merged-capture tail in round 9.)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
@@ -41,7 +43,9 @@ val jdk17AddOpens = Seq(
 val driverHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
   val memTotalGiB: Long =
     try {
-      val kb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+      import scala.jdk.CollectionConverters._
+      val kb = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/meminfo")).asScala
         .collectFirst { case l if l.startsWith("MemTotal:") =>
           l.split("\\s+")(1).toLong }
         .getOrElse(0L)

@@ -149,7 +149,11 @@ object Bench {
     def summaryLine(m: String) =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$m,"total_sec":${f3(total)},"n_queries":${results.size},"sf":"$sfDir"}"""
     val qsShort = {
-      val envelope = "[info] ".length + summaryLine("{}").length - 2
+      // measured fixed portion + a few bytes of slack (outputStrategy is
+      // StdoutOutput, so no logger prefix is actually emitted — the
+      // slack just keeps the budget conservative against harness drift)
+      val slack = 8
+      val envelope = slack + summaryLine("{}").length - 2
       val two = results.map { case (k, (v, _, _)) =>
         s"\"" + k.takeWhile(_ != '_') + "\":" + f2(v) }
         .mkString("{", ",", "}")

@@ -373,7 +373,8 @@ object WarehouseQueries {
       "pass is building the layout stats, which q73 already pays.",
       s"""WITH ${ExtendedQueries.zorderCtes},
         |stats AS (${ExtendedQueries.zorderStatsSelect}),
-        |bounds AS (SELECT clo, chi, dlo, dhi FROM bd),
+        |bounds AS (SELECT min(cust_lo) AS clo, max(cust_hi) AS chi,
+        |    min(day_lo) AS dlo, max(day_hi) AS dhi FROM stats),
         |probes AS (
         |  SELECT 1::BIGINT AS probe_id, 'cust' AS dim, clo::BIGINT AS lo,
         |    (clo + ((chi - clo) // 10))::BIGINT AS hi FROM bounds
@@ -407,7 +408,15 @@ object WarehouseQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY probe_id""".stripMargin) { (s, d) =>
       val stats = ExtendedQueries.zorderBucketStats(s, d)
-      val bounds = ExtendedQueries.zorderBounds(s, d)
+      // global domain bounds DERIVED FROM the bucket stats (bucket minima/
+      // maxima cover every row, so min-of-los/max-of-his ARE the global
+      // bounds): the probes subtree then shares the stats subtree up
+      // through its bucket exchange, and ReuseExchange collapses the two
+      // into ONE orders scan — a fresh zorderBounds(s, d) here would scan
+      // orders a second time (round-10 review finding).
+      val bounds = stats.agg(
+        min("cust_lo").as("clo"), max("cust_hi").as("chi"),
+        min("day_lo").as("dlo"), max("day_hi").as("dhi"))
       def p(id: Long, dim: String, lo: org.apache.spark.sql.Column,
           hi: org.apache.spark.sql.Column) =
         struct(lit(id).as("probe_id"), lit(dim).as("dim"),

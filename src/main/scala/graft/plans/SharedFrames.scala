@@ -72,9 +72,15 @@ object SharedFrames {
       })
   }
 
-  /** Drop (and unpersist) every frame cached for the session — called
-    * automatically when the session's context ends; public for family
-    * end on a long-lived session and test isolation. */
+  /** Drop (and unpersist) every frame cached for the session — public
+    * for family end on a long-lived session and test isolation. The
+    * session STAYS hooked (round-9 advice resolution): deregistering
+    * here would race a concurrent apply() — its computeIfAbsent could
+    * insert a frame after this loop but before the listener removal,
+    * leaving frames with no end-of-application cleanup and pinning the
+    * dead session forever. Keeping the one listener is idempotent-safe
+    * (clears are), never accumulates (putIfAbsent gates re-adds while
+    * hooked), and the listener itself deregisters at application end. */
   def clear(s: SparkSession): Unit = {
     val it = frames.entrySet().iterator()
     while (it.hasNext) {
@@ -85,17 +91,24 @@ object SharedFrames {
         it.remove()
       }
     }
+  }
+
+  /** Application-end path: frames AND the hook go — the session is dead,
+    * no new apply() can race usefully, and the listener bus is being
+    * torn down anyway. */
+  private def clearOnEnd(s: SparkSession): Unit = {
+    clear(s)
     val l = hooked.remove(s)
     if (l != null) {
       try s.sparkContext.removeSparkListener(l)
-      catch { case _: Throwable => () } // context already stopped: nothing to remove
+      catch { case _: Throwable => () } // context already stopped
     }
   }
 
   private def hookSessionEnd(s: SparkSession): Unit = {
     val l = new SparkListener {
       override def onApplicationEnd(
-          end: SparkListenerApplicationEnd): Unit = clear(s)
+          end: SparkListenerApplicationEnd): Unit = clearOnEnd(s)
     }
     if (hooked.putIfAbsent(s, l) == null) {
       try s.sparkContext.addSparkListener(l)

@@ -10,23 +10,26 @@ import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
-/** Driver-visible streaming-parity gate (round-9 verdict item 5): the 15
+/** Driver-visible streaming-parity gate (round-9 verdict item 5): the
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through every twin and emits ONE JSON line per
-  * twin — stream rows, batch-anchor rows, and a parity verdict — plus a
-  * compact summary as the LAST stdout line, mirrored to
-  * target/stream_parity.json (the bench_summary.json pattern).
+  * anchor is synthetic) through all 16 twin checks and emits ONE JSON
+  * line per twin — stream rows, batch-anchor rows, and a parity
+  * verdict — plus a compact summary as the LAST stdout line, mirrored
+  * to target/stream_parity.json (the bench_summary.json pattern).
   *
   * Each check is the strongest determinism its spec proves:
   *
   *   - REAL-CORPUS EQUALITY (attribution, cdc_merge, degree_profile,
   *     edge_support, incremental_dedup, rate_limit, scd2, sessionization,
-  *     event_tumbling): full replay of the sf0.001 frame through
-  *     MemoryStream/file-source micro-batches, sentinel rows to close the
-  *     watermark, then exact set/map equality against the batch operator
-  *     on the same rows — the specs' own recipes, re-run as a main.
+  *     event_tumbling/sliding/sessions): full replay of the sf0.001
+  *     frame through MemoryStream/file-source micro-batches, sentinel
+  *     rows to close the watermark, then exact set/map equality against
+  *     the batch operator on the same rows — the specs' own recipes,
+  *     re-run as a main. (session_window feeds ONE batch: built-in aggs
+  *     drop watermark-late input, unlike the flatMapGroupsWithState
+  *     twins, which see every row and tolerate unordered splits.)
   *   - SYNTHETIC DETERMINISM (corpus_clean, dedup_cluster, fuzzy_dedup,
   *     semantic_dedup): the twin's parity anchor is first-arrival
   *     founder semantics that only a scripted arrival order pins down;
@@ -56,13 +59,24 @@ object StreamCheck {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.local("graft-streamcheck", cores = cpus)
-    // agg/stateful-op chained after flatMapGroupsWithState trips Spark's
-    // global-watermark heuristic; safe for these twins — see the
-    // FuzzyDedupStream.assign / EdgeSupportStream.edges scaladocs.
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // agg/stateful-op chained after flatMapGroupsWithState trips Spark's
+    // global-watermark heuristic; safe for the three twins that need it
+    // (FuzzyDedupStream.assign / EdgeSupportStream.edges /
+    // DegreeProfileStream scaladocs). Scoped per twin — a blanket
+    // disable would also mute the guard for the other twelve (round-10
+    // review finding).
+    def withCheckOff[T](body: => T): T = {
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try body finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
 
     def run(name: String, check: String)(body: => (Long, Long, Boolean)): TwinResult =
       try {
@@ -137,7 +151,7 @@ object StreamCheck {
       },
 
       // ------------------------------------------------- degree_profile
-      run("degree_profile", "max crossings == batch buckets + q144 histogram") {
+      run("degree_profile", "max crossings == batch buckets + q144 histogram") { withCheckOff {
         val pairs = Tables.lineitem(spark, sfDir)
           .select("l_orderkey", "l_suppkey")
           .join(Tables.orders(spark, sfDir)
@@ -171,10 +185,10 @@ object StreamCheck {
           (got.size, batchBuckets.size,
             got.nonEmpty && got == batchBuckets && histGot == histBatch)
         } finally q.stop()
-      },
+      }},
 
       // ----------------------------------------------------- edge_support
-      run("edge_support", "edge set == batch coOccurrenceEdges (q102 projection)") {
+      run("edge_support", "edge set == batch coOccurrenceEdges (q102 projection)") { withCheckOff {
         val membership = Tables.lineitem(spark, sfDir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .limit(2000)
@@ -196,7 +210,7 @@ object StreamCheck {
             .select("u", "v").as[(Long, Long)].collect().toSet
           (got.size, expected.size, expected.nonEmpty && got == expected)
         } finally q.stop()
-      },
+      }},
 
       // ----------------------------------------------- incremental_dedup
       run("incremental_dedup", "verdicts == batch incrementalDedup (q75)") {
@@ -345,8 +359,14 @@ object StreamCheck {
         val q = EventStreams.tumbling(stream, watermark = "10 minutes")
           .writeStream.outputMode("complete").format("memory")
           .queryName("sc_tumble").start()
-        q.processAllAvailable()
-        q.stop()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          try {
+            Files.deleteIfExists(dir.resolve("events.parquet"))
+            Files.deleteIfExists(dir)
+          } catch { case _: java.io.IOException => () }
+        }
         val streamed = spark.table("sc_tumble")
           .select("window_start", "event_type", "n")
           .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
@@ -356,6 +376,74 @@ object StreamCheck {
           .select(col("w.start"), col("event_type"), col("n"))
           .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
         (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+      },
+
+      // --------------------------------------------------- event_sliding
+      run("event_sliding", "sliding window counts == batch (q25 semantics)") {
+        val ev = Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Event].collect()
+        // counts only: sum_value is a parallel double sum whose addend
+        // order differs run to run — counts are the deterministic signal
+        val batch = Tables.events(spark, sfDir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start"), col("n"))
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+        val ms = MemoryStream[EventStreams.Event]
+        val q = EventStreams.sliding(ms.toDF(), watermark = "10 minutes")
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_slide").start()
+        try {
+          val (b1, b2) = ev.splitAt(ev.length / 2)
+          ms.addData(b1.toSeq); q.processAllAvailable()
+          ms.addData(b2.toSeq); q.processAllAvailable()
+          val streamed = spark.table("sc_slide")
+            .select("window_start", "n")
+            .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
+      // -------------------------------------------------- event_sessions
+      run("event_sessions", "session windows == batch session_window (q26 semantics)") {
+        val ev = Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStreams.Event].collect()
+        val batch = Tables.events(spark, sfDir)
+          .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+          .collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+            r.getLong(3))).toSet
+        val maxTs = ev.map(_.ts.getTime).max
+        val ms = MemoryStream[EventStreams.Event]
+        val q = EventStreams.sessions(ms.toDF(), watermark = "10 minutes")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("sc_sess_win").start()
+        try {
+          // ONE batch: session_window is a real aggregation, so Spark's
+          // watermark DROPS late input rows — a two-batch split of
+          // unordered historical data would lose the overlap (the custom
+          // flatMapGroupsWithState twins tolerate the split because that
+          // operator sees every row; built-in aggs do not)
+          ms.addData(ev.toSeq); q.processAllAvailable()
+          // sentinel pushes close every real session behind the watermark
+          ms.addData(EventStreams.Event(999999L,
+            new Timestamp(maxTs + 3600L * 1000), 999999L, "z", 0.0))
+          q.processAllAvailable()
+          ms.addData(EventStreams.Event(999998L,
+            new Timestamp(maxTs + 7200L * 1000), 999999L, "z", 0.0))
+          q.processAllAvailable()
+          val streamed = spark.table("sc_sess_win")
+            .where(col("user_id") =!= 999999L)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect()
+            .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+              r.getLong(3))).toSet
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
       },
 
       // ---------------------------------------------------- corpus_clean
@@ -404,17 +492,19 @@ object StreamCheck {
             .select("doc_id", "cluster_id", "is_canonical")
             .as[(Long, Long, Boolean)].collect()
             .map(r => r._1 -> ((r._2, r._3))).toMap
-          val ok = rows.get(10L).contains((10L, true)) &&
-            rows.get(11L).contains((10L, false)) &&
-            rows.get(12L).contains((10L, false)) &&
-            rows.get(20L).contains((20L, true)) &&
-            rows.get(40L).contains((40L, true))
-          (rows.size, 5L, ok)
+          // FULL map equality (round-10 review): the markers must found
+          // their own clusters too — a state leak that only mislabels an
+          // unchecked doc must fail this gate, not slip past it
+          val expected = Map(
+            10L -> ((10L, true)), 11L -> ((10L, false)),
+            12L -> ((10L, false)), 20L -> ((20L, true)),
+            30L -> ((30L, true)), 40L -> ((40L, true)))
+          (rows.size, expected.size, rows == expected)
         } finally q.stop()
       },
 
       // ----------------------------------------------------- fuzzy_dedup
-      run("fuzzy_dedup", "scripted LSH founder join + expiry re-founding") {
+      run("fuzzy_dedup", "scripted LSH founder join + expiry re-founding") { withCheckOff {
         val ms = MemoryStream[(Long, Timestamp, String)]
         val q = FuzzyDedupStream.assign(
             ms.toDF().toDF("doc_id", "ts", "text"), watermark = "10 minutes")
@@ -442,15 +532,17 @@ object StreamCheck {
             .select("doc_id", "cluster_id", "is_canonical")
             .as[(Long, Long, Boolean)].collect()
             .map(r => r._1 -> ((r._2, r._3))).toMap
-          val ok = rows.get(10L).contains((10L, true)) &&
-            rows.get(11L).contains((10L, false)) &&
-            rows.get(12L).contains((10L, false)) &&
-            rows.get(20L).contains((20L, true)) &&
-            rows.get(4L).contains((4L, true)) &&
-            rows.get(40L).contains((40L, true))
-          (rows.size, 6L, ok)
+          // FULL map equality: both watermark markers found singletons;
+          // doc 50 (the final watermark mover) legitimately never
+          // flushes — append mode holds it until a later watermark pass
+          val expected = Map(
+            10L -> ((10L, true)), 11L -> ((10L, false)),
+            12L -> ((10L, false)), 20L -> ((20L, true)),
+            4L -> ((4L, true)), 30L -> ((30L, true)),
+            40L -> ((40L, true)))
+          (rows.size, expected.size, rows == expected)
         } finally q.stop()
-      },
+      }},
 
       // -------------------------------------------------- semantic_dedup
       run("semantic_dedup", "scripted cosine keep/drop + expiry re-founding") {
@@ -477,12 +569,13 @@ object StreamCheck {
             .select("vec_id", "kept", "canonical_id")
             .as[(Long, Boolean, Long)].collect()
             .map(r => r._1 -> ((r._2, r._3))).toMap
-          val ok = rows.get(10L).contains((true, 10L)) &&
-            rows.get(11L).contains((false, 10L)) &&
-            rows.get(20L).contains((true, 20L)) &&
-            rows.get(12L).contains((false, 10L)) &&
-            rows.get(40L).contains((true, 40L))
-          (rows.size, 5L, ok)
+          // FULL map equality: the zero-vector marker is kept (no
+          // defined cosine) as its own canonical, never stored
+          val expected = Map(
+            10L -> ((true, 10L)), 11L -> ((false, 10L)),
+            20L -> ((true, 20L)), 12L -> ((false, 10L)),
+            30L -> ((true, 30L)), 40L -> ((true, 40L)))
+          (rows.size, expected.size, rows == expected)
         } finally q.stop()
       },
 
@@ -524,7 +617,19 @@ object StreamCheck {
             else { val st = Files.list(sp); try st.count() finally st.close() }
           }
           (delivered, n.toLong, delivered == n.toLong && spills == 0L)
-        } finally server.stop()
+        } finally {
+          server.stop()
+          // best-effort temp cleanup (csv + checkpoint + spill trees)
+          try {
+            import scala.jdk.CollectionConverters._
+            val st = java.nio.file.Files.walk(dir)
+            try st.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p =>
+                try Files.deleteIfExists(p)
+                catch { case _: java.io.IOException => () })
+            finally st.close()
+          } catch { case _: java.io.IOException => () }
+        }
       }
     )
 

@@ -107,6 +107,51 @@ object WarehouseQueries {
       |  n_orders, n_open, last_order, spend_cents
       |FROM m""".stripMargin
 
+  /** q153/q156's deterministic 3-version commit log on customer (k,
+    * ver, op, cents): v0 inserts every base row, v1 deletes %50=0 and
+    * bumps %97=0 (+$10), v2 deletes the bumped rows and bumps %7=0
+    * (+$25). Branch predicates are disjoint BY CONSTRUCTION (each
+    * later branch excludes the earlier moduli), so each key has at
+    * most one change per version and the per-key max_by election is
+    * deterministic. Delete rows carry cents = 0 (never NULL: both
+    * engines' arg_max/max_by NULL handling would otherwise be in
+    * play). */
+  private def changeLog(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+    base
+      .select(col("k"), lit(0L).as("ver"), lit("I").as("op"), col("cents"))
+      .unionByName(base.where(col("k") % 50 === 0)
+        .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
+          lit(0L).as("cents")))
+      .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
+        .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
+          (col("cents") + 1000L).as("cents")))
+      .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
+        .select(col("k"), lit(2L).as("ver"), lit("D").as("op"),
+          lit(0L).as("cents")))
+      .unionByName(base.where(col("k") % 7 === 0 && col("k") % 50 =!= 0 &&
+          col("k") % 97 =!= 0)
+        .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
+          (col("cents") + 2500L).as("cents")))
+  }
+
+  /** Oracle twin of [[changeLog]]: base + log CTEs, shared by
+    * q153/q156. */
+  private val changeLogCtes: String =
+    """base AS (SELECT c_custkey AS k,
+      |    round(c_acctbal * 100)::BIGINT AS cents FROM customer),
+      |log AS (
+      |  SELECT k, 0::BIGINT AS ver, 'I' AS op, cents FROM base
+      |  UNION ALL SELECT k, 1::BIGINT, 'D', 0::BIGINT FROM base
+      |    WHERE k % 50 = 0
+      |  UNION ALL SELECT k, 1::BIGINT, 'U', cents + 1000 FROM base
+      |    WHERE k % 97 = 0 AND k % 50 <> 0
+      |  UNION ALL SELECT k, 2::BIGINT, 'D', 0::BIGINT FROM base
+      |    WHERE k % 97 = 0 AND k % 50 <> 0
+      |  UNION ALL SELECT k, 2::BIGINT, 'U', cents + 2500 FROM base
+      |    WHERE k % 7 = 0 AND k % 50 <> 0 AND k % 97 <> 0)""".stripMargin
+
   /** Oracle twin of [[dvFileStats]]: the m/snap/d/f CTE chain ending in
     * the per-file stats frame `f` (no ORDER BY; q151 and q154 both wrap
     * it). */
@@ -253,18 +298,7 @@ object WarehouseQueries {
       "CHANGE LOG, never versions x table; the 3-version explode here " +
       "is the audit form (output is version-count-sized), and the " +
       "per-key election is map-side combinable either way.",
-      """WITH base AS (SELECT c_custkey AS k,
-        |    round(c_acctbal * 100)::BIGINT AS cents FROM customer),
-        |log AS (
-        |  SELECT k, 0::BIGINT AS ver, 'I' AS op, cents FROM base
-        |  UNION ALL SELECT k, 1::BIGINT, 'D', 0::BIGINT FROM base
-        |    WHERE k % 50 = 0
-        |  UNION ALL SELECT k, 1::BIGINT, 'U', cents + 1000 FROM base
-        |    WHERE k % 97 = 0 AND k % 50 <> 0
-        |  UNION ALL SELECT k, 2::BIGINT, 'D', 0::BIGINT FROM base
-        |    WHERE k % 97 = 0 AND k % 50 <> 0
-        |  UNION ALL SELECT k, 2::BIGINT, 'U', cents + 2500 FROM base
-        |    WHERE k % 7 = 0 AND k % 50 <> 0 AND k % 97 <> 0),
+      s"""WITH $changeLogCtes,
         |vx AS (SELECT l.k, l.ver, l.op, l.cents, vt.v::BIGINT AS v
         |  FROM log l CROSS JOIN (VALUES (0), (1), (2)) AS vt(v)
         |  WHERE l.ver <= vt.v),
@@ -276,24 +310,7 @@ object WarehouseQueries {
         |FROM st WHERE last_op <> 'D'
         |GROUP BY v
         |ORDER BY version""".stripMargin) { (s, d) =>
-      val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
-        round(col("c_acctbal") * 100).cast("long").as("cents"))
-      val log = base
-        .select(col("k"), lit(0L).as("ver"), lit("I").as("op"), col("cents"))
-        .unionByName(base.where(col("k") % 50 === 0)
-          .select(col("k"), lit(1L).as("ver"), lit("D").as("op"),
-            lit(0L).as("cents")))
-        .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
-          .select(col("k"), lit(1L).as("ver"), lit("U").as("op"),
-            (col("cents") + 1000L).as("cents")))
-        .unionByName(base.where(col("k") % 97 === 0 && col("k") % 50 =!= 0)
-          .select(col("k"), lit(2L).as("ver"), lit("D").as("op"),
-            lit(0L).as("cents")))
-        .unionByName(base.where(col("k") % 7 === 0 && col("k") % 50 =!= 0 &&
-            col("k") % 97 =!= 0)
-          .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
-            (col("cents") + 2500L).as("cents")))
-      log
+      changeLog(s, d)
         .withColumn("v", explode(array(lit(0L), lit(1L), lit(2L))))
         .where(col("ver") <= col("v"))
         .groupBy("k", "v")
@@ -304,6 +321,38 @@ object WarehouseQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum("last_cents").cast("long").as("balance_cents"))
         .orderBy("version")
+    },
+
+    // --------------------------------------------------------------- q156
+    "q156_snapshot_asof_read" -> QueryDef.sql(
+      "Row-level snapshot-as-of READ at version 1 of q153's commit " +
+      "log — the production time-travel operator itself (q153 is the " +
+      "multi-version AUDIT; this reconstructs the actual table a " +
+      "reader scans): changes at-or-before the requested version, one " +
+      "per-key max_by election on the commit version, delete " +
+      "tombstones drop the row, out come the (key, balance_cents) " +
+      "rows of the as-of state. ALL-INTEGER -> hash-exact. Shape at " +
+      "100 TB: THE as-of read cost claim of q153, demonstrated — one " +
+      "filter on the change log (partition-prunable by version on a " +
+      "real commit log) + ONE key-partitioned map-side-combinable " +
+      "aggregate; cost proportional to the CHANGE LOG at the read " +
+      "version, never versions x table, and no join anywhere.",
+      s"""WITH $changeLogCtes,
+        |st AS (SELECT k, arg_max(op, ver) AS last_op,
+        |    arg_max(cents, ver) AS last_cents
+        |  FROM log WHERE ver <= 1 GROUP BY k)
+        |SELECT k AS c_custkey, last_cents AS balance_cents
+        |FROM st WHERE last_op <> 'D'
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      changeLog(s, d)
+        .where(col("ver") <= 1)
+        .groupBy("k")
+        .agg(max_by(col("op"), col("ver")).as("last_op"),
+          max_by(col("cents"), col("ver")).as("last_cents"))
+        .where(col("last_op") =!= "D")
+        .select(col("k").as("c_custkey"),
+          col("last_cents").as("balance_cents"))
+        .orderBy("c_custkey")
     },
 
     // --------------------------------------------------------------- q154

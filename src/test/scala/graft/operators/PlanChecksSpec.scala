@@ -551,6 +551,13 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q156: the row-level as-of read is one key aggregate — no join, no version explode") {
+    val p = plan("q156_snapshot_asof_read")
+    assert(!p.contains("Join"), "as-of read must not join:\n" + p)
+    assert(!p.contains("Generate"), "single-version read must not explode versions:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q154: vacuum planning keeps q150's single-merge-join shape — no cartesian") {
     val p = plan("q154_vacuum_plan")
     assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),

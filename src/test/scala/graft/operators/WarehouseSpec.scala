@@ -143,6 +143,11 @@ class WarehouseSpec extends SparkSpec {
     assert(got == expected, s"as-of states diverge: $got vs $expected")
     // the log actually mutates: each version differs from its predecessor
     assert(got.map(_._2).distinct.length == 3, "every version must change rows")
+    // and the row-level AS-OF read at v=1 reconstructs exactly the v1 fold
+    val readV1 = graft.SparkEntry.queries("q156_snapshot_asof_read")(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(readV1 == s1.toMap,
+      s"q156 as-of rows diverge from the v1 fold (${readV1.size} vs ${s1.length})")
   }
 
   test("q154: plan reconciles with the merge's delete set; all three actions populated") {

@@ -17,7 +17,7 @@ parquet/duckdb both emit the quiet-NaN pattern, and a non-canonical
 NaN payload surviving a parquet roundtrip would be an engine bug this
 dev tool shouldn't mask as a value diff.)
 """
-import json, math, struct, sys
+import json, math, os, struct, sys
 import duckdb
 
 def canon(rows, cols):
@@ -41,6 +41,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Optional cap so concurrent gate runs can't OOM each other (the
+    # round-10 main-set run died at 50 GB RSS beside two 40 GB family
+    # passes); DuckDB spills to temp disk past the cap instead.
+    limit = os.environ.get("SELFCHECK_MEM_LIMIT")
+    if limit:
+        con.execute(f"SET memory_limit='{limit}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(

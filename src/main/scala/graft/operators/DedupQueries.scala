@@ -1088,8 +1088,58 @@ object DedupQueries {
       graft.plans.LazyStage.defer(s, savingsSchema) { () =>
         dedupSavingsEntry(s, d)
       }
+    },
+
+    // --------------------------------------------------------------- q157
+    "q157_span_dedup" -> QueryDef.sql(
+      "Repeated-SPAN detection — the substring-level dedup pass of " +
+      "Lee et al. 2022 (Deduplicating Training Data Makes Language " +
+      "Models Better), which q33's whole-document hash cannot see: " +
+      "every 8-token span occurring in >= 2 DISTINCT documents emits " +
+      "with its document frequency and earliest carrier (boilerplate " +
+      "headers, license blocks, templated passages). Spans are " +
+      "distinct per document (WordShingles), so count(*) per span IS " +
+      "the document frequency — one exchange, no pair join. The " +
+      "emitted key is md5 of the span's UTF-8 bytes (bounded width, " +
+      "collation-free ordering; both engines hash identical bytes). " +
+      "Shape at 100 TB: exactly q33's — ONE map-side-combinable " +
+      "aggregate keyed by the span (hash it to 16 bytes in the map " +
+      "phase); the doc-frequency filter drops the singleton long " +
+      "tail before anything is collected, and span REMOVAL is a " +
+      "left-semi join of this table back against the exploded corpus.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_distinct(list_transform(
+        |         generate_series(1, len(w)-7),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |              w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |              w[i+6] || ' ' || w[i+7]))
+        |    ELSE []::VARCHAR[] END) AS g FROM t),
+        |df AS (SELECT g, count(*)::BIGINT AS n_docs,
+        |         min(doc_id)::BIGINT AS first_doc
+        |       FROM s GROUP BY g)
+        |SELECT md5(g) AS span_hash, n_docs, first_doc
+        |FROM df WHERE n_docs >= 2
+        |ORDER BY span_hash""".stripMargin) { (s, d) =>
+      spanDedup(Tables.documents(s, d), 8)
     }
   )
+
+  /** The q157 repeated-span table over an arbitrary documents frame:
+    * every n-token span carried by >= 2 distinct documents, with its
+    * document frequency and earliest carrier. Spans are per-document
+    * DISTINCT (WordShingles), so one count per span IS the document
+    * frequency — a single map-side-combinable exchange, no pair join. */
+  private[operators] def spanDedup(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesOfText(col("text"), n)).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .select(md5(col("g").cast("binary")).as("span_hash"),
+        col("n_docs"), col("first_doc"))
+      .orderBy("span_hash")
 
   private val savingsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("source",

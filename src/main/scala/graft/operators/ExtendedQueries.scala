@@ -1546,6 +1546,56 @@ object ExtendedQueries {
           (col("maxq").cast("double") / col("total_qty").cast("double"))
             .as("top_share"))
         .orderBy("partkey")
+    },
+
+    // --------------------------------------------------------------- q158
+    "q158_t_closeness" -> QueryDef.sql(
+      "t-closeness audit — the third rung of the q125/q128 privacy " +
+      "ladder: a QI group can be k-large (q125) and l-diverse (q128) " +
+      "yet still leak if its SENSITIVE-value distribution diverges " +
+      "from the table's (skew attack: 'customers in this bucket are " +
+      "mostly AUTOMOBILE'). Per QI group, the total-variation " +
+      "distance to the global market-segment distribution, kept " +
+      "EXACT until the last step: TVD = sum_v|c_gv/n_g - C_v/N|/2 = " +
+      "sum_v|c_gv*N - C_v*n_g| / (2*n_g*N) — the numerator is an " +
+      "int64 sum of integer products (<= ~1e15 even at 100x the sf1 " +
+      "gate), the denominator an int64 product, so ONE single-shape " +
+      "IEEE division emits (the q131/q149 rule; no per-share float " +
+      "accumulation to order-diverge). Every group emits with its " +
+      "exact integer numerator (tvd_num) so a release gate can " +
+      "threshold on exact rationals (tvd_num > 2*t*n_g*N) without " +
+      "touching the float at all. Shape at 100 TB: two map-side-" +
+      "combinable aggregates — (QI, sensitive) then QI — plus a " +
+      "BROADCAST of the global sensitive-domain histogram (bounded " +
+      "by the domain, here 5 rows) densified against each group so " +
+      "absent values contribute their full C_v*n_g mass; output is " +
+      "bounded by the QI domain.",
+      """WITH sc AS (SELECT c_nationkey AS nationkey,
+        |    (round(c_acctbal * 100)::BIGINT // 100000) AS bal_bucket,
+        |    c_mktsegment AS seg, count(*)::BIGINT AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |g AS (SELECT nationkey, bal_bucket, sum(c)::BIGINT AS n_g
+        |  FROM sc GROUP BY 1, 2),
+        |gl AS (SELECT c_mktsegment AS seg, count(*)::BIGINT AS c_v
+        |  FROM customer GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS n_tot FROM customer),
+        |x AS (SELECT g.nationkey, g.bal_bucket, g.n_g, n.n_tot,
+        |    gl.c_v, coalesce(sc.c, 0)::BIGINT AS c_gv
+        |  FROM g CROSS JOIN gl CROSS JOIN n
+        |  LEFT JOIN sc ON sc.nationkey = g.nationkey
+        |    AND sc.bal_bucket = g.bal_bucket AND sc.seg = gl.seg)
+        |SELECT nationkey, bal_bucket,
+        |  max(n_g)::BIGINT AS group_size,
+        |  sum(abs(c_gv * n_tot - c_v * n_g))::BIGINT AS tvd_num,
+        |  (sum(abs(c_gv * n_tot - c_v * n_g))::DOUBLE
+        |    / (2 * max(n_g) * max(n_tot))::DOUBLE) AS tvd
+        |FROM x GROUP BY 1, 2
+        |ORDER BY nationkey, bal_bucket""".stripMargin) { (s, d) =>
+      tClosenessAudit(Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 100000")
+            .as("bal_bucket"),
+          col("c_mktsegment").as("seg")))
     }
   )
 
@@ -1557,6 +1607,38 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("group_size"))
       .where(col("group_size") < k)
       .orderBy("nationkey", "bal_bucket")
+
+  /** The q158 t-closeness audit over an arbitrary (nationkey,
+    * bal_bucket, seg) frame: per QI group, the total-variation distance
+    * to the GLOBAL sensitive-value distribution, carried as exact
+    * integers (tvd_num = sum_v |c_gv*N - C_v*n_g|, den = 2*n_g*N) with
+    * one final IEEE division. The broadcast global histogram is
+    * densified against every group (cross join on a domain-bounded
+    * frame) so sensitive values ABSENT from a group still contribute
+    * their full C_v*n_g mass — dropping them understates divergence. */
+  def tClosenessAudit(qiSeg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sc = qiSeg.groupBy("nationkey", "bal_bucket", "seg")
+      .agg(count(lit(1)).as("c"))
+    val g = sc.groupBy("nationkey", "bal_bucket")
+      .agg(sum("c").cast("long").as("n_g"))
+    val gl = qiSeg.groupBy("seg").agg(count(lit(1)).as("c_v"))
+    val n = qiSeg.agg(count(lit(1)).as("n_tot"))
+    g.crossJoin(broadcast(gl)).crossJoin(broadcast(n))
+      .join(sc, Seq("nationkey", "bal_bucket", "seg"), "left")
+      .select(col("nationkey"), col("bal_bucket"), col("n_g"),
+        col("n_tot"), col("c_v"),
+        coalesce(col("c"), lit(0L)).as("c_gv"))
+      .groupBy("nationkey", "bal_bucket")
+      .agg(max("n_g").as("group_size"),
+        sum(abs(col("c_gv") * col("n_tot") - col("c_v") * col("n_g")))
+          .cast("long").as("tvd_num"),
+        (sum(abs(col("c_gv") * col("n_tot") - col("c_v") * col("n_g")))
+          .cast("double")
+          / (lit(2L) * max("n_g") * max("n_tot")).cast("double"))
+          .as("tvd"))
+      .orderBy("nationkey", "bal_bucket")
+  }
 
   /** The q136 stratified k-fold balance audit over an arbitrary
     * (vec_id, label) frame — fold = DeterministicHash % k, a pure

@@ -1079,8 +1079,59 @@ object TextQueries {
         |GROUP BY a.decile, a.n_docs, a.n_tokens, a.min_quality
         |ORDER BY a.decile""".stripMargin) { (s, d) =>
       qualityBudgetCurve(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q159
+    "q159_bpe_merge_candidates" -> QueryDef.sql(
+      "BPE merge candidates — the inner loop of tokenizer TRAINING " +
+      "(Sennrich et al. 2016), distributed: the 50 most frequent " +
+      "adjacent character pairs over the corpus vocabulary, each " +
+      "weighted by its word's corpus frequency (what the first merge " +
+      "rule of a byte-pair encoder would fuse). The classic trick " +
+      "that makes this tractable IS the plan: the corpus collapses " +
+      "to its VOCABULARY first (one map-side-combinable word-count " +
+      "aggregate — Zipf bounds the vocab at millions of rows even at " +
+      "100 TB), then pair expansion runs over vocab entries, never " +
+      "raw text, inside one codegen'd transform(sequence(..)) (both " +
+      "engines slice by CODEPOINT: Spark's substring/length are " +
+      "UTF8String codepoint ops, DuckDB's substr/length likewise). " +
+      "Counts are exact int64; the top-50 is a TakeOrderedAndProject " +
+      "on the total order (freq DESC, pair) — no global sort " +
+      "materializes. Subsequent merge iterations re-run the same " +
+      "aggregate on the re-segmented vocab.",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+        |wd AS (SELECT unnest(w) AS word FROM t),
+        |wc AS (SELECT word, count(*)::BIGINT AS cnt FROM wd
+        |       GROUP BY word HAVING length(word) >= 2),
+        |p AS (SELECT unnest(list_transform(
+        |         generate_series(1, length(word) - 1),
+        |         i -> substr(word, i::INT, 2))) AS pair, cnt
+        |      FROM wc)
+        |SELECT pair, sum(cnt)::BIGINT AS freq
+        |FROM p GROUP BY pair
+        |ORDER BY freq DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+      bpeMergeCandidates(Tables.documents(s, d), 50)
     }
   )
+
+  /** The q159 merge-candidate table over an arbitrary documents frame:
+    * the k most frequent adjacent character pairs, weighted by word
+    * frequency, computed over the VOCABULARY (one word-count aggregate
+    * collapses the corpus first — the classic BPE-training trick). */
+  private[operators] def bpeMergeCandidates(
+      docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val wc = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(length(col("word")) >= 2)
+    wc.select(explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+  }
 
   /** The q142 quality-budget curve over an arbitrary (doc_id, text)
     * frame: q30's composite quality, decile-ranked best-first, with

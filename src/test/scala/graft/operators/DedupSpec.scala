@@ -297,4 +297,27 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "test needs at least one cross-split near-dup pair")
     assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
   }
+
+  test("q157: shared spans emit with exact doc frequency; singletons and intra-doc repeats don't inflate") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"  // 8 tokens
+    val docs = Seq(
+      (10L, s"leading words $span trailing words"),         // carrier 1
+      (20L, s"$span and then $span repeated in one doc"),    // carrier 2 — span occurs twice, counts ONCE
+      (30L, "completely unrelated content with its own eight token run here today now")
+    ).toDF("doc_id", "text")
+    val rows = DedupQueries.spanDedup(docs, 8)
+      .as[(String, Long, Long)].collect().toList
+    // exactly the spans carried by >= 2 docs emit; every one has doc
+    // frequency 2 and first carrier 10 or 20 — no span reaches doc 30
+    assert(rows.nonEmpty, "the shared 8-token span must emit")
+    assert(rows.forall(_._2 == 2L), s"doc frequency inflated: $rows")
+    assert(rows.forall(r => r._3 == 10L || r._3 == 20L), s"first carrier wrong: $rows")
+    // the full shared window family: docs 10 and 20 share ONLY windows
+    // inside `span` itself (their contexts differ), which at width 8 is
+    // exactly the one complete window
+    assert(rows.size == 1, s"expected exactly the one complete shared window: $rows")
+    val expectHash = docs.sparkSession.sql(
+      s"SELECT md5(cast('$span' AS binary))").head().getString(0)
+    assert(rows.head._1 == expectHash, s"span hash mismatch: ${rows.head}")
+  }
 }

@@ -574,4 +574,29 @@ class PlanChecksSpec extends SparkSpec {
       "probes must broadcast against the stats frame:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q157: span dedup is ONE aggregate exchange — no join anywhere") {
+    // the Lee-et-al substring pass must stay q33-shaped: explode + one
+    // map-side-combinable aggregate on the span; any join here means an
+    // accidental pair product over span carriers
+    val p = plan("q157_span_dedup")
+    assert(!p.contains("Join"), "span dedup must not join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "the span aggregate must map-side combine:\n" + p)
+  }
+
+  test("q158: the global-histogram product rides as a BROADCAST; no shuffled cartesian") {
+    val p = plan("q158_t_closeness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the sensitive-domain histogram must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q159: pair counting runs over the vocab and top-k is TakeOrderedAndProject") {
+    val p = plan("q159_bpe_merge_candidates")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not materialize a global sort:\n" + p)
+    assert(!p.contains("Join"), "pair expansion must not join:\n" + p)
+  }
 }

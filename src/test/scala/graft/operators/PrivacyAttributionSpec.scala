@@ -29,6 +29,25 @@ class PrivacyAttributionSpec extends SparkSpec {
       s"${got.toSeq}")
   }
 
+  test("q158: TVD is exact-rational and absent sensitive values contribute their full mass") {
+    // global distribution: A=4, B=2 over N=6
+    // group (1,0) = [A,A]        -> TVD = (|1-2/3| + |0-1/3|)/2 = 1/3
+    //   (B is ABSENT from the group — the densified broadcast must
+    //    still charge it |0*6 - 2*2| = 4)
+    // group (2,0) = [A,B,A,B]    -> TVD = (|1/2-2/3| + |1/2-1/3|)/2 = 1/6
+    val rows = Seq(
+      (1, 0L, "A"), (1, 0L, "A"),
+      (2, 0L, "A"), (2, 0L, "B"), (2, 0L, "A"), (2, 0L, "B"))
+      .toDF("nationkey", "bal_bucket", "seg")
+    val got = ExtendedQueries.tClosenessAudit(rows)
+      .as[(Int, Long, Long, Long, Double)].collect().toList.sortBy(_._1)
+    // tvd_num g1: |2*6-4*2| + |0*6-2*2| = 4+4 = 8, den 2*2*6 = 24
+    // tvd_num g2: |2*6-4*4| + |2*6-2*4| = 4+4 = 8, den 2*4*6 = 48
+    assert(got == List(
+      (1, 0L, 2L, 8L, 8.0 / 24.0),
+      (2, 0L, 4L, 8L, 8.0 / 48.0)), s"$got")
+  }
+
   test("q129: latest in-window touch wins; ties break by event_id; no touch -> nulls") {
     val ev = Seq(
       // user 1: view at 10:00, click at 10:30, purchase 11:00 -> click

@@ -90,4 +90,20 @@ class VocabStatsSpec extends SparkSpec {
         "output must be (f desc, term asc)")
     }
   }
+
+  test("q159: pair counts equal hand-computed merges; 1-char words drop; order is (freq desc, pair)") {
+    // vocab: ab x2, abc x2, bc x1, and a 1-char word that must not count
+    // pair totals: 'ab' = 2 (from ab) + 2 (from abc) = 4
+    //              'bc' = 2 (from abc) + 1 (from bc)  = 3
+    val docs = Seq(
+      (1L, "ab ab abc a"),
+      (2L, "abc bc")).toDF("doc_id", "text")
+    val got = TextQueries.bpeMergeCandidates(docs, 50)
+      .as[(String, Long)].collect().toList
+    assert(got == List(("ab", 4L), ("bc", 3L)), s"$got")
+    // k truncates on the (freq desc, pair asc) total order
+    val top1 = TextQueries.bpeMergeCandidates(docs, 1)
+      .as[(String, Long)].collect().toList
+    assert(top1 == List(("ab", 4L)), s"$top1")
+  }
 }

@@ -537,6 +537,80 @@ object SimilarityQueries {
         |  AND $sqlDot / (a.nrm * b.nrm) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       quantizedCosineCalibration(normed(s, d).where(col("vec_id") < 300))
+    },
+
+    // --------------------------------------------------------------- q162
+    "q162_hybrid_retrieval_rrf" -> QueryDef.sql(
+      "Hybrid retrieval with reciprocal-rank fusion (Cormack et al. " +
+      "2009, k=60 — the production RAG retrieval pattern): the LEXICAL " +
+      "leg is q79's BM25 ranking cut at top-50, the DENSE leg ranks " +
+      "the corpus by exact cosine against query vector vec_id=0 cut " +
+      "at top-50 (vec_id keys the same corpus as doc_id — q72's " +
+      "linkage), and fusion scores rrf = 1/(60+r_lex) + 1/(60+r_dense) " +
+      "with an absent leg contributing 0, re-ranked to a top-10. The " +
+      "rrf doubles are two IEEE divisions of small exact ints + one " +
+      "add, written identically on both engines (the q75/q91 " +
+      "determinism rule) -> hash-exact with no rounding; rank ties " +
+      "(legs swapped between two docs give equal sums) break on " +
+      "doc_id. Shape at 100 TB: each leg is its OWN retrieval's " +
+      "scale shape — BM25's query-term-filtered explode (rows ∝ term " +
+      "hits) and the dense leg one broadcast-query corpus scan (or " +
+      "q47's IVF when the corpus outgrows brute force) — each ending " +
+      "in TakeOrderedAndProject top-50, never a full sort; fusion " +
+      "itself is a full-outer join of two 50-row frames + a 10-row " +
+      "cut: free at any corpus size, which is exactly why RRF is the " +
+      "production fusion rule.",
+      s"""$sqlNormed,
+        |${TextQueries.bm25RankedCtes},
+        |den AS (SELECT b.vec_id AS doc_id,
+        |    $sqlDot / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id = 0 AND b.vec_id <> 0),
+        |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC,
+        |    doc_id)::BIGINT AS dense_rnk FROM den),
+        |fu AS (SELECT coalesce(lx.doc_id, dx.doc_id) AS doc_id,
+        |    lx.lex_rnk, dx.dense_rnk,
+        |    coalesce(1.0::DOUBLE / (60.0::DOUBLE + lx.lex_rnk::DOUBLE),
+        |      0.0::DOUBLE)
+        |    + coalesce(1.0::DOUBLE / (60.0::DOUBLE + dx.dense_rnk::DOUBLE),
+        |      0.0::DOUBLE) AS rrf
+        |  FROM (SELECT doc_id, rnk AS lex_rnk FROM branked
+        |        WHERE rnk <= 50) lx
+        |  FULL JOIN (SELECT doc_id, dense_rnk FROM dr
+        |             WHERE dense_rnk <= 50) dx
+        |    ON lx.doc_id = dx.doc_id)
+        |SELECT doc_id, lex_rnk, dense_rnk, rrf, rnk FROM (
+        |  SELECT doc_id, lex_rnk, dense_rnk, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rnk
+        |  FROM fu) z
+        |WHERE rnk <= 10
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      val lex = TextQueries
+        .bm25TopK(Tables.documents(s, d), Seq("spark", "join", "stream"), 50)
+        .select(col("doc_id"), col("rnk").as("lex_rnk"))
+      val corpus = normed(s, d)
+      val qv = corpus.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val den = corpus.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wD = Window.orderBy(col("cos").desc, col("doc_id"))
+      val dense = den.orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("dense_rnk", row_number().over(wD).cast("long"))
+        .select(col("doc_id"), col("dense_rnk"))
+      val rrf =
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rnk").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("dense_rnk").cast("double")),
+          lit(0.0))
+      val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+          rrf.as("rrf"))
+      val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(wF).cast("long"))
+        .select(col("doc_id"), col("lex_rnk"), col("dense_rnk"),
+          col("rrf"), col("rnk"))
+        .orderBy("rnk")
     }
   )
 

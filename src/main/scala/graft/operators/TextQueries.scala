@@ -23,6 +23,40 @@ object TextQueries {
   private val sqlToks =
     """list_filter(string_split_regex(lower(trim(text)), '[\s\x0B]+'), t -> t != '')"""
 
+  /** The q79 BM25 oracle's CTE chain ending in `branked` — the FULL
+    * ranking (doc_id, dl, per-term scores, score, rnk) with no k cut, so
+    * q79 (top-10) and q162's hybrid fusion (lexical top-50 leg) slice
+    * one shared definition. No leading WITH: composes after other CTE
+    * chains (q162 prepends the embeddings `c`/`n` normalization). */
+  private[operators] val bm25RankedCtes: String =
+    s"""t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+      |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM t),
+      |st AS (SELECT count(*)::BIGINT AS n,
+      |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS term FROM t)
+      |       WHERE term IN ('spark', 'join', 'stream')
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    ((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
+      |    * (tf.tf::DOUBLE * 2.2
+      |       / (tf.tf::DOUBLE
+      |          + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))) AS s
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |per AS (SELECT doc_id,
+      |    sum(CASE WHEN term = 'spark' THEN s END) AS s_spark,
+      |    sum(CASE WHEN term = 'join' THEN s END) AS s_join,
+      |    sum(CASE WHEN term = 'stream' THEN s END) AS s_stream
+      |  FROM sc GROUP BY doc_id),
+      |branked AS (SELECT p.doc_id, dl.dl, p.s_spark, p.s_join, p.s_stream,
+      |    coalesce(p.s_spark, 0) + coalesce(p.s_join, 0)
+      |      + coalesce(p.s_stream, 0) AS score,
+      |    row_number() OVER (ORDER BY coalesce(p.s_spark, 0)
+      |      + coalesce(p.s_join, 0) + coalesce(p.s_stream, 0) DESC,
+      |      p.doc_id)::BIGINT AS rnk
+      |  FROM per p JOIN dl USING (doc_id))""".stripMargin
+
   // GPT-2-style pre-tokenizer pattern, restricted to the RE2-and-Java
   // common subset: RE2 (DuckDB) has no lookahead, so the original
   // `\s+(?!\S)` trailing-space clause is simplified to plain runs. Same
@@ -722,34 +756,9 @@ object TextQueries {
       "tokens); df and the (N, avgdl) scalars reduce from the tf/len " +
       "aggregates and come back as broadcasts; final ranking is a " +
       "TakeOrderedAndProject top-10, never a full sort.",
-      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
-        |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM t),
-        |st AS (SELECT count(*)::BIGINT AS n,
-        |         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-        |       FROM (SELECT doc_id, unnest(w) AS term FROM t)
-        |       WHERE term IN ('spark', 'join', 'stream')
-        |       GROUP BY doc_id, term),
-        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-        |sc AS (SELECT tf.doc_id, tf.term,
-        |    ((st.n::DOUBLE - df.df::DOUBLE + 0.5) / (df.df::DOUBLE + 0.5))
-        |    * (tf.tf::DOUBLE * 2.2
-        |       / (tf.tf::DOUBLE
-        |          + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))) AS s
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-        |per AS (SELECT doc_id,
-        |    sum(CASE WHEN term = 'spark' THEN s END) AS s_spark,
-        |    sum(CASE WHEN term = 'join' THEN s END) AS s_join,
-        |    sum(CASE WHEN term = 'stream' THEN s END) AS s_stream
-        |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, dl, s_spark, s_join, s_stream, score, rnk FROM (
-        |  SELECT p.doc_id, dl.dl, p.s_spark, p.s_join, p.s_stream,
-        |    coalesce(p.s_spark, 0) + coalesce(p.s_join, 0)
-        |      + coalesce(p.s_stream, 0) AS score,
-        |    row_number() OVER (ORDER BY coalesce(p.s_spark, 0)
-        |      + coalesce(p.s_join, 0) + coalesce(p.s_stream, 0) DESC,
-        |      p.doc_id)::BIGINT AS rnk
-        |  FROM per p JOIN dl USING (doc_id)) z
+      s"""WITH $bm25RankedCtes
+        |SELECT doc_id, dl, s_spark, s_join, s_stream, score, rnk
+        |FROM branked
         |WHERE rnk <= 10
         |ORDER BY rnk""".stripMargin) { (s, d) =>
       bm25TopK(Tables.documents(s, d), Seq("spark", "join", "stream"), 10)
@@ -1111,6 +1120,62 @@ object TextQueries {
         |FROM p GROUP BY pair
         |ORDER BY freq DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
       bpeMergeCandidates(Tables.documents(s, d), 50)
+    },
+
+    // --------------------------------------------------------------- q164
+    "q164_tokenizer_parity_by_lang" -> QueryDef.sql(
+      "Tokenizer-parity audit by language — the per-language rollup of " +
+      "q63's fertility signal (the measurement behind tokenizer-" +
+      "fairness findings: a tokenizer trained on one language's " +
+      "distribution spends several times more tokens per byte on " +
+      "others, which directly multiplies training and inference cost " +
+      "for that slice of the corpus): per lang, exact int64 totals of " +
+      "docs, UTF-8 bytes, codepoints, BPE-style tokens (q63's shared " +
+      "pre-tokenizer pattern) and whitespace words, plus " +
+      "bytes_per_token and fertility as ONE IEEE division each of the " +
+      "exact totals (zero-guarded on both engines, the q63 ADVICE " +
+      "rule). Shape at 100 TB: one codegen'd regexp per row feeding " +
+      "ONE map-side-combinable aggregate keyed by the handful of " +
+      "langs — a single exchange of lang-count-sized partials, no " +
+      "joins, no windows.",
+      s"""WITH t AS (SELECT lang, strlen(text)::BIGINT AS nb,
+        |    length(text)::BIGINT AS nc,
+        |    len(regexp_extract_all(text,
+        |      '${bpePat.replace("'", "''")}'))::BIGINT AS nt,
+        |    len($sqlToks)::BIGINT AS nw
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(nb)::BIGINT AS n_bytes, sum(nc)::BIGINT AS n_chars,
+        |  sum(nt)::BIGINT AS n_bpe, sum(nw)::BIGINT AS n_words,
+        |  CASE WHEN sum(nt) = 0 THEN NULL
+        |       ELSE sum(nb)::DOUBLE / sum(nt)::DOUBLE
+        |  END AS bytes_per_token,
+        |  CASE WHEN sum(nw) = 0 THEN NULL
+        |       ELSE sum(nt)::DOUBLE / sum(nw)::DOUBLE
+        |  END AS fertility
+        |FROM t GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, d) =>
+      val per = Tables.documents(s, d).select(col("lang"),
+        octet_length(col("text")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"),
+        size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+          .cast("long").as("nt"),
+        size(tokens(col("text"))).cast("long").as("nw"))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nb").cast("long").as("n_bytes"),
+          sum("nc").cast("long").as("n_chars"),
+          sum("nt").cast("long").as("n_bpe"),
+          sum("nw").cast("long").as("n_words"))
+        .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_chars"),
+          col("n_bpe"), col("n_words"),
+          when(col("n_bpe") === 0, lit(null))
+            .otherwise(col("n_bytes").cast("double")
+              / col("n_bpe").cast("double")).as("bytes_per_token"),
+          when(col("n_words") === 0, lit(null))
+            .otherwise(col("n_bpe").cast("double")
+              / col("n_words").cast("double")).as("fertility"))
+        .orderBy("lang")
     }
   )
 

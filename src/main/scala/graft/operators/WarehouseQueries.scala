@@ -107,15 +107,20 @@ object WarehouseQueries {
       |  n_orders, n_open, last_order, spend_cents
       |FROM m""".stripMargin
 
-  /** q153/q156's deterministic 3-version commit log on customer (k,
-    * ver, op, cents): v0 inserts every base row, v1 deletes %50=0 and
-    * bumps %97=0 (+$10), v2 deletes the bumped rows and bumps %7=0
-    * (+$25). Branch predicates are disjoint BY CONSTRUCTION (each
-    * later branch excludes the earlier moduli), so each key has at
-    * most one change per version and the per-key max_by election is
-    * deterministic. Delete rows carry cents = 0 (never NULL: both
-    * engines' arg_max/max_by NULL handling would otherwise be in
-    * play). */
+  /** q153/q156's deterministic commit log on customer (k, ver, op,
+    * cents): v0 inserts every base row, v1 deletes %50=0 and bumps
+    * %97=0 (+$10), v2 deletes the bumped rows and bumps %7=0 (+$25),
+    * v3 (round-10 CDF extension) inserts late-arriving NEW keys —
+    * negated base keys for %31=0, disjoint from every positive base
+    * key by sign. Branch predicates are disjoint BY CONSTRUCTION
+    * (each later same-version branch excludes the earlier moduli;
+    * the v3 keys are negative), so each key has at most one change
+    * per version and the per-key max_by election is deterministic.
+    * q153 explodes versions 0-2 and q156 reads ver <= 1, so the v3
+    * branch leaves both byte-identical; q160/q161 consume it as the
+    * insert side of the change feed. Delete rows carry cents = 0
+    * (never NULL: both engines' arg_max/max_by NULL handling would
+    * otherwise be in play). */
   private def changeLog(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
       round(col("c_acctbal") * 100).cast("long").as("cents"))
@@ -134,6 +139,9 @@ object WarehouseQueries {
           col("k") % 97 =!= 0)
         .select(col("k"), lit(2L).as("ver"), lit("U").as("op"),
           (col("cents") + 2500L).as("cents")))
+      .unionByName(base.where(col("k") % 31 === 0)
+        .select((-col("k") - 1).as("k"), lit(3L).as("ver"),
+          lit("I").as("op"), (col("cents") + 4242L).as("cents")))
   }
 
   /** Oracle twin of [[changeLog]]: base + log CTEs, shared by
@@ -150,7 +158,71 @@ object WarehouseQueries {
       |  UNION ALL SELECT k, 2::BIGINT, 'D', 0::BIGINT FROM base
       |    WHERE k % 97 = 0 AND k % 50 <> 0
       |  UNION ALL SELECT k, 2::BIGINT, 'U', cents + 2500 FROM base
-      |    WHERE k % 7 = 0 AND k % 50 <> 0 AND k % 97 <> 0)""".stripMargin
+      |    WHERE k % 7 = 0 AND k % 50 <> 0 AND k % 97 <> 0
+      |  UNION ALL SELECT -k - 1, 3::BIGINT, 'I', cents + 4242 FROM base
+      |    WHERE k % 31 = 0)""".stripMargin
+
+  /** As-of row state at version `v` of [[changeLog]] — q156's election
+    * (latest change at-or-before v wins, delete tombstones drop the
+    * row), factored (round 10) so the CDF pre-image join (q160) and
+    * the incremental-MV identity audit (q161) compose the same
+    * definition. */
+  private def stateAt(s: SparkSession, d: String, v: Long): DataFrame =
+    changeLog(s, d)
+      .where(col("ver") <= v)
+      .groupBy("k")
+      .agg(max_by(col("op"), col("ver")).as("last_op"),
+        max_by(col("cents"), col("ver")).as("last_cents"))
+      .where(col("last_op") =!= "D")
+      .select(col("k"), col("last_cents"))
+
+  /** q160's change-data-feed rows for the version window (1, 3]: every
+    * change AFTER version 1 classified Delta-CDF-style — `delete` and
+    * `update_preimage` carry the version-1 cents (one equi-join of the
+    * changed keys against the as-of state), `update_postimage` and
+    * `insert` come straight off the log (join-free). Every v2 change
+    * touches a key live at v1 by the log's construction (the v2
+    * deletes target the v1-bumped %97 rows; the v2 updates exclude the
+    * v1-deleted %50 rows), so the pre-image join is inner. q161
+    * consumes this frame as the MV delta source. */
+  private def cdfRows(s: SparkSession, d: String): DataFrame = {
+    val pre = stateAt(s, d, 1L)
+    val v2 = changeLog(s, d).where(col("ver") === 2).join(pre, Seq("k"))
+    val dels = v2.where(col("op") === "D")
+      .select(col("k"), col("ver").as("commit_ver"),
+        lit("delete").as("change_type"), col("last_cents").as("cents"))
+    val upre = v2.where(col("op") === "U")
+      .select(col("k"), col("ver").as("commit_ver"),
+        lit("update_preimage").as("change_type"),
+        col("last_cents").as("cents"))
+    val upost = changeLog(s, d).where(col("ver") === 2 && col("op") === "U")
+      .select(col("k"), col("ver").as("commit_ver"),
+        lit("update_postimage").as("change_type"), col("cents"))
+    val ins = changeLog(s, d).where(col("ver") === 3 && col("op") === "I")
+      .select(col("k"), col("ver").as("commit_ver"),
+        lit("insert").as("change_type"), col("cents"))
+    dels.unionByName(upre).unionByName(upost).unionByName(ins)
+  }
+
+  /** Oracle twin of [[stateAt]](1) + [[cdfRows]]: CTEs `live1` (the
+    * version-1 live rows) and `cdf` (the typed change feed), shared by
+    * q160/q161. */
+  private val cdfCtes: String =
+    s"""$changeLogCtes,
+      |st1 AS (SELECT k, arg_max(op, ver) AS last_op,
+      |    arg_max(cents, ver) AS last_cents
+      |  FROM log WHERE ver <= 1 GROUP BY k),
+      |live1 AS (SELECT k, last_cents FROM st1 WHERE last_op <> 'D'),
+      |cdf AS (
+      |  SELECT l.k, l.ver AS commit_ver, 'delete' AS change_type,
+      |      p.last_cents AS cents
+      |    FROM log l JOIN live1 p USING (k) WHERE l.ver = 2 AND l.op = 'D'
+      |  UNION ALL SELECT l.k, l.ver, 'update_preimage', p.last_cents
+      |    FROM log l JOIN live1 p USING (k) WHERE l.ver = 2 AND l.op = 'U'
+      |  UNION ALL SELECT k, ver, 'update_postimage', cents FROM log
+      |    WHERE ver = 2 AND op = 'U'
+      |  UNION ALL SELECT k, ver, 'insert', cents FROM log
+      |    WHERE ver = 3 AND op = 'I')""".stripMargin
 
   /** Oracle twin of [[dvFileStats]]: the m/snap/d/f CTE chain ending in
     * the per-file stats frame `f` (no ORDER BY; q151 and q154 both wrap
@@ -492,6 +564,173 @@ object WarehouseQueries {
           sum(when(skip, 1L).otherwise(0L)).cast("long").as("n_skipped"))
         .withColumn("n_scanned", (col("n_files") - col("n_skipped")).cast("long"))
         .orderBy("probe_id")
+    },
+
+    // --------------------------------------------------------------- q160
+    "q160_change_data_feed" -> QueryDef.sql(
+      "Change-data-feed read (Delta's table_changes / Iceberg's " +
+      "changelog scan) over the commit log's version window (1, 3]: " +
+      "every change after version 1 typed into the four CDF row kinds " +
+      "— delete and update_preimage carry the VERSION-1 cents (the " +
+      "state a downstream consumer saw last), update_postimage and " +
+      "insert come straight off the log; the v3 late-insert branch " +
+      "exists precisely so all four kinds are populated at every SF " +
+      "(the q148/q150 empty-branch lesson — 2/3/3/5 rows at sf0.001). " +
+      "ALL-INTEGER cents + type strings -> hash-exact. Shape at " +
+      "100 TB: pre-images need ONE key-equi-join of the changed-key " +
+      "set against the as-of state (the change set is small -> " +
+      "broadcast, or a semi-join prunes the state scan); postimages " +
+      "and inserts never touch the state at all, so the read costs " +
+      "change-set + one as-of election, never versions x table — " +
+      "the same cost claim q156 demonstrates for the as-of read " +
+      "itself, extended to the feed.",
+      s"""WITH $cdfCtes
+        |SELECT k AS c_custkey, commit_ver, change_type, cents
+        |FROM cdf
+        |ORDER BY commit_ver, c_custkey, change_type""".stripMargin) { (s, d) =>
+      cdfRows(s, d)
+        .select(col("k").as("c_custkey"), col("commit_ver"),
+          col("change_type"), col("cents"))
+        .orderBy("commit_ver", "c_custkey", "change_type")
+    },
+
+    // --------------------------------------------------------------- q161
+    "q161_incremental_mv_refresh" -> QueryDef.sql(
+      "Incremental materialized-view maintenance — the operation a CDF " +
+      "exists to feed: a grouped MV (rows, balance_cents by key-bucket " +
+      "g = pmod(k, 10)) materialized at version 1, refreshed to " +
+      "version 3 by FOLDING q160's typed change feed (insert: +1 row " +
+      "+cents; delete: -1 row -cents at the pre-image; update: the " +
+      "pre/post pair cancels the old cents against the new — no row " +
+      "delta), and AUDITED against the full recompute at version 3 in " +
+      "the same output row: n_inc/sum_inc (v1 + delta) next to " +
+      "n_full/sum_full (recompute), equal column-for-column — the " +
+      "self-maintainability identity made visible. ALL-INTEGER -> " +
+      "hash-exact. Shape at 100 TB: the refresh side is ONE " +
+      "map-side-combinable aggregate over the CHANGE FEED (cost " +
+      "proportional to the delta, never the table — THE incremental-" +
+      "view-maintenance economics) merged into the group-count-sized " +
+      "MV by a full-outer join on the group key; only the audit branch " +
+      "pays the full recompute, and a production refresh drops it.",
+      s"""WITH $cdfCtes,
+        |mv1 AS (SELECT ((k % 10) + 10) % 10 AS g,
+        |    count(*)::BIGINT AS n_v1, sum(last_cents)::BIGINT AS sum_v1
+        |  FROM live1 GROUP BY 1),
+        |delta AS (SELECT ((k % 10) + 10) % 10 AS g,
+        |    sum(CASE change_type WHEN 'insert' THEN 1
+        |        WHEN 'delete' THEN -1 ELSE 0 END)::BIGINT AS d_n,
+        |    sum(CASE change_type WHEN 'insert' THEN cents
+        |        WHEN 'delete' THEN -cents
+        |        WHEN 'update_preimage' THEN -cents
+        |        ELSE cents END)::BIGINT AS d_sum
+        |  FROM cdf GROUP BY 1),
+        |st3 AS (SELECT k, arg_max(op, ver) AS last_op,
+        |    arg_max(cents, ver) AS last_cents
+        |  FROM log WHERE ver <= 3 GROUP BY k),
+        |mv3 AS (SELECT ((k % 10) + 10) % 10 AS g,
+        |    count(*)::BIGINT AS n_full, sum(last_cents)::BIGINT AS sum_full
+        |  FROM st3 WHERE last_op <> 'D' GROUP BY 1),
+        |inc AS (SELECT coalesce(mv1.g, delta.g) AS g,
+        |    (coalesce(n_v1, 0) + coalesce(d_n, 0))::BIGINT AS n_inc,
+        |    (coalesce(sum_v1, 0) + coalesce(d_sum, 0))::BIGINT AS sum_inc,
+        |    coalesce(n_v1, 0)::BIGINT AS n_v1,
+        |    coalesce(sum_v1, 0)::BIGINT AS sum_v1,
+        |    coalesce(d_n, 0)::BIGINT AS d_n,
+        |    coalesce(d_sum, 0)::BIGINT AS d_sum
+        |  FROM mv1 FULL JOIN delta ON mv1.g = delta.g)
+        |SELECT inc.g, n_v1, sum_v1, d_n, d_sum, n_inc, sum_inc,
+        |  n_full, sum_full
+        |FROM inc JOIN mv3 ON inc.g = mv3.g
+        |ORDER BY inc.g""".stripMargin) { (s, d) =>
+      val g = expr("((k % 10) + 10) % 10").cast("long").as("g")
+      val mv1 = stateAt(s, d, 1L).select(g, col("last_cents"))
+        .groupBy("g").agg(count(lit(1)).as("n_v1"),
+          sum("last_cents").cast("long").as("sum_v1"))
+      val delta = cdfRows(s, d).select(g, col("change_type"), col("cents"))
+        .groupBy("g")
+        .agg(sum(when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L).otherwise(0L))
+            .cast("long").as("d_n"),
+          sum(when(col("change_type") === "insert", col("cents"))
+            .when(col("change_type") === "delete", -col("cents"))
+            .when(col("change_type") === "update_preimage", -col("cents"))
+            .otherwise(col("cents"))).cast("long").as("d_sum"))
+      val mv3 = stateAt(s, d, 3L).select(g, col("last_cents"))
+        .groupBy("g").agg(count(lit(1)).as("n_full"),
+          sum("last_cents").cast("long").as("sum_full"))
+      mv1.join(delta, Seq("g"), "full_outer")
+        .select(col("g"),
+          coalesce(col("n_v1"), lit(0L)).cast("long").as("n_v1"),
+          coalesce(col("sum_v1"), lit(0L)).cast("long").as("sum_v1"),
+          coalesce(col("d_n"), lit(0L)).cast("long").as("d_n"),
+          coalesce(col("d_sum"), lit(0L)).cast("long").as("d_sum"))
+        .withColumn("n_inc", (col("n_v1") + col("d_n")).cast("long"))
+        .withColumn("sum_inc", (col("sum_v1") + col("d_sum")).cast("long"))
+        .join(mv3, Seq("g"))
+        .select(col("g"), col("n_v1"), col("sum_v1"), col("d_n"),
+          col("d_sum"), col("n_inc"), col("sum_inc"), col("n_full"),
+          col("sum_full"))
+        .orderBy("g")
+    },
+
+    // --------------------------------------------------------------- q163
+    "q163_clustering_depth_audit" -> QueryDef.sql(
+      "Clustering-depth audit over q73's z-order layout — the metric " +
+      "Delta's OPTIMIZE reports to decide whether a table needs " +
+      "re-clustering: for each bucket and each dimension, the STABBING " +
+      "DEPTH at the bucket's min-key boundary (how many bucket min-max " +
+      "rectangles a point query landing there must scan — depth 1 = " +
+      "perfectly clustered, q155 measures the complementary skip " +
+      "rate). Computed as a SWEEP, not a pair join: +1 at each lo, -1 " +
+      "at each hi+1, one cumulative-sum window per dimension over the " +
+      "merged event list; depth at every OPEN boundary is emitted, and " +
+      "since the profile only rises at opens, max(depth) over the " +
+      "output rows IS the exact max stabbing depth of the layout. " +
+      "ALL-INTEGER -> hash-exact. Shape at 100 TB: the event list is " +
+      "2 rows per FILE (manifest-sized); the sweep is one window over " +
+      "it — O(F log F) where the naive overlap self-join is O(F^2), " +
+      "i.e. 10^12 pairs at a realistic million-file manifest; like " +
+      "q152/q154/q155 the audit never touches data rows beyond the " +
+      "stats pass q73 already pays.",
+      s"""WITH ${ExtendedQueries.zorderCtes},
+        |stats AS (${ExtendedQueries.zorderStatsSelect}),
+        |dims AS (SELECT 'cust' AS dim, bucket, cust_lo::BIGINT AS lo,
+        |    cust_hi::BIGINT AS hi FROM stats
+        |  UNION ALL SELECT 'day', bucket, day_lo::BIGINT, day_hi::BIGINT
+        |    FROM stats),
+        |ev AS (SELECT dim, lo AS point, 1::BIGINT AS delta FROM dims
+        |  UNION ALL SELECT dim, hi + 1, -1::BIGINT FROM dims),
+        |pr AS (SELECT dim, point, sum(delta)::BIGINT AS dd
+        |  FROM ev GROUP BY 1, 2),
+        |prof AS (SELECT dim, point,
+        |    sum(dd) OVER (PARTITION BY dim ORDER BY point)::BIGINT AS depth
+        |  FROM pr)
+        |SELECT dims.dim, dims.bucket, dims.lo, dims.hi, prof.depth
+        |FROM dims JOIN prof ON dims.dim = prof.dim AND dims.lo = prof.point
+        |ORDER BY dims.dim, dims.bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stats = ExtendedQueries.zorderBucketStats(s, d)
+      val dims = stats.select(lit("cust").as("dim"), col("bucket"),
+          col("cust_lo").cast("long").as("lo"),
+          col("cust_hi").cast("long").as("hi"))
+        .unionByName(stats.select(lit("day").as("dim"), col("bucket"),
+          col("day_lo").cast("long").as("lo"),
+          col("day_hi").cast("long").as("hi")))
+      val ev = dims
+        .select(col("dim"), col("lo").as("point"), lit(1L).as("delta"))
+        .unionByName(dims.select(col("dim"), (col("hi") + 1L).as("point"),
+          lit(-1L).as("delta")))
+      val prof = ev.groupBy("dim", "point")
+        .agg(sum("delta").as("dd"))
+        .withColumn("depth",
+          sum("dd").over(Window.partitionBy("dim").orderBy("point"))
+            .cast("long"))
+        .select(col("dim").as("pdim"), col("point"), col("depth"))
+      dims.join(prof,
+          col("dim") === col("pdim") && col("lo") === col("point"))
+        .select(col("dim"), col("bucket"), col("lo"), col("hi"),
+          col("depth"))
+        .orderBy("dim", "bucket")
     }
   )
 }

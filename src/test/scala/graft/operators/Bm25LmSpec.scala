@@ -102,4 +102,46 @@ class Bm25LmSpec extends SparkSpec {
       (col("mean_p") <= 0.0 || col("mean_p") >= 1.0)).count()
     assert(bad == 0, "smoothed mean transition probability lies in (0,1)")
   }
+
+  test("q162: RRF fusion equals a first-principles fuse of the two legs") {
+    // lexical leg: the shipped BM25 ranking cut at 50
+    val lex = TextQueries
+      .bm25TopK(graft.Tables.documents(spark, sf0001),
+        Seq("spark", "join", "stream"), 50)
+      .select("doc_id", "rnk").as[(Long, Long)].collect().toMap
+    // dense leg: brute-force cosine vs vec 0, replicating the engine's
+    // index-ordered left folds (0.0 seed) so ranks match bit-for-bit
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def nrm(v: Seq[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    val (q, qn) = (vecs(0L), nrm(vecs(0L)))
+    val dense = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val dot = q.indices.foldLeft(0.0)((a, i) => a + q(i) * v(i))
+      id -> dot / (qn * nrm(v))
+    }.sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, rrf)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = graft.SparkEntry
+      .queries("q162_hybrid_retrieval_rrf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Long]("lex_rnk")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("dense_rnk")).map(_.longValue),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"fused order diverges:\n${got.toSeq}\n$expected")
+    got.foreach { case (id, lr, dr, rrf, _) =>
+      assert(lr == lex.get(id) && dr == dense.get(id),
+        s"leg ranks for doc $id")
+      assert(rrf == expected.find(_._1 == id).get._2,
+        s"rrf score for doc $id must be the exact two-division sum")
+    }
+    // the fusion must actually mix: at least one doc from each leg only
+    assert(got.exists(g => g._2.isEmpty && g._3.nonEmpty),
+      "no dense-only doc in the top-10 — fusion degenerate")
+  }
 }

@@ -599,4 +599,51 @@ class PlanChecksSpec extends SparkSpec {
       "top-k must not materialize a global sort:\n" + p)
     assert(!p.contains("Join"), "pair expansion must not join:\n" + p)
   }
+
+  test("q160: the CDF pre-image is equi-joins only — no cartesian, no version explode") {
+    // pre-images come from ONE key-equi-join of the changed keys against
+    // the as-of election; a cartesian or a Generate here would mean the
+    // feed pays versions x table instead of change-set + election
+    val p = plan("q160_change_data_feed")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "the pre-image key join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), "no version explode in a CDF read:\n" + p)
+  }
+
+  test("q161: the MV delta folds in ONE combinable aggregate over the feed") {
+    val p = plan("q161_incremental_mv_refresh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "the delta aggregate must map-side combine:\n" + p)
+  }
+
+  test("q162: both retrieval legs end in TakeOrderedAndProject; the query vector broadcasts") {
+    // each leg's top-50 must plan as a bounded heap, never a full global
+    // sort, and the 1-row query vector rides as a broadcast — the shapes
+    // that keep hybrid retrieval corpus-size-free past the legs
+    val p = plan("q162_hybrid_retrieval_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k legs must not materialize a global sort:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the query vector must broadcast against the corpus:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q164: the parity rollup is ONE combinable aggregate — no join, no window") {
+    val p = plan("q164_tokenizer_parity_by_lang")
+    assert(!p.contains("Join"), "lang rollup must not join:\n" + p)
+    assert(!p.contains("Window"), "lang rollup must not window:\n" + p)
+    assert(p.contains("partial"), "the lang aggregate must map-side combine:\n" + p)
+  }
+
+  test("q163: the depth sweep is a window over manifest-sized events — no interval self-join") {
+    // the sweep exists to replace the O(F^2) overlap self-join; the only
+    // join allowed is the final bucket->profile equi-join on (dim, lo)
+    val p = plan("q163_clustering_depth_audit")
+    assert(p.contains("Window"), "the cumulative sweep window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "no shuffled interval product:\n" + p)
+  }
 }

@@ -106,4 +106,29 @@ class VocabStatsSpec extends SparkSpec {
       .as[(String, Long)].collect().toList
     assert(top1 == List(("ab", 4L)), s"$top1")
   }
+
+  test("q164: per-lang totals reconcile with q63's per-doc rows; ratios are the total divisions") {
+    // q63 emits per-doc (lang, n_bpe_tokens, n_ws_tokens) with the SAME
+    // tokenizer pair; q164's lang totals must be exactly their sums
+    val perDoc = graft.SparkEntry.queries("q63_bpe_token_count")(spark, sf0001)
+      .select("lang", "n_bpe_tokens", "n_ws_tokens")
+      .as[(String, Long, Long)].collect()
+    val byLang = perDoc.groupBy(_._1).view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val got = graft.SparkEntry
+      .queries("q164_tokenizer_parity_by_lang")(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSet == byLang.keySet)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val (nDocs, nBpe, nWords) = byLang(lang)
+      assert(r.getLong(1) == nDocs && r.getLong(4) == nBpe &&
+        r.getLong(5) == nWords, s"$lang totals diverge from q63's rows")
+      assert(r.getLong(2) >= r.getLong(3),
+        s"$lang: UTF-8 bytes >= codepoints always")
+      assert(r.getDouble(6) == r.getLong(2).toDouble / nBpe.toDouble,
+        s"$lang bytes_per_token must be the exact total division")
+      assert(r.getDouble(7) == nBpe.toDouble / nWords.toDouble,
+        s"$lang fertility must be the exact total division")
+    }
+  }
 }

@@ -212,4 +212,77 @@ class WarehouseSpec extends SparkSpec {
       assert(r._6 > 0, s"probe ${r._1} (${r._2}) skipped nothing — layout broken")
     }
   }
+
+  test("q160: all four CDF row kinds populated; pre/post pairs reconcile; pre-images are the v1 state") {
+    val rows = graft.SparkEntry.queries("q160_change_data_feed")(spark, sf0001)
+      .as[(Long, Long, String, Long)].collect()
+    val byType = rows.groupBy(_._3)
+    Seq("delete", "insert", "update_preimage", "update_postimage").foreach {
+      t => assert(byType.getOrElse(t, Array.empty).nonEmpty,
+        s"CDF kind '$t' is empty — no value signal")
+    }
+    val baseCents = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // update pre/post pair on the same keys; the v2 bump is base+2500
+    // against a base-valued v1 pre-image (the %7 branch excludes the
+    // v1-bumped %97 keys)
+    val pre = byType("update_preimage").map(r => r._1 -> r._4).toMap
+    val post = byType("update_postimage").map(r => r._1 -> r._4).toMap
+    assert(pre.keySet == post.keySet, "pre/post key sets must match")
+    pre.foreach { case (k, c) =>
+      assert(c == baseCents(k), s"pre-image of $k must be the v1 state")
+      assert(post(k) == baseCents(k) + 2500L, s"post-image of $k")
+      assert(k % 7 == 0 && k % 50 != 0 && k % 97 != 0, s"update key $k")
+    }
+    // deletes target the v1-bumped %97 keys; the pre-image carries the
+    // bump — the CDF shows what the consumer saw LAST, not the base row
+    byType("delete").foreach { case (k, ver, _, c) =>
+      assert(k % 97 == 0 && k % 50 != 0 && ver == 2L, s"delete key $k")
+      assert(c == baseCents(k) + 1000L,
+        s"delete pre-image of $k must include the v1 bump")
+    }
+    // late inserts are the negated %31 keys at v3, join-free off the log
+    byType("insert").foreach { case (k, ver, _, c) =>
+      assert(k < 0 && ver == 3L && (-k - 1) % 31 == 0, s"insert key $k")
+      assert(c == baseCents(-k - 1) + 4242L, s"insert cents of $k")
+    }
+  }
+
+  test("q161: the incremental refresh equals the full recompute in every group") {
+    val rows = graft.SparkEntry
+      .queries("q161_incremental_mv_refresh")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 10, "pmod-10 groups")
+    rows.foreach { case (g, nV1, sumV1, dN, dSum, nInc, sumInc, nFull, sumFull) =>
+      assert(nInc == nV1 + dN && sumInc == sumV1 + dSum,
+        s"group $g: inc columns must be the v1+delta fold")
+      assert(nInc == nFull && sumInc == sumFull,
+        s"group $g: incremental refresh diverges from recompute — " +
+          "self-maintainability identity broken")
+    }
+    // the delta row-count must reconcile with q160's feed: +1 per
+    // insert, -1 per delete, 0 per update pair
+    val cdf = graft.SparkEntry.queries("q160_change_data_feed")(spark, sf0001)
+      .as[(Long, Long, String, Long)].collect()
+    val expectDn = cdf.count(_._3 == "insert") - cdf.count(_._3 == "delete")
+    assert(rows.map(_._4).sum == expectDn, "total row delta vs the feed")
+  }
+
+  test("q163: sweep depths equal the brute-force stabbing count at every open boundary") {
+    val rows = graft.SparkEntry
+      .queries("q163_clustering_depth_audit")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("cust", "day"))
+    val byDim = rows.groupBy(_._1)
+    byDim.foreach { case (dim, rs) =>
+      rs.foreach { case (_, b, lo, _, depth) =>
+        val brute = rs.count { case (_, _, l2, h2, _) => l2 <= lo && lo <= h2 }
+        assert(depth == brute.toLong,
+          s"$dim bucket $b: sweep depth $depth != brute stabbing count $brute")
+        assert(depth >= 1L, "every interval covers its own lo")
+      }
+    }
+  }
 }

@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 16 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 17 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -22,7 +22,8 @@ import java.sql.Timestamp
   * Each check is the strongest determinism its spec proves:
   *
   *   - REAL-CORPUS EQUALITY (attribution, cdc_merge, degree_profile,
-  *     edge_support, incremental_dedup, rate_limit, scd2, sessionization,
+  *     edge_support, incremental_dedup, mv_refresh, rate_limit, scd2,
+  *     sessionization,
   *     event_tumbling/sliding/sessions): full replay of the sf0.001
   *     frame through MemoryStream/file-source micro-batches, sentinel
   *     rows to close the watermark, then exact set/map equality against
@@ -580,6 +581,46 @@ object StreamCheck {
       },
 
       // --------------------------------------------------- streaming_etl
+      // ----------------------------------------------------- mv_refresh
+      run("mv_refresh", "streamed CDF deltas + v1 MV == batch recompute (q161)") {
+        // the production IVM path: q160's change feed arrives in three
+        // micro-batches; the built-in streaming aggregation maintains the
+        // per-group delta, and v1 + streamed delta must equal q161's full
+        // recompute columns exactly at the drained point
+        val cdf = graft.SparkEntry.queries("q160_change_data_feed")(spark, sfDir)
+          .select(col("c_custkey").as("k"), col("commit_ver"),
+            col("change_type"), col("cents"))
+          .as[(Long, Long, String, Long)].collect()
+        val batch = graft.SparkEntry
+          .queries("q161_incremental_mv_refresh")(spark, sfDir)
+          .select("g", "n_v1", "sum_v1", "d_n", "d_sum", "n_full", "sum_full")
+          .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> r).toMap
+        val ms = MemoryStream[(Long, Long, String, Long)]
+        val q = MvRefreshStream.deltas(
+            ms.toDF().toDF("k", "commit_ver", "change_type", "cents"))
+          .writeStream.outputMode("update").format("memory")
+          .queryName("sc_mv").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          cdf.grouped(math.max(1, cdf.length / 3))
+            .foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+          val streamed = spark.table("sc_mv")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("g").orderBy(col("n_folded").desc)))
+            .where(col("rn") === 1)
+            .select("g", "d_n", "d_sum")
+            .as[(Long, Long, Long)].collect()
+            .map(r => r._1 -> ((r._2, r._3))).toMap
+          val ok = streamed.keySet == batch.keySet && batch.forall {
+            case (g, (_, nV1, sumV1, dN, dSum, nFull, sumFull)) =>
+              streamed(g) == ((dN, dSum)) &&
+                nV1 + dN == nFull && sumV1 + dSum == sumFull
+          }
+          (streamed.size.toLong, batch.size.toLong, ok)
+        } finally q.stop()
+      },
+
       run("streaming_etl", "AvailableNow drain: commit log acks every input record") {
         val dir = Files.createTempDirectory("sc-etl")
         val n = 500

@@ -392,8 +392,81 @@ object GraphQueries {
                * sqrt((col("n").cast(d18) * col("syy").cast(d18)
                 - col("sy").cast(d18) * col("sy").cast(d18)).cast("double"))))
             .as("assortativity"))
+    },
+
+    // --------------------------------------------------------------- q165
+    "q165_label_propagation" -> QueryDef.sql(
+      "Synchronous min-label propagation over the purchase graph — " +
+      "3 Pregel-style supersteps of label(v) <- min(label(v), " +
+      "min over neighbors) from node-id seeds, the bulk-synchronous " +
+      "primitive under connected components and label-propagation " +
+      "community detection (q65's pointer jumping is its path-halving " +
+      "cousin on the dedup graph). DETERMINISTIC by construction: min " +
+      "is commutative/idempotent, node ids compare by identical binary " +
+      "collation in both engines, and the fixed round count pins the " +
+      "output even on an unconverged graph -> hash-exact with no " +
+      "tolerance. Output per node: seed, final label, and whether the " +
+      "node changed — plus the per-round convergence is visible in the " +
+      "label cardinality (asserted in SkylineTriangleSpec). Shape at " +
+      "100 TB: each superstep is ONE equi-join (labels x edges) + ONE " +
+      "map-side-combinable min aggregate + a left join back to carry " +
+      "isolated nodes — q95's exact iteration shape, with " +
+      "ReuseExchange computing the shared edge subtree once across " +
+      "rounds; no collect, no unbounded state, rounds compose " +
+      "linearly.",
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+        |    's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, sn AS dst FROM pairs
+        |  UNION ALL SELECT sn, c FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges),
+        |l1 AS (SELECT n.node,
+        |    least(n.lab, coalesce(m.ml, n.lab)) AS lab
+        |  FROM l0 n LEFT JOIN (
+        |    SELECT e.dst AS node, min(r.lab) AS ml
+        |    FROM l0 r JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n.node = m.node),
+        |l2 AS (SELECT n.node,
+        |    least(n.lab, coalesce(m.ml, n.lab)) AS lab
+        |  FROM l1 n LEFT JOIN (
+        |    SELECT e.dst AS node, min(r.lab) AS ml
+        |    FROM l1 r JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n.node = m.node),
+        |l3 AS (SELECT n.node,
+        |    least(n.lab, coalesce(m.ml, n.lab)) AS lab
+        |  FROM l2 n LEFT JOIN (
+        |    SELECT e.dst AS node, min(r.lab) AS ml
+        |    FROM l2 r JOIN edges e ON e.src = r.node
+        |    GROUP BY e.dst) m ON n.node = m.node)
+        |SELECT l3.node, l3.lab AS label,
+        |  (l3.lab <> l3.node)::BIGINT AS changed
+        |FROM l3
+        |ORDER BY node""".stripMargin) { (s, d) =>
+      labelPropagation(purchaseEdgesLazy(s, d), rounds = 3)
+        .select(col("node"), col("lab").as("label"),
+          (col("lab") =!= col("node")).cast("long").as("changed"))
+        .orderBy("node")
     }
   )
+
+  /** Synchronous min-label propagation over an arbitrary directed edge
+    * list (src, dst), `rounds` Pregel-style supersteps from node-id
+    * seeds; returns (node, lab). Each superstep is one equi-join + one
+    * min aggregate + a left join carrying untouched nodes — q95's
+    * iteration shape. Shared by the q165 catalog entry and
+    * SkylineTriangleSpec. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    (1 to rounds).foldLeft(seeds) { (lab, _) =>
+      val nbrMin = edges
+        .join(lab.select(col("node").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("node")).agg(min("lab").as("ml"))
+      lab.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("ml"), col("lab"))).as("lab"))
+    }
+  }
 
   /** The q122 association-rule miner over an arbitrary (o, p) basket
     * frame — composes [[coOccurrenceEdges]]; shared with

@@ -637,6 +637,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("partial"), "the lang aggregate must map-side combine:\n" + p)
   }
 
+  test("q165: every superstep is equi-joins + a min aggregate — no cartesian, shared edge subtree") {
+    val p = plan("q165_label_propagation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "the labels x edges equi-join:\n" + p)
+    // the edge list feeds all three rounds from ONE computed subtree —
+    // the q95 iteration-reuse contract; finalize AQE so reuse nodes are
+    // visible in the final plan
+    val df = SparkEntry.queries("q165_label_propagation")(spark, sf001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString()
+    assert(fin.contains("ReusedExchange") || fin.contains("TableCacheQueryStage")
+      || fin.contains("InMemoryTableScan"),
+      s"rounds must reuse the edge exchange, not rebuild it:\n$fin")
+  }
+
   test("q163: the depth sweep is a window over manifest-sized events — no interval self-join") {
     // the sweep exists to replace the O(F^2) overlap self-join; the only
     // join allowed is the final bucket->profile equi-join on (dim, lo)

@@ -419,4 +419,39 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(out(1L) == (0.0 * 0.75 + 0.0 * 0.25) * 0.75 + 100.0 * 0.25)
     assert(out(2L) == 10.0)
   }
+
+  // --------------------------------------------------- label propagation
+
+  private def lpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    // symmetrize like the purchase graph
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    GraphQueries.labelPropagation(sym, rounds).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("q165: hand graph — min label spreads one hop per round, components stay separate") {
+    // chain a-b-c-d (min 'a' needs 3 rounds to reach d) + pair x-y
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"))
+    val r1 = lpa(edges, 1)
+    assert(r1 == Map("a" -> "a", "b" -> "a", "c" -> "b", "d" -> "c",
+      "x" -> "x", "y" -> "x"), s"$r1")
+    val r3 = lpa(edges, 3)
+    assert(r3 == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"), s"$r3")
+    // components never share a label
+    assert(Set(r3("a"), r3("x")).size == 2)
+  }
+
+  test("q165: corpus labels are monotone and the changed flag is consistent") {
+    val out = graft.SparkEntry.queries("q165_label_propagation")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (node, label, changed) =>
+      assert(label <= node, s"min propagation can only lower: $node -> $label")
+      assert((changed == 1L) == (label != node), "changed flag consistency")
+    }
+    // propagation must have actually merged labels
+    assert(out.map(_._2).distinct.length < out.length,
+      "no label spread at all — graph or rounds broken")
+  }
 }

@@ -51,6 +51,24 @@ object ExtendedQueries {
         min("oday").as("day_lo"), max("oday").as("day_hi"))
   }
 
+  /** [[zorderBucketStats]] behind the session-scoped SharedFrames cache
+    * — the manifest-stats frame is 32 METADATA rows derived from a full
+    * orders pass, and the maintenance family (q155 pruning audit, q163
+    * depth audit) re-derives it per query AND per internal reference
+    * (the round-10 plan census counted 32 file scans in q163's
+    * finalized plan: ReuseExchange dedups within a query, never across
+    * references through a union). Materializing once per session is
+    * the honest cluster answer — a real table's footer stats live in
+    * the manifest and are READ, not recomputed. q73 itself keeps the
+    * UNCACHED build (it IS the stats-construction operator and pays
+    * the one data-proportional pass — the q95/purchaseEdgesLazy
+    * precedent). */
+  private[operators] def zorderBucketStatsShared(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.plans.SharedFrames(s, d, "zorder_stats") {
+      zorderBucketStats(s, d)
+    }
+
   /** The q73 oracle's CTE chain (b0/bd/sc/z/mx), shared with q155. */
   private[operators] val zorderCtes: String =
     s"""b0 AS (SELECT o_custkey,

@@ -120,8 +120,22 @@ object WarehouseQueries {
     * branch leaves both byte-identical; q160/q161 consume it as the
     * insert side of the change feed. Delete rows carry cents = 0
     * (never NULL: both engines' arg_max/max_by NULL handling would
-    * otherwise be in play). */
-  private def changeLog(s: SparkSession, d: String): DataFrame = {
+    * otherwise be in play).
+    *
+    * Served through the session-scoped SharedFrames cache (round 10):
+    * five catalog rows (q153/q154 chain aside, q156/q160/q161) build
+    * this log, and q161 alone references it SEVEN times through its
+    * three as-of elections — the plan census counted 35 customer scans
+    * in q161's finalized plan. In a real lakehouse the commit log IS
+    * materialized storage that readers scan, never re-derive; caching
+    * the synthetic log once per session restores that cost model (the
+    * graph family's purchaseEdges precedent). */
+  private def changeLog(s: SparkSession, d: String): DataFrame =
+    graft.plans.SharedFrames(s, d, "commit_log") {
+      changeLogBuild(s, d)
+    }
+
+  private def changeLogBuild(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
       round(col("c_acctbal") * 100).cast("long").as("cents"))
     base
@@ -528,7 +542,7 @@ object WarehouseQueries {
         |FROM probes p CROSS JOIN stats st
         |GROUP BY 1, 2, 3, 4
         |ORDER BY probe_id""".stripMargin) { (s, d) =>
-      val stats = ExtendedQueries.zorderBucketStats(s, d)
+      val stats = ExtendedQueries.zorderBucketStatsShared(s, d)
       // global domain bounds DERIVED FROM the bucket stats (bucket minima/
       // maxima cover every row, so min-of-los/max-of-his ARE the global
       // bounds): the probes subtree then shares the stats subtree up
@@ -709,7 +723,7 @@ object WarehouseQueries {
         |FROM dims JOIN prof ON dims.dim = prof.dim AND dims.lo = prof.point
         |ORDER BY dims.dim, dims.bucket""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val stats = ExtendedQueries.zorderBucketStats(s, d)
+      val stats = ExtendedQueries.zorderBucketStatsShared(s, d)
       val dims = stats.select(lit("cust").as("dim"), col("bucket"),
           col("cust_lo").cast("long").as("lo"),
           col("cust_hi").cast("long").as("hi"))

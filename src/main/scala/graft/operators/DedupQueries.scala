@@ -1122,8 +1122,79 @@ object DedupQueries {
         |FROM df WHERE n_docs >= 2
         |ORDER BY span_hash""".stripMargin) { (s, d) =>
       spanDedup(Tables.documents(s, d), 8)
+    },
+
+    // --------------------------------------------------------------- q166
+    "q166_span_provenance" -> QueryDef.sql(
+      "Duplication provenance matrix — WHICH SOURCES duplicate each " +
+      "other, the attribution pass a curation pipeline runs after " +
+      "q157 finds repeated spans (two scrapes of the same site show " +
+      "up as a hot cross-source cell; templated boilerplate within " +
+      "one crawl as a hot diagonal): per (source_a, source_b), the " +
+      "number of cross-document pairs sharing an 8-token span, and " +
+      "the number of distinct spans involved. The pair counts are " +
+      "CLOSED-FORM from per-(span, source) carrier counts — " +
+      "c*(c-1)/2 within a source, c_a*c_b across — so NO document " +
+      "pair join ever runs: the only join is the per-span self-join " +
+      "of the (span, source) count frame, keyed by span with at most " +
+      "|sources| rows per key (bounded fan-out by construction). " +
+      "ALL-INTEGER -> hash-exact. Shape at 100 TB: q157's single " +
+      "span exchange, one (span, source) aggregate on top, one " +
+      "bounded-key join, and a sources^2-sized output — the pair " +
+      "EXPLOSION a naive dup-pair provenance join would pay is " +
+      "factored away arithmetically.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8
+        |    THEN list_distinct(list_transform(
+        |         generate_series(1, len(w)-7),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |              w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |              w[i+6] || ' ' || w[i+7]))
+        |    ELSE []::VARCHAR[] END) AS g FROM t),
+        |c AS (SELECT g, source, count(*)::BIGINT AS c FROM s GROUP BY 1, 2),
+        |w2 AS (SELECT source AS source_a, source AS source_b,
+        |    sum(c * (c - 1) // 2)::BIGINT AS n_pairs,
+        |    count(*)::BIGINT AS n_spans
+        |  FROM c WHERE c >= 2 GROUP BY 1, 2),
+        |x AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    sum(a.c * b.c)::BIGINT AS n_pairs, count(*)::BIGINT AS n_spans
+        |  FROM c a JOIN c b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_pairs, n_spans
+        |FROM (SELECT * FROM w2 UNION ALL SELECT * FROM x)
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      spanProvenance(Tables.documents(s, d), 8)
     }
   )
+
+  /** The q166 duplication-provenance matrix over an arbitrary
+    * (doc_id, source, text) frame: cross-document span-sharing pairs
+    * attributed to source pairs via CLOSED-FORM counts from the
+    * per-(span, source) carrier aggregate — no document pair join.
+    * Shared by the catalog entry and DedupSpec. */
+  private[operators] def spanProvenance(docs: DataFrame, n: Int): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextFunctions.shinglesOfText(col("text"), n)).as("g"))
+    val c = sp.groupBy("g", "source").agg(count(lit(1)).as("c"))
+    val within = c.where(col("c") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(expr("c * (c - 1) DIV 2")).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_spans"))
+      .select(col("source_a"), col("source_a").as("source_b"),
+        col("n_pairs"), col("n_spans"))
+    val cross = c.as("a")
+      .join(c.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(sum(col("a.c") * col("b.c")).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_spans"))
+    within.unionByName(cross
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          col("n_spans")))
+      .orderBy("source_a", "source_b")
+  }
 
   /** The q157 repeated-span table over an arbitrary documents frame:
     * every n-token span carried by >= 2 distinct documents, with its

@@ -320,4 +320,28 @@ class DedupSpec extends SparkSpec {
       s"SELECT md5(cast('$span' AS binary))").head().getString(0)
     assert(rows.head._1 == expectHash, s"span hash mismatch: ${rows.head}")
   }
+
+  test("q166: provenance pair counts are the closed-form c*(c-1)/2 and c_a*c_b") {
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    // srcA carries the span in 3 docs, srcB in 2, srcC never
+    val docs = Seq(
+      (1L, "srcA", s"$span one"),
+      (2L, "srcA", s"$span two"),
+      (3L, "srcA", s"$span three"),
+      (4L, "srcB", s"$span four"),
+      (5L, "srcB", s"$span five"),
+      (6L, "srcC", "entirely different eight token content sits right here now ok")
+    ).toDF("doc_id", "source", "text")
+    val got = DedupQueries.spanProvenance(docs, 8)
+      .as[(String, String, Long, Long)].collect().toList
+    // within A: C(3,2)=3 pairs; within B: C(2,2)=1; cross A-B: 3*2=6;
+    // srcC appears nowhere. One span drives every cell.
+    assert(got == List(
+      ("srcA", "srcA", 3L, 1L),
+      ("srcA", "srcB", 6L, 1L),
+      ("srcB", "srcB", 1L, 1L)), s"$got")
+    // the matrix total equals the brute-force cross-document count:
+    // 5 carriers -> C(5,2) = 10 sharing pairs
+    assert(got.map(_._3).sum == 10L)
+  }
 }

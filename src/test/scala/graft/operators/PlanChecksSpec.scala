@@ -630,6 +630,19 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q166: provenance joins only the span-count frame — no document pair product") {
+    // the pair explosion is factored away arithmetically: the only join
+    // keys the (span, source) count frame by span (bounded fan-out);
+    // a cartesian or a join of document-level frames means the closed
+    // form was lost
+    val p = plan("q166_span_provenance")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      "the per-span count self-join:\n" + p)
+    assert(!p.contains("doc_id#"),
+      "a document-level column crossed the join — pair product resurrected:\n" + p)
+  }
+
   test("q164: the parity rollup is ONE combinable aggregate — no join, no window") {
     val p = plan("q164_tokenizer_parity_by_lang")
     assert(!p.contains("Join"), "lang rollup must not join:\n" + p)

@@ -359,6 +359,40 @@ object RelationalQueries {
       y95.intersect(y96).select(lit("both").as("tag"), col("o_custkey"))
         .unionByName(y95.except(y96).select(lit("only95").as("tag"), col("o_custkey")))
         .orderBy("tag", "o_custkey")
+    },
+
+    // --------------------------------------------------------------- q167
+    "q167_salted_skew_join" -> QueryDef.sql(
+      "Skew-salted equi-join, driver-visible: the lineitem->supplier " +
+      "join executed through Salting.saltedEquiJoin (salt the large " +
+      "side by a DETERMINISTIC content hash mod 8 — xxhash64, never " +
+      "rand(), so task retries cannot double-count — and replicate " +
+      "the small side across the salt domain, joining on (key, " +
+      "salt)), then a per-nation integer rollup. Salting is " +
+      "CORRECTNESS-TRANSPARENT: the oracle is the PLAIN join + " +
+      "rollup, and the hash-exact match IS the proof that the " +
+      "mitigation changes the shuffle layout, never the answer. " +
+      "Shape at 100 TB: this is the tool for the skew AQE cannot " +
+      "split (a skewed aggregation feeding the join, or a bounded " +
+      "deliberate replication factor) — one hot supplier key spread " +
+      "over 8 partitions costs 8x small-side replication, bounded " +
+      "up front, instead of one straggler task the size of the skew.",
+      """SELECT s_nationkey,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+      val large = Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_quantity"))
+      val small = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      graft.functions.Salting
+        .saltedEquiJoin(large, small, "l_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"))
+        .orderBy("s_nationkey")
     }
   )
 }

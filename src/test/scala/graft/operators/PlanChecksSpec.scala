@@ -630,6 +630,17 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q167: the join keys carry the salt; the small side replicates via explode") {
+    // the salted layout must actually reach the physical join: salt in
+    // the join keys, sequence-explode on the dim side, and the whole
+    // thing stays an equi-join (no cartesian)
+    val p = plan("q167_salted_skew_join")
+    assert(p.contains("__graft_salt"), "salt column missing from the plan:\n" + p)
+    assert(p.contains("Generate") || p.contains("explode"),
+      "small-side salt replication missing:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q166: provenance joins only the span-count frame — no document pair product") {
     // the pair explosion is factored away arithmetically: the only join
     // keys the (span, source) count frame by span (bounded fan-out);

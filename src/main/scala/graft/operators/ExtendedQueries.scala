@@ -1614,6 +1614,98 @@ object ExtendedQueries {
           expr("cast(round(c_acctbal * 100) as bigint) div 100000")
             .as("bal_bucket"),
           col("c_mktsegment").as("seg")))
+    },
+
+    // --------------------------------------------------------------- q169
+    "q169_cuped_adjustment" -> QueryDef.sql(
+      "CUPED variance-reduced experiment readout (Deng et al. 2013, " +
+      "WSDM — the adjustment every major experimentation platform " +
+      "applies before reading an A/B metric): units are customers, " +
+      "the deterministic arm split is pmod(custkey, 2), the metric is " +
+      "1996 spend in exact cents, the pre-period covariate is 1995 " +
+      "spend; theta = cov(pre, post)/var(pre) is computed from exact " +
+      "integer sums (decimal-128 closed form, the q145 recipe: " +
+      "n*Sxy - Sx*Sy over n*Sxx - Sx^2) with ONE IEEE division, and " +
+      "each arm reads mean_post next to mean_adj = mean_post - " +
+      "theta*(mean_pre - global mean_pre), the same shared double " +
+      "shape on both engines -> hash-exact with no rounding. Every " +
+      "customer is a unit (left join; zero-filled periods), so the " +
+      "estimator matches the assignment frame, not the activity " +
+      "frame. Shape at 100 TB: ONE unit-level aggregate over the " +
+      "date-pruned fact scan, a 1-row theta broadcast, and a " +
+      "2-row arm rollup — no window, no self-join, the whole " +
+      "adjustment rides the same pass that computes the raw means.",
+      """WITH per AS (SELECT c.c_custkey,
+        |    ((c.c_custkey % 2) + 2) % 2 AS arm,
+        |    coalesce(sum(CASE WHEN year(o_orderdate) = 1995
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END),
+        |      0)::BIGINT AS pre,
+        |    coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END),
+        |      0)::BIGINT AS post
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |st AS (SELECT count(*)::HUGEINT AS n, sum(pre)::HUGEINT AS sx,
+        |    sum(post)::HUGEINT AS sy,
+        |    sum(pre::HUGEINT * post::HUGEINT)::HUGEINT AS sxy,
+        |    sum(pre::HUGEINT * pre::HUGEINT)::HUGEINT AS sxx
+        |  FROM per),
+        |th AS (SELECT n, sx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) AS theta FROM st)
+        |SELECT arm, count(*)::BIGINT AS n_units,
+        |  sum(pre)::BIGINT AS sum_pre_cents,
+        |  sum(post)::BIGINT AS sum_post_cents,
+        |  th.theta AS theta,
+        |  sum(post)::DOUBLE / count(*)::DOUBLE AS mean_post,
+        |  sum(post)::DOUBLE / count(*)::DOUBLE
+        |    - th.theta * (sum(pre)::DOUBLE / count(*)::DOUBLE
+        |        - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE))
+        |    AS mean_adj
+        |FROM per CROSS JOIN th
+        |GROUP BY arm, th.theta, th.sx, th.n
+        |ORDER BY arm""".stripMargin) { (s, d) =>
+      val d19 = "decimal(19,0)"
+      val d38 = "decimal(38,0)"
+      val per = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderdate"),
+            col("o_totalprice")), Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"),
+          expr("((c_custkey % 2) + 2) % 2").cast("long").as("arm"))
+        .agg(
+          coalesce(sum(when(year(col("o_orderdate")) === 1995,
+            round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .cast("long").as("pre"),
+          coalesce(sum(when(year(col("o_orderdate")) === 1996,
+            round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .cast("long").as("post"))
+      val st = per.agg(count(lit(1)).cast(d38).as("n"),
+        sum("pre").cast(d38).as("sx"), sum("post").cast(d38).as("sy"),
+        sum(col("pre").cast(d19) * col("post").cast(d19)).cast(d38)
+          .as("sxy"),
+        sum(col("pre").cast(d19) * col("pre").cast(d19)).cast(d38)
+          .as("sxx"))
+      val th = broadcast(st.select(col("n"), col("sx"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("theta")))
+      per.crossJoin(th)
+        .groupBy(col("arm"), col("theta"), col("sx"), col("n"))
+        .agg(count(lit(1)).as("n_units"),
+          sum("pre").cast("long").as("sum_pre_cents"),
+          sum("post").cast("long").as("sum_post_cents"))
+        .select(col("arm"), col("n_units"), col("sum_pre_cents"),
+          col("sum_post_cents"), col("theta"),
+          (col("sum_post_cents").cast("double")
+            / col("n_units").cast("double")).as("mean_post"),
+          (col("sum_post_cents").cast("double")
+            / col("n_units").cast("double")
+            - col("theta") * (col("sum_pre_cents").cast("double")
+              / col("n_units").cast("double")
+              - col("sx").cast("double") / col("n").cast("double")))
+            .as("mean_adj"))
+        .orderBy("arm")
     }
   )
 

@@ -611,6 +611,75 @@ object SimilarityQueries {
         .select(col("doc_id"), col("lex_rnk"), col("dense_rnk"),
           col("rrf"), col("rnk"))
         .orderBy("rnk")
+    },
+
+    // --------------------------------------------------------------- q168
+    "q168_rank_agreement" -> QueryDef.sql(
+      "Rank-agreement audit of q162's two retrieval legs — the " +
+      "measurement that justifies (or indicts) hybrid fusion: if the " +
+      "lexical and dense top-50 lists agreed, fusion would add " +
+      "nothing; if they were disjoint, rank fusion could not break " +
+      "ties meaningfully. One summary row of EXACT integers: overlap " +
+      "at 10 and at 50, the Spearman footrule sum |r_lex - r_dense| " +
+      "over the intersection (rank displacement mass), and each " +
+      "leg's exclusive count. ALL-INTEGER -> hash-exact. Shape at " +
+      "100 TB: composes the SAME two top-50 legs as q162 (each its " +
+      "own retrieval's scale shape ending in a top-k), then a " +
+      "full-outer join of two 50-row frames + one 1-row aggregate — " +
+      "the audit itself is corpus-size-free, so it can run after " +
+      "every index rebuild as a cheap fusion-health probe.",
+      s"""$sqlNormed,
+        |${TextQueries.bm25RankedCtes},
+        |den AS (SELECT b.vec_id AS doc_id,
+        |    $sqlDot / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id = 0 AND b.vec_id <> 0),
+        |dr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC,
+        |    doc_id)::BIGINT AS dense_rnk FROM den),
+        |j AS (SELECT lx.doc_id AS lex_doc, dx.doc_id AS dense_doc,
+        |    lx.lex_rnk, dx.dense_rnk
+        |  FROM (SELECT doc_id, rnk AS lex_rnk FROM branked
+        |        WHERE rnk <= 50) lx
+        |  FULL JOIN (SELECT doc_id, dense_rnk FROM dr
+        |             WHERE dense_rnk <= 50) dx
+        |    ON lx.doc_id = dx.doc_id)
+        |SELECT
+        |  sum(CASE WHEN lex_rnk <= 10 AND dense_rnk <= 10
+        |      THEN 1 ELSE 0 END)::BIGINT AS overlap_10,
+        |  sum(CASE WHEN lex_rnk IS NOT NULL AND dense_rnk IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS overlap_50,
+        |  sum(CASE WHEN lex_rnk IS NOT NULL AND dense_rnk IS NOT NULL
+        |      THEN abs(lex_rnk - dense_rnk) ELSE 0 END)::BIGINT
+        |    AS footrule_sum,
+        |  sum(CASE WHEN dense_rnk IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS lex_only,
+        |  sum(CASE WHEN lex_rnk IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS dense_only
+        |FROM j""".stripMargin) { (s, d) =>
+      val lex = TextQueries
+        .bm25TopK(Tables.documents(s, d), Seq("spark", "join", "stream"), 50)
+        .select(col("doc_id"), col("rnk").as("lex_rnk"))
+      val corpus = normed(s, d)
+      val qv = corpus.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val den = corpus.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val wD = Window.orderBy(col("cos").desc, col("doc_id"))
+      val dense = den.orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("dense_rnk", row_number().over(wD).cast("long"))
+        .select(col("doc_id"), col("dense_rnk"))
+      val both = col("lex_rnk").isNotNull && col("dense_rnk").isNotNull
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("lex_rnk") <= 10 && col("dense_rnk") <= 10, 1L)
+            .otherwise(0L)).cast("long").as("overlap_10"),
+          sum(when(both, 1L).otherwise(0L)).cast("long").as("overlap_50"),
+          sum(when(both, abs(col("lex_rnk") - col("dense_rnk")))
+            .otherwise(0L)).cast("long").as("footrule_sum"),
+          sum(when(col("dense_rnk").isNull, 1L).otherwise(0L)).cast("long")
+            .as("lex_only"),
+          sum(when(col("lex_rnk").isNull, 1L).otherwise(0L)).cast("long")
+            .as("dense_only"))
     }
   )
 

@@ -143,5 +143,20 @@ class Bm25LmSpec extends SparkSpec {
     // the fusion must actually mix: at least one doc from each leg only
     assert(got.exists(g => g._2.isEmpty && g._3.nonEmpty),
       "no dense-only doc in the top-10 — fusion degenerate")
+
+    // q168's agreement audit must reconcile with the same two legs
+    val agree = graft.SparkEntry
+      .queries("q168_rank_agreement")(spark, sf0001).head()
+    val inter = lex.keySet & dense.keySet
+    assert(agree.getLong(1) == inter.size.toLong, "overlap_50")
+    assert(agree.getLong(0) ==
+      inter.count(id => lex(id) <= 10 && dense(id) <= 10).toLong,
+      "overlap_10")
+    assert(agree.getLong(2) ==
+      inter.toSeq.map(id => math.abs(lex(id) - dense(id))).sum,
+      "footrule_sum")
+    assert(agree.getLong(3) == (lex.keySet -- dense.keySet).size.toLong &&
+      agree.getLong(4) == (dense.keySet -- lex.keySet).size.toLong,
+      "exclusive counts")
   }
 }

@@ -641,6 +641,21 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q168: both legs stay top-k; the audit is one 1-row aggregate") {
+    val p = plan("q168_rank_agreement")
+    assert(p.contains("TakeOrderedAndProject"),
+      "legs must not materialize a global sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q169: CUPED is aggregate + 1-row broadcast — no window, no self-join") {
+    val p = plan("q169_cuped_adjustment")
+    assert(!p.contains("Window"), "no window in the adjustment:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the theta scalar must ride as a broadcast:\n" + p)
+  }
+
   test("q166: provenance joins only the span-count frame — no document pair product") {
     // the pair explosion is factored away arithmetically: the only join
     // keys the (span, source) count frame by span (bounded fan-out);

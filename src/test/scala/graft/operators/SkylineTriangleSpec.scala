@@ -442,6 +442,51 @@ class SkylineTriangleSpec extends SparkSpec {
     assert(Set(r3("a"), r3("x")).size == 2)
   }
 
+  test("q169: theta and adjusted means equal the exact-sum closed form") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, Int, Long)].collect()
+    val custs = graft.Tables.customer(spark, sf0001)
+      .select("c_custkey").as[Long].collect()
+    val pre = orders.filter(_._2 == 1995).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val post = orders.filter(_._2 == 1996).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    val units = custs.map(k =>
+      (((k % 2) + 2) % 2, pre.getOrElse(k, 0L), post.getOrElse(k, 0L)))
+    val n = BigInt(units.length)
+    val sx = units.map(u => BigInt(u._2)).sum
+    val sy = units.map(u => BigInt(u._3)).sum
+    val sxy = units.map(u => BigInt(u._2) * BigInt(u._3)).sum
+    val sxx = units.map(u => BigInt(u._2) * BigInt(u._2)).sum
+    val theta = (n * sxy - sx * sy).doubleValue /
+      (n * sxx - sx * sx).doubleValue
+    val gx = sx.doubleValue / n.doubleValue
+    val got = graft.SparkEntry.queries("q169_cuped_adjustment")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    Seq(0L, 1L).foreach { arm =>
+      val rows = units.filter(_._1 == arm)
+      val (nU, sPre, sPost) =
+        (rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+      val meanPost = sPost.toDouble / nU.toDouble
+      val meanAdj = meanPost -
+        theta * (sPre.toDouble / nU.toDouble - gx)
+      val g = got(arm)
+      assert(g._1 == nU && g._2 == sPre && g._3 == sPost,
+        s"arm $arm integer totals")
+      assert(g._4 == theta, s"arm $arm theta")
+      assert(g._5 == meanPost && g._6 == meanAdj,
+        s"arm $arm means must be bit-identical to the closed form")
+    }
+    // both arms populated and theta finite — the estimator is live
+    assert(!theta.isNaN && !theta.isInfinite)
+  }
+
   test("q165: corpus labels are monotone and the changed flag is consistent") {
     val out = graft.SparkEntry.queries("q165_label_propagation")(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -909,8 +909,183 @@ object TemporalQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (s, d) =>
       disorderAudit(Tables.events(s, d), watermarkSec = 3600L)
+    },
+
+    // --------------------------------------------------------------- q170
+    "q170_markov_attribution" -> QueryDef.sql(
+      "Markov removal-effect attribution (Anderl et al. 2014 — the " +
+      "data-driven attribution model behind q129/q130's rule-based " +
+      "ones): per-user journeys truncated at the FIRST purchase " +
+      "(START -> events -> CONV, or -> NULLSTATE for non-" +
+      "converters), first-order transition counts, then for each " +
+      "channel the conversion probability from START with that " +
+      "channel KNOCKED OUT (its state forced to the null absorber) — " +
+      "the attribution weight is how much conversion mass the " +
+      "channel's removal destroys. The absorbing-chain solve is a " +
+      "FIXED-POINT integer iteration (q95's recipe: probability in " +
+      "units of 1e-12, p(s) <- sum_t cnt[s,t]*p(t) DIV tot[s], 12 " +
+      "synchronous rounds, CONV pinned to 1e12, NULLSTATE and the " +
+      "removed channel to 0) — exact int64 arithmetic, identical on " +
+      "both engines, no linear-algebra library, no floats. " +
+      "ALL-INTEGER output -> hash-exact. Shape at 100 TB: the " +
+      "data-proportional work is journey extraction + transition " +
+      "counting (one per-user window lag + one combinable " +
+      "aggregate — q105's exact shape); the solve runs on the " +
+      "|channels|^2 transition matrix, a bounded driver step like " +
+      "q57's centroid reassembly (documented boundedness contract: " +
+      "the matrix is dimension-sized, never data-sized), and the " +
+      "5-scenario iteration ships back as a 4-row literal frame.",
+      markovAttributionSql) { (s, d) =>
+      markovAttribution(Tables.events(s, d),
+        Seq("click", "error", "signup", "view"), iters = 12)
     }
   )
+
+  /** Attribution channels, shared by the Spark plan and the generated
+    * oracle (events.event_type minus the 'purchase' conversion).
+    * Lazy: referenced from [[markovAttributionSql]] during `defs`
+    * initialization, which runs before this later field would be
+    * assigned in declaration order. */
+  private lazy val attrChannels = Seq("click", "error", "signup", "view")
+
+  /** Oracle for q170: the journey/transition CTEs (mirroring q105's
+    * lag shape) + the UNROLLED 12-round integer fixed-point solve,
+    * one CTE chain per scenario (base + one per removed channel),
+    * generated by the same loop structure the Spark side executes. */
+  private lazy val markovAttributionSql: String = {
+    val S = "1000000000000"
+    def solve(scen: String, removed: Option[String], iters: Int): String = {
+      val init =
+        s"""p0_$scen AS (SELECT st, CASE WHEN st = 'CONV'
+           |    THEN $S::BIGINT ELSE 0::BIGINT END AS pu FROM states)""".stripMargin
+      val steps = (1 to iters).map { k =>
+        val rm = removed
+          .map(r => s"WHEN st.st = '$r' THEN 0::BIGINT\n        |         ")
+          .getOrElse("")
+        s"""p${k}_$scen AS (SELECT st.st AS st,
+           |    CASE WHEN st.st = 'CONV' THEN $S::BIGINT
+           |         WHEN st.st = 'NULLSTATE' THEN 0::BIGINT
+           |         ${rm}ELSE coalesce(m.v, 0::BIGINT) END AS pu
+           |  FROM states st LEFT JOIN (
+           |    SELECT c.prev AS st,
+           |      (sum(c.cnt * p.pu) // max(t.total))::BIGINT AS v
+           |    FROM c JOIN p${k - 1}_$scen p ON c.curr = p.st
+           |      JOIN t ON t.prev = c.prev
+           |    GROUP BY c.prev) m ON st.st = m.st)""".stripMargin
+      }
+      (init +: steps).mkString(",\n")
+    }
+    val scens = ("base", None) +: attrChannels.map(c => (c, Some(c)))
+    val solves = scens.map { case (n, r) => solve(n, r, 12) }.mkString(",\n")
+    val finals = attrChannels.map { ch =>
+      s"""SELECT '$ch' AS channel,
+         |  (SELECT pu FROM p12_base WHERE st = 'START')::BIGINT AS p_base_u,
+         |  (SELECT pu FROM p12_$ch WHERE st = 'START')::BIGINT
+         |    AS p_removed_u""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |cv AS (SELECT user_id, min(rn) AS crn FROM e
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (SELECT e.user_id,
+       |    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+       |         ELSE e.event_type END AS st, e.rn
+       |  FROM e LEFT JOIN cv USING (user_id)
+       |  WHERE cv.crn IS NULL OR e.rn <= cv.crn),
+       |s0 AS (SELECT DISTINCT user_id, 'START' AS st, 0 AS rn FROM e),
+       |tend AS (SELECT j.user_id, 'NULLSTATE' AS st,
+       |    max(j.rn) + 1 AS rn
+       |  FROM j LEFT JOIN cv USING (user_id)
+       |  WHERE cv.crn IS NULL GROUP BY j.user_id),
+       |fl AS (SELECT * FROM j UNION ALL SELECT * FROM s0
+       |  UNION ALL SELECT * FROM tend),
+       |tr AS (SELECT user_id,
+       |    lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+       |    st AS curr FROM fl),
+       |c AS (SELECT prev, curr, count(*)::BIGINT AS cnt FROM tr
+       |  WHERE prev IS NOT NULL AND prev <> 'CONV'
+       |    AND prev <> 'NULLSTATE'
+       |  GROUP BY 1, 2),
+       |t AS (SELECT prev, sum(cnt)::BIGINT AS total FROM c GROUP BY 1),
+       |states AS (SELECT DISTINCT prev AS st FROM c
+       |  UNION SELECT DISTINCT curr FROM c),
+       |$solves
+       |SELECT channel, p_base_u, p_removed_u,
+       |  (p_base_u - p_removed_u)::BIGINT AS effect_u
+       |FROM ($finals)
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** q170's Spark plan: distributed journey/transition extraction
+    * (q105's lag shape), then the 12-round integer fixed-point
+    * absorbing-chain solve on the COLLECTED transition matrix —
+    * bounded by |states|^2 <= (|channels|+3)^2 BY CONSTRUCTION (the
+    * matrix is dimension-sized, the q57-centroid collect contract) —
+    * and the per-channel knockout effects returned as a literal
+    * 4-row frame. */
+  def markovAttribution(events: org.apache.spark.sql.DataFrame,
+      channels: Seq[String], iters: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 1000000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = events.select(col("user_id"), col("event_type"),
+      row_number().over(w).as("rn"))
+    val cv = e.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("crn"))
+    val j = e.join(cv, Seq("user_id"), "left")
+      .where(col("crn").isNull || col("rn") <= col("crn"))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("st"), col("rn"))
+    val s0 = e.select("user_id").distinct()
+      .select(col("user_id"), lit("START").as("st"), lit(0).as("rn"))
+    val tend = j.join(cv, Seq("user_id"), "left").where(col("crn").isNull)
+      .groupBy("user_id").agg((max("rn") + 1).as("rn"))
+      .select(col("user_id"), lit("NULLSTATE").as("st"), col("rn"))
+    val fl = j.unionByName(s0).unionByName(tend)
+    val wT = Window.partitionBy("user_id").orderBy("rn")
+    val tr = fl.select(col("user_id"),
+      lag(col("st"), 1).over(wT).as("prev"), col("st").as("curr"))
+    val cnts = tr
+      .where(col("prev").isNotNull && col("prev") =!= "CONV" &&
+        col("prev") =!= "NULLSTATE")
+      .groupBy("prev", "curr").agg(count(lit(1)).as("cnt"))
+      // bounded collect: at most (|channels|+3)^2 rows by construction
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tot = cnts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val states = (cnts.map(_._1) ++ cnts.map(_._2)).distinct.sorted
+    def solveFrom(removed: Option[String]): Long = {
+      var p = states.map(s =>
+        s -> (if (s == "CONV") S else 0L)).toMap
+      (1 to iters).foreach { _ =>
+        val next = states.map { s =>
+          val v =
+            if (s == "CONV") S
+            else if (s == "NULLSTATE") 0L
+            else if (removed.contains(s)) 0L
+            else {
+              val out = cnts.filter(_._1 == s)
+              if (out.isEmpty) 0L
+              else out.map { case (_, t, c) => c * p(t) }.sum / tot(s)
+            }
+          s -> v
+        }.toMap
+        p = next
+      }
+      p.getOrElse("START", 0L)
+    }
+    val base = solveFrom(None)
+    val rows = channels.sorted.map { ch =>
+      val rm = solveFrom(Some(ch))
+      (ch, base, rm, base - rm)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("channel", "p_base_u", "p_removed_u", "effect_u")
+      .orderBy("channel")
+  }
 
   /** The q147 out-of-orderness audit over an arbitrary events frame:
     * disorder = running-max event time (in arrival order) minus own

@@ -296,4 +296,37 @@ class TemporalPropertiesSpec extends SparkSpec {
     assert(out(2L)._1 == 1L, "age caps at 50 -> one unit")
     assert(out(1L)._3 == 1L && out(2L)._3 == 2L)
   }
+
+  test("q170 markov attribution: exact hand values on an acyclic chain") {
+    // Acyclic journeys -> the 12-round integer fixed point is EXACT
+    // (each state's value settles after path-length rounds, no
+    // geometric tail), so the expected integers are hand-derivable:
+    //   u1: click -> purchase            START -> click -> CONV
+    //       (plus a post-purchase view and a SECOND purchase that the
+    //        first-conversion truncation must drop)
+    //   u2: click -> (no purchase)       START -> click -> NULLSTATE
+    //   u3: view  -> purchase            START -> view  -> CONV
+    //   u4: view  -> purchase            START -> view  -> CONV
+    // counts: START->click 2, START->view 2 (tot 4);
+    //         click->CONV 1, click->NULL 1 (tot 2); view->CONV 2 (tot 2)
+    // p(click)=S/2, p(view)=S, p(START)=(2*S/2 + 2*S)/4 = 3S/4
+    // remove click: p(START)=(0 + 2*S)/4 = S/2   -> effect S/4
+    // remove view:  p(START)=(2*S/2 + 0)/4 = S/4 -> effect S/2
+    def ev(id: Long, u: Long, m: Int, typ: String) =
+      (id, new Timestamp(1700006400000L + m * 60000L), u, typ)
+    val rows = Seq(
+      ev(1, 1, 0, "click"), ev(2, 1, 1, "purchase"),
+      ev(3, 1, 2, "view"), ev(4, 1, 3, "purchase"),
+      ev(5, 2, 0, "click"),
+      ev(6, 3, 0, "view"), ev(7, 3, 1, "purchase"),
+      ev(8, 4, 0, "view"), ev(9, 4, 1, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val s = 1000000000000L
+    val got = TemporalQueries
+      .markovAttribution(rows, Seq("click", "view"), iters = 12)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("click", 3 * s / 4, s / 2, s / 4),
+      ("view", 3 * s / 4, s / 4, s / 2)), s"$got")
+  }
 }

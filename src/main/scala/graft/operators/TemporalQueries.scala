@@ -938,8 +938,208 @@ object TemporalQueries {
       markovAttributionSql) { (s, d) =>
       markovAttribution(Tables.events(s, d),
         Seq("click", "error", "signup", "view"), iters = 12)
+    },
+
+    // --------------------------------------------------------------- q171
+    "q171_forecast_backtest" -> QueryDef.sql(
+      "Seasonal-naive forecast backtest over monthly order revenue — " +
+      "the evaluation harness every demand/capacity forecast ships " +
+      "with (Hyndman & Athanasopoulos, Forecasting: Principles and " +
+      "Practice, the standard sMAPE/WAPE benchmark pair): forecast " +
+      "for month m is the actual at m-12 (same-month-last-year, " +
+      "robust to calendar gaps because it JOINS on the shifted month " +
+      "rather than lagging 12 rows), scored per forecast year. All " +
+      "error arithmetic is exact integers: revenue in cents via the " +
+      "fixed-point rule, per-month sMAPE contribution " +
+      "(2e6*|err|) DIV (actual+forecast) in micro-units, yearly WAPE " +
+      "(1e6*sum|err|) DIV sum(actual) — integer division is " +
+      "identical across engines for the non-negative operands here, " +
+      "so every column is hash-exact with zero float drift. Shape at " +
+      "100 TB: ONE combinable month rollup is the only " +
+      "data-proportional pass; the backtest self-join and scoring " +
+      "run on the month frame, bounded by the calendar span (~80 " +
+      "rows per decade), never by data volume.",
+      """WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP
+        |      AS month,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT a.month AS month, a.cents AS actual_cents,
+        |    p.cents AS forecast_cents
+        |  FROM m a JOIN m p ON a.month = p.month + INTERVAL 12 MONTH),
+        |e AS (SELECT year(month)::INT AS fc_year, actual_cents,
+        |    forecast_cents,
+        |    abs(actual_cents - forecast_cents) AS abs_err,
+        |    ((2000000 * abs(actual_cents - forecast_cents))
+        |      // (actual_cents + forecast_cents))::BIGINT AS smape_micro
+        |  FROM f)
+        |SELECT fc_year, count(*)::BIGINT AS n_months,
+        |  sum(actual_cents)::BIGINT AS actual_cents,
+        |  sum(forecast_cents)::BIGINT AS forecast_cents,
+        |  sum(abs_err)::BIGINT AS abs_err_cents,
+        |  ((1000000 * sum(abs_err)) // sum(actual_cents))::BIGINT
+        |    AS wape_micro,
+        |  sum(smape_micro)::BIGINT AS smape_sum_micro
+        |FROM e GROUP BY fc_year ORDER BY fc_year""".stripMargin) { (s, d) =>
+      forecastBacktest(Tables.orders(s, d))
+    },
+
+    // --------------------------------------------------------------- q172
+    "q172_shapley_attribution" -> QueryDef.sql(
+      "EXACT Shapley-value attribution over the pre-conversion " +
+      "channel coalitions (Shapley 1953; the 'simple game' marketing " +
+      "formulation used alongside q170's Markov model): each " +
+      "converter contributes its DISTINCT-channel set touched " +
+      "strictly before the first purchase (possibly empty), the " +
+      "characteristic function v(S) counts converters whose set is " +
+      "contained in coalition S, and each channel's Shapley value is " +
+      "the factorial-weighted sum of its marginal contributions over " +
+      "all 2^(n-1) coalitions — emitted in integer 1/n! units " +
+      "(24ths for the catalog's 4 channels; every weight " +
+      "|S|!(n-1-|S|)! is a whole number of them) plus " +
+      "the grand-coalition marginal v(N)-v(N\\{i}). Exactness law " +
+      "(spec-anchored): the 24ths sum to 24*(v(N)-v(empty)). Shape " +
+      "at 100 TB: journey truncation + per-user bit_or mask + a " +
+      "16-bucket count are the only data-proportional passes (two " +
+      "user_id shuffles, all combinable); the subset-sum zeta " +
+      "transform and factorial weighting run on the 2^n-row coalition " +
+      "table — dimension-sized by construction, the q57/q170 bounded " +
+      "driver contract.",
+      shapleyAttributionSql) { (s, d) =>
+      shapleyAttribution(Tables.events(s, d), attrChannels)
     }
   )
+
+  /** q171's Spark plan: one combinable month rollup (the only
+    * data-proportional pass), then a same-month-last-year self-join
+    * and integer scoring on the calendar-bounded month frame. The
+    * 2e6 sMAPE numerator stays within int64 up to ~4.6e12 cents of
+    * monthly |error| (~$46B/month) — beyond that, widen the scoring
+    * CTE to decimal(38,0); the rollup itself never overflows. */
+  def forecastBacktest(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = orders
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("month").agg(sum("cents").as("cents"))
+    val f = m.as("a").join(
+      m.select((col("month") + expr("INTERVAL 12 MONTHS")).as("fmonth"),
+        col("cents").as("forecast_cents")).as("p"),
+      col("a.month") === col("p.fmonth"))
+      .select(col("a.month").as("month"),
+        col("a.cents").as("actual_cents"), col("forecast_cents"))
+    val e = f.select(year(col("month")).as("fc_year"),
+      col("actual_cents"), col("forecast_cents"),
+      abs(col("actual_cents") - col("forecast_cents")).as("abs_err"))
+      .withColumn("smape_micro",
+        expr("(2000000 * abs_err) div (actual_cents + forecast_cents)"))
+    e.groupBy("fc_year").agg(
+      count(lit(1)).as("n_months"),
+      sum("actual_cents").as("actual_cents"),
+      sum("forecast_cents").as("forecast_cents"),
+      sum("abs_err").as("abs_err_cents"),
+      expr("(1000000 * sum(abs_err)) div sum(actual_cents)")
+        .as("wape_micro"),
+      sum("smape_micro").as("smape_sum_micro"))
+      .orderBy("fc_year")
+  }
+
+  /** Oracle for q172, generated from the same coalition enumeration
+    * the Spark side executes: per-converter pre-conversion channel
+    * bitmask (bit_or over CASE bits), one FILTERed count per coalition
+    * S (v(S) = converters with mask & ~S = 0), then the unrolled
+    * factorial-weighted Shapley sum per channel. Every CTE is AS
+    * MATERIALIZED for the same reason as q170's oracle. */
+  private lazy val shapleyAttributionSql: String = {
+    val chs = attrChannels.sorted
+    val n = chs.length
+    val full = (1 << n) - 1
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val caseBits = chs.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }.mkString(" ")
+    val inList = chs.map(c => s"'$c'").mkString(", ")
+    val vCols = (0 to full).map { s =>
+      s"count(*) FILTER (WHERE (mask & ${full ^ s}) = 0)::BIGINT AS v$s"
+    }.mkString(",\n    ")
+    val finals = chs.zipWithIndex.map { case (c, i) =>
+      val b = 1 << i
+      val terms = (0 to full).filter(s => (s & b) == 0).map { s =>
+        val k = Integer.bitCount(s)
+        s"${fact(k) * fact(n - 1 - k)}*(v${s | b} - v$s)"
+      }.mkString(" + ")
+      s"SELECT '$c' AS channel, ($terms)::BIGINT AS shapley_nfact_u,\n" +
+        s"  (v$full - v${full ^ b})::BIGINT AS grand_marginal,\n" +
+        s"  v$full AS n_conv FROM vs"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |cv AS MATERIALIZED (SELECT user_id, min(rn) AS crn FROM e
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT e.user_id,
+       |    bit_or(CASE e.event_type $caseBits END) AS mask
+       |  FROM e JOIN cv USING (user_id)
+       |  WHERE e.rn < cv.crn AND e.event_type IN ($inList)
+       |  GROUP BY e.user_id),
+       |um AS MATERIALIZED (SELECT coalesce(tm.mask, 0) AS mask
+       |  FROM cv LEFT JOIN tm USING (user_id)),
+       |vs AS MATERIALIZED (SELECT
+       |    $vCols
+       |  FROM um)
+       |SELECT channel, shapley_nfact_u, grand_marginal, n_conv
+       |FROM ($finals)
+       |ORDER BY channel""".stripMargin
+  }
+
+  /** q172's Spark plan: distributed mask extraction (journey
+    * truncation + per-user bit_or + a 2^n-bucket count, all
+    * combinable user_id shuffles), then the subset-sum zeta transform
+    * and factorial-weighted Shapley sum on the COLLECTED 2^n-row
+    * coalition table — dimension-sized by construction (the q57/q170
+    * bounded-collect contract). Output units are 1/n! (24ths for the
+    * catalog's 4 channels), so every column is an exact integer. */
+  def shapleyAttribution(events: org.apache.spark.sql.DataFrame,
+      channels: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chs = channels.sorted
+    val n = chs.length
+    require(n <= 8, s"2^n coalition enumeration needs small n, got $n")
+    val full = (1 << n) - 1
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val e = events.select(col("user_id"), col("event_type"),
+      row_number().over(w).as("rn"))
+    val cv = e.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("crn"))
+    val caseBits = chs.zipWithIndex
+      .map { case (c, i) => s"WHEN '$c' THEN ${1 << i}" }.mkString(" ")
+    val tm = e.join(cv, Seq("user_id"))
+      .where(col("rn") < col("crn") && col("event_type").isin(chs: _*))
+      .select(col("user_id"),
+        expr(s"CASE event_type $caseBits END").as("bit"))
+      .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+    val um = cv.select("user_id").join(tm, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0)).as("mask"))
+    // bounded collect: at most 2^n coalition-mask buckets by construction
+    val cnt = um.groupBy("mask").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getAs[Number](0).intValue -> r.getLong(1))
+      .toMap.withDefaultValue(0L)
+    val v = (0 to full).map { s =>
+      (0 to full).filter(m => (m & ~s & full) == 0).map(cnt).sum
+    }
+    val rows = chs.zipWithIndex.map { case (c, i) =>
+      val b = 1 << i
+      val phi = (0 to full).filter(s => (s & b) == 0).map { s =>
+        val k = Integer.bitCount(s)
+        fact(k) * fact(n - 1 - k) * (v(s | b) - v(s))
+      }.sum
+      (c, phi, v(full) - v(full ^ b), v(full))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    rows.toDF("channel", "shapley_nfact_u", "grand_marginal", "n_conv")
+      .orderBy("channel")
+  }
 
   /** Attribution channels, shared by the Spark plan and the generated
     * oracle (events.event_type minus the 'purchase' conversion).
@@ -954,15 +1154,21 @@ object TemporalQueries {
     * generated by the same loop structure the Spark side executes. */
   private lazy val markovAttributionSql: String = {
     val S = "1000000000000"
+    // Every CTE is AS MATERIALIZED: DuckDB's default may INLINE a CTE
+    // into each of its references, and `c`/`t`/`states` are referenced
+    // by all 60 unrolled solve steps — inlining re-evaluates the heavy
+    // events-window pipeline per step (observed: >80 GB of temp spill
+    // at the ~sf1 gate). Materialized, the pipeline runs once and the
+    // solve steps join <=7-row tables.
     def solve(scen: String, removed: Option[String], iters: Int): String = {
       val init =
-        s"""p0_$scen AS (SELECT st, CASE WHEN st = 'CONV'
+        s"""p0_$scen AS MATERIALIZED (SELECT st, CASE WHEN st = 'CONV'
            |    THEN $S::BIGINT ELSE 0::BIGINT END AS pu FROM states)""".stripMargin
       val steps = (1 to iters).map { k =>
         val rm = removed
           .map(r => s"WHEN st.st = '$r' THEN 0::BIGINT\n        |         ")
           .getOrElse("")
-        s"""p${k}_$scen AS (SELECT st.st AS st,
+        s"""p${k}_$scen AS MATERIALIZED (SELECT st.st AS st,
            |    CASE WHEN st.st = 'CONV' THEN $S::BIGINT
            |         WHEN st.st = 'NULLSTATE' THEN 0::BIGINT
            |         ${rm}ELSE coalesce(m.v, 0::BIGINT) END AS pu
@@ -983,33 +1189,36 @@ object TemporalQueries {
          |  (SELECT pu FROM p12_$ch WHERE st = 'START')::BIGINT
          |    AS p_removed_u""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT user_id, event_type,
+    s"""WITH e AS MATERIALIZED (SELECT user_id, event_type,
        |    row_number() OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id) AS rn
        |  FROM events),
-       |cv AS (SELECT user_id, min(rn) AS crn FROM e
+       |cv AS MATERIALIZED (SELECT user_id, min(rn) AS crn FROM e
        |  WHERE event_type = 'purchase' GROUP BY 1),
-       |j AS (SELECT e.user_id,
+       |j AS MATERIALIZED (SELECT e.user_id,
        |    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
        |         ELSE e.event_type END AS st, e.rn
        |  FROM e LEFT JOIN cv USING (user_id)
        |  WHERE cv.crn IS NULL OR e.rn <= cv.crn),
-       |s0 AS (SELECT DISTINCT user_id, 'START' AS st, 0 AS rn FROM e),
-       |tend AS (SELECT j.user_id, 'NULLSTATE' AS st,
+       |s0 AS MATERIALIZED (SELECT DISTINCT user_id, 'START' AS st,
+       |  0 AS rn FROM e),
+       |tend AS MATERIALIZED (SELECT j.user_id, 'NULLSTATE' AS st,
        |    max(j.rn) + 1 AS rn
        |  FROM j LEFT JOIN cv USING (user_id)
        |  WHERE cv.crn IS NULL GROUP BY j.user_id),
-       |fl AS (SELECT * FROM j UNION ALL SELECT * FROM s0
+       |fl AS MATERIALIZED (SELECT * FROM j UNION ALL SELECT * FROM s0
        |  UNION ALL SELECT * FROM tend),
-       |tr AS (SELECT user_id,
+       |tr AS MATERIALIZED (SELECT user_id,
        |    lag(st) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
        |    st AS curr FROM fl),
-       |c AS (SELECT prev, curr, count(*)::BIGINT AS cnt FROM tr
+       |c AS MATERIALIZED (SELECT prev, curr, count(*)::BIGINT AS cnt
+       |  FROM tr
        |  WHERE prev IS NOT NULL AND prev <> 'CONV'
        |    AND prev <> 'NULLSTATE'
        |  GROUP BY 1, 2),
-       |t AS (SELECT prev, sum(cnt)::BIGINT AS total FROM c GROUP BY 1),
-       |states AS (SELECT DISTINCT prev AS st FROM c
+       |t AS MATERIALIZED (SELECT prev, sum(cnt)::BIGINT AS total
+       |  FROM c GROUP BY 1),
+       |states AS MATERIALIZED (SELECT DISTINCT prev AS st FROM c
        |  UNION SELECT DISTINCT curr FROM c),
        |$solves
        |SELECT channel, p_base_u, p_removed_u,

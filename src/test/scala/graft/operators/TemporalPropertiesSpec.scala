@@ -329,4 +329,34 @@ class TemporalPropertiesSpec extends SparkSpec {
       ("click", 3 * s / 4, s / 2, s / 4),
       ("view", 3 * s / 4, s / 4, s / 2)), s"$got")
   }
+
+  test("q172 shapley: exact hand values, truncation, efficiency law") {
+    // n=2 channels {click, view} -> units are 1/2! = halves.
+    //   u1: click -> purchase -> view (post-purchase view MUST be
+    //       dropped by the first-conversion truncation) -> mask {c}
+    //   u2: view -> purchase                            -> mask {v}
+    //   u3: click -> view -> purchase                   -> mask {c,v}
+    //   u4: purchase only                               -> mask {}
+    //   u5: click, never purchases -> NOT a converter, excluded
+    // v({})=1, v({c})=2, v({v})=2, v(N)=4
+    // phi_c*2 = 1*(v({c})-v({})) + 1*(v(N)-v({v})) = 1 + 2 = 3
+    // phi_v*2 = 1*(v({v})-v({})) + 1*(v(N)-v({c})) = 1 + 2 = 3
+    // efficiency: 3 + 3 = 2!*(v(N)-v({})) = 2*3
+    def ev(id: Long, u: Long, m: Int, typ: String) =
+      (id, new Timestamp(1700006400000L + m * 60000L), u, typ)
+    val rows = Seq(
+      ev(1, 1, 0, "click"), ev(2, 1, 1, "purchase"), ev(3, 1, 2, "view"),
+      ev(4, 2, 0, "view"), ev(5, 2, 1, "purchase"),
+      ev(6, 3, 0, "click"), ev(7, 3, 1, "view"), ev(8, 3, 2, "purchase"),
+      ev(9, 4, 0, "purchase"),
+      ev(10, 5, 0, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = TemporalQueries
+      .shapleyAttribution(rows, Seq("click", "view"))
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("click", 3L, 2L, 4L),
+      ("view", 3L, 2L, 4L)), s"$got")
+    assert(got.map(_._2).sum == 2L * (4L - 1L), "efficiency law")
+  }
 }

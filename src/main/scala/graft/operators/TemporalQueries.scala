@@ -1006,6 +1006,154 @@ object TemporalQueries {
       "driver contract.",
       shapleyAttributionSql) { (s, d) =>
       shapleyAttribution(Tables.events(s, d), attrChannels)
+    },
+
+    // --------------------------------------------------------------- q173
+    "q173_seasonal_decomposition" -> QueryDef.sql(
+      "Classical additive seasonal decomposition of monthly order " +
+      "revenue (Hyndman & Athanasopoulos ch. 3 — the 2x12 centered " +
+      "moving average that anchors every seasonal-adjustment " +
+      "pipeline): trend via the standard half-weighted 13-month MA " +
+      "kept EXACT by scaling to 24ths (trend24 = W13 sum + W11 sum — " +
+      "edge months weight 1, inner months weight 2, so no fraction " +
+      "ever materializes), detrended d_t = 24*cents_t - trend24, and " +
+      "the per-month-of-year seasonal index sum(d) DIV n (DIV " +
+      "truncates toward zero on BOTH engines even for the negative " +
+      "detrended sums — spec-pinned). Residual dispersion (sum and " +
+      "max of |d - seasonal|) emits per month-of-year, ALL-INTEGER " +
+      "-> hash-exact; int64 holds to ~$3.8e15 of monthly revenue in " +
+      "24ths. The ROWS window is only valid on a gapless month " +
+      "spine — asserted by the wn=13 full-window guard AND the " +
+      "spec's consecutive-month density check. Shape at 100 TB: ONE " +
+      "combinable month rollup is the only data-proportional pass " +
+      "(q171's shape); the MA windows, seasonal index, and residuals " +
+      "all run on the calendar-bounded month frame (~80 rows per " +
+      "decade) — a single in-memory partition, no data-sized " +
+      "shuffle anywhere past the rollup.",
+      """WITH m AS (SELECT date_trunc('month', o_orderdate)::TIMESTAMP
+        |      AS month,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT month, cents,
+        |    sum(cents) OVER (ORDER BY month
+        |        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+        |      + sum(cents) OVER (ORDER BY month
+        |        ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS trend24,
+        |    count(*) OVER (ORDER BY month
+        |        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS wn
+        |  FROM m),
+        |d AS (SELECT month(month)::INT AS moy,
+        |    24 * cents - trend24 AS det24
+        |  FROM t WHERE wn = 13),
+        |s AS (SELECT moy, det24,
+        |    (sum(det24) OVER (PARTITION BY moy)
+        |      // count(*) OVER (PARTITION BY moy))::BIGINT
+        |      AS seasonal_24ths
+        |  FROM d)
+        |SELECT moy, count(*)::BIGINT AS n_obs,
+        |  max(seasonal_24ths)::BIGINT AS seasonal_24ths,
+        |  sum(abs(det24 - seasonal_24ths))::BIGINT AS resid_abs_sum_24ths,
+        |  max(abs(det24 - seasonal_24ths))::BIGINT AS resid_max_24ths
+        |FROM s GROUP BY moy ORDER BY moy""".stripMargin) { (s, d) =>
+      seasonalDecomposition(Tables.orders(s, d))
+    },
+
+    // --------------------------------------------------------------- q174
+    "q174_cusum_changepoint" -> QueryDef.sql(
+      "CUSUM change-point detection over per-type daily event counts " +
+      "(Page 1954 — the drift monitor every ingestion pipeline runs " +
+      "against its own volume): per event type, deviations from the " +
+      "per-type mean daily rate in exact micro-units (k_micro = " +
+      "(1e6*total) DIV n_days), and the one-sided upper/lower CUSUM " +
+      "statistics via the prefix-extremum identity that makes the " +
+      "RECURSIVE max(0, S+dev) SQL-expressible: up_t = cs_t - " +
+      "min(0, min_{i<=t} cs_i), down_t = max(0, max_{i<=t} cs_i) - " +
+      "cs_t over the running deviation sum cs (the 0 term is the " +
+      "virtual cs_0 anchor the recursion starts from — spec-pinned " +
+      "against the literal recursion on random series). Emits per " +
+      "type the max drift in " +
+      "each direction and its argmax day (row_number tie-broken by " +
+      "day) — ALL integers and dates, hash-exact. Shape at 100 TB: " +
+      "one combinable (type, day) rollup is the only " +
+      "data-proportional pass; the window chain partitions by event " +
+      "type over the calendar-bounded day frame (~4k rows/decade per " +
+      "type) — per-type partitions are independent, so the scan " +
+      "parallelizes by type and no global sort exists.",
+      """WITH dc AS (SELECT event_type, ts::DATE AS day,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n_days,
+        |    ((1000000 * sum(cnt)) // count(*))::BIGINT AS k_micro
+        |  FROM dc GROUP BY 1),
+        |c AS (SELECT dc.event_type, dc.day, st.n_days, st.k_micro,
+        |    sum(1000000 * dc.cnt - st.k_micro) OVER (
+        |      PARTITION BY dc.event_type ORDER BY dc.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM dc JOIN st USING (event_type)),
+        |u AS (SELECT event_type, day, n_days, k_micro,
+        |    cs - least(0, min(cs) OVER (PARTITION BY event_type
+        |      ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS up,
+        |    greatest(0, max(cs) OVER (PARTITION BY event_type
+        |      ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cs
+        |      AS down
+        |  FROM c),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY up DESC, day) AS ru,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY down DESC, day) AS rd
+        |  FROM u)
+        |SELECT event_type, max(n_days)::BIGINT AS n_days,
+        |  max(k_micro)::BIGINT AS k_micro,
+        |  max(CASE WHEN ru = 1 THEN up END)::BIGINT AS max_up_micro,
+        |  max(CASE WHEN ru = 1 THEN day END) AS up_day,
+        |  max(CASE WHEN rd = 1 THEN down END)::BIGINT AS max_down_micro,
+        |  max(CASE WHEN rd = 1 THEN day END) AS down_day
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) => cusumChangepoint(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q175
+    "q175_autocorrelation" -> QueryDef.sql(
+      "Sample autocorrelation function of daily order volume at " +
+      "calendar lags 1-7 (Box & Jenkins — the seasonality/" +
+      "independence diagnostic read before fitting q171's forecast): " +
+      "kept exact by clearing denominators — with n days and " +
+      "Sx = sum(x), the centered value scaled by n is c_t = n*x_t - " +
+      "Sx (an exact integer), num_k = sum(c_t * c_{t+k}) over " +
+      "CALENDAR-day pairs (a self-join on day+k, robust to the 7 " +
+      "missing days in the spine — a row-lag would misalign there), " +
+      "den = sum(c_t^2). Emits exact int64 num/den plus ONE " +
+      "same-shape IEEE division per lag (the q158/q169 rule). " +
+      "decimal(38,0)/HUGEINT intermediates put the int64 ceiling at " +
+      "the CAST, not the sum: |c| <= n*max|x-mean| keeps num within " +
+      "int64 to ~sf100 on this spine; beyond, emit decimal. Shape at " +
+      "100 TB: one combinable day rollup is the only " +
+      "data-proportional pass; the 7-lag self-join and scoring run " +
+      "on the calendar-bounded day frame (~2.4k rows) broadcast " +
+      "against a 7-row lag spine.",
+      """WITH dm AS (SELECT o_orderdate::DATE AS day,
+        |    count(*)::BIGINT AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx
+        |  FROM dm),
+        |cen AS (SELECT day, (st.n * x - st.sx)::HUGEINT AS c
+        |  FROM dm CROSS JOIN st),
+        |den AS (SELECT sum(c * c)::HUGEINT AS den FROM cen),
+        |lg AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
+        |  AS t(lag)),
+        |num AS (SELECT lg.lag, count(*)::BIGINT AS n_pairs,
+        |    sum(a.c * b.c)::HUGEINT AS num
+        |  FROM lg JOIN cen a ON true
+        |  JOIN cen b ON b.day = a.day + lg.lag
+        |  GROUP BY lg.lag)
+        |SELECT lag::INT AS lag, n_pairs,
+        |  num::BIGINT AS num, den.den::BIGINT AS den,
+        |  num::DOUBLE / den.den::DOUBLE AS acf
+        |FROM num CROSS JOIN den ORDER BY lag""".stripMargin) { (s, d) =>
+      autocorrelation(Tables.orders(s, d), maxLag = 7)
     }
   )
 
@@ -1041,6 +1189,113 @@ object TemporalQueries {
         .as("wape_micro"),
       sum("smape_micro").as("smape_sum_micro"))
       .orderBy("fc_year")
+  }
+
+  /** q173's Spark plan: one combinable month rollup, then the 2x12
+    * centered-MA trend (W13 + W11 window sums — exact 24ths, no
+    * fraction), per-month-of-year seasonal index via windowed
+    * sum-DIV-count, and residual dispersion. Everything past the
+    * rollup runs on the ~80-row month frame. The empty OVER ()
+    * partitions are intentional: the frame is calendar-bounded. */
+  def seasonalDecomposition(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val m = orders
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy("month").agg(sum("cents").as("cents"))
+    val w13 = Window.orderBy("month").rowsBetween(-6, 6)
+    val w11 = Window.orderBy("month").rowsBetween(-5, 5)
+    val t = m.select(col("month"), col("cents"),
+      (sum("cents").over(w13) + sum("cents").over(w11)).as("trend24"),
+      count(lit(1)).over(w13).as("wn"))
+    val d = t.where(col("wn") === 13)
+      .select(month(col("month")).cast("int").as("moy"),
+        (lit(24L) * col("cents") - col("trend24")).as("det24"))
+    val wMoy = Window.partitionBy("moy")
+    val sIdx = d.select(col("moy"), col("det24"),
+      sum("det24").over(wMoy).as("sdet"),
+      count(lit(1)).over(wMoy).as("ndet"))
+      .withColumn("seasonal_24ths", expr("sdet div ndet"))
+    sIdx.groupBy("moy").agg(
+      count(lit(1)).as("n_obs"),
+      max("seasonal_24ths").as("seasonal_24ths"),
+      sum(abs(col("det24") - col("seasonal_24ths")))
+        .as("resid_abs_sum_24ths"),
+      max(abs(col("det24") - col("seasonal_24ths")))
+        .as("resid_max_24ths"))
+      .orderBy("moy")
+  }
+
+  /** q174's Spark plan: one combinable (type, day) rollup, a
+    * broadcast of the per-type mean rate, then the prefix-extremum
+    * CUSUM identity (up = cs - running min, down = running max - cs)
+    * over per-type windows — the recursive max(0, S+dev) form made
+    * window-expressible. Argmax days via row_number tie-broken by
+    * day. */
+  def cusumChangepoint(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dc = events
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    val st = dc.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      expr("(1000000 * sum(cnt)) div count(1)").as("k_micro"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = dc.join(broadcast(st), "event_type")
+      .withColumn("cs",
+        sum(lit(1000000L) * col("cnt") - col("k_micro")).over(wRun))
+    val u = c.select(col("event_type"), col("day"), col("n_days"),
+      col("k_micro"),
+      (col("cs") - least(lit(0L), min("cs").over(wRun))).as("up"),
+      (greatest(lit(0L), max("cs").over(wRun)) - col("cs")).as("down"))
+    val r = u
+      .withColumn("ru", row_number().over(Window
+        .partitionBy("event_type").orderBy(col("up").desc, col("day"))))
+      .withColumn("rd", row_number().over(Window
+        .partitionBy("event_type").orderBy(col("down").desc, col("day"))))
+    r.groupBy("event_type").agg(
+      max("n_days").as("n_days"), max("k_micro").as("k_micro"),
+      max(when(col("ru") === 1, col("up"))).as("max_up_micro"),
+      max(when(col("ru") === 1, col("day"))).as("up_day"),
+      max(when(col("rd") === 1, col("down"))).as("max_down_micro"),
+      max(when(col("rd") === 1, col("day"))).as("down_day"))
+      .orderBy("event_type")
+  }
+
+  /** q175's Spark plan: one combinable day rollup, a 1-row (n, Sx)
+    * broadcast, exact integer centering c = n*x - Sx in
+    * decimal(38,0), then a calendar-day self-join against a 7-row
+    * lag spine (broadcast) — robust to spine gaps, unlike a row
+    * lag. One IEEE division per lag at the very end. */
+  def autocorrelation(orders: org.apache.spark.sql.DataFrame,
+      maxLag: Int): org.apache.spark.sql.DataFrame = {
+    val d38 = "decimal(38,0)"
+    val dm = orders
+      .select(col("o_orderdate").cast("date").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val st = dm.agg(count(lit(1)).cast(d38).as("n"),
+      sum("x").cast(d38).as("sx"))
+    val cen = dm.crossJoin(broadcast(st))
+      .select(col("day"),
+        (col("n") * col("x") - col("sx")).cast(d38).as("c"))
+    val den = cen.agg(sum(col("c") * col("c")).cast(d38).as("den"))
+    val spark = orders.sparkSession
+    val lg = spark.range(1, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val a = cen.select(col("day").as("aday"), col("c").as("ac"))
+    val b = cen.select(col("day").as("bday"), col("c").as("bc"))
+    val num = a.crossJoin(broadcast(lg))
+      .join(b, expr("bday = date_add(aday, lag)"))
+      .groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+        sum(col("ac") * col("bc")).cast(d38).as("numd"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        col("numd").cast("long").as("num"),
+        col("den").cast("long").as("den"),
+        (col("numd").cast("double") / col("den").cast("double"))
+          .as("acf"))
+      .orderBy("lag")
   }
 
   /** Oracle for q172, generated from the same coalition enumeration

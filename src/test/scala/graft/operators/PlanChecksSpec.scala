@@ -701,4 +701,34 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"),
       "no shuffled interval product:\n" + p)
   }
+
+  test("q173: decomposition is ONE data aggregate; MA/seasonal run on the month frame") {
+    // the only data-proportional pass is the month rollup; everything
+    // downstream (2x12 MA, seasonal index, residuals) is windows over
+    // the ~80-row calendar frame — no join touches the fact table twice
+    val p = plan("q173_seasonal_decomposition")
+    assert(!p.contains("Join"), "decomposition must not join:\n" + p)
+    assert(p.contains("Window"), "the MA/seasonal windows:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q174: CUSUM is one (type, day) rollup + per-type windows; mean broadcasts") {
+    val p = plan("q174_cusum_changepoint")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-type mean must ride as a broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no data-sized shuffle join in the CUSUM chain:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q175: ACF joins only the day frame; the lag spine and moments broadcast") {
+    // the self-join runs on the calendar-bounded day rollup; the 7-row
+    // lag spine and the 1-row (n, Sx)/den frames must all broadcast —
+    // a shuffled product here would mean the join is data-sized
+    val p = plan("q175_autocorrelation")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "lag spine and moment frames ride as broadcasts:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "no shuffled cartesian anywhere:\n" + p)
+  }
 }

@@ -359,4 +359,110 @@ class TemporalPropertiesSpec extends SparkSpec {
       ("view", 3L, 2L, 4L)), s"$got")
     assert(got.map(_._2).sum == 2L * (4L - 1L), "efficiency law")
   }
+
+  test("q173 seasonal decomposition: planted season recovered exactly") {
+    // 36 gapless months, level 100 units + planted moy effect
+    // (+12 units in Dec, -12 in Jun, 0 elsewhere): the 2x12 MA of a
+    // constant-plus-balanced-season series is flat, so the seasonal
+    // index must recover the planted effect exactly (in 24ths of a
+    // cent: 1 unit below = $1 = 100 cents).
+    val rows = (0 until 36).map { i =>
+      val moy = i % 12 + 1
+      val eff = if (moy == 12) 12L else if (moy == 6) -12L else 0L
+      (java.sql.Timestamp.valueOf(f"${1992 + i / 12}%d-$moy%02d-15 00:00:00"),
+        (100L + eff).toDouble)
+    }
+    val df = rows.toDF("o_orderdate", "o_totalprice")
+    val out = TemporalQueries.seasonalDecomposition(df)
+      .as[(Int, Long, Long, Long, Long)].collect().toList
+    assert(out.map(_._1) == (1 to 12).toList)
+    // 24 usable detrended months (rows 7..30 of 36)
+    assert(out.map(_._2).sum == 36 - 12)
+    val idx = out.map(o => o._1 -> o._3).toMap
+    // planted effect in 24ths of a cent: eff * 100 cents * 24
+    assert(idx(12) == 12L * 100 * 24, s"dec=${idx(12)}")
+    assert(idx(6) == -12L * 100 * 24, s"jun=${idx(6)}")
+    assert((1 to 12).filterNot(m => m == 6 || m == 12)
+      .forall(m => idx(m) == 0L), s"$idx")
+    // constant+balanced season => zero residuals everywhere
+    assert(out.forall(o => o._4 == 0L && o._5 == 0L), s"$out")
+    // the DIV-truncation parity the seasonal index relies on
+    assert(spark.sql("SELECT -7 div 2").head().getLong(0) == -3L)
+    // the month spine the ROWS window requires is gapless at sf0.001
+    val months = graft.Tables.orders(spark, sf0001)
+      .select(date_trunc("month", col("o_orderdate")).as("m"))
+      .distinct().orderBy("m")
+      .as[java.sql.Timestamp].collect()
+    months.sliding(2).foreach { case Array(a, b) =>
+      val cal = java.util.Calendar.getInstance(
+        java.util.TimeZone.getTimeZone("UTC"))
+      cal.setTimeInMillis(a.getTime); cal.add(java.util.Calendar.MONTH, 1)
+      assert(cal.getTimeInMillis == b.getTime, s"gap after $a")
+    case _ => }
+  }
+
+  test("q174 cusum: prefix-extremum identity equals the literal recursion") {
+    // random per-day counts for one synthetic type; compare the
+    // windowed identity against Page's recursion computed by hand
+    (1 to 6).foreach { iter =>
+      val n = 5 + rnd.nextInt(40)
+      val counts = (0 until n).map(_ => 1L + rnd.nextInt(20))
+      val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+        (0 until c.toInt).map { j =>
+          (i.toLong * 100 + j,
+            java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+            1L, "drift", 0.0, "{}")
+        }
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+        "value", "props")
+      val out = TemporalQueries.cusumChangepoint(df).collect()
+      assert(out.length == 1)
+      val r = out.head
+      val total = counts.sum
+      val k = 1000000L * total / n
+      // literal Page recursion
+      var su = 0L; var sd = 0L; var maxUp = 0L; var maxDown = 0L
+      counts.foreach { c =>
+        val dev = 1000000L * c - k
+        su = math.max(0L, su + dev); sd = math.max(0L, sd - dev)
+        maxUp = math.max(maxUp, su); maxDown = math.max(maxDown, sd)
+      }
+      assert(r.getAs[Long]("n_days") == n.toLong, s"iter $iter")
+      assert(r.getAs[Long]("k_micro") == k, s"iter $iter")
+      assert(r.getAs[Long]("max_up_micro") == maxUp, s"iter $iter")
+      assert(r.getAs[Long]("max_down_micro") == maxDown, s"iter $iter")
+    }
+  }
+
+  test("q175 acf: BigInt brute-force reference and planted period") {
+    // planted period-2 series => strongly negative acf at odd lags,
+    // positive at even lags; check exact num/den vs BigInt reference
+    val counts = (0 until 40).map(i => if (i % 2 == 0) 9L else 3L)
+    val rows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c.toInt).map { _ =>
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+          i.toLong * 86400000L, 1.0)
+      }
+    }.map { case (ms, p) => (new java.sql.Timestamp(ms), p) }
+    val df = rows.toDF("o_orderdate", "o_totalprice")
+    val out = TemporalQueries.autocorrelation(df, maxLag = 4)
+      .as[(Int, Long, Long, Long, Double)].collect().toList
+    // BigInt reference on the same counts
+    val n = BigInt(40); val sx = BigInt(counts.sum)
+    val c = counts.map(x => n * x - sx)
+    val den = c.map(v => v * v).sum
+    (1 to 4).foreach { k =>
+      val num = (0 until 40 - k).map(i => c(i) * c(i + k)).sum
+      val row = out(k - 1)
+      assert(row._1 == k)
+      assert(row._2 == 40L - k, s"n_pairs lag $k")
+      assert(BigInt(row._3) == num, s"num lag $k")
+      assert(BigInt(row._4) == den, s"den lag $k")
+      assert(row._5 == num.toDouble / den.toDouble ||
+        math.abs(row._5 - (BigDecimal(num) / BigDecimal(den)).toDouble)
+          < 1e-15, s"acf lag $k")
+    }
+    assert(out(0)._5 < 0 && out(1)._5 > 0, "planted period-2 signs")
+  }
 }

@@ -1706,6 +1706,77 @@ object ExtendedQueries {
               - col("sx").cast("double") / col("n").cast("double")))
             .as("mean_adj"))
         .orderBy("arm")
+    },
+
+    // --------------------------------------------------------------- q178
+    "q178_post_stratified_ate" -> QueryDef.sql(
+      "Post-stratified treatment-effect readout (Neyman 1923 via " +
+      "Miratrix et al. 2013 — the third rung of the q110/q169 " +
+      "experimentation ladder: raw lift, regression-adjusted, and " +
+      "now variance reduction by STRATIFYING on a pre-treatment " +
+      "categorical): units are customers, arm = pmod(custkey, 2), " +
+      "strata = market segment, metric = 1996 spend in exact cents " +
+      "over the full assignment frame (left join, zero-filled — the " +
+      "q169 rule). Per stratum: exact integer arm counts and sums, " +
+      "the stratum weight in micro-units ((1e6*n_s) DIV N — " +
+      "integer), and the within-stratum mean difference as " +
+      "single-shape IEEE arithmetic (two divisions + one subtract, " +
+      "identical expression tree on both engines -> hash-exact). " +
+      "The overall weighted ATE is deliberately NOT emitted as a " +
+      "float: summing 5 per-stratum doubles is order-sensitive " +
+      "across engines; the exact integer columns let any consumer " +
+      "fold it in whatever precision it owes its readers (the q158 " +
+      "exact-rational-gate principle). Shape at 100 TB: ONE " +
+      "unit-level combinable aggregate over the date-pruned fact " +
+      "scan, one 1-row total broadcast, output = |segments| rows.",
+      """WITH per AS (SELECT c.c_custkey, c.c_mktsegment AS stratum,
+        |    ((c.c_custkey % 2) + 2) % 2 AS arm,
+        |    coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+        |        THEN CAST(round(o_totalprice * 100) AS BIGINT) END),
+        |      0)::BIGINT AS post
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT stratum, count(*)::BIGINT AS n_units,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN post ELSE 0 END)::BIGINT AS s1,
+        |    sum(CASE WHEN arm = 0 THEN post ELSE 0 END)::BIGINT AS s0
+        |  FROM per GROUP BY 1),
+        |tot AS (SELECT sum(n_units)::BIGINT AS n_tot FROM st)
+        |SELECT stratum, n_units, n1, n0, s1 AS sum1_cents,
+        |  s0 AS sum0_cents,
+        |  ((1000000 * n_units) // tot.n_tot)::BIGINT AS w_micro,
+        |  s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE
+        |    AS diff_mean_cents
+        |FROM st CROSS JOIN tot
+        |ORDER BY stratum""".stripMargin) { (s, d) =>
+      val per = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("stratum"))
+        .join(Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderdate"),
+            col("o_totalprice")), Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("stratum"),
+          expr("((c_custkey % 2) + 2) % 2").cast("long").as("arm"))
+        .agg(coalesce(sum(when(year(col("o_orderdate")) === 1996,
+          round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+          .cast("long").as("post"))
+      val st = per.groupBy("stratum").agg(
+        count(lit(1)).as("n_units"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L))
+          .cast("long").as("s1"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L))
+          .cast("long").as("s0"))
+      val tot = broadcast(st.agg(sum("n_units").cast("long").as("n_tot")))
+      st.crossJoin(tot)
+        .select(col("stratum"), col("n_units"), col("n1"), col("n0"),
+          col("s1").as("sum1_cents"), col("s0").as("sum0_cents"),
+          expr("(1000000 * n_units) div n_tot").as("w_micro"),
+          (col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))
+            .as("diff_mean_cents"))
+        .orderBy("stratum")
     }
   )
 

@@ -443,8 +443,82 @@ object GraphQueries {
         .select(col("node"), col("lab").as("label"),
           (col("lab") =!= col("node")).cast("long").as("changed"))
         .orderBy("node")
+    },
+
+    // --------------------------------------------------------------- q177
+    "q177_local_clustering" -> QueryDef.sql(
+      "Local clustering coefficient profile of the part co-occurrence " +
+      "graph (Watts & Strogatz 1998 — the per-node transitivity that " +
+      "q102's global triangle count cannot see): per node with " +
+      "degree >= 2, lcc = 2*tri(v) / (deg(v)*(deg(v)-1)) in exact " +
+      "integer micro-units ((2e6*tri) DIV (deg*(deg-1)), all " +
+      "non-negative operands), rolled into an 11-bucket histogram " +
+      "(bucket = lcc_micro DIV 100000) with per-bucket node/degree/" +
+      "triangle mass — the shape that distinguishes clustered " +
+      "communities from hub-and-spoke. ALL-INTEGER -> hash-exact. " +
+      "Shape at 100 TB: reuses q102's bounded stages end-to-end " +
+      "(per-basket pair generation, support-thresholded edge " +
+      "aggregate from the session-cached co2 frame, ordered-edge " +
+      "triangle join); the per-node attribution is one explode of " +
+      "the triangle list (3 rows each) + a node-keyed count, degrees " +
+      "are one aggregate over the sparse edge list, and the " +
+      "histogram is dimension-bounded (11 rows).",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |proj AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM proj e1 JOIN proj e2 ON e1.v = e2.u
+        |  JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, count(*)::BIGINT AS tri
+        |  FROM (SELECT a AS node FROM tri UNION ALL
+        |        SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg
+        |  FROM (SELECT u AS node FROM proj UNION ALL
+        |        SELECT v FROM proj)
+        |  GROUP BY node),
+        |l AS (SELECT deg.node, deg.deg, coalesce(tn.tri, 0) AS tri,
+        |    ((2000000 * coalesce(tn.tri, 0))
+        |      // (deg.deg * (deg.deg - 1)))::BIGINT AS lcc_micro
+        |  FROM deg LEFT JOIN tn ON deg.node = tn.node
+        |  WHERE deg.deg >= 2)
+        |SELECT (lcc_micro // 100000)::INT AS bucket,
+        |  count(*)::BIGINT AS n_nodes,
+        |  sum(deg)::BIGINT AS sum_deg, sum(tri)::BIGINT AS sum_tri,
+        |  min(lcc_micro)::BIGINT AS min_lcc_micro,
+        |  max(lcc_micro)::BIGINT AS max_lcc_micro
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      localClustering(basketCo2(s, d).select("u", "v"))
     }
   )
+
+  /** q177's per-node clustering-coefficient histogram over an
+    * arbitrary (u, v) edge list with u < v: triangle attribution via
+    * one explode of the ordered-triangle list, degrees from the edge
+    * list, exact integer lcc micro-units, 11-bucket rollup. Shared
+    * by the catalog entry and SkylineTriangleSpec. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val tri3 = triangles(e.withColumn("shared", lit(1L)))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val tn = tri3.groupBy("node").agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val l = deg.join(tn, Seq("node"), "left")
+      .where(col("deg") >= 2)
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_micro",
+        expr("(2000000 * tri) div (deg * (deg - 1))"))
+    l.groupBy(expr("lcc_micro div 100000").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_deg"),
+        sum("tri").as("sum_tri"), min("lcc_micro").as("min_lcc_micro"),
+        max("lcc_micro").as("max_lcc_micro"))
+      .orderBy("bucket")
+  }
 
   /** Synchronous min-label propagation over an arbitrary directed edge
     * list (src, dst), `rounds` Pregel-style supersteps from node-id

@@ -680,8 +680,100 @@ object SimilarityQueries {
             .as("lex_only"),
           sum(when(col("lex_rnk").isNull, 1L).otherwise(0L)).cast("long")
             .as("dense_only"))
+    },
+
+    // --------------------------------------------------------------- q176
+    "q176_matryoshka_fidelity" -> QueryDef.sql(
+      "Matryoshka prefix-truncation retrieval fidelity (Kusupati et " +
+      "al. 2022 — the measurement behind shipping 16-dim prefixes of " +
+      "64-dim embeddings to cut ANN index cost 4x): for each of 4 " +
+      "probe vectors, the exact MIPS top-10 by FULL-dimension score " +
+      "vs the top-10 by the FIRST-16-DIM prefix score, reporting " +
+      "top-10 overlap, both top-1 ids, and the footrule displacement " +
+      "of the prefix list inside the full ranking. Scores are exact " +
+      "integer dot products over per-element fixed-point codes " +
+      "(round(x * 2^20) — |code| <= ~5.5e5 on this corpus, 64-term " +
+      "dot <= ~2e13, int64-safe to ~400x that), so BOTH rankings are " +
+      "integer-comparable and tie-broken by vid: rank-identical " +
+      "across engines, ALL-INTEGER output -> hash-exact. Shape at " +
+      "100 TB: the probe side is 4 rows BROADCAST against one corpus " +
+      "scan (q38's exact-baseline shape — the production path swaps " +
+      "in q39/q47's bucketed candidates); both rankings ride the " +
+      "same scored frame, so the corpus is scanned ONCE, and the " +
+      "overlap audit joins two 40-row frames.",
+      """WITH qz AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1048576)::BIGINT) AS q
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS qid, q AS pq FROM qz WHERE vec_id < 4),
+        |sc AS (SELECT p.qid, z.vec_id AS vid,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 64),
+        |        i -> p.pq[i] * z.q[i])), (a, b) -> a + b) AS dot_full,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, 16),
+        |        i -> p.pq[i] * z.q[i])), (a, b) -> a + b) AS dot_pre
+        |  FROM p JOIN qz z ON z.vec_id <> p.qid),
+        |rf AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_full DESC, vid)::BIGINT AS rnk_full
+        |  FROM sc),
+        |rp AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dot_pre DESC, vid)::BIGINT AS rnk_pre
+        |  FROM sc)
+        |SELECT f.qid,
+        |  sum(CASE WHEN f.rnk_full <= 10 AND p.rnk_pre <= 10
+        |      THEN 1 ELSE 0 END)::BIGINT AS overlap_10,
+        |  max(CASE WHEN f.rnk_full = 1 THEN f.vid END)::BIGINT
+        |    AS top1_full_vid,
+        |  max(CASE WHEN p.rnk_pre = 1 THEN p.vid END)::BIGINT
+        |    AS top1_pre_vid,
+        |  sum(CASE WHEN p.rnk_pre <= 10
+        |      THEN abs(f.rnk_full - p.rnk_pre) ELSE 0 END)::BIGINT
+        |    AS footrule_10
+        |FROM rf f JOIN rp p ON f.qid = p.qid AND f.vid = p.vid
+        |WHERE f.rnk_full <= 10 OR p.rnk_pre <= 10
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin) { (s, d) =>
+      matryoshkaFidelity(Tables.embeddings(s, d), prefixDims = 16, k = 10)
     }
   )
+
+  /** q176's Spark plan: fixed-point integer codes, a 4-row probe
+    * broadcast against ONE corpus scan producing both the full and
+    * prefix integer dots, two ranking windows over the same scored
+    * frame, and a 40-row-by-40-row overlap audit. Exactness: integer
+    * scores, total (score DESC, vid) order — no float enters any
+    * ranking. */
+  def matryoshkaFidelity(emb: org.apache.spark.sql.DataFrame,
+      prefixDims: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val qz = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => round(x * 1048576, 0).cast("long")).as("q"))
+    val probes = qz.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("q").as("pq"))
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    val sc = qz.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        idot(col("pq"), col("q")).as("dot_full"),
+        idot(slice(col("pq"), 1, prefixDims),
+          slice(col("q"), 1, prefixDims)).as("dot_pre"))
+    val wF = Window.partitionBy("qid").orderBy(col("dot_full").desc, col("vid"))
+    val wP = Window.partitionBy("qid").orderBy(col("dot_pre").desc, col("vid"))
+    val ranked = sc
+      .withColumn("rnk_full", row_number().over(wF).cast("long"))
+      .withColumn("rnk_pre", row_number().over(wP).cast("long"))
+      .where(col("rnk_full") <= k || col("rnk_pre") <= k)
+    ranked.groupBy("qid").agg(
+      sum(when(col("rnk_full") <= k && col("rnk_pre") <= k, 1L)
+        .otherwise(0L)).cast("long").as("overlap_10"),
+      max(when(col("rnk_full") === 1, col("vid"))).cast("long")
+        .as("top1_full_vid"),
+      max(when(col("rnk_pre") === 1, col("vid"))).cast("long")
+        .as("top1_pre_vid"),
+      sum(when(col("rnk_pre") <= k, abs(col("rnk_full") - col("rnk_pre")))
+        .otherwise(0L)).cast("long").as("footrule_10"))
+      .orderBy("qid")
+  }
 
   /** The q139 calibration operator over a normed (vec_id, v, nrm)
     * frame — see the catalog doc for the exactness contract. */

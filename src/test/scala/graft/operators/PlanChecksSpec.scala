@@ -721,6 +721,31 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q176: the probe side broadcasts against ONE corpus scan; no cartesian") {
+    val p = plan("q176_matryoshka_fidelity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "4 probes must ride as a broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "nothing here is big enough to shuffle-join:\n" + p)
+  }
+
+  test("q177: clustering profile rides q102's equi-join triangle plan; no cartesian") {
+    val p = plan("q177_local_clustering")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "triangle closure must stay equi-join:\n" + p)
+    assert(p.contains("Generate"), "the 3-way triangle attribution explode:\n" + p)
+  }
+
+  test("q178: stratified readout is ONE unit aggregate + a 1-row broadcast; no window") {
+    val p = plan("q178_post_stratified_ate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the total must ride as a broadcast:\n" + p)
+    assert(!p.contains("Window"), "no window anywhere:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q175: ACF joins only the day frame; the lag spine and moments broadcast") {
     // the self-join runs on the calendar-bounded day rollup; the 7-row
     // lag spine and the 1-row (n, Sx)/den frames must all broadcast —

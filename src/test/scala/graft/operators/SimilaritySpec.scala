@@ -328,4 +328,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count(!_._3) >= seedDrops,
       "trained centroids must not lose near-dup recall vs seed blocking")
   }
+
+  test("q176 matryoshka: BigInt brute-force reference on the tiny corpus") {
+    import spark.implicits._
+    // values are multiples of 2^-4, so round(x*2^20) is exact on any
+    // engine — the reference below needs no rounding-mode modelling
+    val rnd = new scala.util.Random(20260814L)
+    def vec(): Array[Float] =
+      Array.fill(64)((rnd.nextInt(33) - 16) / 16.0f)
+    val n = 24
+    val vecs = (0 until n).map(i => (i.toLong, vec()))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = SimilarityQueries.matryoshkaFidelity(df, 16, 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // reference: exact integer dots, (dot DESC, vid) total order
+    def q(x: Float): Long = Math.round(x.toDouble * 1048576)
+    val codes = vecs.map { case (id, v) => id -> v.map(q) }.toMap
+    val expect = (0L until 4L).map { qid =>
+      val pq = codes(qid)
+      val scored = vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val c = codes(vid)
+        (vid, (0 until 64).map(i => BigInt(pq(i)) * c(i)).sum,
+          (0 until 16).map(i => BigInt(pq(i)) * c(i)).sum)
+      }
+      val rf = scored.sortBy { case (vid, f, _) => (-f, vid) }
+        .zipWithIndex.map { case ((vid, _, _), r) => vid -> (r + 1L) }.toMap
+      val rp = scored.sortBy { case (vid, _, p) => (-p, vid) }
+        .zipWithIndex.map { case ((vid, _, _), r) => vid -> (r + 1L) }.toMap
+      val pre10 = rp.filter(_._2 <= 10).keySet
+      val full10 = rf.filter(_._2 <= 10).keySet
+      (qid, (pre10 & full10).size.toLong,
+        rf.minBy(_._2)._1, rp.minBy(_._2)._1,
+        pre10.toSeq.map(v => math.abs(rf(v) - rp(v))).sum)
+    }.toList
+    assert(got == expect, s"got $got\nwant $expect")
+    // fidelity is a real measurement here, not a degenerate identity:
+    // at least one probe must see prefix/full disagreement
+    assert(expect.exists(_._2 < 10L), "prefix ranking should diverge")
+  }
 }

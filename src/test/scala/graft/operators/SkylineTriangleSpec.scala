@@ -10,6 +10,7 @@ import graft.SparkSpec
   */
 class SkylineTriangleSpec extends SparkSpec {
   import spark.implicits._
+  import org.apache.spark.sql.functions._
 
   // ------------------------------------------------------------- skyline
 
@@ -498,5 +499,77 @@ class SkylineTriangleSpec extends SparkSpec {
     // propagation must have actually merged labels
     assert(out.map(_._2).distinct.length < out.length,
       "no label spread at all — graph or rounds broken")
+  }
+
+  test("q177 local clustering: exact hand graph, deg-1 exclusion") {
+    import spark.implicits._
+    // two triangles sharing edge (2,3), plus an isolated deg-1 pair
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L)).toDF("u", "v")
+    val got = GraphQueries.localClustering(edges)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toList
+    // nodes 1,4: deg 2, tri 1 -> lcc 1e6 (bucket 10)
+    // nodes 2,3: deg 3, tri 2 -> lcc (4e6 div 6)=666666 (bucket 6)
+    // nodes 5,6: deg 1 -> excluded
+    assert(got == List(
+      (6, 2L, 6L, 4L, 666666L, 666666L),
+      (10, 2L, 4L, 2L, 1000000L, 1000000L)), s"$got")
+  }
+
+  test("q178 post-stratified ATE: exact hand strata, zero-fill, year filter") {
+    import spark.implicits._
+    val customers = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), // arms 1,0,1,0
+      (5L, "B"), (6L, "B")) // no orders: zero-filled units
+      .toDF("c_custkey", "c_mktsegment")
+    def o(ck: Long, y: Int, p: Double) =
+      (ck, java.sql.Timestamp.valueOf(s"$y-05-01 00:00:00"), p)
+    val orders = Seq(
+      o(1L, 1996, 30.0), o(2L, 1996, 10.0), o(3L, 1996, 50.0),
+      o(4L, 1996, 30.0),
+      o(1L, 1995, 999.0) // pre-period: must not leak into the metric
+    ).toDF("o_custkey", "o_orderdate", "o_totalprice")
+    // run the catalog fn against temp dirs? no — exercise the same
+    // plan through a local rebuild of the query body over these frames
+    val per = customers
+      .join(orders.withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment").as("stratum"),
+        expr("((c_custkey % 2) + 2) % 2").cast("long").as("arm"))
+      .agg(coalesce(sum(when(year(col("o_orderdate")) === 1996,
+        round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+        .cast("long").as("post"))
+    val st = per.groupBy("stratum").agg(
+      count(lit(1)).as("n_units"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+      sum(when(col("arm") === 1, col("post")).otherwise(0L))
+        .cast("long").as("s1"),
+      sum(when(col("arm") === 0, col("post")).otherwise(0L))
+        .cast("long").as("s0"))
+    val tot = broadcast(st.agg(sum("n_units").cast("long").as("n_tot")))
+    val got = st.crossJoin(tot)
+      .select(col("stratum"), col("n_units"), col("n1"), col("n0"),
+        col("s1"), col("s0"),
+        expr("(1000000 * n_units) div n_tot").as("w_micro"),
+        (col("s1").cast("double") / col("n1").cast("double")
+          - col("s0").cast("double") / col("n0").cast("double"))
+          .as("diff"))
+      .orderBy("stratum")
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().toList
+    assert(got == List(
+      ("A", 4L, 2L, 2L, 8000L, 4000L, 666666L, 2000.0),
+      ("B", 2L, 1L, 1L, 0L, 0L, 333333L, 0.0)), s"$got")
+    // the sf0.001 catalog row obeys the partition laws
+    val cat = graft.SparkEntry
+      .queries("q178_post_stratified_ate")(spark, sf0001).collect()
+    assert(cat.length == 5, "five market segments")
+    cat.foreach { r =>
+      assert(r.getAs[Long]("n1") + r.getAs[Long]("n0")
+        == r.getAs[Long]("n_units"), "arms partition the stratum")
+    }
+    val wSum = cat.map(_.getAs[Long]("w_micro")).sum
+    assert(wSum > 999990L && wSum <= 1000000L, s"weights ~sum to 1: $wSum")
   }
 }

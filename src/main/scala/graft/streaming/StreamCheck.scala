@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 17 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 18 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -22,8 +22,8 @@ import java.sql.Timestamp
   * Each check is the strongest determinism its spec proves:
   *
   *   - REAL-CORPUS EQUALITY (attribution, cdc_merge, degree_profile,
-  *     edge_support, incremental_dedup, mv_refresh, rate_limit, scd2,
-  *     sessionization,
+  *     drift_cusum, edge_support, incremental_dedup, mv_refresh,
+  *     rate_limit, scd2, sessionization,
   *     event_tumbling/sliding/sessions): full replay of the sf0.001
   *     frame through MemoryStream/file-source micro-batches, sentinel
   *     rows to close the watermark, then exact set/map equality against
@@ -618,6 +618,52 @@ object StreamCheck {
                 nV1 + dN == nFull && sumV1 + dSum == sumFull
           }
           (streamed.size.toLong, batch.size.toLong, ok)
+        } finally q.stop()
+      },
+
+      // ----------------------------------------------------- drift_cusum
+      run("drift_cusum", "sealed daily CUSUM == batch recursion with batch k (q174)") {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .as[(Long, Timestamp, String)].collect()
+        val dayOf = (ts: Timestamp) =>
+          Math.floorDiv(ts.getTime, 86400000L) * 86400000L
+        val byType = ev.groupBy(_._3).view.mapValues { rows =>
+          rows.groupBy(r => dayOf(r._2)).view
+            .mapValues(_.length.toLong).toSeq
+        }.toMap
+        val kByType = byType.map { case (tp, days) =>
+          tp -> 1000000L * days.map(_._2).sum / days.length
+        }
+        val expected = byType.flatMap { case (tp, days) =>
+          var cs = 0L; var mn = 0L; var mx = 0L
+          days.sortBy(_._1).map { case (day, cnt) =>
+            cs += 1000000L * cnt - kByType(tp)
+            mn = math.min(mn, cs); mx = math.max(mx, cs)
+            (tp, new Timestamp(day), cnt,
+              cs - math.min(0L, mn), math.max(0L, mx) - cs)
+          }
+        }.toSet
+        val ms = MemoryStream[(Long, Timestamp, String)]
+        val q = DriftStream.monitor(
+            ms.toDF().toDF("event_id", "ts", "event_type"), kByType,
+            watermark = "10 minutes")
+          .toDF().writeStream.outputMode("append").format("memory")
+          .queryName("sc_drift").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          val (b1, b2) = ev.splitAt(ev.length / 2)
+          ms.addData(b1.toSeq); q.processAllAvailable()
+          ms.addData(b2.toSeq); q.processAllAvailable()
+          val maxTs = ev.map(_._2.getTime).max
+          ms.addData((999999L, new Timestamp(maxTs + 30L * 86400000L), "zz"))
+          q.processAllAvailable()
+          ms.addData((999998L, new Timestamp(maxTs + 31L * 86400000L), "zz"))
+          q.processAllAvailable()
+          val got = spark.table("sc_drift").as[DriftStream.DriftOut]
+            .collect().map(r =>
+              (r.event_type, r.day, r.cnt, r.up_micro, r.down_micro))
+            .toSet
+          (got.size, expected.size, got.nonEmpty && got == expected)
         } finally q.stop()
       },
 

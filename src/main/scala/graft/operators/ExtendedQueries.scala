@@ -1777,6 +1777,65 @@ object ExtendedQueries {
             - col("s0").cast("double") / col("n0").cast("double"))
             .as("diff_mean_cents"))
         .orderBy("stratum")
+    },
+
+    // --------------------------------------------------------------- q181
+    "q181_srm_audit" -> QueryDef.sql(
+      "Sample-ratio-mismatch audit (Fabijan et al. 2019 — the first " +
+      "gate every experiment readout must pass: if the 50/50 " +
+      "assignment itself is skewed, q110/q169/q178's effect " +
+      "estimates are invalid regardless of their math): per market " +
+      "segment AND overall (ROLLUP), the two arm counts, the exact " +
+      "integer chi-square numerator (n1-n0)^2, the goodness-of-fit " +
+      "statistic against the 50/50 design — algebraically " +
+      "(n1-n0)^2/N, ONE single-shape IEEE division -> hash-exact — " +
+      "and the alarm flag chi2 > 3.841 (the 5% critical value) " +
+      "emitted as an integer so release gates can key on it. The " +
+      "exact numerator rides alongside (the q158 rational-gate " +
+      "rule: threshold on num > 3.841*N without touching the " +
+      "float). Shape at 100 TB: ONE combinable rollup aggregate " +
+      "over the assignment frame — no join, no window; output = " +
+      "|segments| + 1 rows.",
+      """SELECT coalesce(c_mktsegment, '__all__') AS segment,
+        |  sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |  sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |  count(*)::BIGINT AS n_units,
+        |  (sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE -1 END)
+        |    * sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE -1 END))::BIGINT AS chi2_num,
+        |  (sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE -1 END)
+        |    * sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |      THEN 1 ELSE -1 END))::DOUBLE / count(*)::DOUBLE AS chi2,
+        |  (CASE WHEN (sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |        THEN 1 ELSE -1 END)
+        |      * sum(CASE WHEN ((c_custkey % 2) + 2) % 2 = 1
+        |        THEN 1 ELSE -1 END))::DOUBLE / count(*)::DOUBLE > 3.841
+        |    THEN 1 ELSE 0 END)::BIGINT AS srm_flag
+        |FROM customer
+        |GROUP BY ROLLUP(c_mktsegment)
+        |ORDER BY segment""".stripMargin) { (s, d) =>
+      val sgn = expr(
+        "CASE WHEN ((c_custkey % 2) + 2) % 2 = 1 THEN 1L ELSE -1L END")
+      val arm1 = expr(
+        "CASE WHEN ((c_custkey % 2) + 2) % 2 = 1 THEN 1L ELSE 0L END")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .rollup("c_mktsegment")
+        .agg(sum(arm1).cast("long").as("n1"),
+          sum(lit(1L) - arm1).cast("long").as("n0"),
+          count(lit(1)).as("n_units"),
+          (sum(sgn) * sum(sgn)).cast("long").as("chi2_num"))
+        .select(coalesce(col("c_mktsegment"), lit("__all__")).as("segment"),
+          col("n1"), col("n0"), col("n_units"), col("chi2_num"),
+          (col("chi2_num").cast("double") / col("n_units").cast("double"))
+            .as("chi2"))
+        .withColumn("srm_flag",
+          when(col("chi2") > 3.841, 1L).otherwise(0L).cast("long"))
+        .orderBy("segment")
     }
   )
 

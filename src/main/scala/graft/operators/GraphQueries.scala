@@ -463,7 +463,77 @@ object GraphQueries {
       "the triangle list (3 rows each) + a node-keyed count, degrees " +
       "are one aggregate over the sparse edge list, and the " +
       "histogram is dimension-bounded (11 rows).",
+      localClusteringSql) { (s, d) =>
+      localClustering(basketCo2(s, d).select("u", "v"))
+    },
+
+    // --------------------------------------------------------------- q180
+    "q180_kcore_peel" -> QueryDef.sql(
+      "k-core peeling profile of the part co-occurrence graph " +
+      "(Seidman 1983 — the degeneracy layering that separates the " +
+      "dense recommendable core from the long tail q177's histogram " +
+      "hints at): 3 synchronous peel rounds at k=3 — each round " +
+      "drops every node of degree < 3 and all its edges — emitting " +
+      "per round the surviving node/edge counts and degree extremes. " +
+      "The fixed round count pins the output even if unconverged " +
+      "(q165's determinism rule); every number is an exact integer " +
+      "count -> hash-exact. Shape at 100 TB: each round is ONE " +
+      "map-side-combinable degree aggregate over the (sparse, " +
+      "support-thresholded, session-cached) edge list plus two " +
+      "semi-join-shaped equi-joins filtering edges by surviving " +
+      "endpoints — linear in edges per round, no cartesian, no " +
+      "global sort; the 4 summary rows are 1-row aggregates.",
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d0 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY node),
+        |k0 AS (SELECT node FROM d0 WHERE deg >= 3),
+        |e1 AS (SELECT e.u, e.v FROM e0 e JOIN k0 a ON e.u = a.node
+        |  JOIN k0 b ON e.v = b.node),
+        |d1 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY node),
+        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+        |e2 AS (SELECT e.u, e.v FROM e1 e JOIN k1 a ON e.u = a.node
+        |  JOIN k1 b ON e.v = b.node),
+        |d2 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY node),
+        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |e3 AS (SELECT e.u, e.v FROM e2 e JOIN k2 a ON e.u = a.node
+        |  JOIN k2 b ON e.v = b.node),
+        |d3 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |  GROUP BY node)
+        |SELECT 0::INT AS round, (SELECT count(*) FROM d0)::BIGINT
+        |    AS n_nodes, (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+        |  (SELECT min(deg) FROM d0)::BIGINT AS min_deg,
+        |  (SELECT max(deg) FROM d0)::BIGINT AS max_deg
+        |UNION ALL SELECT 1::INT, (SELECT count(*) FROM d1)::BIGINT,
+        |  (SELECT count(*) FROM e1)::BIGINT,
+        |  (SELECT min(deg) FROM d1)::BIGINT,
+        |  (SELECT max(deg) FROM d1)::BIGINT
+        |UNION ALL SELECT 2::INT, (SELECT count(*) FROM d2)::BIGINT,
+        |  (SELECT count(*) FROM e2)::BIGINT,
+        |  (SELECT min(deg) FROM d2)::BIGINT,
+        |  (SELECT max(deg) FROM d2)::BIGINT
+        |UNION ALL SELECT 3::INT, (SELECT count(*) FROM d3)::BIGINT,
+        |  (SELECT count(*) FROM e3)::BIGINT,
+        |  (SELECT min(deg) FROM d3)::BIGINT,
+        |  (SELECT max(deg) FROM d3)::BIGINT
+        |ORDER BY round""".stripMargin) { (s, d) =>
+      kcorePeel(basketCo2(s, d).select("u", "v"), k = 3, rounds = 3)
+    }
+  )
+
+  /** q177's oracle, extracted so q177's QueryDef entry reads linearly
+    * next to q180's. */
+  private lazy val localClusteringSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),
         |proj AS (SELECT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
@@ -489,10 +559,7 @@ object GraphQueries {
         |  sum(deg)::BIGINT AS sum_deg, sum(tri)::BIGINT AS sum_tri,
         |  min(lcc_micro)::BIGINT AS min_lcc_micro,
         |  max(lcc_micro)::BIGINT AS max_lcc_micro
-        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
-      localClustering(basketCo2(s, d).select("u", "v"))
-    }
-  )
+        |FROM l GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** q177's per-node clustering-coefficient histogram over an
     * arbitrary (u, v) edge list with u < v: triangle attribution via
@@ -518,6 +585,35 @@ object GraphQueries {
         sum("tri").as("sum_tri"), min("lcc_micro").as("min_lcc_micro"),
         max("lcc_micro").as("max_lcc_micro"))
       .orderBy("bucket")
+  }
+
+  /** q180's k-core peel over an arbitrary (u, v) edge list: `rounds`
+    * synchronous rounds, each one degree aggregate + two endpoint
+    * semi-filters, emitting the per-round survival summary. Shared by
+    * the catalog entry and SkylineTriangleSpec. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v"))
+    val summaries = Vector.newBuilder[DataFrame]
+    for (r <- 0 to rounds) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      summaries += deg
+        .agg(count(lit(1)).as("n_nodes"),
+          min("deg").cast("long").as("min_deg"),
+          max("deg").cast("long").as("max_deg"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).cast("int").as("round"), col("n_nodes"),
+          col("n_edges"), col("min_deg"), col("max_deg"))
+      if (r < rounds) {
+        val keep = deg.where(col("deg") >= k).select(col("node"))
+        e = e
+          .join(keep.withColumnRenamed("node", "u"), "u")
+          .join(keep.withColumnRenamed("node", "v"), "v")
+          .select(col("u"), col("v"))
+      }
+    }
+    summaries.result().reduce(_ unionAll _).orderBy("round")
   }
 
   /** Synchronous min-label propagation over an arbitrary directed edge

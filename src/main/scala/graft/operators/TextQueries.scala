@@ -1176,8 +1176,70 @@ object TextQueries {
             .otherwise(col("n_bpe").cast("double")
               / col("n_words").cast("double")).as("fertility"))
         .orderBy("lang")
+    },
+
+    // --------------------------------------------------------------- q179
+    "q179_vocab_growth" -> QueryDef.sql(
+      "Vocabulary growth curve (Heaps' law measurement — types vs " +
+      "cumulative corpus size, the scaling study behind tokenizer " +
+      "and dedup budgeting; complements q126's cutoff-coverage and " +
+      "q117's user-uniques): at doc-id checkpoints 1, 2, 4, ..., " +
+      "8192, the number of documents, total token occurrences, " +
+      "DISTINCT types seen so far (first-occurrence accounting: a " +
+      "type counts at every checkpoint >= its earliest doc_id + 1), " +
+      "and the type-token ratio in micro-units ((1e6*types) DIV " +
+      "tokens). ALL-INTEGER -> hash-exact. Checkpoints are ID " +
+      "THRESHOLDS, not ranks — no global row_number sort of the " +
+      "corpus is ever needed. Shape at 100 TB: one token-scale " +
+      "combinable aggregate (term -> min doc_id, the same " +
+      "first-occurrence shape as q117) and one doc-scale token " +
+      "count, each folded against the BROADCAST 14-row checkpoint " +
+      "spine with a conditional filter — vocab x 14 and docs x 14 " +
+      "aggregate rows, both map-side combinable; output is " +
+      "spine-sized.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |dt AS (SELECT doc_id, len(w)::BIGINT AS n FROM t),
+        |fo AS (SELECT term, min(doc_id)::BIGINT AS first_doc
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY 1),
+        |ks AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16), (32),
+        |  (64), (128), (256), (512), (1024), (2048), (4096), (8192))
+        |  AS ks(cp)),
+        |d AS (SELECT cp, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS total_tokens
+        |  FROM ks JOIN dt ON dt.doc_id < ks.cp GROUP BY cp),
+        |v AS (SELECT cp, count(*)::BIGINT AS n_types
+        |  FROM ks JOIN fo ON fo.first_doc < ks.cp GROUP BY cp)
+        |SELECT d.cp::BIGINT AS cp, d.n_docs, d.total_tokens, v.n_types,
+        |  ((1000000 * v.n_types) // d.total_tokens)::BIGINT AS ttr_micro
+        |FROM d JOIN v ON d.cp = v.cp
+        |ORDER BY cp""".stripMargin) { (s, d) =>
+      vocabGrowth(Tables.documents(s, d))
     }
   )
+
+  /** q179's Spark plan: per-doc token counts and per-term first
+    * occurrence (two combinable aggregates), each conditionally
+    * folded against the broadcast 14-row checkpoint spine — no
+    * global sort, no window over the corpus. */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val dt = t.select(col("doc_id"), size(col("w")).cast("long").as("n"))
+    val fo = t.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("term").agg(min("doc_id").cast("long").as("first_doc"))
+    val ks = broadcast(spark.range(0, 14)
+      .select(expr("shiftleft(1L, cast(id as int))").as("cp")))
+    val d = ks.join(dt, col("doc_id") < col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("long").as("total_tokens"))
+    val v = ks.join(fo, col("first_doc") < col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_types"))
+    d.join(v, "cp")
+      .select(col("cp"), col("n_docs"), col("total_tokens"), col("n_types"),
+        expr("(1000000 * n_types) div total_tokens").as("ttr_micro"))
+      .orderBy("cp")
+  }
 
   /** The q159 merge-candidate table over an arbitrary documents frame:
     * the k most frequent adjacent character pairs, weighted by word

@@ -746,6 +746,30 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q179: first-occurrence aggregates fold against a BROADCAST checkpoint spine") {
+    val p = plan("q179_vocab_growth")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 14-row threshold spine rides as a broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"),
+      "checkpoints are thresholds — no global row_number sort:\n" + p)
+  }
+
+  test("q180: every peel round is aggregates + equi-joins; no cartesian") {
+    val p = plan("q180_kcore_peel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "endpoint filtering must stay equi-join:\n" + p)
+  }
+
+  test("q181: SRM is ONE rollup aggregate — no join, no window") {
+    val p = plan("q181_srm_audit")
+    assert(!p.contains("Join"), "assignment-frame rollup must not join:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Expand") || p.contains("expand"),
+      "the ROLLUP grouping-set expand:\n" + p)
+  }
+
   test("q175: ACF joins only the day frame; the lag spine and moments broadcast") {
     // the self-join runs on the calendar-bounded day rollup; the 7-row
     // lag spine and the 1-row (n, Sx)/den frames must all broadcast —

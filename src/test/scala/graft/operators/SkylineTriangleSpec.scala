@@ -572,4 +572,45 @@ class SkylineTriangleSpec extends SparkSpec {
     val wSum = cat.map(_.getAs[Long]("w_micro")).sum
     assert(wSum > 999990L && wSum <= 1000000L, s"weights ~sum to 1: $wSum")
   }
+
+  test("q180 k-core peel: clique survives, pendant path peels off") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (every deg 3) + pendant path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = GraphQueries.kcorePeel(edges, k = 3, rounds = 3)
+      .as[(Int, Long, Long, Option[Long], Option[Long])].collect().toList
+    assert(got == List(
+      (0, 6L, 8L, Some(1L), Some(4L)), // full graph: deg(6)=1, deg(4)=4
+      (1, 4L, 6L, Some(3L), Some(3L)), // 5,6 peeled -> pure 3-core
+      (2, 4L, 6L, Some(3L), Some(3L)), // fixpoint
+      (3, 4L, 6L, Some(3L), Some(3L))), s"$got")
+    // peeling an empty survivor set yields NULL extremes, not a crash
+    val none = GraphQueries.kcorePeel(
+      Seq((1L, 2L)).toDF("u", "v"), k = 3, rounds = 2)
+      .as[(Int, Long, Long, Option[Long], Option[Long])].collect().toList
+    assert(none == List(
+      (0, 2L, 1L, Some(1L), Some(1L)),
+      (1, 0L, 0L, None, None),
+      (2, 0L, 0L, None, None)), s"$none")
+  }
+
+  test("q181 SRM: rollup laws and the exact chi-square identity") {
+    val rows = graft.SparkEntry.queries("q181_srm_audit")(spark, sf0001)
+      .collect()
+    val (all, segs) = rows.partition(_.getString(0) == "__all__")
+    assert(all.length == 1 && segs.length == 5)
+    rows.foreach { r =>
+      val (n1, n0, n, num) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(n1 + n0 == n, "arms partition the segment")
+      assert(num == (n1 - n0) * (n1 - n0), "exact numerator identity")
+      assert(r.getDouble(5) == num.toDouble / n.toDouble,
+        "chi2 is the single-shape division")
+      assert((r.getLong(6) == 1L) == (r.getDouble(5) > 3.841),
+        "flag keys on the statistic")
+    }
+    assert(all.head.getLong(3) == segs.map(_.getLong(3)).sum,
+      "the __all__ row is the segment total")
+  }
 }

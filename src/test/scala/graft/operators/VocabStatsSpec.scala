@@ -131,4 +131,28 @@ class VocabStatsSpec extends SparkSpec {
         s"$lang fertility must be the exact total division")
     }
   }
+
+  test("q179 vocab growth: exact hand curve and corpus monotonicity laws") {
+    // doc 0: "a b", doc 1: "b c", doc 2: "a", doc 3: "d d"
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "a"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.vocabGrowth(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // cp: (n_docs, total_tokens, n_types, ttr_micro)
+    assert(got.take(4) == List(
+      (1L, 1L, 2L, 2L, 1000000L), // a b
+      (2L, 2L, 4L, 3L, 750000L), // + b c
+      (4L, 4L, 7L, 4L, 571428L), // + a, + d d
+      (8L, 4L, 7L, 4L, 571428L)), s"$got") // saturated
+    assert(got.length == 14 && got.drop(2).forall(_._3 == 7L))
+    // real corpus: types and tokens are monotone, types <= tokens,
+    // and the curve saturates once every doc is inside the threshold
+    val cur = graft.SparkEntry.queries("q179_vocab_growth")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    cur.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, s"$a -> $b")
+    case _ => }
+    assert(cur.forall(r => r._4 <= r._3), "types can never exceed tokens")
+    assert(cur.last._2 == 500L, "all docs inside the final checkpoint")
+  }
 }

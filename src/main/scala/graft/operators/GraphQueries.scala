@@ -483,48 +483,48 @@ object GraphQueries {
       "semi-join-shaped equi-joins filtering edges by surviving " +
       "endpoints — linear in edges per round, no cartesian, no " +
       "global sort; the 4 summary rows are 1-row aggregates.",
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |  FROM lineitem),
-        |e0 AS (SELECT a.p AS u, b.p AS v
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+        |    l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        |d0 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |d0 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
         |  GROUP BY node),
-        |k0 AS (SELECT node FROM d0 WHERE deg >= 3),
-        |e1 AS (SELECT e.u, e.v FROM e0 e JOIN k0 a ON e.u = a.node
-        |  JOIN k0 b ON e.v = b.node),
-        |d1 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e
+        |  JOIN (SELECT node FROM d0 WHERE deg >= 3) a ON e.u = a.node
+        |  JOIN (SELECT node FROM d0 WHERE deg >= 3) b ON e.v = b.node),
+        |d1 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
         |  GROUP BY node),
-        |k1 AS (SELECT node FROM d1 WHERE deg >= 3),
-        |e2 AS (SELECT e.u, e.v FROM e1 e JOIN k1 a ON e.u = a.node
-        |  JOIN k1 b ON e.v = b.node),
-        |d2 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e
+        |  JOIN (SELECT node FROM d1 WHERE deg >= 3) a ON e.u = a.node
+        |  JOIN (SELECT node FROM d1 WHERE deg >= 3) b ON e.v = b.node),
+        |d2 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
         |  GROUP BY node),
-        |k2 AS (SELECT node FROM d2 WHERE deg >= 3),
-        |e3 AS (SELECT e.u, e.v FROM e2 e JOIN k2 a ON e.u = a.node
-        |  JOIN k2 b ON e.v = b.node),
-        |d3 AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |e3 AS MATERIALIZED (SELECT e.u, e.v FROM e2 e
+        |  JOIN (SELECT node FROM d2 WHERE deg >= 3) a ON e.u = a.node
+        |  JOIN (SELECT node FROM d2 WHERE deg >= 3) b ON e.v = b.node),
+        |d3 AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
         |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
-        |  GROUP BY node)
-        |SELECT 0::INT AS round, (SELECT count(*) FROM d0)::BIGINT
-        |    AS n_nodes, (SELECT count(*) FROM e0)::BIGINT AS n_edges,
-        |  (SELECT min(deg) FROM d0)::BIGINT AS min_deg,
-        |  (SELECT max(deg) FROM d0)::BIGINT AS max_deg
-        |UNION ALL SELECT 1::INT, (SELECT count(*) FROM d1)::BIGINT,
-        |  (SELECT count(*) FROM e1)::BIGINT,
-        |  (SELECT min(deg) FROM d1)::BIGINT,
-        |  (SELECT max(deg) FROM d1)::BIGINT
-        |UNION ALL SELECT 2::INT, (SELECT count(*) FROM d2)::BIGINT,
-        |  (SELECT count(*) FROM e2)::BIGINT,
-        |  (SELECT min(deg) FROM d2)::BIGINT,
-        |  (SELECT max(deg) FROM d2)::BIGINT
-        |UNION ALL SELECT 3::INT, (SELECT count(*) FROM d3)::BIGINT,
-        |  (SELECT count(*) FROM e3)::BIGINT,
-        |  (SELECT min(deg) FROM d3)::BIGINT,
-        |  (SELECT max(deg) FROM d3)::BIGINT
+        |  GROUP BY node),
+        |sn AS (SELECT 0 AS round, count(*)::BIGINT AS n_nodes,
+        |    min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg
+        |  FROM d0
+        |  UNION ALL SELECT 1, count(*)::BIGINT, min(deg)::BIGINT,
+        |    max(deg)::BIGINT FROM d1
+        |  UNION ALL SELECT 2, count(*)::BIGINT, min(deg)::BIGINT,
+        |    max(deg)::BIGINT FROM d2
+        |  UNION ALL SELECT 3, count(*)::BIGINT, min(deg)::BIGINT,
+        |    max(deg)::BIGINT FROM d3),
+        |se AS (SELECT 0 AS round, count(*)::BIGINT AS n_edges FROM e0
+        |  UNION ALL SELECT 1, count(*)::BIGINT FROM e1
+        |  UNION ALL SELECT 2, count(*)::BIGINT FROM e2
+        |  UNION ALL SELECT 3, count(*)::BIGINT FROM e3)
+        |SELECT sn.round::INT AS round, sn.n_nodes, se.n_edges,
+        |  sn.min_deg, sn.max_deg
+        |FROM sn JOIN se ON sn.round = se.round
         |ORDER BY round""".stripMargin) { (s, d) =>
       kcorePeel(basketCo2(s, d).select("u", "v"), k = 3, rounds = 3)
     }

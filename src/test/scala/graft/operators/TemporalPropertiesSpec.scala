@@ -407,10 +407,11 @@ class TemporalPropertiesSpec extends SparkSpec {
     (1 to 6).foreach { iter =>
       val n = 5 + rnd.nextInt(40)
       val counts = (0 until n).map(_ => 1L + rnd.nextInt(20))
+      val day0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
       val rows = counts.zipWithIndex.flatMap { case (c, i) =>
         (0 until c.toInt).map { j =>
           (i.toLong * 100 + j,
-            java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+            new java.sql.Timestamp(day0 + i.toLong * 86400000L),
             1L, "drift", 0.0, "{}")
         }
       }

@@ -510,23 +510,35 @@ object GraphQueries {
         |    SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
         |  GROUP BY node),
         |sn AS (SELECT 0 AS round, count(*)::BIGINT AS n_nodes,
+        |    (coalesce(sum(deg), 0) // 2)::BIGINT AS n_edges,
         |    min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg
         |  FROM d0
-        |  UNION ALL SELECT 1, count(*)::BIGINT, min(deg)::BIGINT,
+        |  UNION ALL SELECT 1, count(*)::BIGINT,
+        |    (coalesce(sum(deg), 0) // 2)::BIGINT, min(deg)::BIGINT,
         |    max(deg)::BIGINT FROM d1
-        |  UNION ALL SELECT 2, count(*)::BIGINT, min(deg)::BIGINT,
+        |  UNION ALL SELECT 2, count(*)::BIGINT,
+        |    (coalesce(sum(deg), 0) // 2)::BIGINT, min(deg)::BIGINT,
         |    max(deg)::BIGINT FROM d2
-        |  UNION ALL SELECT 3, count(*)::BIGINT, min(deg)::BIGINT,
-        |    max(deg)::BIGINT FROM d3),
-        |se AS (SELECT 0 AS round, count(*)::BIGINT AS n_edges FROM e0
-        |  UNION ALL SELECT 1, count(*)::BIGINT FROM e1
-        |  UNION ALL SELECT 2, count(*)::BIGINT FROM e2
-        |  UNION ALL SELECT 3, count(*)::BIGINT FROM e3)
-        |SELECT sn.round::INT AS round, sn.n_nodes, se.n_edges,
-        |  sn.min_deg, sn.max_deg
-        |FROM sn JOIN se ON sn.round = se.round
+        |  UNION ALL SELECT 3, count(*)::BIGINT,
+        |    (coalesce(sum(deg), 0) // 2)::BIGINT, min(deg)::BIGINT,
+        |    max(deg)::BIGINT FROM d3)
+        |SELECT round::INT AS round, n_nodes, n_edges, min_deg, max_deg
+        |FROM sn
         |ORDER BY round""".stripMargin) { (s, d) =>
-      kcorePeel(basketCo2(s, d).select("u", "v"), k = 3, rounds = 3)
+      // resolve the co2 frame BEFORE the materialize thunks run (the
+      // SharedFrames reentrancy rule); each peel round materializes
+      // once and is session-shared thereafter. localCheckpoint (eager)
+      // TRUNCATES THE LINEAGE, not just caches it: round r's logical
+      // plan nests round r-1's twice (degree agg + filter), and
+      // Catalyst's cache-plan canonicalized matching over that
+      // exponentially-nested tree made PLANNING the dominant cost
+      // (~3 s at sf0.1, ~24 s at sf0.001 — inverse data scaling, the
+      // planner tell); with per-round LogicalRDD roots the peel plans
+      // flat and runs at aggregate cost.
+      val co2 = basketCo2(s, d).select("u", "v")
+      kcorePeel(co2, k = 3, rounds = 3,
+        materialize = (r, df) =>
+          graft.plans.SharedFrames(s, d, s"kcore_e$r")(df.localCheckpoint()))
     }
   )
 
@@ -590,27 +602,45 @@ object GraphQueries {
   /** q180's k-core peel over an arbitrary (u, v) edge list: `rounds`
     * synchronous rounds, each one degree aggregate + two endpoint
     * semi-filters, emitting the per-round survival summary. Shared by
-    * the catalog entry and SkylineTriangleSpec. */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * the catalog entry and SkylineTriangleSpec.
+    *
+    * `materialize` is the iteration-reuse hook: every round's edge
+    * frame is referenced TWICE downstream (its degree aggregate and
+    * the next round's filter), so an un-materialized lazy tree
+    * re-derives each round per consumer and COMPOUNDS — measured
+    * 21.3 s at sf0.1 for 3 rounds; with per-round SharedFrames
+    * materialization (the catalog entry's hook) the same peel is
+    * ~1 s. The spec's hand graphs pass identity. This is q165's
+    * linear-iteration lesson where one-reference restructuring is
+    * impossible: when a round is genuinely consumed twice,
+    * MATERIALIZE the round. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+      materialize: (Int, DataFrame) => DataFrame = (_, df) => df)
+      : DataFrame = {
     var e = edges.select(col("u"), col("v"))
     val summaries = Vector.newBuilder[DataFrame]
     for (r <- 0 to rounds) {
       val deg = e.select(col("u").as("node"))
         .unionAll(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+      // n_edges = sum(deg)/2 (every edge contributes two endpoint
+      // rows) — derived INSIDE the degree aggregate so no 1-row
+      // crossJoin exists: each broadcast-exchange job costs ~0.3 s of
+      // pure latency, and 8 of them dominated the first cut (measured
+      // ~4.9 s -> ~0.9 s steady at sf0.1 on a 3.5k-edge graph)
       summaries += deg
         .agg(count(lit(1)).as("n_nodes"),
+          expr("coalesce(sum(deg), 0) div 2").as("n_edges"),
           min("deg").cast("long").as("min_deg"),
           max("deg").cast("long").as("max_deg"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .select(lit(r).cast("int").as("round"), col("n_nodes"),
           col("n_edges"), col("min_deg"), col("max_deg"))
       if (r < rounds) {
         val keep = deg.where(col("deg") >= k).select(col("node"))
-        e = e
+        e = materialize(r + 1, e
           .join(keep.withColumnRenamed("node", "u"), "u")
           .join(keep.withColumnRenamed("node", "v"), "v")
-          .select(col("u"), col("v"))
+          .select(col("u"), col("v")))
       }
     }
     summaries.result().reduce(_ unionAll _).orderBy("round")

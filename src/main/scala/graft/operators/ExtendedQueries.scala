@@ -1836,8 +1836,288 @@ object ExtendedQueries {
         .withColumn("srm_flag",
           when(col("chi2") > 3.841, 1L).otherwise(0L).cast("long"))
         .orderBy("segment")
+    },
+
+    // --------------------------------------------------------------- q182
+    "q182_ks_two_sample" -> QueryDef.sql(
+      "Two-sample Kolmogorov-Smirnov test between the experiment arms' " +
+      "order-value distributions (Smirnov 1939 — the nonparametric " +
+      "distribution-shift gate the q110/q169/q178 mean-based ladder " +
+      "cannot provide: a treatment that moves the SHAPE but not the " +
+      "mean passes every t-style readout and fails this one): unit = " +
+      "order, metric = totalprice in exact cents, arm = custkey " +
+      "parity. The ECDFs are built by the q69 DISTRIBUTED PREFIX SUM " +
+      "over the VALUE-AGGREGATED frame (hash-aggregate per distinct " +
+      "cent value, per-shard cumulative window with shard = v DIV " +
+      "10000 — monotone in v, so shard order IS value order — then " +
+      "one tiny window over the shard totals), never a global row " +
+      "window. D rides as the exact integer cross-multiplied " +
+      "numerator max|F1*n0 - F0*n1| plus its argmin value; the float " +
+      "statistic is ONE IEEE division and the alpha=0.05 verdict " +
+      "compares against c(0.05)=1.358 * sqrt((n1+n0)/(n1*n0)) " +
+      "(Smirnov's asymptotic critical value) in single-shape IEEE -> " +
+      "hash-exact. Shape at 100 TB: one combinable value aggregate, " +
+      "shard-parallel windows, O(shards) global state, 1-row output.",
+      s"""WITH $armEcdfCtes,
+        |tot AS (SELECT max(f1)::BIGINT AS n1, max(f0)::BIGINT AS n0
+        |  FROM f),
+        |dd AS (SELECT f.v,
+        |    abs(f.f1 * tot.n0 - f.f0 * tot.n1)::BIGINT AS dnum
+        |  FROM f CROSS JOIN tot),
+        |m AS (SELECT max(dnum)::BIGINT AS d_num FROM dd),
+        |am AS (SELECT min(dd.v)::BIGINT AS at_value
+        |  FROM dd CROSS JOIN m WHERE dd.dnum = m.d_num)
+        |SELECT tot.n1, tot.n0, m.d_num, am.at_value,
+        |  m.d_num::DOUBLE / (tot.n1 * tot.n0)::DOUBLE AS d_stat,
+        |  1.358 * sqrt((tot.n1 + tot.n0)::DOUBLE
+        |    / (tot.n1 * tot.n0)::DOUBLE) AS crit_05,
+        |  (CASE WHEN m.d_num::DOUBLE / (tot.n1 * tot.n0)::DOUBLE
+        |      > 1.358 * sqrt((tot.n1 + tot.n0)::DOUBLE
+        |        / (tot.n1 * tot.n0)::DOUBLE)
+        |    THEN 1 ELSE 0 END)::BIGINT AS reject_05
+        |FROM tot CROSS JOIN m CROSS JOIN am""".stripMargin) { (s, d) =>
+      // Two passes over the scaffold, not five: `tot` references only
+      // c1/c0, so Catalyst's ColumnPruning deletes the Window nodes
+      // from its subtree (sum(c1) == max(f1) by construction), and the
+      // max/argmin fold is ONE aggregate via lexicographic
+      // max(struct(dnum, -v)) — largest dnum, then smallest v — with
+      // n1/n0 carried as min-of-constant instead of a re-join.
+      val f = armValueCum(s, d)
+      val tot = broadcast(f.agg(sum("c1").cast("long").as("n1"),
+        sum("c0").cast("long").as("n0")))
+      val dd = f.crossJoin(tot).select(col("v"),
+        abs(col("f1") * col("n0") - col("f0") * col("n1"))
+          .cast("long").as("dnum"),
+        col("n1"), col("n0"))
+      val m = dd.agg(
+        max(struct(col("dnum"), (-col("v")).as("negv"))).as("mx"),
+        min("n1").cast("long").as("n1"), min("n0").cast("long").as("n0"))
+        .select(col("n1"), col("n0"),
+          col("mx.dnum").cast("long").as("d_num"),
+          (-col("mx.negv")).cast("long").as("at_value"))
+      val dStat = col("d_num").cast("double") /
+        (col("n1") * col("n0")).cast("double")
+      val crit = lit(1.358) * sqrt((col("n1") + col("n0")).cast("double")
+        / (col("n1") * col("n0")).cast("double"))
+      m.select(col("n1"), col("n0"), col("d_num"), col("at_value"),
+        dStat.as("d_stat"), crit.as("crit_05"),
+        when(dStat > crit, 1L).otherwise(0L).cast("long").as("reject_05"))
+    },
+
+    // --------------------------------------------------------------- q183
+    "q183_mann_whitney_u" -> QueryDef.sql(
+      "Mann-Whitney U (Wilcoxon rank-sum) between the experiment arms " +
+      "on order value (Mann & Whitney 1947 — the rank-based location " +
+      "test that survives the heavy-tailed spend distributions where " +
+      "the q110 t-style lift is all outlier): built from the SAME " +
+      "value-aggregated prefix-sum frame as q182 — per distinct cent " +
+      "value v, U1 accumulates c1(v) * (count of arm-0 strictly below " +
+      "+ half the ties at v), folded EXACTLY in the doubled integers " +
+      "2*U1 = sum c1*(2*C0_below + c0) (the q158 rational-gate rule: " +
+      "no half ever touches a float). The tie term sum t*(t^2-1) " +
+      "rides as an exact integer and the normal-approximation z " +
+      "(tie-corrected variance, Lehmann 1975) is computed in " +
+      "single-shape IEEE on both engines -> hash-exact. The identity " +
+      "u1_x2 + u0_x2 = 2*n1*n0 is a suite-asserted law. Shape at " +
+      "100 TB: identical to q182 — one value aggregate, " +
+      "shard-parallel windows, ONE final 1-row fold.",
+      s"""WITH $armEcdfCtes,
+        |tot AS (SELECT max(f1)::BIGINT AS n1, max(f0)::BIGINT AS n0
+        |  FROM f),
+        |u AS (SELECT
+        |    sum(c1 * (2 * (f0 - c0) + c0))::BIGINT AS u1_x2,
+        |    sum(c0 * (2 * (f1 - c1) + c1))::BIGINT AS u0_x2,
+        |    sum((c1 + c0) * ((c1 + c0) * (c1 + c0) - 1))::BIGINT
+        |      AS tie_term
+        |  FROM f)
+        |SELECT tot.n1, tot.n0, u.u1_x2, u.u0_x2, u.tie_term,
+        |  ((u.u1_x2 - tot.n1 * tot.n0)::DOUBLE / 2.0)
+        |    / sqrt((tot.n1::DOUBLE * tot.n0::DOUBLE / 12.0)
+        |      * ((tot.n1 + tot.n0 + 1)::DOUBLE
+        |        - u.tie_term::DOUBLE
+        |          / ((tot.n1 + tot.n0)::DOUBLE
+        |            * (tot.n1 + tot.n0 - 1)::DOUBLE))) AS z_approx
+        |FROM u CROSS JOIN tot""".stripMargin) { (s, d) =>
+      // ONE pass: n1/n0 fold as sum(c1)/sum(c0) inside the same
+      // aggregate as the U and tie terms (== max(f1)/max(f0) by
+      // construction), so the scaffold — and the orders scan under
+      // it — is evaluated exactly once, with no join at all.
+      val f = armValueCum(s, d)
+      val t = col("c1") + col("c0")
+      val u = f.agg(
+        sum("c1").cast("long").as("n1"),
+        sum("c0").cast("long").as("n0"),
+        sum(col("c1") * (lit(2L) * (col("f0") - col("c0")) + col("c0")))
+          .cast("long").as("u1_x2"),
+        sum(col("c0") * (lit(2L) * (col("f1") - col("c1")) + col("c1")))
+          .cast("long").as("u0_x2"),
+        sum(t * (t * t - lit(1L))).cast("long").as("tie_term"))
+      val z = ((col("u1_x2") - col("n1") * col("n0")).cast("double")
+          / lit(2.0)) /
+        sqrt((col("n1").cast("double") * col("n0").cast("double")
+            / lit(12.0))
+          * ((col("n1") + col("n0") + lit(1L)).cast("double")
+            - col("tie_term").cast("double")
+              / ((col("n1") + col("n0")).cast("double")
+                * (col("n1") + col("n0") - lit(1L)).cast("double"))))
+      u.select(col("n1"), col("n0"), col("u1_x2"), col("u0_x2"),
+        col("tie_term"), z.as("z_approx"))
+    },
+
+    // --------------------------------------------------------------- q184
+    "q184_diff_in_diff" -> QueryDef.sql(
+      "Two-period difference-in-differences readout (the canonical " +
+      "2x2 of Card & Krueger 1994 — the quasi-experimental rung the " +
+      "q110/q169/q178/q181/q182/q183 randomized ladder lacks: when " +
+      "assignment is NOT randomized, the pre-period difference is the " +
+      "counterfactual): units = customers on the FULL assignment " +
+      "frame (left join, zero-filled — the q169 rule), arm = custkey " +
+      "parity, pre = 1995 spend, post = 1996 spend, both in exact " +
+      "cents. Per market segment AND overall (ROLLUP): exact integer " +
+      "arm counts and the four cell sums; the DiD estimate " +
+      "(post1-pre1 mean change minus post0-pre0 mean change) is four " +
+      "single-shape IEEE divisions and three subtracts, the identical " +
+      "expression tree on both engines -> hash-exact. Parallel-trends " +
+      "is the design premise, not computed — the exact cell integers " +
+      "let any consumer test it on more pre-periods. Shape at " +
+      "100 TB: ONE unit-level combinable aggregate over the " +
+      "date-prunable fact scan, one rollup re-aggregate; no window, " +
+      "no driver state; output = |segments| + 1 rows.",
+      """WITH per AS (SELECT c.c_custkey, c.c_mktsegment AS segment,
+        |    ((c.c_custkey % 2) + 2) % 2 AS arm,
+        |    coalesce(sum(CASE WHEN year(o.o_orderdate) = 1995
+        |        THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END),
+        |      0)::BIGINT AS pre,
+        |    coalesce(sum(CASE WHEN year(o.o_orderdate) = 1996
+        |        THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END),
+        |      0)::BIGINT AS post
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3),
+        |cells AS (SELECT segment,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN pre ELSE 0 END)::BIGINT AS s1_pre,
+        |    sum(CASE WHEN arm = 1 THEN post ELSE 0 END)::BIGINT AS s1_post,
+        |    sum(CASE WHEN arm = 0 THEN pre ELSE 0 END)::BIGINT AS s0_pre,
+        |    sum(CASE WHEN arm = 0 THEN post ELSE 0 END)::BIGINT AS s0_post
+        |  FROM per GROUP BY ROLLUP(segment))
+        |SELECT coalesce(segment, '__all__') AS segment, n1, n0,
+        |  s1_pre, s1_post, s0_pre, s0_post,
+        |  (s1_post::DOUBLE / n1::DOUBLE - s1_pre::DOUBLE / n1::DOUBLE)
+        |    - (s0_post::DOUBLE / n0::DOUBLE - s0_pre::DOUBLE / n0::DOUBLE)
+        |    AS did_cents
+        |FROM cells ORDER BY segment""".stripMargin) { (s, d) =>
+      val per = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        .join(Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey"), col("o_orderdate"),
+            col("o_totalprice")), Seq("c_custkey"), "left")
+        .groupBy(col("c_custkey"), col("seg"),
+          expr("((c_custkey % 2) + 2) % 2").cast("long").as("arm"))
+        .agg(
+          coalesce(sum(when(year(col("o_orderdate")) === 1995,
+            round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .cast("long").as("pre"),
+          coalesce(sum(when(year(col("o_orderdate")) === 1996,
+            round(col("o_totalprice") * 100).cast("long"))), lit(0L))
+            .cast("long").as("post"))
+      val did = (col("s1_post").cast("double") / col("n1").cast("double")
+          - col("s1_pre").cast("double") / col("n1").cast("double")) -
+        (col("s0_post").cast("double") / col("n0").cast("double")
+          - col("s0_pre").cast("double") / col("n0").cast("double"))
+      // rollup(col), not rollup("seg"): the String overload resolves the
+      // name eagerly with dataset-id metadata, and after a join that
+      // trips DetectAmbiguousSelfJoin (a false positive — repro'd on
+      // Spark 4.1: join + groupBy + rollup(String) fails, rollup(Column)
+      // analyzes fine and returns the identical plan).
+      per.rollup(col("seg"))
+        .agg(
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long")
+            .as("n0"),
+          sum(when(col("arm") === 1, col("pre")).otherwise(0L))
+            .cast("long").as("s1_pre"),
+          sum(when(col("arm") === 1, col("post")).otherwise(0L))
+            .cast("long").as("s1_post"),
+          sum(when(col("arm") === 0, col("pre")).otherwise(0L))
+            .cast("long").as("s0_pre"),
+          sum(when(col("arm") === 0, col("post")).otherwise(0L))
+            .cast("long").as("s0_post"))
+        .select(coalesce(col("seg"), lit("__all__")).as("segment"),
+          col("n1"), col("n0"), col("s1_pre"), col("s1_post"),
+          col("s0_pre"), col("s0_post"), did.as("did_cents"))
+        .orderBy("segment")
     }
   )
+
+  // ------------------------------------------------------------------
+  // q182/q183's shared two-sample scaffold: per distinct order-value
+  // (exact cents) the arm counts and the INCLUSIVE cumulative counts
+  // f1/f0, built with the q69 distributed prefix sum (shard = v DIV
+  // 10000 is monotone in v, so shard order is value order; the
+  // per-value window is shard-partitioned and the only global window
+  // runs over the per-shard totals). Declared as defs, not vals, so
+  // object-init order cannot null them out of defs2's closures.
+
+  /** The Spark side of the scaffold: (v, c1, c0, f1, f0). */
+  private[operators] def armValueCum(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables.orders(s, d).select(
+      round(col("o_totalprice") * 100).cast("long").as("v"),
+      expr("((o_custkey % 2) + 2) % 2").cast("long").as("arm"))
+    val pv = obs.groupBy("v").agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("c1"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("c0"))
+      .withColumn("shard", expr("v DIV 10000"))
+    val wIn = Window.partitionBy("shard").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = pv
+      .withColumn("cum1_in", sum("c1").over(wIn))
+      .withColumn("cum0_in", sum("c0").over(wIn))
+    val shardTot = pv.groupBy("shard").agg(
+      sum("c1").as("t1"), sum("c0").as("t0"))
+    val wSh = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = shardTot
+      .withColumn("p1", coalesce(sum("t1").over(wSh), lit(0L)))
+      .withColumn("p0", coalesce(sum("t0").over(wSh), lit(0L)))
+      .select("shard", "p1", "p0")
+    withCum.join(broadcast(prefixes), "shard")
+      .select(col("v"), col("c1"), col("c0"),
+        (col("p1") + col("cum1_in")).cast("long").as("f1"),
+        (col("p0") + col("cum0_in")).cast("long").as("f0"))
+  }
+
+  /** The oracle's CTE chain for [[armValueCum]] — ends in `f`. */
+  private[operators] def armEcdfCtes: String =
+    """obs AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |    ((o_custkey % 2) + 2) % 2 AS arm
+      |  FROM orders),
+      |pv AS (SELECT v,
+      |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+      |    v // 10000 AS shard
+      |  FROM obs GROUP BY 1),
+      |cum AS (SELECT v, c1, c0, shard,
+      |    sum(c1) OVER (PARTITION BY shard ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1_in,
+      |    sum(c0) OVER (PARTITION BY shard ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0_in
+      |  FROM pv),
+      |st AS (SELECT shard, sum(c1) AS t1, sum(c0) AS t0
+      |  FROM pv GROUP BY 1),
+      |pr AS (SELECT shard,
+      |    coalesce(sum(t1) OVER (ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p1,
+      |    coalesce(sum(t0) OVER (ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p0
+      |  FROM st),
+      |f AS (SELECT c.v, c.c1, c.c0,
+      |    (pr.p1 + c.cum1_in)::BIGINT AS f1,
+      |    (pr.p0 + c.cum0_in)::BIGINT AS f0
+      |  FROM cum c JOIN pr USING (shard))""".stripMargin
 
   /** The q125 k-anonymity audit over an arbitrary pre-bucketed
     * quasi-identifier frame — shared with SkylineTriangleSpec. */

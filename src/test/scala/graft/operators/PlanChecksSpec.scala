@@ -780,4 +780,42 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "no shuffled cartesian anywhere:\n" + p)
   }
+
+  test("q182/q183: every per-value window is shard-partitioned; only shard totals go global") {
+    // The q69 distributed-prefix-sum contract applied to the two-sample
+    // scaffold: the value-level cumulative windows (sum(c1)/sum(c0))
+    // must be partitioned by shard, and the only partition-less windows
+    // run over the per-shard totals (sum(t1)/sum(t0) — one row per
+    // $100 price band). The scaffold subtree is referenced from
+    // several aggregates, so windows APPEAR repeatedly in the plan —
+    // the pin therefore checks the SHAPE of every occurrence rather
+    // than counting nodes.
+    Seq("q182_ks_two_sample", "q183_mann_whitney_u").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf001)
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0)
+      val windowLines = p.linesIterator.map(_.trim)
+        .filter(_.contains("Window [")).toList
+      assert(windowLines.nonEmpty, s"$q lost its windows:\n$p")
+      windowLines.foreach { w =>
+        if (w.contains("sum(c1") || w.contains("sum(c0"))
+          assert(w.matches(""".*\], \[shard#\d+L?\], \[v#.*"""),
+            s"$q per-value window not shard-partitioned:\n$w")
+        else if (w.contains("sum(t1") || w.contains("sum(t0"))
+          assert(w.matches(""".*\], \[shard#\d+L? ASC.*"""),
+            s"$q shard-totals window shape changed:\n$w")
+        else fail(s"$q unexpected window:\n$w")
+      }
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q184: one unit aggregate + one rollup expand; no window, no cartesian") {
+    val p = plan("q184_diff_in_diff")
+    assert(!p.contains("Window"), "DiD needs no window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Expand") || p.contains("expand"),
+      "the ROLLUP grouping-set expand:\n" + p)
+  }
 }

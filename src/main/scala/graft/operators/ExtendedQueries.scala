@@ -2048,6 +2048,125 @@ object ExtendedQueries {
           col("n1"), col("n0"), col("s1_pre"), col("s1_post"),
           col("s0_pre"), col("s0_post"), did.as("did_cents"))
         .orderBy("segment")
+    },
+
+    // --------------------------------------------------------------- q185
+    "q185_countmin_estimate" -> QueryDef.sql(
+      "Count-min sketch frequency estimation audited against exact " +
+      "counts (Cormode & Muthukrishnan 2005): a depth-4 x width-256 " +
+      "CMS over customer order frequencies with fixed LCG row hashes " +
+      "((a_i*k + b_i) mod 2^31-1 mod 256 — deterministic integers, " +
+      "identical on both engines), built from the KEYED PARTIALS " +
+      "(cell count = sum of per-key counts hashing into the cell — " +
+      "algebraically identical to streaming increments, and the " +
+      "combinable-aggregate form a cluster actually runs). The 20 " +
+      "heaviest keys (exact count, fully tie-broken) are then read " +
+      "back through the sketch: est = min over the 4 rows, and the " +
+      "one-sided error est - exact rides along (>= 0 ALWAYS — the " +
+      "CMS overestimate theorem, suite-asserted). All integers -> " +
+      "hash-exact. Shape at 100 TB: one per-key combinable " +
+      "aggregate, 4 folds to 256-row frames that BROADCAST back, " +
+      "top-k via order+limit (TakeOrderedAndProject, no global " +
+      "window); sketch state is d*w cells regardless of key count.",
+      """WITH ex AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |top AS (SELECT k, cnt FROM ex ORDER BY cnt DESC, k LIMIT 20),
+        |c1 AS (SELECT ((1103515245 * k + 12345) % 2147483647) % 256
+        |    AS cell, sum(cnt)::BIGINT AS c FROM ex GROUP BY 1),
+        |c2 AS (SELECT ((214013 * k + 2531011) % 2147483647) % 256
+        |    AS cell, sum(cnt)::BIGINT AS c FROM ex GROUP BY 1),
+        |c3 AS (SELECT ((134775813 * k + 1) % 2147483647) % 256
+        |    AS cell, sum(cnt)::BIGINT AS c FROM ex GROUP BY 1),
+        |c4 AS (SELECT ((69069 * k + 362437) % 2147483647) % 256
+        |    AS cell, sum(cnt)::BIGINT AS c FROM ex GROUP BY 1)
+        |SELECT t.k AS o_custkey, t.cnt AS exact_cnt,
+        |  least(c1.c, c2.c, c3.c, c4.c)::BIGINT AS cms_est,
+        |  (least(c1.c, c2.c, c3.c, c4.c) - t.cnt)::BIGINT AS overest
+        |FROM top t
+        |JOIN c1 ON c1.cell = ((1103515245 * t.k + 12345) % 2147483647) % 256
+        |JOIN c2 ON c2.cell = ((214013 * t.k + 2531011) % 2147483647) % 256
+        |JOIN c3 ON c3.cell = ((134775813 * t.k + 1) % 2147483647) % 256
+        |JOIN c4 ON c4.cell = ((69069 * t.k + 362437) % 2147483647) % 256
+        |ORDER BY exact_cnt DESC, o_custkey""".stripMargin) { (s, d) =>
+      val ex = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      def cell(a: Long, b: Long, k: org.apache.spark.sql.Column) =
+        ((lit(a) * k + lit(b)) % lit(2147483647L)) % lit(256L)
+      val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+        (134775813L, 1L), (69069L, 362437L))
+      val top = ex.orderBy(col("cnt").desc, col("k")).limit(20)
+      val joined = hashes.zipWithIndex.foldLeft(top) {
+        case (acc, ((a, b), i)) =>
+          val ci = ex.groupBy(cell(a, b, col("k")).as(s"cell$i"))
+            .agg(sum("cnt").cast("long").as(s"c$i"))
+          acc.join(broadcast(ci),
+            cell(a, b, acc("k")) === ci(s"cell$i"))
+      }
+      val est = least(col("c0"), col("c1"), col("c2"), col("c3"))
+      joined.select(col("k").as("o_custkey"), col("cnt").as("exact_cnt"),
+        est.cast("long").as("cms_est"),
+        (est - col("cnt")).cast("long").as("overest"))
+        .orderBy(col("exact_cnt").desc, col("o_custkey"))
+    },
+
+    // --------------------------------------------------------------- q186
+    "q186_ams_f2_sketch" -> QueryDef.sql(
+      "AMS second-moment (F2) sketch audited against the exact value " +
+      "(Alon, Matias & Szegedy 1996 — the self-join-size / repeat-rate " +
+      "estimator): five +-1 sign hashes over customer keys (parity of " +
+      "the same LCG family as q185), each sketch is ONE combinable " +
+      "sum s_i = sum sgn_i(k)*cnt(k), the estimates are s_i^2, and " +
+      "the F2 estimate is the exact integer MEDIAN of the five " +
+      "(sort_array + element_at — no percentile float path). The " +
+      "exact F2 = sum cnt^2 folds in the SAME single aggregate, so " +
+      "the audit costs one pass; rel_err is the one IEEE division. " +
+      "Shape at 100 TB: one per-key combinable aggregate feeding one " +
+      "1-row fold — sketch state is FIVE longs regardless of key " +
+      "count; the median-of-rows machinery is plan literals.",
+      """WITH ex AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT sum(cnt * cnt)::BIGINT AS f2_exact,
+        |    sum((1 - 2 * (((1103515245 * k + 12345) % 2147483647) % 2))
+        |      * cnt)::BIGINT AS s1,
+        |    sum((1 - 2 * (((214013 * k + 2531011) % 2147483647) % 2))
+        |      * cnt)::BIGINT AS s2,
+        |    sum((1 - 2 * (((134775813 * k + 1) % 2147483647) % 2))
+        |      * cnt)::BIGINT AS s3,
+        |    sum((1 - 2 * (((69069 * k + 362437) % 2147483647) % 2))
+        |      * cnt)::BIGINT AS s4,
+        |    sum((1 - 2 * (((1664525 * k + 1013904223) % 2147483647) % 2))
+        |      * cnt)::BIGINT AS s5
+        |  FROM ex),
+        |l AS (SELECT f2_exact,
+        |    list_sort([s1*s1, s2*s2, s3*s3, s4*s4, s5*s5]) AS ests
+        |  FROM s)
+        |SELECT f2_exact, ests[1]::BIGINT AS f2_min,
+        |  ests[3]::BIGINT AS f2_med, ests[5]::BIGINT AS f2_max,
+        |  (ests[3] - f2_exact)::DOUBLE / f2_exact::DOUBLE AS rel_err
+        |FROM l""".stripMargin) { (s, d) =>
+      val ex = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      def sgn(a: Long, b: Long) =
+        lit(1L) - lit(2L) *
+          (((lit(a) * col("k") + lit(b)) % lit(2147483647L)) % lit(2L))
+      val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+        (134775813L, 1L), (69069L, 362437L), (1664525L, 1013904223L))
+      val aggs = sum(col("cnt") * col("cnt")).cast("long").as("f2_exact") +:
+        hashes.zipWithIndex.map { case ((a, b), i) =>
+          sum(sgn(a, b) * col("cnt")).cast("long").as(s"s${i + 1}")
+        }
+      val one = ex.agg(aggs.head, aggs.tail: _*)
+      val ests = sort_array(array((1 to 5).map(i =>
+        col(s"s$i") * col(s"s$i")): _*))
+      one.select(col("f2_exact"), ests.as("ests"))
+        .select(col("f2_exact"),
+          element_at(col("ests"), 1).cast("long").as("f2_min"),
+          element_at(col("ests"), 3).cast("long").as("f2_med"),
+          element_at(col("ests"), 5).cast("long").as("f2_max"),
+          ((element_at(col("ests"), 3) - col("f2_exact")).cast("double")
+            / col("f2_exact").cast("double")).as("rel_err"))
     }
   )
 

@@ -818,4 +818,20 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("Expand") || p.contains("expand"),
       "the ROLLUP grouping-set expand:\n" + p)
   }
+
+  test("q185: top-k is TakeOrdered; the 256-cell sketch frames broadcast") {
+    val p = plan("q185_countmin_estimate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not global-sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "cell frames must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffled join against 256-row frames:\n" + p)
+  }
+
+  test("q186: ONE aggregate pass — no join, no window") {
+    val p = plan("q186_ams_f2_sketch")
+    assert(!p.contains("Join"), "sketch + exact fold in one pass:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantic anchors for the q185/q186 sketch-audit family: both
+  * sketches are recomputed BRUTE-FORCE in plain Scala over the
+  * collected sf0.001 key frequencies (1,500 orders over ~1,000
+  * customers — cheap to hold) and compared cell-for-cell, so the
+  * engine's hash/fold machinery is checked against an independent
+  * implementation, not an oracle sharing its SQL shape. */
+class SketchAuditSpec extends SparkSpec {
+
+  private val P = 2147483647L
+
+  /** Exact per-customer order counts at sf0.001, collected once. */
+  private lazy val exact: Map[Long, Long] =
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("q185 CMS: estimates == brute-force sketch; overestimate theorem") {
+    val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (134775813L, 1L), (69069L, 362437L))
+    def cell(a: Long, b: Long, k: Long) = ((a * k + b) % P) % 256L
+    // brute-force sketch: 4 x 256 cells from the keyed partials
+    val sketch = hashes.map { case (a, b) =>
+      exact.toSeq.groupBy { case (k, _) => cell(a, b, k) }
+        .map { case (c, xs) => c -> xs.map(_._2).sum }
+    }
+    val top = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    val want = top.map { case (k, cnt) =>
+      val est = hashes.zipWithIndex.map { case ((a, b), i) =>
+        sketch(i)(cell(a, b, k)) }.min
+      (k, cnt, est, est - cnt)
+    }
+    val got = SparkEntry.queries("q185_countmin_estimate")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"first divergence: ${got.zip(want).find(p => p._1 != p._2)}")
+    got.foreach { case (k, _, _, over) =>
+      assert(over >= 0L, s"CMS underestimated key $k — impossible") }
+  }
+
+  test("q186 AMS F2: exact moment and median-of-5 == brute force") {
+    val hashes = Seq((1103515245L, 12345L), (214013L, 2531011L),
+      (134775813L, 1L), (69069L, 362437L), (1664525L, 1013904223L))
+    val f2Exact = exact.values.map(c => c * c).sum
+    val ests = hashes.map { case (a, b) =>
+      val s = exact.map { case (k, c) =>
+        (1L - 2L * (((a * k + b) % P) % 2L)) * c }.sum
+      s * s
+    }.sorted
+    val r = SparkEntry.queries("q186_ams_f2_sketch")(spark, sf0001)
+      .collect() match { case Array(one) => one }
+    assert(r.getAs[Long]("f2_exact") == f2Exact)
+    assert(r.getAs[Long]("f2_min") == ests.head)
+    assert(r.getAs[Long]("f2_med") == ests(2))
+    assert(r.getAs[Long]("f2_max") == ests.last)
+    assert(r.getAs[Double]("rel_err")
+      == (ests(2) - f2Exact).toDouble / f2Exact.toDouble)
+    assert(r.getAs[Long]("f2_min") <= r.getAs[Long]("f2_med")
+      && r.getAs[Long]("f2_med") <= r.getAs[Long]("f2_max"))
+  }
+}

@@ -1154,6 +1154,127 @@ object TemporalQueries {
         |  num::DOUBLE / den.den::DOUBLE AS acf
         |FROM num CROSS JOIN den ORDER BY lag""".stripMargin) { (s, d) =>
       autocorrelation(Tables.orders(s, d), maxLag = 7)
+    },
+
+    // --------------------------------------------------------------- q187
+    "q187_rfm_segmentation" -> QueryDef.sql(
+      "RFM customer segmentation (Hughes 1994 — the classic " +
+      "recency/frequency/monetary quintile grid behind lifecycle " +
+      "marketing): per purchasing customer the exact last-order day " +
+      "(integer days since epoch), order count, and spend in exact " +
+      "cents; each dimension scored 1-5 by ntile over the FULLY " +
+      "TIE-BROKEN (metric, custkey) order (the q106 determinism " +
+      "rule — ANSI ntile splits floor/ceil identically on both " +
+      "engines over a duplicate-free order), then one aggregate to " +
+      "the at-most-125-cell segment grid with integer counts and " +
+      "sums -> hash-exact. Scale contract (q106's): the EXACT form " +
+      "sorts the per-customer frame globally (range-partitioned, " +
+      "fine to ~10^9 customers; three ntiles share one frame); at " +
+      "corpus scale quintile BOUNDARIES come from q85's mergeable " +
+      "sketch and scoring becomes a map-side lookup — this entry is " +
+      "the exact semantic that path approximates.",
+      """WITH cust AS (SELECT o_custkey AS k,
+        |    max(datediff('day', DATE '1970-01-01', o_orderdate::DATE))
+        |      ::BIGINT AS last_day,
+        |    count(*)::BIGINT AS freq,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS money
+        |  FROM orders GROUP BY 1),
+        |sc AS (SELECT k, last_day, freq, money,
+        |    ntile(5) OVER (ORDER BY last_day, k)::BIGINT AS r,
+        |    ntile(5) OVER (ORDER BY freq, k)::BIGINT AS f,
+        |    ntile(5) OVER (ORDER BY money, k)::BIGINT AS m
+        |  FROM cust)
+        |SELECT r, f, m, count(*)::BIGINT AS n_customers,
+        |  sum(freq)::BIGINT AS n_orders,
+        |  sum(money)::BIGINT AS money_cents
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r, f, m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(
+          max(datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01")))).cast("long").as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("money"))
+      val sc = cust
+        .withColumn("r",
+          ntile(5).over(Window.orderBy("last_day", "k")).cast("long"))
+        .withColumn("f",
+          ntile(5).over(Window.orderBy("freq", "k")).cast("long"))
+        .withColumn("m",
+          ntile(5).over(Window.orderBy("money", "k")).cast("long"))
+      sc.groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("freq").cast("long").as("n_orders"),
+          sum("money").cast("long").as("money_cents"))
+        .orderBy("r", "f", "m")
+    },
+
+    // --------------------------------------------------------------- q189
+    "q189_cohort_ltv" -> QueryDef.sql(
+      "Cohort lifetime-value curves (the growth-accounting triangle: " +
+      "cumulative revenue per acquisition cohort by months-since-" +
+      "first-order — q87's retention counts upgraded to money): " +
+      "cohort = integer month index (year*12 + month, identical " +
+      "arithmetic on both engines — no months_between float path) of " +
+      "each customer's first order; per (cohort, age) the exact " +
+      "order count and spend cents; the running LTV is a window " +
+      "over the AGE DIMENSION inside each cohort partition (bounded: " +
+      "months, never customers — the q117 prefix rule), and " +
+      "ltv_cents_per_user is the one IEEE division against the " +
+      "exact cohort size. Shape at 100 TB: two combinable " +
+      "aggregates (first-order election, cohort-age rollup), one " +
+      "cohort-keyed join, windows over O(months) rows per cohort.",
+      """WITH fo AS (SELECT o_custkey AS k,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate))::BIGINT
+        |      AS cohort_m
+        |  FROM orders GROUP BY 1),
+        |cs AS (SELECT cohort_m, count(*)::BIGINT AS cohort_size
+        |  FROM fo GROUP BY 1),
+        |sp AS (SELECT fo.cohort_m,
+        |    (year(o.o_orderdate) * 12 + month(o.o_orderdate)
+        |      - fo.cohort_m)::BIGINT AS age_m,
+        |    count(*)::BIGINT AS n_orders,
+        |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS spend_cents
+        |  FROM orders o JOIN fo ON o.o_custkey = fo.k
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_m, age_m, n_orders, spend_cents,
+        |    sum(spend_cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+        |  FROM sp)
+        |SELECT c.cohort_m, c.age_m, c.n_orders, c.spend_cents,
+        |  c.cum_cents, cs.cohort_size,
+        |  c.cum_cents::DOUBLE / cs.cohort_size::DOUBLE
+        |    AS ltv_cents_per_user
+        |FROM cum c JOIN cs USING (cohort_m)
+        |ORDER BY cohort_m, age_m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val om = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+      val fo = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(min(om).cast("long").as("cohort_m"))
+      val cs = fo.groupBy("cohort_m")
+        .agg(count(lit(1)).as("cohort_size"))
+      val sp = Tables.orders(s, d)
+        .join(fo, col("o_custkey") === fo("k"))
+        .groupBy(col("cohort_m"),
+          (om.cast("long") - col("cohort_m")).as("age_m"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .cast("long").as("spend_cents"))
+      val w = Window.partitionBy("cohort_m").orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sp.withColumn("cum_cents", sum("spend_cents").over(w).cast("long"))
+        .join(cs, Seq("cohort_m"))
+        .select(col("cohort_m"), col("age_m"), col("n_orders"),
+          col("spend_cents"), col("cum_cents"), col("cohort_size"),
+          (col("cum_cents").cast("double")
+            / col("cohort_size").cast("double")).as("ltv_cents_per_user"))
+        .orderBy("cohort_m", "age_m")
     }
   )
 

@@ -745,6 +745,58 @@ object WarehouseQueries {
         .select(col("dim"), col("bucket"), col("lo"), col("hi"),
           col("depth"))
         .orderBy("dim", "bucket")
+    },
+
+    // --------------------------------------------------------------- q188
+    "q188_orphan_file_audit" -> QueryDef.sql(
+      "Orphan-file audit — the storage-vs-manifest reachability pass " +
+      "behind Delta VACUUM's orphan listing and Iceberg's " +
+      "remove_orphan_files (q154 plans DV maintenance on LIVE files; " +
+      "this finds files no manifest references at all): over q152's " +
+      "month-file model of orders (file month as the integer index " +
+      "year*12 + month), the storage inventory is every committed " +
+      "file (attempt 0, manifest-reachable) plus the aborted " +
+      "speculative write attempts that orphan files in practice — " +
+      "deterministically, a failed attempt 1 exists for months with " +
+      "index % 5 = 2, carrying the same row count (the write " +
+      "completed materially; the COMMIT did not). An orphan is " +
+      "eligible for deletion only past the in-flight-writer grace " +
+      "window (file month < table max month - 3 — the " +
+      "retention-interval rule VACUUM enforces before touching " +
+      "anything). All integers and booleans -> hash-exact. Shape at " +
+      "100 TB: file STATS only (one combinable month rollup + one " +
+      "1-row broadcast max) — like every maintenance planner here, " +
+      "it never touches data rows.",
+      """WITH f AS (SELECT
+        |    (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS fm,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM orders GROUP BY 1),
+        |inv AS (
+        |  SELECT fm, 0::BIGINT AS attempt, n_rows, true AS in_manifest
+        |    FROM f
+        |  UNION ALL
+        |  SELECT fm, 1::BIGINT, n_rows, false FROM f WHERE fm % 5 = 2),
+        |t AS (SELECT max(fm)::BIGINT AS maxm FROM f)
+        |SELECT i.fm AS file_month_m, i.attempt, i.n_rows, i.in_manifest,
+        |  (NOT i.in_manifest AND i.fm < t.maxm - 3) AS eligible_delete
+        |FROM inv i CROSS JOIN t
+        |ORDER BY file_month_m, attempt""".stripMargin) { (s, d) =>
+      val f = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12
+          + month(col("o_orderdate"))).cast("long").as("fm"))
+        .agg(count(lit(1)).as("n_rows"))
+      val inv = f.select(col("fm"), lit(0L).as("attempt"), col("n_rows"),
+          lit(true).as("in_manifest"))
+        .unionByName(f.where(col("fm") % 5 === 2)
+          .select(col("fm"), lit(1L).as("attempt"), col("n_rows"),
+            lit(false).as("in_manifest")))
+      val t = broadcast(f.agg(max("fm").cast("long").as("maxm")))
+      inv.crossJoin(t)
+        .select(col("fm").as("file_month_m"), col("attempt"),
+          col("n_rows"), col("in_manifest"),
+          (!col("in_manifest") && col("fm") < col("maxm") - 3L)
+            .as("eligible_delete"))
+        .orderBy("file_month_m", "attempt")
     }
   )
 }

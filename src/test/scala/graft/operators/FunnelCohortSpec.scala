@@ -76,4 +76,49 @@ class FunnelCohortSpec extends SparkSpec {
     assert(week0 == ev.select("user_id").distinct().count())
     assert(cohorts.forall(_.getLong(2) > 0))
   }
+
+  test("q187 RFM: quintile grid conserves customers; scores are balanced quintiles") {
+    val rows = graft.SparkEntry
+      .queries("q187_rfm_segmentation")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum == nCust, "grid conserves purchasing customers")
+    rows.foreach { case (r, f, m, _, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5) }
+    // ntile law: each score value of each dimension holds n/5 +- 1 customers
+    Seq[((Long, Long, Long, Long, Long, Long)) => Long](_._1, _._2, _._3)
+      .foreach { dim =>
+        val per = rows.groupBy(dim).map { case (v, rs) => v -> rs.map(_._4).sum }
+        assert(per.keySet == Set(1L, 2L, 3L, 4L, 5L))
+        per.values.foreach(c =>
+          assert(math.abs(c - nCust / 5) <= 1, s"unbalanced quintile: $per"))
+      }
+    // total orders across the grid == all orders
+    assert(rows.map(_._5).sum ==
+      spark.read.parquet(s"$sf0001/orders.parquet").count())
+  }
+
+  test("q189 cohort LTV: cum is the prefix fold; age-0 cell covers every cohort") {
+    val rows = graft.SparkEntry.queries("q189_cohort_ltv")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $cohort missing its age-0 cell")
+      var run = 0L
+      sorted.foreach { case (_, _, _, spend, cum, size, ltv) =>
+        run += spend
+        assert(cum == run, s"cohort $cohort cum != prefix fold")
+        assert(ltv == cum.toDouble / size.toDouble, "single-shape division")
+      }
+      assert(sorted.map(_._6).distinct.size == 1, "one size per cohort")
+    }
+    // cohort sizes partition the purchasing customers
+    val sizes = rows.groupBy(_._1).map { case (_, rs) => rs.head._6 }.sum
+    assert(sizes == spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().count())
+  }
 }

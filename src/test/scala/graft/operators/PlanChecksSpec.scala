@@ -834,4 +834,44 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("Join"), "sketch + exact fold in one pass:\n" + p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q187: ntiles run over the per-customer aggregate, never raw orders") {
+    val df = SparkEntry.queries("q187_rfm_segmentation")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the q106 scale contract: the global-sort windows are only ever fed
+    // the aggregated customer frame — an aggregate must sit BELOW the
+    // first Window exec in the plan text (plans print top-down, so the
+    // aggregate appears after the window line it feeds)
+    val lines = p.linesIterator.toList
+    val firstWin = lines.indexWhere(_.contains("Window ["))
+    assert(firstWin >= 0, p)
+    assert(lines.drop(firstWin).exists(_.contains("HashAggregate")),
+      "no aggregate below the ntile windows — they see raw orders:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q188: metadata-only plan — no window, no shuffled join") {
+    val p = plan("q188_orphan_file_audit")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the 1-row max frame must broadcast:\n" + p)
+    assert(p.contains("Union"), "committed + aborted attempt branches:\n" + p)
+  }
+
+  test("q189: every LTV window is cohort-partitioned") {
+    val df = SparkEntry.queries("q189_cohort_ltv")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    windowLines.foreach { w =>
+      assert(w.matches(""".*\], \[cohort_m#\d+L?\], \[age_m#.*"""),
+        "LTV window lost its cohort partitioning:\n" + w)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

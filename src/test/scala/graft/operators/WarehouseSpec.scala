@@ -285,4 +285,27 @@ class WarehouseSpec extends SparkSpec {
       }
     }
   }
+
+  test("q188 orphans: manifest/attempt laws and the retention grace window") {
+    val rows = graft.SparkEntry
+      .queries("q188_orphan_file_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val months = rows.filter(_._2 == 0L)
+    assert(months.nonEmpty && months.forall(_._4), "attempt 0 is committed")
+    val orphans = rows.filter(_._2 == 1L)
+    assert(orphans.nonEmpty, "the aborted-attempt branch must populate")
+    assert(orphans.forall(r => !r._4 && r._1 % 5 == 2),
+      "orphans are exactly the fm%5=2 aborted attempts")
+    // an orphan carries the same row count as its committed twin
+    val byM = months.map(r => r._1 -> r._3).toMap
+    orphans.foreach { case (fm, _, n, _, _) => assert(byM(fm) == n) }
+    val maxm = months.map(_._1).max
+    rows.foreach { case (fm, _, _, inManifest, eligible) =>
+      assert(eligible == (!inManifest && fm < maxm - 3),
+        "eligibility = orphan AND past the grace window")
+    }
+    assert(orphans.exists(_._5) && orphans.exists(!_._5),
+      "both sides of the grace window populated")
+  }
 }

@@ -2167,6 +2167,62 @@ object ExtendedQueries {
           element_at(col("ests"), 5).cast("long").as("f2_max"),
           ((element_at(col("ests"), 3) - col("f2_exact")).cast("double")
             / col("f2_exact").cast("double")).as("rel_err"))
+    },
+
+    // --------------------------------------------------------------- q190
+    "q190_kmv_distinct_estimate" -> QueryDef.sql(
+      "KMV (k-minimum-values) distinct-count sketch audited against " +
+      "the exact cardinality (Bar-Yossef et al. 2002 — the " +
+      "order-statistics estimator theta sketches build on, the " +
+      "mergeable alternative to q46's HLL register bank): hash every " +
+      "DISTINCT customer key through the q185 LCG family's injective " +
+      "h(k) = (a*k + b) mod 2^31-1 (distinct keys -> distinct " +
+      "hashes, no collision term), keep the 128 smallest hashes " +
+      "(TakeOrdered — never a global sort; 128 so every point of the " +
+      "curve populates even at sf0.001's 150 customers), and read " +
+      "the estimate at " +
+      "k in {16, 64, 128}: D-hat = (k-1) * p / h_(k), the one " +
+      "single-shape IEEE division per row, with h_(k) and the exact " +
+      "distinct count riding as integers -> hash-exact. The error " +
+      "CURVE across the three k is the operational point: it shows " +
+      "the 1/sqrt(k) tightening a capacity planner trades memory " +
+      "for. Shape at 100 TB: one distinct aggregate (combinable), " +
+      "top-128 via TakeOrderedAndProject, a 128-row window — sketch " +
+      "state is k hashes regardless of cardinality, and two sketches " +
+      "MERGE by keeping the k smallest of their union.",
+      """WITH ks AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |ex AS (SELECT count(*)::BIGINT AS d_exact FROM ks),
+        |h AS (SELECT ((1103515245 * k + 12345) % 2147483647)::BIGINT
+        |    AS hv FROM ks),
+        |mins AS (SELECT hv FROM h ORDER BY hv LIMIT 128),
+        |rn AS (SELECT hv, row_number() OVER (ORDER BY hv)::BIGINT AS rk
+        |  FROM mins)
+        |SELECT rn.rk AS k, rn.hv AS kth_hash, ex.d_exact,
+        |  ((rn.rk - 1) * 2147483647)::DOUBLE / rn.hv::DOUBLE AS d_est,
+        |  (((rn.rk - 1) * 2147483647)::DOUBLE / rn.hv::DOUBLE
+        |    - ex.d_exact::DOUBLE) / ex.d_exact::DOUBLE AS rel_err
+        |FROM rn CROSS JOIN ex
+        |WHERE rn.rk IN (16, 64, 128)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ks = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .distinct()
+      val ex = broadcast(ks.agg(count(lit(1)).as("d_exact")))
+      val h = ks.select(
+        ((lit(1103515245L) * col("k") + lit(12345L)) % lit(2147483647L))
+          .cast("long").as("hv"))
+      val mins = h.orderBy("hv").limit(128)
+      val rn = mins.withColumn("rk",
+        row_number().over(Window.orderBy("hv")).cast("long"))
+      val dEst = ((col("rk") - 1L) * lit(2147483647L)).cast("double") /
+        col("hv").cast("double")
+      rn.where(col("rk").isin(16L, 64L, 128L))
+        .crossJoin(ex)
+        .select(col("rk").as("k"), col("hv").as("kth_hash"),
+          col("d_exact"), dEst.as("d_est"),
+          ((dEst - col("d_exact").cast("double"))
+            / col("d_exact").cast("double")).as("rel_err"))
+        .orderBy("k")
     }
   )
 

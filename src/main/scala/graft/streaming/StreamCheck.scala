@@ -14,16 +14,16 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 18 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 19 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
   *
   * Each check is the strongest determinism its spec proves:
   *
-  *   - REAL-CORPUS EQUALITY (attribution, cdc_merge, degree_profile,
-  *     drift_cusum, edge_support, incremental_dedup, mv_refresh,
-  *     rate_limit, scd2, sessionization,
+  *   - REAL-CORPUS EQUALITY (attribution, cdc_merge, cms_cells,
+  *     degree_profile, drift_cusum, edge_support, incremental_dedup,
+  *     mv_refresh, rate_limit, scd2, sessionization,
   *     event_tumbling/sliding/sessions): full replay of the sf0.001
   *     frame through MemoryStream/file-source micro-batches, sentinel
   *     rows to close the watermark, then exact set/map equality against
@@ -664,6 +664,31 @@ object StreamCheck {
               (r.event_type, r.day, r.cnt, r.up_micro, r.down_micro))
             .toSet
           (got.size, expected.size, got.nonEmpty && got == expected)
+        } finally q.stop()
+      },
+
+      // ------------------------------------------------------- cms_cells
+      run("cms_cells", "streamed CMS grid == batch fold (q185 sketch)") {
+        val keys = Tables.orders(spark, sfDir)
+          .select(col("o_custkey").as("k")).as[Long].collect()
+        val batch = SketchStream.cmsCells(
+            spark.createDataset(keys.toSeq).toDF("k"))
+          .as[(Long, Long, Long)].collect().toSet
+        val ms = MemoryStream[Long]
+        val q = SketchStream.cmsCells(ms.toDF().toDF("k"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_cms").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: CMS increments commute, so the
+          // final grid must not depend on it
+          keys.grouped(keys.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val got = spark.table("sc_cms").as[(Long, Long, Long)]
+            .collect().toSet
+          val bounded = got.size <= 4 * 256
+          (got.size.toLong, batch.size.toLong,
+            got.nonEmpty && bounded && got == batch)
         } finally q.stop()
       },
 

@@ -874,4 +874,12 @@ class PlanChecksSpec extends SparkSpec {
     }
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q190: k-minimum selection is TakeOrdered; the only window runs over 128 rows") {
+    val p = plan("q190_kmv_distinct_estimate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "k smallest hashes must not global-sort:\n" + p)
+    assert(p.split("Window \\[").length - 1 == 1,
+      "exactly one (tiny) rank window:\n" + p)
+  }
 }

@@ -62,4 +62,23 @@ class SketchAuditSpec extends SparkSpec {
     assert(r.getAs[Long]("f2_min") <= r.getAs[Long]("f2_med")
       && r.getAs[Long]("f2_med") <= r.getAs[Long]("f2_max"))
   }
+
+  test("q190 KMV: order statistics and estimates == brute force") {
+    val hs = exact.keySet.toSeq
+      .map(k => ((1103515245L * k + 12345L) % P)).sorted
+    val dExact = exact.size.toLong
+    val want = Seq(16, 64, 128).map { k =>
+      val hk = hs(k - 1)
+      val est = ((k - 1).toLong * P).toDouble / hk.toDouble
+      (k.toLong, hk, dExact, est,
+        (est - dExact.toDouble) / dExact.toDouble)
+    }
+    val got = SparkEntry.queries("q190_kmv_distinct_estimate")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the estimate curve is sane: every point within 50% at n=150
+    got.foreach { case (k, _, _, _, err) =>
+      assert(math.abs(err) < 0.5, s"k=$k rel_err $err out of band") }
+  }
 }

@@ -2223,6 +2223,95 @@ object ExtendedQueries {
           ((dEst - col("d_exact").cast("double"))
             / col("d_exact").cast("double")).as("rel_err"))
         .orderBy("k")
+    },
+
+    // --------------------------------------------------------------- q191
+    "q191_theta_set_ops" -> QueryDef.sql(
+      "Theta-sketch set operations audited against exact counts " +
+      "(Dasgupta et al. 2016, the DataSketches theta framework — " +
+      "q190's KMV upgraded to the operation that makes sketches an " +
+      "ALGEBRA: estimate union, intersection, and Jaccard of two key " +
+      "populations from their k=64 minimum-hash summaries alone): " +
+      "A = customers ordering in 1995, B = in 1996, the same " +
+      "injective LCG hash as q190 (hash equality IS key equality, so " +
+      "the sketch intersection is an equi-join of two 64-row " +
+      "frames). theta = min of the two kth-minimums; both samples " +
+      "count hashes STRICTLY below theta; each estimate is one " +
+      "single-shape IEEE division, and every count — exact and " +
+      "sampled — rides as an integer -> hash-exact. Shape at " +
+      "100 TB: two distinct aggregates + two TakeOrdered(64) " +
+      "sketches; every set operation after that touches 64-row " +
+      "broadcast frames, never data — the reason theta sketches " +
+      "power interactive count-distinct dashboards.",
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |na AS (SELECT count(*)::BIGINT AS n_a FROM a),
+        |nb AS (SELECT count(*)::BIGINT AS n_b FROM b),
+        |ni AS (SELECT count(*)::BIGINT AS n_inter FROM a JOIN b USING (k)),
+        |ka AS (SELECT ((1103515245 * k + 12345) % 2147483647)::BIGINT
+        |    AS hv FROM a ORDER BY hv LIMIT 64),
+        |kb AS (SELECT ((1103515245 * k + 12345) % 2147483647)::BIGINT
+        |    AS hv FROM b ORDER BY hv LIMIT 64),
+        |th AS (SELECT least((SELECT max(hv) FROM ka),
+        |    (SELECT max(hv) FROM kb))::BIGINT AS theta),
+        |un AS (SELECT count(*)::BIGINT AS u_cnt
+        |  FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) u
+        |  CROSS JOIN th WHERE u.hv < th.theta),
+        |ins AS (SELECT count(*)::BIGINT AS i_cnt
+        |  FROM ka JOIN kb USING (hv) CROSS JOIN th
+        |  WHERE ka.hv < th.theta)
+        |SELECT na.n_a, nb.n_b, ni.n_inter,
+        |  (na.n_a + nb.n_b - ni.n_inter)::BIGINT AS n_union,
+        |  th.theta, un.u_cnt AS union_sample, ins.i_cnt AS inter_sample,
+        |  (un.u_cnt * 2147483647)::DOUBLE / th.theta::DOUBLE AS est_union,
+        |  (ins.i_cnt * 2147483647)::DOUBLE / th.theta::DOUBLE AS est_inter,
+        |  (CASE WHEN un.u_cnt > 0
+        |    THEN ins.i_cnt::DOUBLE / un.u_cnt::DOUBLE END)::DOUBLE
+        |    AS jaccard_est,
+        |  ni.n_inter::DOUBLE
+        |    / (na.n_a + nb.n_b - ni.n_inter)::DOUBLE AS jaccard_exact
+        |FROM na CROSS JOIN nb CROSS JOIN ni CROSS JOIN th
+        |CROSS JOIN un CROSS JOIN ins""".stripMargin) { (s, d) =>
+      def pop(year: Int) = Tables.orders(s, d)
+        .where(org.apache.spark.sql.functions.year(col("o_orderdate"))
+          === year)
+        .select(col("o_custkey").as("k")).distinct()
+      def sketch(p: DataFrame) = p.select(
+        ((lit(1103515245L) * col("k") + lit(12345L)) % lit(2147483647L))
+          .cast("long").as("hv"))
+        .orderBy("hv").limit(64)
+      val (a, b) = (pop(1995), pop(1996))
+      val na = broadcast(a.agg(count(lit(1)).as("n_a")))
+      val nb = broadcast(b.agg(count(lit(1)).as("n_b")))
+      val ni = broadcast(a.join(b, Seq("k")).agg(count(lit(1)).as("n_inter")))
+      val (ka, kb) = (sketch(a), sketch(b))
+      val th = broadcast(
+        ka.agg(max("hv").as("ta")).crossJoin(kb.agg(max("hv").as("tb")))
+          .select(least(col("ta"), col("tb")).cast("long").as("theta")))
+      val un = broadcast(ka.union(kb).distinct().crossJoin(th)
+        .where(col("hv") < col("theta"))
+        .agg(count(lit(1)).as("u_cnt")))
+      val ins = broadcast(ka.join(kb, Seq("hv")).crossJoin(th)
+        .where(col("hv") < col("theta"))
+        .agg(count(lit(1)).as("i_cnt")))
+      na.crossJoin(nb).crossJoin(ni).crossJoin(th).crossJoin(un)
+        .crossJoin(ins)
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).cast("long")
+            .as("n_union"),
+          col("theta"), col("u_cnt").as("union_sample"),
+          col("i_cnt").as("inter_sample"),
+          ((col("u_cnt") * lit(2147483647L)).cast("double")
+            / col("theta").cast("double")).as("est_union"),
+          ((col("i_cnt") * lit(2147483647L)).cast("double")
+            / col("theta").cast("double")).as("est_inter"),
+          when(col("u_cnt") > 0, col("i_cnt").cast("double")
+            / col("u_cnt").cast("double")).as("jaccard_est"),
+          (col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("jaccard_exact"))
     }
   )
 

@@ -1275,6 +1275,56 @@ object TemporalQueries {
           (col("cum_cents").cast("double")
             / col("cohort_size").cast("double")).as("ltv_cents_per_user"))
         .orderBy("cohort_m", "age_m")
+    },
+
+    // --------------------------------------------------------------- q192
+    "q192_purchase_intervals" -> QueryDef.sql(
+      "Inter-purchase interval profile (the repeat-purchase cadence " +
+      "behind replenishment models and q140's survival curves — " +
+      "there time-to-FIRST-event, here the gaps BETWEEN events): per " +
+      "customer, the day gap between consecutive orders (lag over " +
+      "the customer partition, fully tie-broken by orderkey so " +
+      "same-day orders yield deterministic zero gaps), then a " +
+      "30-day-bucket histogram with per-bucket exact gap sums and " +
+      "the overall row via ROLLUP (coalesced to bucket -1). " +
+      "mean_gap_days is the one single-shape IEEE division per row; " +
+      "everything else is integers -> hash-exact. Shape at 100 TB: " +
+      "the lag window is customer-keyed (bounded partitions), the " +
+      "histogram is a combinable aggregate over O(gaps) rows with " +
+      "at most a few hundred buckets — no global window, no join.",
+      """WITH o AS (SELECT o_custkey AS k,
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |      ::BIGINT AS day, o_orderkey AS ok
+        |  FROM orders),
+        |g AS (SELECT k, day - lag(day) OVER (PARTITION BY k
+        |    ORDER BY day, ok) AS gap FROM o),
+        |b AS (SELECT gap, gap // 30 AS bucket FROM g
+        |  WHERE gap IS NOT NULL)
+        |SELECT coalesce(bucket, -1)::BIGINT AS gap_bucket,
+        |  count(*)::BIGINT AS n_gaps,
+        |  sum(gap)::BIGINT AS sum_gap_days,
+        |  sum(gap)::DOUBLE / count(*)::DOUBLE AS mean_gap_days
+        |FROM b GROUP BY ROLLUP(bucket)
+        |ORDER BY gap_bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("day"),
+        col("o_orderkey").as("ok"))
+      val g = o.select(col("k"),
+        (col("day") - lag("day", 1)
+          .over(Window.partitionBy("k").orderBy("day", "ok"))).as("gap"))
+        .where(col("gap").isNotNull)
+        .withColumn("bucket", expr("gap DIV 30"))
+      g.rollup(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum("gap").cast("long").as("sum_gap_days"))
+        .select(coalesce(col("bucket"), lit(-1L)).cast("long")
+            .as("gap_bucket"),
+          col("n_gaps"), col("sum_gap_days"),
+          (col("sum_gap_days").cast("double")
+            / col("n_gaps").cast("double")).as("mean_gap_days"))
+        .orderBy("gap_bucket")
     }
   )
 

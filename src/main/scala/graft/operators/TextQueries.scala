@@ -1214,6 +1214,57 @@ object TextQueries {
         |FROM d JOIN v ON d.cp = v.cp
         |ORDER BY cp""".stripMargin) { (s, d) =>
       vocabGrowth(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q193
+    "q193_ngram_novelty" -> QueryDef.sql(
+      "Per-document 3-gram novelty (the shingle-level dedup-ROI " +
+      "signal: how much of each document's shingle set first appears " +
+      "THERE in doc_id order — q179 tracks first occurrence at the " +
+      "token level for the corpus growth curve; this scores each " +
+      "DOCUMENT, the number RefinedWeb-style pipelines threshold to " +
+      "drop near-template pages): a shingle's first_doc is one " +
+      "combinable min aggregate, each doc counts its distinct " +
+      "shingles and those it introduced, and novelty_frac is the one " +
+      "single-shape IEEE division (NULL for shingle-less docs, the " +
+      "q76 rule). Integers otherwise -> hash-exact. Shape at " +
+      "100 TB: two shingle-keyed exchanges (the min aggregate and " +
+      "the join back — same key, AQE-coalesced), one per-doc " +
+      "aggregate; no window, no cartesian, no driver state.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, unnest(${DedupQueries.sqlShingles}) AS sh
+        |  FROM t),
+        |fo AS (SELECT sh, min(doc_id)::BIGINT AS first_doc FROM s
+        |  GROUP BY 1),
+        |per AS (SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |    sum(CASE WHEN fo.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_novel
+        |  FROM s JOIN fo ON s.sh = fo.sh GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+        |  coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+        |  (CASE WHEN p.n_shingles > 0
+        |    THEN p.n_novel::DOUBLE / p.n_shingles::DOUBLE END)::DOUBLE
+        |    AS novelty_frac
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+        explode(shinglesOfText(col("text"), 3)).as("sh"))
+      val fo = sh.groupBy("sh")
+        .agg(min("doc_id").cast("long").as("first_doc"))
+      val per = sh.join(fo, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_shingles") > 0, col("n_novel").cast("double")
+            / col("n_shingles").cast("double")).as("novelty_frac"))
+        .orderBy("doc_id")
     }
   )
 

@@ -51,4 +51,30 @@ class BoilerplateSpec extends SparkSpec {
       frac.foreach(f => assert(f >= 0.0 && f <= 1.0, s"doc $id frac $f out of range"))
     }
   }
+
+  test("q193 novelty: every shingle is novel exactly once; q76 shingle counts agree") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("q193_ngram_novelty")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // conservation: summed novel counts == the corpus's distinct shingles
+    val distinctShingles = graft.Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextFunctions
+        .shinglesOfText(col("text"), 3)).as("sh"))
+      .select("sh").distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles)
+    // the earliest doc with shingles introduces all of them
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._3 == first._2 && first._4.contains(1.0))
+    rows.foreach { case (id, n, novel, frac) =>
+      assert(novel <= n, s"doc $id novel > total")
+      assert(frac.forall(f => f >= 0.0 && f <= 1.0))
+      assert((n == 0L) == frac.isEmpty, "NULL exactly for shingle-less docs")
+    }
+    // per-doc distinct shingle counts agree with q76's column
+    val q76 = graft.SparkEntry.queries("q76_boilerplate_ngrams")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, n, _, _) =>
+      assert(q76(id) == n, s"doc $id shingle count disagrees with q76") }
+  }
 }

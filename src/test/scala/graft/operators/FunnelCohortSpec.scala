@@ -121,4 +121,29 @@ class FunnelCohortSpec extends SparkSpec {
     assert(sizes == spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_custkey").distinct().count())
   }
+
+  test("q192 purchase intervals: histogram == brute-force gap fold") {
+    import org.apache.spark.sql.functions._
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey").as("k"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("day"),
+        col("o_orderkey").as("ok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = o.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2, r._3)).sliding(2).collect {
+        case Array(a, b) => b._2 - a._2 }
+    }.toSeq
+    val want = gaps.groupBy(g => g / 30).map { case (b, gs) =>
+      (b, gs.size.toLong, gs.sum) }.toSeq.sortBy(_._1)
+    val rows = graft.SparkEntry
+      .queries("q192_purchase_intervals")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (all, buckets) = rows.partition(_._1 == -1L)
+    assert(buckets.map(r => (r._1, r._2, r._3)).toSeq == want)
+    assert(all.length == 1)
+    assert(all.head._2 == gaps.size.toLong && all.head._3 == gaps.sum)
+    rows.foreach { case (_, n, sum, mean) =>
+      assert(mean == sum.toDouble / n.toDouble, "single-shape division") }
+  }
 }

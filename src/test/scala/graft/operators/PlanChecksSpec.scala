@@ -882,4 +882,36 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.split("Window \\[").length - 1 == 1,
       "exactly one (tiny) rank window:\n" + p)
   }
+
+  test("q191: sketches are TakeOrdered; set ops never cartesian data") {
+    val p = plan("q191_theta_set_ops")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the two 64-row sketches must not global-sort:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "no window anywhere in the algebra:\n" + p)
+  }
+
+  test("q192: the lag window is customer-partitioned; rollup expands") {
+    val df = SparkEntry.queries("q192_purchase_intervals")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    windowLines.foreach { w =>
+      assert(w.matches(""".*\], \[k#\d+L?\], \[day#.*"""),
+        "gap lag window lost its customer partitioning:\n" + w)
+    }
+    assert(p.contains("Expand") || p.contains("expand"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q193: novelty is aggregates + one shingle equi-join; no window") {
+    val p = plan("q193_ngram_novelty")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "shingle join must stay equi:\n" + p)
+  }
 }

@@ -81,4 +81,34 @@ class SketchAuditSpec extends SparkSpec {
     got.foreach { case (k, _, _, _, err) =>
       assert(math.abs(err) < 0.5, s"k=$k rel_err $err out of band") }
   }
+
+  test("q191 theta: samples, theta, and estimates == brute force") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey").as("k"), year(col("o_orderdate")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def pop(y: Int) = orders.filter(_._2 == y).map(_._1).toSet
+    val (a, b) = (pop(1995), pop(1996))
+    def hv(k: Long) = (1103515245L * k + 12345L) % P
+    def kmv(xs: Set[Long]) = xs.toSeq.map(hv).sorted.take(64)
+    val (ka, kb) = (kmv(a), kmv(b))
+    val theta = math.min(ka.max, kb.max)
+    val uCnt = (ka.toSet ++ kb.toSet).count(_ < theta).toLong
+    val iCnt = (ka.toSet & kb.toSet).count(_ < theta).toLong
+    val nInter = (a & b).size.toLong
+    val nUnion = (a ++ b).size.toLong
+    val r = SparkEntry.queries("q191_theta_set_ops")(spark, sf0001)
+      .collect() match { case Array(one) => one }
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(r.getAs[Long]("n_inter") == nInter)
+    assert(r.getAs[Long]("n_union") == nUnion)
+    assert(r.getAs[Long]("theta") == theta)
+    assert(r.getAs[Long]("union_sample") == uCnt)
+    assert(r.getAs[Long]("inter_sample") == iCnt)
+    assert(r.getAs[Double]("est_union")
+      == (uCnt * P).toDouble / theta.toDouble)
+    assert(r.getAs[Double]("est_inter")
+      == (iCnt * P).toDouble / theta.toDouble)
+    assert(r.getAs[Double]("jaccard_exact")
+      == nInter.toDouble / nUnion.toDouble)
+  }
 }

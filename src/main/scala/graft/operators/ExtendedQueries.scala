@@ -2312,6 +2312,123 @@ object ExtendedQueries {
           (col("n_inter").cast("double")
             / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
             .as("jaccard_exact"))
+    },
+
+    // --------------------------------------------------------------- q194
+    "q194_price_index" -> QueryDef.sql(
+      "Per-brand unit-value price index 1995 -> 1996 (the index-" +
+      "number rung of the pricing family — q149 measures supplier " +
+      "concentration, this measures price CHANGE holding the brand " +
+      "mix fixed): per brand and ship-year, exact revenue cents and " +
+      "exact unit counts (TPC-H quantities are whole — cast BIGINT, " +
+      "never a float sum), and the index is the unit-value ratio " +
+      "(e1/q1)/(e0/q0) composed entirely of single-shape IEEE " +
+      "divisions over those exact integers — deliberately NOT the " +
+      "giant cross-product integer (e1*q0 vs e0*q1 overflows int64 " +
+      "at ~sf1 revenue volumes; four small divisions are exact-shape " +
+      "on both engines and never overflow). Shape at 100 TB: one " +
+      "combinable (brand, year) aggregate over the date-pruned " +
+      "lineitem scan behind a partkey equi-join to part, then a " +
+      "25-row pivot join — output is |brands| rows.",
+      """WITH ly AS (SELECT p.p_brand AS brand,
+        |    year(l.l_shipdate) AS y,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS e,
+        |    sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS q
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(l.l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |b AS (SELECT y0.brand, y0.e AS e0, y0.q AS q0,
+        |    y1.e AS e1, y1.q AS q1
+        |  FROM ly y0 JOIN ly y1 ON y0.brand = y1.brand
+        |  WHERE y0.y = 1995 AND y1.y = 1996)
+        |SELECT brand, e0 AS rev0_cents, q0 AS qty0,
+        |  e1 AS rev1_cents, q1 AS qty1,
+        |  (e1::DOUBLE / q1::DOUBLE) / (e0::DOUBLE / q0::DOUBLE)
+        |    AS unit_value_index
+        |FROM b ORDER BY brand""".stripMargin) { (s, d) =>
+      val ly = Tables.lineitem(s, d)
+        .where(year(col("l_shipdate")).isin(1995, 1996))
+        .join(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          year(col("l_shipdate")).as("y"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("long").as("e"),
+          sum(col("l_quantity").cast("long")).cast("long").as("q"))
+      val y0 = ly.where(col("y") === 1995)
+        .select(col("brand"), col("e").as("e0"), col("q").as("q0"))
+      val y1 = ly.where(col("y") === 1996)
+        .select(col("brand").as("brand1"), col("e").as("e1"),
+          col("q").as("q1"))
+      y0.join(y1, col("brand") === col("brand1"))
+        .select(col("brand"), col("e0").as("rev0_cents"),
+          col("q0").as("qty0"), col("e1").as("rev1_cents"),
+          col("q1").as("qty1"),
+          ((col("e1").cast("double") / col("q1").cast("double"))
+            / (col("e0").cast("double") / col("q0").cast("double")))
+            .as("unit_value_index"))
+        .orderBy("brand")
+    },
+
+    // --------------------------------------------------------------- q195
+    "q195_abc_classification" -> QueryDef.sql(
+      "ABC (Pareto) inventory classification: parts ranked by exact " +
+      "revenue cents (fully tie-broken by partkey), cumulative " +
+      "revenue share against the total, class A while the INCLUSIVE " +
+      "running share is <= 80%, B to 95%, C after — thresholds " +
+      "tested as exact integer cross-products (20*cum <= 16*total, " +
+      "20*cum <= 19*total; no float ever decides a class), then one " +
+      "fold to the three class rows with integer counts/sums and " +
+      "one share division each. The cumulative window follows the " +
+      "q106/q187 scale contract: it orders the per-PART aggregate " +
+      "(item-catalog-sized, range-partitionable), never lineitem " +
+      "rows; at catalog sizes beyond a sort, the boundary revenues " +
+      "come from q85's sketch and classing becomes a map-side " +
+      "compare. int64 headroom: 20*total_cents holds to ~$4.6e15 " +
+      "of revenue.",
+      """WITH pr AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev)::BIGINT AS total FROM pr),
+        |c AS (SELECT pk, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, pk
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM pr),
+        |k AS (SELECT pk, rev,
+        |    (CASE WHEN 20 * cum <= 16 * t.total THEN 'A'
+        |          WHEN 20 * cum <= 19 * t.total THEN 'B'
+        |          ELSE 'C' END) AS cls
+        |  FROM c CROSS JOIN t)
+        |SELECT cls, count(*)::BIGINT AS n_parts,
+        |  sum(rev)::BIGINT AS revenue_cents,
+        |  sum(rev)::DOUBLE / (SELECT total FROM t)::DOUBLE AS rev_share
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("long").as("rev"))
+      val t = broadcast(pr.agg(sum("rev").cast("long").as("total")))
+      val c = pr.withColumn("cum",
+        sum("rev").over(Window.orderBy(col("rev").desc, col("pk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val k = c.crossJoin(t)
+        .withColumn("cls",
+          when(lit(20L) * col("cum") <= lit(16L) * col("total"), "A")
+            .when(lit(20L) * col("cum") <= lit(19L) * col("total"), "B")
+            .otherwise("C"))
+      k.groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("rev").cast("long").as("revenue_cents"))
+        .crossJoin(t)
+        .select(col("cls"), col("n_parts"), col("revenue_cents"),
+          (col("revenue_cents").cast("double")
+            / col("total").cast("double")).as("rev_share"))
+        .orderBy("cls")
     }
   )
 

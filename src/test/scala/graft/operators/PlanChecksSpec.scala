@@ -914,4 +914,24 @@ class PlanChecksSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "shingle join must stay equi:\n" + p)
   }
+
+  test("q194: the shipdate year filter prunes the lineitem scan") {
+    val p = plan("q194_price_index")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "year filter must reach the scan:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("q195: the Pareto window orders the per-part aggregate, never lineitem") {
+    val df = SparkEntry.queries("q195_abc_classification")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toList
+    val firstWin = lines.indexWhere(_.contains("Window ["))
+    assert(firstWin >= 0, p)
+    assert(lines.drop(firstWin).exists(_.contains("HashAggregate")),
+      "no aggregate below the Pareto window - it sees raw lineitem:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

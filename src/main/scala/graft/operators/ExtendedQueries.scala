@@ -2429,6 +2429,71 @@ object ExtendedQueries {
           (col("revenue_cents").cast("double")
             / col("total").cast("double")).as("rev_share"))
         .orderBy("cls")
+    },
+
+    // --------------------------------------------------------------- q196
+    "q196_weighted_median_discount" -> QueryDef.sql(
+      "Revenue-weighted median discount per supplier nation — the " +
+      "exact weighted-quantile operator (Edgeworth 1888's weighted " +
+      "median; the robust 'typical discount per revenue dollar' a " +
+      "mean would let outlier line items distort): per (nation, " +
+      "discount) the exact revenue-cents weight, a cumulative window " +
+      "over each nation's AT MOST 11 distinct discount levels, and " +
+      "the elected median is the smallest discount whose DOUBLED " +
+      "inclusive cumulative weight reaches the nation total — an " +
+      "integer comparison (2*cum >= total), never a float decision; " +
+      "the discount value itself is the verbatim stored double, " +
+      "identical bits on both engines. Output also carries the " +
+      "crossing cum and total for auditability. Shape at 100 TB: " +
+      "one combinable (nation, discount) aggregate behind two " +
+      "broadcast dimension joins; windows run over <= 11 rows per " +
+      "nation; output = |nations| rows.",
+      """WITH w AS (SELECT n.n_name AS nation, l.l_discount AS disc,
+        |    sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT nation, disc, cents,
+        |    sum(cents) OVER (PARTITION BY nation ORDER BY disc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS cum,
+        |    sum(cents) OVER (PARTITION BY nation)::BIGINT AS total
+        |  FROM w),
+        |m AS (SELECT nation, min(disc) AS med_disc FROM c
+        |  WHERE 2 * cum >= total GROUP BY 1)
+        |SELECT m.nation AS nation, m.med_disc,
+        |  c.cum AS crossing_cum_cents, c.total AS total_cents
+        |FROM m JOIN c ON c.nation = m.nation AND c.disc = m.med_disc
+        |ORDER BY m.nation""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          col("l_discount").as("disc"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val wc = Window.partitionBy("nation").orderBy("disc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("nation")
+      val c = w
+        .withColumn("cum", sum("cents").over(wc).cast("long"))
+        .withColumn("total", sum("cents").over(wt).cast("long"))
+      val m = c.where(lit(2L) * col("cum") >= col("total"))
+        .groupBy("nation").agg(min("disc").as("med_disc"))
+        .withColumnRenamed("nation", "mnation")
+      m.join(c,
+          col("mnation") === col("nation") && col("med_disc") === col("disc"))
+        .select(col("mnation").as("nation"), col("med_disc"),
+          col("cum").as("crossing_cum_cents"),
+          col("total").as("total_cents"))
+        .orderBy("nation")
     }
   )
 

@@ -1265,6 +1265,124 @@ object TextQueries {
           when(col("n_shingles") > 0, col("n_novel").cast("double")
             / col("n_shingles").cast("double")).as("novelty_frac"))
         .orderBy("doc_id")
+    },
+
+    // --------------------------------------------------------------- q197
+    "q197_langid_confusion" -> QueryDef.sql(
+      "Language-ID confusion matrix — the classifier-evaluation " +
+      "operator run over q31's stopword detector against the " +
+      "declared labels (every model-driven pipeline needs this " +
+      "audit before trusting a filter: per (true, predicted) cell " +
+      "the exact count, the true-class row total, and the cell's " +
+      "share of its row — recall on the diagonal, the confusion " +
+      "mass off it — one single-shape IEEE division per cell, " +
+      "integers otherwise -> hash-exact. The detector expression " +
+      "is SHARED with q31 (one definition, two catalog rows). " +
+      "Shape at 100 TB: one combinable (true, pred) aggregate over " +
+      "the corpus scan — at most |langs|^2 = 16 cells — plus a " +
+      "16-row broadcast self-join for row totals; no window.",
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents),
+        |h AS (SELECT doc_id, lang,
+        |  len(list_filter(w, t -> t IN ('the','and','of','to','a')))::BIGINT AS en_hits,
+        |  len(list_filter(w, t -> t IN ('el','la','de','los','y')))::BIGINT AS es_hits,
+        |  len(list_filter(w, t -> t IN ('der','die','und','das','ist')))::BIGINT AS de_hits,
+        |  len(list_filter(w, t -> t IN ('le','les','et','des','un')))::BIGINT AS fr_hits
+        |FROM t),
+        |p AS (SELECT lang,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+        |       WHEN de_hits >= fr_hits THEN 'de'
+        |       ELSE 'fr' END AS pred
+        |FROM h),
+        |m AS (SELECT lang, pred, count(*)::BIGINT AS n FROM p
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT lang, sum(n)::BIGINT AS row_total FROM m
+        |  GROUP BY 1)
+        |SELECT m.lang AS true_lang, m.pred AS pred_lang, m.n,
+        |  rt.row_total,
+        |  m.n::DOUBLE / rt.row_total::DOUBLE AS row_share
+        |FROM m JOIN rt ON m.lang = rt.lang
+        |ORDER BY true_lang, pred_lang""".stripMargin) { (s, d) =>
+      val w = tokens(col("text"))
+      val hits = graft.functions.TextFunctions.langVocab
+        .map { case (lang, vocab) =>
+          lang -> vocabHits(w, vocab).cast("long") }.toMap
+      val pred = when(
+        hits("en") >= hits("es") && hits("en") >= hits("de")
+          && hits("en") >= hits("fr"), "en")
+        .when(hits("es") >= hits("de") && hits("es") >= hits("fr"), "es")
+        .when(hits("de") >= hits("fr"), "de")
+        .otherwise("fr")
+      val m = Tables.documents(s, d)
+        .select(col("lang"), pred.as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val rt = m.groupBy("lang").agg(sum("n").cast("long").as("row_total"))
+      m.join(broadcast(rt), Seq("lang"))
+        .select(col("lang").as("true_lang"), col("pred").as("pred_lang"),
+          col("n"), col("row_total"),
+          (col("n").cast("double") / col("row_total").cast("double"))
+            .as("row_share"))
+        .orderBy("true_lang", "pred_lang")
+    },
+
+    // --------------------------------------------------------------- q198
+    "q198_feature_auc" -> QueryDef.sql(
+      "Feature-separability AUC — the ranking-quality metric for a " +
+      "candidate filter feature before it gates a pipeline (here: " +
+      "how well raw token COUNT separates English documents from " +
+      "the rest): AUC equals the Mann-Whitney statistic with " +
+      "half-credit ties (q183's machinery pointed at classifier " +
+      "evaluation), folded EXACTLY over the value-aggregated frame " +
+      "as 2*U1 = sum c1*(2*C0_below + c0); auc = u1_x2 / (2*n1*n0) " +
+      "is the one single-shape IEEE division, everything else " +
+      "integer -> hash-exact. The cumulative window here is " +
+      "PARTITION-LESS by design and that is safe: it runs over the " +
+      "aggregated DISTINCT-TOKEN-COUNT frame, whose size is bounded " +
+      "by the document length cap (a few hundred rows at any corpus " +
+      "scale — the q117 day-dimension argument; were the feature " +
+      "unbounded, the q182 shard scheme applies unchanged). Shape " +
+      "at 100 TB: one combinable value aggregate, one tiny window, " +
+      "one 1-row fold.",
+      s"""WITH t AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |      AS is_en, len($sqlToks)::BIGINT AS v
+        |  FROM documents),
+        |pv AS (SELECT v,
+        |    sum(CASE WHEN is_en = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN is_en = 0 THEN 1 ELSE 0 END)::BIGINT AS c0
+        |  FROM t GROUP BY 1),
+        |f AS (SELECT v, c1, c0,
+        |    sum(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    sum(c0) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0
+        |  FROM pv),
+        |u AS (SELECT max(f1)::BIGINT AS n1, max(f0)::BIGINT AS n0,
+        |    sum(c1 * (2 * (f0 - c0) + c0))::BIGINT AS u1_x2
+        |  FROM f)
+        |SELECT n1, n0, u1_x2,
+        |  u1_x2::DOUBLE / (2 * n1 * n0)::DOUBLE AS auc
+        |FROM u""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pv = Tables.documents(s, d)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+          size(tokens(col("text"))).cast("long").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("is_en") === 1L, 1L).otherwise(0L))
+            .cast("long").as("c1"),
+          sum(when(col("is_en") === 0L, 1L).otherwise(0L))
+            .cast("long").as("c0"))
+      val wn = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val f = pv
+        .withColumn("f1", sum("c1").over(wn))
+        .withColumn("f0", sum("c0").over(wn))
+      val u = f.agg(max("f1").cast("long").as("n1"),
+        max("f0").cast("long").as("n0"),
+        sum(col("c1") * (lit(2L) * (col("f0") - col("c0")) + col("c0")))
+          .cast("long").as("u1_x2"))
+      u.select(col("n1"), col("n0"), col("u1_x2"),
+        (col("u1_x2").cast("double")
+          / (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
     }
   )
 

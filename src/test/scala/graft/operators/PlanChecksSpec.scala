@@ -934,4 +934,36 @@ class PlanChecksSpec extends SparkSpec {
       "no aggregate below the Pareto window - it sees raw lineitem:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q196: dimension joins broadcast; every window is nation-partitioned") {
+    val df = SparkEntry.queries("q196_weighted_median_discount")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation must broadcast:\n" + p)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    windowLines.foreach { w =>
+      assert(w.contains("[nation#"),
+        "weighted-median window lost its nation partitioning:\n" + w)
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q197: confusion matrix is one aggregate + a broadcast row-total join") {
+    val p = plan("q197_langid_confusion")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16-cell row-total join must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q198: AUC is aggregate + one bounded window + 1-row fold; no join") {
+    val p = plan("q198_feature_auc")
+    assert(!p.contains("Join"), "single-pass AUC:\n" + p)
+    assert(p.split("Window \\[").length - 1 == 1,
+      "one cumulative window over the bounded value frame:\n" + p)
+  }
 }

@@ -60,4 +60,33 @@ class PricingSpec extends SparkSpec {
     assert(got.map(_._1) == Seq("A", "B", "C"), "all three classes populated")
     assert(got.map(_._3).sum == total, "classes partition total revenue")
   }
+
+  test("q196 weighted median: election == brute-force weighted fold") {
+    val sup = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select(col("s_suppkey").cast("long"),
+        col("s_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_discount"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .collect().map(r => (nat(sup(r.getLong(0))), r.getDouble(1),
+        r.getLong(2)))
+    val want = li.groupBy(_._1).map { case (nation, rows) =>
+      val byDisc = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = byDisc.map(_._2).sum
+      var cum = 0L
+      val (disc, crossing) = byDisc.iterator.map { case (d, w) =>
+        cum += w; (d, cum) }.find { case (_, c) => 2 * c >= total }.get
+      (nation, disc, crossing, total)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry
+      .queries("q196_weighted_median_discount")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got $got want $want")
+  }
 }

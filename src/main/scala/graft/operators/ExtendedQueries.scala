@@ -2494,6 +2494,345 @@ object ExtendedQueries {
           col("cum").as("crossing_cum_cents"),
           col("total").as("total_cents"))
         .orderBy("nation")
+    },
+
+    // --------------------------------------------------------------- q199
+    "q199_gk_lambda" -> QueryDef.sql(
+      "Goodman-Kruskal lambda between two categorical columns (lang x " +
+      "source) — the LOG-FREE association measure (proportional " +
+      "reduction in prediction error) that complements q133's " +
+      "chi-square test with an effect SIZE: knowing lang, how much " +
+      "better do you guess source than always guessing the modal " +
+      "source (and vice versa, plus the symmetric variant)? Every " +
+      "ingredient is an integer fold over the contingency grid " +
+      "(sum-of-row-maxima, modal marginals); the three lambdas are " +
+      "the only IEEE divisions, one per output column — hash-exact, " +
+      "no ln() (mutual information would need libm; lambda is the " +
+      "PRE measure that doesn't — the q53 rule). Shape at 100 TB: " +
+      "ONE combinable (lang, source) count aggregate -> a grid of at " +
+      "most |langs|*|sources| cells; every later fold runs on the " +
+      "grid or its marginals, then three 1-row broadcast cross joins.",
+      """WITH m AS (SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT lang, max(n)::BIGINT AS mx, sum(n)::BIGINT AS tot
+        |  FROM m GROUP BY 1),
+        |cm AS (SELECT source, max(n)::BIGINT AS mx, sum(n)::BIGINT AS tot
+        |  FROM m GROUP BY 1),
+        |s AS (SELECT
+        |    (SELECT sum(n) FROM m)::BIGINT AS n_total,
+        |    (SELECT sum(mx) FROM rm)::BIGINT AS sum_row_max,
+        |    (SELECT sum(mx) FROM cm)::BIGINT AS sum_col_max,
+        |    (SELECT max(tot) FROM rm)::BIGINT AS max_lang_marg,
+        |    (SELECT max(tot) FROM cm)::BIGINT AS max_source_marg)
+        |SELECT n_total, sum_row_max, sum_col_max, max_lang_marg,
+        |  max_source_marg,
+        |  (sum_row_max - max_source_marg)::DOUBLE
+        |    / (n_total - max_source_marg)::DOUBLE AS lambda_source_given_lang,
+        |  (sum_col_max - max_lang_marg)::DOUBLE
+        |    / (n_total - max_lang_marg)::DOUBLE AS lambda_lang_given_source,
+        |  (sum_row_max + sum_col_max - max_source_marg - max_lang_marg)::DOUBLE
+        |    / (2 * n_total - max_source_marg - max_lang_marg)::DOUBLE
+        |    AS lambda_sym
+        |FROM s""".stripMargin) { (s, d) =>
+      val m = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val rm = m.groupBy("lang").agg(max("n").as("mx"), sum("n").as("tot"))
+      val cm = m.groupBy("source").agg(max("n").as("mx"), sum("n").as("tot"))
+      val t = m.agg(sum("n").cast("long").as("n_total"))
+      val r = rm.agg(sum("mx").cast("long").as("sum_row_max"),
+        max("tot").cast("long").as("max_lang_marg"))
+      val c = cm.agg(sum("mx").cast("long").as("sum_col_max"),
+        max("tot").cast("long").as("max_source_marg"))
+      t.crossJoin(broadcast(r)).crossJoin(broadcast(c))
+        .select(col("n_total"), col("sum_row_max"), col("sum_col_max"),
+          col("max_lang_marg"), col("max_source_marg"),
+          ((col("sum_row_max") - col("max_source_marg")).cast("double")
+            / (col("n_total") - col("max_source_marg")).cast("double"))
+            .as("lambda_source_given_lang"),
+          ((col("sum_col_max") - col("max_lang_marg")).cast("double")
+            / (col("n_total") - col("max_lang_marg")).cast("double"))
+            .as("lambda_lang_given_source"),
+          ((col("sum_row_max") + col("sum_col_max")
+              - col("max_source_marg") - col("max_lang_marg")).cast("double")
+            / (lit(2L) * col("n_total")
+              - col("max_source_marg") - col("max_lang_marg")).cast("double"))
+            .as("lambda_sym"))
+    },
+
+    // --------------------------------------------------------------- q200
+    "q200_ips_offpolicy" -> QueryDef.sql(
+      "Off-policy evaluation via inverse propensity scoring — the " +
+      "counterfactual 'what would a UNIFORM action policy have " +
+      "earned?' estimate from logged (action, reward) events, the " +
+      "replay primitive behind every bandit/recommender audit: with " +
+      "the logging propensity estimated empirically (mu(a) = n_a/N) " +
+      "and the target uniform over the K observed actions, the IPS " +
+      "sum collapses ALGEBRAICALLY to per-action closed forms — " +
+      "sum_a S_a/(K*n_a) — so no per-event importance weight is ever " +
+      "materialized. Rewards are cents-exact (q146 fixed-point rule); " +
+      "each output row carries integer evidence plus exactly two " +
+      "single-shape divisions (on-policy mean, IPS term) -> " +
+      "hash-exact. Shape at 100 TB: ONE combinable per-action " +
+      "aggregate over the event scan + a broadcast 1-row totals " +
+      "frame; output = K rows.",
+      """WITH a AS (SELECT event_type AS action, count(*)::BIGINT AS n_a,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS reward_cents
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_a)::BIGINT AS n_total,
+        |    count(*)::BIGINT AS k_actions FROM a)
+        |SELECT a.action, a.n_a, a.reward_cents, t.n_total, t.k_actions,
+        |  a.reward_cents::DOUBLE / (100 * a.n_a)::DOUBLE AS on_policy_mean,
+        |  a.reward_cents::DOUBLE / (100 * t.k_actions * a.n_a)::DOUBLE
+        |    AS ips_uniform_term
+        |FROM a CROSS JOIN t
+        |ORDER BY a.action""".stripMargin) { (s, d) =>
+      val a = Tables.events(s, d)
+        .groupBy(col("event_type").as("action"))
+        .agg(count(lit(1)).as("n_a"),
+          sum(round(col("value") * 100).cast("long")).cast("long")
+            .as("reward_cents"))
+      val t = a.agg(sum("n_a").cast("long").as("n_total"),
+        count(lit(1)).as("k_actions"))
+      a.crossJoin(broadcast(t))
+        .select(col("action"), col("n_a"), col("reward_cents"),
+          col("n_total"), col("k_actions"),
+          (col("reward_cents").cast("double")
+            / (lit(100L) * col("n_a")).cast("double")).as("on_policy_mean"),
+          (col("reward_cents").cast("double")
+            / (lit(100L) * col("k_actions") * col("n_a")).cast("double"))
+            .as("ips_uniform_term"))
+        .orderBy("action")
+    },
+
+    // --------------------------------------------------------------- q202
+    "q202_spearman_rho" -> QueryDef.sql(
+      "Tie-corrected Spearman rank correlation between quantity and " +
+      "discount — the robust monotone-dependence measure (Pearson on " +
+      "average ranks) q51's moment correlation can't replace when " +
+      "the relationship is nonlinear: both columns have DOMAIN-" +
+      "BOUNDED level sets (<=50 quantities, <=11 discounts), so the " +
+      "value-aggregated grid carries everything; average ranks are " +
+      "computed as exact CENTERED doubled ranks (2*cum - c - N: " +
+      "integers, and centering makes the rank sums identically zero " +
+      "so rho needs NO catastrophic N*S12 - S1*S2 cancellation), the " +
+      "three cross moments fold in DECIMAL(38,0) (the q77 128-bit " +
+      "exactness rule — w*ax*ay overflows BIGINT past ~sf1), and rho " +
+      "= s12/(sqrt(s11)*sqrt(s22)) is three exactly-rounded IEEE ops " +
+      "(sqrt is NOT libm — it's correctly rounded by IEEE 754) -> " +
+      "hash-exact. Shape at 100 TB: one combinable (qty, disc) grid " +
+      "aggregate; rank windows run over <=50 marginal rows; one " +
+      "decimal fold over <=550 cells.",
+      """WITH g AS (SELECT l_quantity AS x, l_discount AS y,
+        |    count(*)::BIGINT AS w FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT sum(w)::BIGINT AS n FROM g),
+        |xm AS (SELECT x, sum(w)::BIGINT AS c FROM g GROUP BY 1),
+        |xr AS (SELECT x, 2 * sum(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - c - (SELECT n FROM t) AS ax FROM xm),
+        |ym AS (SELECT y, sum(w)::BIGINT AS c FROM g GROUP BY 1),
+        |yr AS (SELECT y, 2 * sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - c - (SELECT n FROM t) AS ay FROM ym),
+        |j AS (SELECT g.w, xr.ax, yr.ay FROM g
+        |  JOIN xr ON g.x = xr.x JOIN yr ON g.y = yr.y),
+        |mom AS (SELECT
+        |    sum(CAST(w AS DECIMAL(12,0)) * CAST(ax AS DECIMAL(13,0))
+        |      * CAST(ay AS DECIMAL(13,0))) AS s12,
+        |    sum(CAST(w AS DECIMAL(12,0)) * CAST(ax AS DECIMAL(13,0))
+        |      * CAST(ax AS DECIMAL(13,0))) AS s11,
+        |    sum(CAST(w AS DECIMAL(12,0)) * CAST(ay AS DECIMAL(13,0))
+        |      * CAST(ay AS DECIMAL(13,0))) AS s22
+        |  FROM j)
+        |SELECT (SELECT n FROM t) AS n,
+        |  (SELECT count(*) FROM xm)::BIGINT AS n_x_levels,
+        |  (SELECT count(*) FROM ym)::BIGINT AS n_y_levels,
+        |  s12::DOUBLE / (sqrt(s11::DOUBLE) * sqrt(s22::DOUBLE)) AS rho
+        |FROM mom""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables.lineitem(s, d)
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("w"))
+      val t = g.agg(sum("w").cast("long").as("n"))
+      val wx = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wy = Window.orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val xr = g.groupBy("x").agg(sum("w").cast("long").as("c"))
+        .withColumn("cum", sum("c").over(wx))
+        .crossJoin(broadcast(t))
+        .select(col("x"), (lit(2L) * col("cum") - col("c") - col("n"))
+          .as("ax"))
+      val yr = g.groupBy("y").agg(sum("w").cast("long").as("c"))
+        .withColumn("cum", sum("c").over(wy))
+        .crossJoin(broadcast(t))
+        .select(col("y"), (lit(2L) * col("cum") - col("c") - col("n"))
+          .as("ay"))
+      val j = g.join(broadcast(xr), "x").join(broadcast(yr), "y")
+        .select(col("w").cast("decimal(12,0)").as("w"),
+          col("ax").cast("decimal(13,0)").as("ax"),
+          col("ay").cast("decimal(13,0)").as("ay"))
+      val mom = j.agg(
+        sum(col("w") * col("ax") * col("ay")).as("s12"),
+        sum(col("w") * col("ax") * col("ax")).as("s11"),
+        sum(col("w") * col("ay") * col("ay")).as("s22"))
+      val nx = g.agg(countDistinct("x").as("n_x_levels"))
+      val ny = g.agg(countDistinct("y").as("n_y_levels"))
+      t.crossJoin(broadcast(nx)).crossJoin(broadcast(ny))
+        .crossJoin(broadcast(mom))
+        .select(col("n"), col("n_x_levels"), col("n_y_levels"),
+          (col("s12").cast("double")
+            / (sqrt(col("s11").cast("double"))
+              * sqrt(col("s22").cast("double")))).as("rho"))
+    },
+
+    // --------------------------------------------------------------- q203
+    "q203_trimmed_means" -> QueryDef.sql(
+      "Per-brand 10%-trimmed and winsorized mean price — the robust " +
+      "location estimators that complement q82's MAD spread: order " +
+      "statistics are ELECTED from the (brand, cents) value-" +
+      "aggregated frame by integer cumulative-count algebra (the " +
+      "q196 election rule — never a float percentile), the trimmed " +
+      "sum is a per-cell OVERLAP of the kept index range [k+1, n-k] " +
+      "with each cell's index span (pure integer min/max algebra, no " +
+      "per-row pass), and winsorization adds k copies of each clamp " +
+      "value algebraically. Two single-shape divisions per brand -> " +
+      "hash-exact. Shape at 100 TB: broadcast part join -> one " +
+      "combinable (brand, cents) aggregate; the cumulative index " +
+      "uses the q182 SHARDED distributed prefix sum ((brand, shard) " +
+      "windows + a tiny per-brand shard-prefix window), so no " +
+      "unsplittable brand-wide window ever forms; brand totals " +
+      "come from a 25-row broadcast aggregate, not a window.",
+      """WITH li AS (SELECT p.p_brand AS brand,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT brand, cents, count(*)::BIGINT AS c
+        |  FROM li GROUP BY 1, 2),
+        |tot AS (SELECT brand, sum(c)::BIGINT AS n, (sum(c) // 10)::BIGINT
+        |    AS k FROM g GROUP BY 1),
+        |cumf AS (SELECT g.brand, g.cents, g.c, tot.n, tot.k,
+        |    sum(g.c) OVER (PARTITION BY g.brand ORDER BY g.cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum
+        |  FROM g JOIN tot ON g.brand = tot.brand),
+        |tr AS (SELECT brand, n, k,
+        |    sum(greatest(0, least(cum, n - k) - greatest(cum - c, k)))
+        |      ::BIGINT AS n_kept,
+        |    sum(cents * greatest(0, least(cum, n - k) - greatest(cum - c,
+        |      k)))::BIGINT AS kept_cents
+        |  FROM cumf GROUP BY 1, 2, 3),
+        |lo AS (SELECT brand, min(cents) AS lo_cents FROM cumf
+        |  WHERE cum >= k + 1 GROUP BY 1),
+        |hi AS (SELECT brand, min(cents) AS hi_cents FROM cumf
+        |  WHERE cum >= n - k GROUP BY 1)
+        |SELECT t.brand, t.n, t.k, lo.lo_cents::BIGINT AS lo_cents,
+        |  hi.hi_cents::BIGINT AS hi_cents,
+        |  t.kept_cents::DOUBLE / (100 * t.n_kept)::DOUBLE AS trimmed_mean,
+        |  (t.kept_cents + t.k * lo.lo_cents + t.k * hi.hi_cents)::DOUBLE
+        |    / (100 * t.n)::DOUBLE AS winsor_mean
+        |FROM tr t JOIN lo ON t.brand = lo.brand
+        |JOIN hi ON t.brand = hi.brand
+        |ORDER BY t.brand""".stripMargin) { (s, d) =>
+      brandRobustMeans(s, d)
+    },
+
+    // --------------------------------------------------------------- q204
+    "q204_fd_profile" -> QueryDef.sql(
+      "Functional-dependency profiler — the schema-discovery sibling " +
+      "of q121's inclusion-dependency scan: for each candidate " +
+      "det -> dep pair, the exact g3 error (minimum rows to delete " +
+      "for the FD to hold = N - sum over determinant groups of the " +
+      "modal dependent count — Kivinen-Mannila 1995), group/cell " +
+      "counts, an integer is_fd flag, and conformance = sum_max/N as " +
+      "the ONE division per row. One true FD (p_partkey -> p_brand, " +
+      "key-determined) anchors the zero case; five non-FDs measure " +
+      "real violation mass. Shape at 100 TB: each candidate is one " +
+      "combinable (det, dep) count aggregate -> per-det max fold -> " +
+      "1-row scalar; candidates union independently (no cross-" +
+      "candidate shuffle); nothing is ever row-level after the " +
+      "first aggregate.",
+      """SELECT * FROM (
+        |SELECT 'part.p_brand' AS det, 'p_type' AS dep,
+        |  sum(tot)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |  sum(cells)::BIGINT AS n_cells,
+        |  (sum(tot) - sum(mx))::BIGINT AS g3_violations,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT AS is_fd,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE AS conformance
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT p_brand AS d, p_type AS e, count(*)::BIGINT AS n
+        |    FROM part GROUP BY 1, 2) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'part.p_name', 'p_brand', sum(tot)::BIGINT,
+        |  count(*)::BIGINT, sum(cells)::BIGINT,
+        |  (sum(tot) - sum(mx))::BIGINT,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT p_name AS d, p_brand AS e, count(*)::BIGINT AS n
+        |    FROM part GROUP BY 1, 2) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'part.p_partkey', 'p_brand', sum(tot)::BIGINT,
+        |  count(*)::BIGINT, sum(cells)::BIGINT,
+        |  (sum(tot) - sum(mx))::BIGINT,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT p_partkey AS d, p_brand AS e, count(*)::BIGINT AS n
+        |    FROM part GROUP BY 1, 2) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'part.p_type', 'p_size', sum(tot)::BIGINT,
+        |  count(*)::BIGINT, sum(cells)::BIGINT,
+        |  (sum(tot) - sum(mx))::BIGINT,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT p_type AS d, p_size AS e, count(*)::BIGINT AS n
+        |    FROM part GROUP BY 1, 2) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'customer.c_mktsegment', 'c_nationkey', sum(tot)::BIGINT,
+        |  count(*)::BIGINT, sum(cells)::BIGINT,
+        |  (sum(tot) - sum(mx))::BIGINT,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT c_mktsegment AS d, c_nationkey AS e,
+        |    count(*)::BIGINT AS n FROM customer GROUP BY 1, 2) GROUP BY 1)
+        |UNION ALL
+        |SELECT 'orders.o_custkey', 'o_orderpriority', sum(tot)::BIGINT,
+        |  count(*)::BIGINT, sum(cells)::BIGINT,
+        |  (sum(tot) - sum(mx))::BIGINT,
+        |  (CASE WHEN sum(tot) = sum(mx) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(mx)::DOUBLE / sum(tot)::DOUBLE
+        |FROM (SELECT d, max(n) AS mx, sum(n) AS tot, count(*) AS cells
+        |  FROM (SELECT o_custkey AS d, o_orderpriority AS e,
+        |    count(*)::BIGINT AS n FROM orders GROUP BY 1, 2) GROUP BY 1)
+        |) ORDER BY det, dep""".stripMargin) { (s, d) =>
+      val cands = Seq(
+        (Tables.part(s, d), "part.p_brand", "p_brand", "p_type"),
+        (Tables.part(s, d), "part.p_name", "p_name", "p_brand"),
+        (Tables.part(s, d), "part.p_partkey", "p_partkey", "p_brand"),
+        (Tables.part(s, d), "part.p_type", "p_type", "p_size"),
+        (Tables.customer(s, d), "customer.c_mktsegment", "c_mktsegment",
+          "c_nationkey"),
+        (Tables.orders(s, d), "orders.o_custkey", "o_custkey",
+          "o_orderpriority"))
+      cands.map { case (df, label, det, dep) =>
+        df.groupBy(col(det).as("d"), col(dep).as("e"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("d")
+          .agg(max("n").as("mx"), sum("n").as("tot"),
+            count(lit(1)).as("cells"))
+          .agg(sum("tot").cast("long").as("n_rows"),
+            count(lit(1)).as("n_groups"),
+            sum("cells").cast("long").as("n_cells"),
+            (sum("tot") - sum("mx")).cast("long").as("g3_violations"),
+            when(sum("tot") === sum("mx"), 1L).otherwise(0L)
+              .cast("long").as("is_fd"),
+            (sum("mx").cast("double") / sum("tot").cast("double"))
+              .as("conformance"))
+          .select(lit(label).as("det"), lit(dep).as("dep"),
+            col("n_rows"), col("n_groups"), col("n_cells"),
+            col("g3_violations"), col("is_fd"), col("conformance"))
+      }.reduce(_ union _).orderBy("det", "dep")
     }
   )
 
@@ -2564,6 +2903,61 @@ object ExtendedQueries {
       |    (pr.p1 + c.cum1_in)::BIGINT AS f1,
       |    (pr.p0 + c.cum0_in)::BIGINT AS f0
       |  FROM cum c JOIN pr USING (shard))""".stripMargin
+
+  /** q203's Spark plan: the q182 sharded distributed prefix sum, lifted
+    * to per-brand order statistics. The (brand, cents) aggregate shards
+    * on cents DIV 10^6 ($10k buckets, so tens of shards per brand);
+    * in-shard cumulative windows are (brand, shard)-partitioned and
+    * splittable, the shard-prefix window runs over the tiny per-brand
+    * shard spine, and brand totals are a 25-row broadcast aggregate —
+    * no brand-wide row window anywhere. Kept/winsorized masses come
+    * from integer index-span overlap algebra on the cells. */
+  private[operators] def brandRobustMeans(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val g = li.groupBy("brand", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("shard", expr("cents DIV 1000000"))
+    val wIn = Window.partitionBy("brand", "shard").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = g.withColumn("cum_in", sum("c").over(wIn))
+    val wSh = Window.partitionBy("brand").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = g.groupBy("brand", "shard").agg(sum("c").as("st"))
+      .withColumn("pfx", coalesce(sum("st").over(wSh), lit(0L)))
+      .select("brand", "shard", "pfx")
+    val tot = broadcast(g.groupBy("brand")
+      .agg(sum("c").cast("long").as("n"))
+      .withColumn("k", expr("n DIV 10")))
+    val cells = cumIn.join(broadcast(prefixes), Seq("brand", "shard"))
+      .withColumn("cum", (col("cum_in") + col("pfx")).cast("long"))
+      .join(tot, "brand")
+    val kept = greatest(lit(0L),
+      least(col("cum"), col("n") - col("k"))
+        - greatest(col("cum") - col("c"), col("k")))
+    val tr = cells.groupBy("brand", "n", "k")
+      .agg(sum(kept).cast("long").as("n_kept"),
+        sum(col("cents") * kept).cast("long").as("kept_cents"))
+    val lo = cells.where(col("cum") >= col("k") + 1)
+      .groupBy("brand").agg(min("cents").as("lo_cents"))
+    val hi = cells.where(col("cum") >= col("n") - col("k"))
+      .groupBy("brand").agg(min("cents").as("hi_cents"))
+    tr.join(lo, "brand").join(hi, "brand")
+      .select(col("brand"), col("n"), col("k"),
+        col("lo_cents").cast("long").as("lo_cents"),
+        col("hi_cents").cast("long").as("hi_cents"),
+        (col("kept_cents").cast("double")
+          / (lit(100L) * col("n_kept")).cast("double")).as("trimmed_mean"),
+        ((col("kept_cents") + col("k") * col("lo_cents")
+            + col("k") * col("hi_cents")).cast("double")
+          / (lit(100L) * col("n")).cast("double")).as("winsor_mean"))
+      .orderBy("brand")
+  }
 
   /** The q125 k-anonymity audit over an arbitrary pre-bucketed
     * quasi-identifier frame — shared with SkylineTriangleSpec. */

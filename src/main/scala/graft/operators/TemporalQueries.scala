@@ -842,6 +842,55 @@ object TemporalQueries {
       kaplanMeier(Tables.events(s, d))
     },
 
+    // --------------------------------------------------------------- q201
+    "q201_nelson_aalen" -> QueryDef.sql(
+      "Nelson-Aalen cumulative hazard for signup -> first purchase — " +
+      "q140's sibling estimator (the hazard-scale view actuaries and " +
+      "reliability engineers prefer, and the one that feeds Breslow " +
+      "baseline hazards in Cox models): over the SAME risk-set frame " +
+      "as q140 (one shared definition, two catalog rows), H(t) = " +
+      "sum_{u<=t} d_u/n_u and the Poisson variance sum d_u/n_u^2, " +
+      "each factor a single-shape division ((d/n)/n for the variance " +
+      "so n^2 never overflows) folded in ASCENDING day order on both " +
+      "engines — the q84 ordered-fold rule with addition, hash-exact, " +
+      "no exp()/ln(). Shape at 100 TB: identical to q140 — two " +
+      "user-level aggregates, one day-grid aggregate, and the O(T^2) " +
+      "fold join runs on the day grid (~tens of rows), never users.",
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY 1),
+        |hz AS (SELECT max(ts) AS h FROM events),
+        |durs AS (SELECT su.user_id,
+        |    CASE WHEN pu.p_ts IS NOT NULL
+        |      THEN (epoch_us(pu.p_ts) - epoch_us(su.s_ts)) // 86400000000
+        |      ELSE (epoch_us(hz.h) - epoch_us(su.s_ts)) // 86400000000
+        |    END AS t_day,
+        |    CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN hz),
+        |cells AS (SELECT t_day, sum(ev)::BIGINT AS d,
+        |    sum(1 - ev)::BIGINT AS c, count(*)::BIGINT AS m
+        |  FROM durs GROUP BY 1),
+        |risk AS (SELECT t_day, d, c,
+        |    (SELECT sum(m) FROM cells c2 WHERE c2.t_day >= cells.t_day)
+        |      ::BIGINT AS n
+        |  FROM cells)
+        |SELECT r.t_day, r.n AS n_risk, r.d AS n_event, r.c AS n_censor,
+        |  list_reduce(list_prepend(0.0,
+        |    list((u.d::DOUBLE / u.n::DOUBLE) ORDER BY u.t_day)),
+        |    (a, x) -> a + x) AS cum_hazard,
+        |  list_reduce(list_prepend(0.0,
+        |    list(((u.d::DOUBLE / u.n::DOUBLE) / u.n::DOUBLE)
+        |      ORDER BY u.t_day)),
+        |    (a, x) -> a + x) AS na_variance
+        |FROM risk r JOIN risk u ON u.t_day <= r.t_day
+        |GROUP BY r.t_day, r.n, r.d, r.c
+        |ORDER BY r.t_day""".stripMargin) { (s, d) =>
+      nelsonAalen(Tables.events(s, d))
+    },
+
     // --------------------------------------------------------------- q146
     "q146_golden_record" -> QueryDef.sql(
       "Golden-record survivorship per user — the MDM/ETL merge every " +
@@ -1768,9 +1817,12 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  /** The q140 Kaplan-Meier operator over an arbitrary events frame —
-    * see the catalog doc for the ordered-product parity contract. */
-  def kaplanMeier(events: org.apache.spark.sql.DataFrame)
+  /** The signup->first-purchase risk-set frame shared by q140
+    * (Kaplan-Meier) and q201 (Nelson-Aalen): per event/censor day
+    * `t_day`, events `d`, censorings `c`, and the at-risk count `n`
+    * computed by suffix-sum algebra over the (small) day grid. */
+  private[operators] def survivalRisk(
+      events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val su = events.where(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("s_ts"))
@@ -1792,11 +1844,18 @@ object TemporalQueries {
         sum(lit(1L) - col("ev")).cast("long").as("c"),
         count(lit(1)).as("m"))
     // risk set by suffix-sum algebra over the (small) day grid
-    val risk = cells.alias("a")
+    cells.alias("a")
       .join(cells.alias("b"), col("b.t_day") >= col("a.t_day"))
       .groupBy(col("a.t_day").as("t_day"), col("a.d").as("d"),
         col("a.c").as("c"))
       .agg(sum(col("b.m")).cast("long").as("n"))
+  }
+
+  /** The q140 Kaplan-Meier operator over an arbitrary events frame —
+    * see the catalog doc for the ordered-product parity contract. */
+  def kaplanMeier(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val risk = survivalRisk(events)
     risk.alias("r").join(risk.alias("u"), col("u.t_day") <= col("r.t_day"))
       .groupBy(col("r.t_day").as("t_day"), col("r.n").as("n_risk"),
         col("r.d").as("n_event"), col("r.c").as("n_censor"))
@@ -1806,6 +1865,30 @@ object TemporalQueries {
       .select(col("t_day"), col("n_risk"), col("n_event"), col("n_censor"),
         aggregate(expr("transform(fs, s -> s.f)"), lit(1.0),
           (a, x) => a * x).as("survival"))
+      .orderBy("t_day")
+  }
+
+  /** The q201 Nelson-Aalen operator: cumulative hazard H(t) =
+    * sum_{u<=t} d_u/n_u and its Poisson variance sum_{u<=t} d_u/n_u^2,
+    * both folded in ASCENDING day order over [[survivalRisk]] (the q84
+    * ordered-fold rule — addition this time). d/n^2 is computed as
+    * (d/n)/n, two sequential exactly-rounded divisions, so n*n never
+    * overflows at any population scale. */
+  def nelsonAalen(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val risk = survivalRisk(events)
+    risk.alias("r").join(risk.alias("u"), col("u.t_day") <= col("r.t_day"))
+      .groupBy(col("r.t_day").as("t_day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_event"), col("r.c").as("n_censor"))
+      .agg(sort_array(collect_list(struct(col("u.t_day").as("td"),
+        (col("u.d").cast("double") / col("u.n").cast("double")).as("h"),
+        ((col("u.d").cast("double") / col("u.n").cast("double"))
+          / col("u.n").cast("double")).as("v")))).as("fs"))
+      .select(col("t_day"), col("n_risk"), col("n_event"), col("n_censor"),
+        aggregate(expr("transform(fs, s -> s.h)"), lit(0.0),
+          (a, x) => a + x).as("cum_hazard"),
+        aggregate(expr("transform(fs, s -> s.v)"), lit(0.0),
+          (a, x) => a + x).as("na_variance"))
       .orderBy("t_day")
   }
 

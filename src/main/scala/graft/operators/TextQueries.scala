@@ -1383,6 +1383,129 @@ object TextQueries {
       u.select(col("n1"), col("n0"), col("u1_x2"),
         (col("u1_x2").cast("double")
           / (lit(2L) * col("n1") * col("n0")).cast("double")).as("auc"))
+    },
+
+    // --------------------------------------------------------------- q205
+    "q205_retrieval_eval" -> QueryDef.sql(
+      "Retrieval-evaluation harness — the metric layer every search/" +
+      "RAG pipeline needs OVER its retriever (q79/q162 rank; this " +
+      "row GRADES a ranking against labels): for a deterministic 5% " +
+      "query sample (doc_id % 20 = 0), candidates are docs sharing a " +
+      "3-gram shingle (the q34 exact blocking — never all-pairs), " +
+      "scored by exact shared-shingle count (INTEGER, so ranking by " +
+      "(score DESC, cand_id) is a total order with no float " +
+      "tie-break), labeled relevant iff same source; per query: " +
+      "candidate/relevant counts, hits@10, first relevant rank, and " +
+      "reciprocal rank as the ONE division (1/rank — exactly " +
+      "representable shapes, the log-free alternative to NDCG's " +
+      "log2 per the q53 libm rule). Shape at 100 TB: eval harnesses " +
+      "sample queries BY CONSTRUCTION, so the blocking join cost is " +
+      "sample x shingle-df, not corpus^2; the rank window partitions " +
+      "per query over its blocked candidates.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, source, ${DedupQueries.sqlShingles} AS sh
+        |  FROM t),
+        |x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |qx AS (SELECT doc_id AS q_id, source AS q_src, g FROM x
+        |  WHERE doc_id % 20 = 0),
+        |cand AS (SELECT q_id, q_src, x.doc_id AS c_id, x.source AS c_src,
+        |    count(*)::BIGINT AS score
+        |  FROM qx JOIN x USING (g) WHERE x.doc_id != qx.q_id
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT q_id, q_src, c_id, c_src, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, c_id)::BIGINT AS rnk FROM cand),
+        |m AS (SELECT q_id, count(*)::BIGINT AS n_cand,
+        |    sum(CASE WHEN c_src = q_src THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_rel_cand,
+        |    sum(CASE WHEN c_src = q_src AND rnk <= 10 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS hits_at_10,
+        |    coalesce(min(CASE WHEN c_src = q_src THEN rnk END), 0)::BIGINT
+        |      AS first_rel_rank
+        |  FROM r GROUP BY 1)
+        |SELECT q_id, n_cand, n_rel_cand, hits_at_10, first_rel_rank,
+        |  CASE WHEN first_rel_rank > 0
+        |    THEN 1.0 / first_rel_rank::DOUBLE ELSE 0.0 END AS rr
+        |FROM m ORDER BY q_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val x = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(shinglesOfText(col("text"), 3)).as("g"))
+      val qx = x.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("q_id"), col("source").as("q_src"),
+          col("g"))
+      val cand = qx.join(x.select(col("doc_id").as("c_id"),
+          col("source").as("c_src"), col("g")), "g")
+        .where(col("c_id") =!= col("q_id"))
+        .groupBy("q_id", "q_src", "c_id", "c_src")
+        .agg(count(lit(1)).as("score"))
+      val ranked = cand.withColumn("rnk",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("c_id"))).cast("long"))
+      val rel = col("c_src") === col("q_src")
+      val m = ranked.groupBy("q_id")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(rel, 1L).otherwise(0L)).cast("long").as("n_rel_cand"),
+          sum(when(rel && col("rnk") <= 10, 1L).otherwise(0L)).cast("long")
+            .as("hits_at_10"),
+          coalesce(min(when(rel, col("rnk"))), lit(0L)).cast("long")
+            .as("first_rel_rank"))
+      m.select(col("q_id"), col("n_cand"), col("n_rel_cand"),
+          col("hits_at_10"), col("first_rel_rank"),
+          when(col("first_rel_rank") > 0,
+            lit(1.0) / col("first_rel_rank").cast("double"))
+            .otherwise(lit(0.0)).as("rr"))
+        .orderBy("q_id")
+    },
+
+    // --------------------------------------------------------------- q206
+    "q206_calibration_bins" -> QueryDef.sql(
+      "Calibration audit for a scored classifier — q198's AUC " +
+      "measures DISCRIMINATION, this row measures whether the scores " +
+      "MEAN what they claim (the reliability-diagram/Brier view " +
+      "every model-gated filter needs before its threshold is " +
+      "trusted): score = English stopword hits clamped to 10 (11 " +
+      "integer bins, q31's detector vocabulary), outcome = lang = " +
+      "'en'; per bin the exact count/positives, the empirical rate " +
+      "and nominal probability (the two single-shape divisions), " +
+      "the Brier mass in EXACT CENTI-UNITS ((s - 10y)^2 per row, " +
+      "folded as pure integer algebra n_pos*(10-s)^2 + (n-n_pos)*" +
+      "s^2), and the scaled calibration gap |10*n_pos - s*n| " +
+      "(the ECE numerator, integer). Shape at 100 TB: ONE " +
+      "combinable 11-cell aggregate over the corpus scan — nothing " +
+      "else.",
+      s"""WITH t AS (SELECT lang, $sqlToks AS w FROM documents),
+        |h AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    least(len(list_filter(w,
+        |      t -> t IN ('the','and','of','to','a'))), 10)::BIGINT AS s
+        |  FROM t)
+        |SELECT s AS score_bin, count(*)::BIGINT AS n,
+        |  sum(y)::BIGINT AS n_pos,
+        |  s::DOUBLE / 10.0 AS pred_p,
+        |  sum(y)::DOUBLE / count(*)::DOUBLE AS emp_rate,
+        |  (sum(y) * (10 - s) * (10 - s)
+        |    + (count(*) - sum(y)) * s * s)::BIGINT AS brier_centi_sum,
+        |  abs(10 * sum(y) - s * count(*))::BIGINT AS cal_gap_deci
+        |FROM h GROUP BY s
+        |ORDER BY score_bin""".stripMargin) { (s, d) =>
+      val en = graft.functions.TextFunctions.langVocab.toMap.apply("en")
+      val h = Tables.documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        least(vocabHits(tokens(col("text")), en).cast("long"), lit(10L))
+          .as("sb"))
+      h.groupBy(col("sb").as("score_bin"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"))
+        .select(col("score_bin"), col("n"), col("n_pos"),
+          (col("score_bin").cast("double") / lit(10.0)).as("pred_p"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("emp_rate"),
+          (col("n_pos") * (lit(10L) - col("score_bin"))
+              * (lit(10L) - col("score_bin"))
+            + (col("n") - col("n_pos")) * col("score_bin")
+              * col("score_bin")).cast("long").as("brier_centi_sum"),
+          abs(lit(10L) * col("n_pos") - col("score_bin") * col("n"))
+            .cast("long").as("cal_gap_deci"))
+        .orderBy("score_bin")
     }
   )
 

@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 19 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 20 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -687,6 +687,34 @@ object StreamCheck {
           val got = spark.table("sc_cms").as[(Long, Long, Long)]
             .collect().toSet
           val bounded = got.size <= 4 * 256
+          (got.size.toLong, batch.size.toLong,
+            got.nonEmpty && bounded && got == batch)
+        } finally q.stop()
+      },
+
+      // ------------------------------------------- calibration_bins
+      run("calibration_bins",
+        "streamed reliability grid == batch fold (q206 read-back)") {
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("lang"), col("text"))
+          .as[(String, String)].collect()
+        val batch = CalibrationStream.calibrationCells(
+            spark.createDataset(docs.toSeq).toDF("lang", "text"))
+          .as[(Long, Long, Long)].collect().toSet
+        val ms = MemoryStream[(String, String)]
+        val q = CalibrationStream.calibrationCells(
+            ms.toDF().toDF("lang", "text"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_cal").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: bin counts commute, so the
+          // final grid must not depend on it
+          docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val got = spark.table("sc_cal").as[(Long, Long, Long)]
+            .collect().toSet
+          val bounded = got.size <= 11
           (got.size.toLong, batch.size.toLong,
             got.nonEmpty && bounded && got == batch)
         } finally q.stop()

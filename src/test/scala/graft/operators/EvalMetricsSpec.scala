@@ -49,4 +49,57 @@ class EvalMetricsSpec extends SparkSpec {
       == u1x2.toDouble / (2L * pos.length * neg.length).toDouble)
     assert(auc >= 0.0 && auc <= 1.0)
   }
+
+  test("q205: per-query metrics equal a brute-force shingle retrieval") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    val sh = docs.map { case (id, src, t) => (id, src, shingles(t)) }
+    val metrics = sh.filter(_._1 % 20 == 0).flatMap { case (q, qsrc, qs) =>
+      val cands = sh.filter(c => c._1 != q && (c._3 & qs).nonEmpty)
+        .map(c => (c._1, c._2, (c._3 & qs).size.toLong))
+      if (cands.isEmpty) None else {
+        val ranked = cands.sortBy(c => (-c._3, c._1)).zipWithIndex
+          .map { case ((cid, csrc, s), i) => (cid, csrc, s, i + 1L) }
+        val relRanks = ranked.filter(_._2 == qsrc).map(_._4)
+        val first = if (relRanks.isEmpty) 0L else relRanks.min
+        Some((q, (ranked.length.toLong, relRanks.length.toLong,
+          relRanks.count(_ <= 10L).toLong, first,
+          if (first > 0) 1.0 / first.toDouble else 0.0)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q205_retrieval_eval")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got == metrics, s"got=${got.toSeq.sortBy(_._1).take(5)} " +
+      s"want=${metrics.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("q206: calibration bins equal brute force; Brier mass is conserved") {
+    val en = Set("the", "and", "of", "to", "a")
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0) == "en",
+        math.min(r.getString(1).trim.toLowerCase.split("\\s+")
+          .count(en), 10L)))
+    val want = docs.groupBy(_._2).map { case (s, xs) =>
+      val n = xs.length.toLong; val np = xs.count(_._1).toLong
+      s -> (n, np, s.toDouble / 10.0, np.toDouble / n.toDouble,
+        np * (10 - s) * (10 - s) + (n - np) * s * s,
+        math.abs(10 * np - s * n))
+    }
+    val got = SparkEntry.queries("q206_calibration_bins")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // every document lands in exactly one bin
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
 }

@@ -966,4 +966,80 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.split("Window \\[").length - 1 == 1,
       "one cumulative window over the bounded value frame:\n" + p)
   }
+
+  test("q199: lambda is one grid aggregate + 1-row folds; no window, no cartesian") {
+    val p = plan("q199_gk_lambda")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q200: IPS is one per-action aggregate; scan pruned to (type, value)") {
+    val p = plan("q200_ips_offpolicy")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("props"),
+      "events scan must prune to event_type/value:\n" + p)
+  }
+
+  test("q202: rho windows run over the bounded marginals only") {
+    val p = plan("q202_spearman_rho")
+    // exactly two cumulative windows: the <=50-row qty marginal and
+    // the <=11-row discount marginal — never the lineitem rows
+    assert(p.split("Window \\[").length - 1 == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "rank frames must broadcast back onto the grid:\n" + p)
+  }
+
+  test("q203: no brand-wide row window — cumulative index is sharded") {
+    val df = SparkEntry.queries("q203_trimmed_means")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    // every window partitions by brand, and the in-shard cumulative one
+    // also carries the shard key — no window sees a whole brand's rows
+    windowLines.foreach { w =>
+      assert(w.contains("brand#"),
+        "window lost its brand partitioning:\n" + w)
+    }
+    assert(windowLines.exists(_.contains("shard#")),
+      "in-shard cumulative window must partition by (brand, shard):\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "part dim and spine frames must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q204: FD profiling is independent aggregates unioned; no window, no cartesian") {
+    val p = plan("q204_fd_profile")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q205: candidates come from a shingle equi-join; rank window is per-query") {
+    val df = SparkEntry.queries("q205_retrieval_eval")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "retrieval candidates must stay shingle-blocked:\n" + p)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    windowLines.foreach { w =>
+      assert(w.contains("q_id#"),
+        "rank window lost its per-query partitioning:\n" + w)
+    }
+  }
+
+  test("q206: calibration is a single 11-cell aggregate — no join, no window") {
+    val p = plan("q206_calibration_bins")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

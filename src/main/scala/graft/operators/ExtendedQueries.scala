@@ -2833,6 +2833,114 @@ object ExtendedQueries {
             col("n_rows"), col("n_groups"), col("n_cells"),
             col("g3_violations"), col("is_fd"), col("conformance"))
       }.reduce(_ union _).orderBy("det", "dep")
+    },
+
+    // --------------------------------------------------------------- q209
+    "q209_multireg" -> QueryDef.sql(
+      "Two-regressor least squares with intercept (price ~ quantity + " +
+      "discount) via exact normal equations — the multi-feature step " +
+      "up from q104's single-feature trend line, solved WITHOUT a " +
+      "gradient loop: nine raw moments fold exactly in DECIMAL (each " +
+      "width chosen so every product stays inside 38 digits through " +
+      "~1e11 rows — the q175 cleared-denominator discipline; beyond " +
+      "that, shard-and-center), the n-scaled centered moments " +
+      "c11/c22/c12/c1y/c2y/cyy are exact integers converted once to " +
+      "double (correctly rounded), and the 2x2 Cramer solve + " +
+      "intercept + R^2 are fixed exactly-rounded IEEE trees -> " +
+      "hash-exact, no iteration, no libm. Shape at 100 TB: ONE " +
+      "combinable 9-moment aggregate over the scan; everything after " +
+      "is 1-row algebra.",
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT count(*)::DECIMAL(11,0) AS n,
+        |    sum(x1)::DECIMAL(13,0) AS s1, sum(x2)::DECIMAL(13,0) AS s2,
+        |    sum(y)::DECIMAL(19,0) AS sy,
+        |    sum(x1 * x1)::DECIMAL(15,0) AS s11,
+        |    sum(x2 * x2)::DECIMAL(15,0) AS s22,
+        |    sum(x1 * x2)::DECIMAL(15,0) AS s12,
+        |    sum(CAST(x1 * y AS DECIMAL(20,0))) AS s1y,
+        |    sum(CAST(x2 * y AS DECIMAL(20,0))) AS s2y,
+        |    sum(CAST(y AS DECIMAL(14,0)) * CAST(y AS DECIMAL(14,0)))
+        |      ::DECIMAL(27,0) AS syy
+        |  FROM b),
+        |c AS (SELECT n::BIGINT AS n_rows,
+        |    (n * s11 - s1 * s1)::DOUBLE AS c11,
+        |    (n * s22 - s2 * s2)::DOUBLE AS c22,
+        |    (n * s12 - s1 * s2)::DOUBLE AS c12,
+        |    (n * s1y - s1 * sy)::DOUBLE AS c1y,
+        |    (n * s2y - s2 * sy)::DOUBLE AS c2y,
+        |    (n * syy - sy * sy)::DOUBLE AS cyy,
+        |    s1::DOUBLE AS s1d, s2::DOUBLE AS s2d, sy::DOUBLE AS syd,
+        |    n::DOUBLE AS nd
+        |  FROM m),
+        |f AS (SELECT n_rows, c1y, c2y, cyy, s1d, s2d, syd, nd,
+        |    (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12)
+        |      AS beta_qty_cents,
+        |    (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12)
+        |      AS beta_disc_cents
+        |  FROM c)
+        |SELECT n_rows, beta_qty_cents, beta_disc_cents,
+        |  (syd - beta_qty_cents * s1d - beta_disc_cents * s2d) / nd
+        |    AS intercept_cents,
+        |  (beta_qty_cents * c1y + beta_disc_cents * c2y) / cyy AS r2
+        |FROM f""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d).selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(round(l_discount * 100) AS BIGINT) AS x2",
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS y")
+      val m = b.selectExpr(
+        "CAST(1 AS DECIMAL(11,0)) AS one",
+        "CAST(x1 AS DECIMAL(13,0)) AS x1d",
+        "CAST(x2 AS DECIMAL(13,0)) AS x2d",
+        "CAST(y AS DECIMAL(19,0)) AS yd",
+        "CAST(x1 * x1 AS DECIMAL(15,0)) AS x11",
+        "CAST(x2 * x2 AS DECIMAL(15,0)) AS x22",
+        "CAST(x1 * x2 AS DECIMAL(15,0)) AS xx12",
+        "CAST(x1 * y AS DECIMAL(20,0)) AS x1y",
+        "CAST(x2 * y AS DECIMAL(20,0)) AS x2y",
+        "CAST(y AS DECIMAL(14,0)) * CAST(y AS DECIMAL(14,0)) AS y2")
+        .agg(count(lit(1)).cast("decimal(11,0)").as("n"),
+          sum("x1d").cast("decimal(13,0)").as("s1"),
+          sum("x2d").cast("decimal(13,0)").as("s2"),
+          sum("yd").cast("decimal(19,0)").as("sy"),
+          sum("x11").cast("decimal(15,0)").as("s11"),
+          sum("x22").cast("decimal(15,0)").as("s22"),
+          sum("xx12").cast("decimal(15,0)").as("s12"),
+          sum("x1y").cast("decimal(20,0)").as("s1y"),
+          sum("x2y").cast("decimal(20,0)").as("s2y"),
+          sum("y2").cast("decimal(27,0)").as("syy"))
+      val c = m.select(col("n").cast("long").as("n_rows"),
+        (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+          .as("c11"),
+        (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+          .as("c22"),
+        (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+          .as("c12"),
+        (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+          .as("c1y"),
+        (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+          .as("c2y"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+          .as("cyy"),
+        col("s1").cast("double").as("s1d"),
+        col("s2").cast("double").as("s2d"),
+        col("sy").cast("double").as("syd"),
+        col("n").cast("double").as("nd"))
+      val det = col("c11") * col("c22") - col("c12") * col("c12")
+      val f = c.select(col("n_rows"), col("c1y"), col("c2y"), col("cyy"),
+        col("s1d"), col("s2d"), col("syd"), col("nd"),
+        ((col("c1y") * col("c22") - col("c2y") * col("c12")) / det)
+          .as("beta_qty_cents"),
+        ((col("c2y") * col("c11") - col("c1y") * col("c12")) / det)
+          .as("beta_disc_cents"))
+      f.select(col("n_rows"), col("beta_qty_cents"), col("beta_disc_cents"),
+        ((col("syd") - col("beta_qty_cents") * col("s1d")
+          - col("beta_disc_cents") * col("s2d")) / col("nd"))
+          .as("intercept_cents"),
+        ((col("beta_qty_cents") * col("c1y")
+          + col("beta_disc_cents") * col("c2y")) / col("cyy")).as("r2"))
     }
   )
 
@@ -2940,14 +3048,16 @@ object ExtendedQueries {
     val kept = greatest(lit(0L),
       least(col("cum"), col("n") - col("k"))
         - greatest(col("cum") - col("c"), col("k")))
-    val tr = cells.groupBy("brand", "n", "k")
+    // one pass over the cells: trimmed mass + both clamp elections as
+    // conditional mins (three separate aggregates would re-shuffle the
+    // same frame three times)
+    cells.groupBy("brand", "n", "k")
       .agg(sum(kept).cast("long").as("n_kept"),
-        sum(col("cents") * kept).cast("long").as("kept_cents"))
-    val lo = cells.where(col("cum") >= col("k") + 1)
-      .groupBy("brand").agg(min("cents").as("lo_cents"))
-    val hi = cells.where(col("cum") >= col("n") - col("k"))
-      .groupBy("brand").agg(min("cents").as("hi_cents"))
-    tr.join(lo, "brand").join(hi, "brand")
+        sum(col("cents") * kept).cast("long").as("kept_cents"),
+        min(when(col("cum") >= col("k") + 1, col("cents")))
+          .as("lo_cents"),
+        min(when(col("cum") >= col("n") - col("k"), col("cents")))
+          .as("hi_cents"))
       .select(col("brand"), col("n"), col("k"),
         col("lo_cents").cast("long").as("lo_cents"),
         col("hi_cents").cast("long").as("hi_cents"),

@@ -891,6 +891,148 @@ object TemporalQueries {
       nelsonAalen(Tables.events(s, d))
     },
 
+    // --------------------------------------------------------------- q207
+    "q207_theil_sen" -> QueryDef.sql(
+      "Theil-Sen robust trend of daily event volume — the median-of-" +
+      "pairwise-slopes estimator (Sen 1968) that one outlier day " +
+      "cannot move, complementing q104's least-squares line: the " +
+      "median is ELECTED, never averaged-by-float-quantile (q196 " +
+      "rule) — pairs ranked by (slope, day_i, day_j) total order, " +
+      "lower/upper middle picked by integer rank, ts_slope their " +
+      "half-sum; the intercept is the same election over per-day " +
+      "residuals. Each slope is ONE integer-ratio division and the " +
+      "folds are exactly-rounded fixed trees -> hash-exact. Shape at " +
+      "100 TB: the day grid is CALENDAR-BOUNDED (30 days at any " +
+      "corpus size — the operational monitoring window), so the " +
+      "O(T^2) pair join and its rank window run over ~435 rows " +
+      "regardless of scale; the only data-proportional pass is the " +
+      "one combinable day rollup.",
+      """WITH dm AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |pr AS (SELECT a.day AS di, b.day AS dj,
+        |    (b.x - a.x)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+        |  FROM dm a JOIN dm b ON b.day > a.day),
+        |st AS (SELECT count(*)::BIGINT AS m FROM pr),
+        |r AS (SELECT slope,
+        |    row_number() OVER (ORDER BY slope, di, dj)::BIGINT AS rn
+        |  FROM pr),
+        |med AS (SELECT st.m, lo.slope AS slope_lo, hi.slope AS slope_hi,
+        |    (lo.slope + hi.slope) / 2.0 AS ts_slope
+        |  FROM st JOIN r lo ON lo.rn = (st.m + 1) // 2
+        |  JOIN r hi ON hi.rn = (st.m + 2) // 2),
+        |ic AS (SELECT dm.day,
+        |    dm.x::DOUBLE - med.ts_slope * dm.day::DOUBLE AS v
+        |  FROM dm CROSS JOIN med),
+        |icr AS (SELECT v,
+        |    row_number() OVER (ORDER BY v, day)::BIGINT AS rn FROM ic),
+        |icst AS (SELECT count(*)::BIGINT AS t FROM icr)
+        |SELECT icst.t AS n_days, med.m AS n_pairs, med.slope_lo,
+        |  med.slope_hi, med.ts_slope,
+        |  (ilo.v + ihi.v) / 2.0 AS intercept
+        |FROM med CROSS JOIN icst
+        |JOIN icr ilo ON ilo.rn = (icst.t + 1) // 2
+        |JOIN icr ihi ON ihi.rn = (icst.t + 2) // 2""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dm = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val pr = dm.alias("a").join(dm.alias("b"),
+          col("b.day") > col("a.day"))
+        .select(col("a.day").as("di"), col("b.day").as("dj"),
+          ((col("b.x") - col("a.x")).cast("double")
+            / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+      val st = pr.agg(count(lit(1)).as("m"))
+      val r = pr.withColumn("rn",
+        row_number().over(Window.orderBy("slope", "di", "dj")).cast("long"))
+      val med = st
+        .join(r.select(col("rn").as("rn_lo"), col("slope").as("slope_lo")),
+          col("rn_lo") === expr("(m + 1) div 2"))
+        .join(r.select(col("rn").as("rn_hi"), col("slope").as("slope_hi")),
+          col("rn_hi") === expr("(m + 2) div 2"))
+        .select(col("m"), col("slope_lo"), col("slope_hi"),
+          ((col("slope_lo") + col("slope_hi")) / lit(2.0)).as("ts_slope"))
+      val ic = dm.crossJoin(broadcast(med))
+        .select(col("day"), col("m"), col("slope_lo"), col("slope_hi"),
+          col("ts_slope"),
+          (col("x").cast("double")
+            - col("ts_slope") * col("day").cast("double")).as("v"))
+      val icr = ic.withColumn("rn",
+        row_number().over(Window.orderBy("v", "day")).cast("long"))
+      val icst = icr.agg(count(lit(1)).as("t"))
+      icr.select(col("rn").as("rn_lo"), col("v").as("v_lo"), col("m"),
+          col("slope_lo"), col("slope_hi"), col("ts_slope"))
+        .crossJoin(broadcast(icst))
+        .where(col("rn_lo") === expr("(t + 1) div 2"))
+        .join(icr.select(col("rn").as("rn_hi"), col("v").as("v_hi")),
+          col("rn_hi") === expr("(t + 2) div 2"))
+        .select(col("t").as("n_days"), col("m").as("n_pairs"),
+          col("slope_lo"), col("slope_hi"), col("ts_slope"),
+          ((col("v_lo") + col("v_hi")) / lit(2.0)).as("intercept"))
+    },
+
+    // --------------------------------------------------------------- q208
+    "q208_mann_kendall" -> QueryDef.sql(
+      "Mann-Kendall trend test on daily event volume — q207's " +
+      "hypothesis-test partner (is the monotone trend SIGNIFICANT?): " +
+      "S = sum of pairwise signs (exact integer over the same " +
+      "calendar-bounded pair grid), the tie-corrected variance kept " +
+      "as the INTEGER numerator var_s18 = n(n-1)(2n+5) - " +
+      "sum t(t-1)(2t+5) (18*Var(S) — clearing the denominator the " +
+      "q175 way), and the continuity-corrected z = (S -/+ 1)/" +
+      "sqrt(var_s18/18) as a fixed exactly-rounded tree -> " +
+      "hash-exact, no erf()/normal CDF (libm rule: the z-score is " +
+      "the deliverable, its p-value is the caller's table lookup). " +
+      "Shape at 100 TB: identical to q207 — one combinable day " +
+      "rollup, then everything runs on the ~30-row grid.",
+      """WITH dm AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS m,
+        |    sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END)::BIGINT AS s_stat
+        |  FROM dm a JOIN dm b ON b.day > a.day),
+        |tg AS (SELECT x, count(*)::BIGINT AS t FROM dm GROUP BY 1),
+        |vt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+        |    AS tie_term FROM tg WHERE t > 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM dm)
+        |SELECT nn.n AS n_days, s.m AS n_pairs, s.s_stat,
+        |  (nn.n * (nn.n - 1) * (2 * nn.n + 5) - vt.tie_term)::BIGINT
+        |    AS var_s18,
+        |  CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)::DOUBLE
+        |      / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+        |        - vt.tie_term)::DOUBLE / 18.0)
+        |    WHEN s.s_stat < 0 THEN (s.s_stat + 1)::DOUBLE
+        |      / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+        |        - vt.tie_term)::DOUBLE / 18.0)
+        |    ELSE 0.0 END AS z
+        |FROM s CROSS JOIN vt CROSS JOIN nn""".stripMargin) { (s, d) =>
+      val dm = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val pairs = dm.alias("a").join(dm.alias("b"),
+          col("b.day") > col("a.day"))
+        .agg(count(lit(1)).as("m"),
+          sum(when(col("b.x") > col("a.x"), 1L)
+            .when(col("b.x") < col("a.x"), -1L).otherwise(0L))
+            .cast("long").as("s_stat"))
+      val vt = dm.groupBy("x").agg(count(lit(1)).as("t"))
+        .where(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1)
+          * (lit(2L) * col("t") + 5)), lit(0L)).cast("long").as("tie_term"))
+      val nn = dm.agg(count(lit(1)).as("n"))
+      val varS18 = (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+        - col("tie_term")).cast("long")
+      val zden = sqrt(varS18.cast("double") / lit(18.0))
+      pairs.crossJoin(broadcast(vt)).crossJoin(broadcast(nn))
+        .select(col("n").as("n_days"), col("m").as("n_pairs"),
+          col("s_stat"), varS18.as("var_s18"),
+          when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / zden)
+            .when(col("s_stat") < 0,
+              (col("s_stat") + 1).cast("double") / zden)
+            .otherwise(lit(0.0)).as("z"))
+    },
+
     // --------------------------------------------------------------- q146
     "q146_golden_record" -> QueryDef.sql(
       "Golden-record survivorship per user — the MDM/ETL merge every " +

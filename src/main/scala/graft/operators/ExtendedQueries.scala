@@ -347,15 +347,35 @@ object ExtendedQueries {
     },
 
     // ---------------------------------------------------------------- q46
-    "q46_approx_count_distinct" -> QueryDef.rowsOnly(
-      "HyperLogLog++ approximate distinct counting next to the exact " +
-      "count (sketch implementations differ per engine -> rows-only " +
-      "check; the exact column is covered by q08's oracle).") { (s, d) =>
+    "q46_approx_count_distinct" -> QueryDef.sql(
+      "HyperLogLog++ approximate distinct counting AUDITED against the " +
+      "exact count: per group, the exact distinct plus the derived " +
+      "error-bound verdict |approx - exact| <= 10% of exact (5x the " +
+      "configured rsd 0.02 — HLL error is deterministic per dataset, " +
+      "not random, so the margin absorbs dataset-shape variance, never " +
+      "flakiness). The raw estimate is engine-internal sketch layout " +
+      "(kept visible in SimilaritySpec's anchor), but the AUDIT is " +
+      "engine-independent, so the row is oracle-checkable: the oracle " +
+      "pins the exact count and the bound verdict — a violated bound " +
+      "hash-fails the row (round-11 close of the r10 'shrink the " +
+      "rows-only surface' item; q85 got the same treatment). At " +
+      "100 TB only the HLL side runs: fixed 2^p-register state per " +
+      "group, map-side combinable, vs countDistinct's per-key shuffle " +
+      "— the audit pass exists to certify the cheap path against the " +
+      "expensive one before the expensive one is switched off.",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+        |  true AS hll_within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
           countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            <= col("exact_parts").cast("double") * 0.10)
+            .as("hll_within_10pct"))
         .orderBy("l_returnflag")
     },
 
@@ -599,29 +619,59 @@ object ExtendedQueries {
     },
 
     // ---------------------------------------------------------------- q85
-    "q85_quantile_sketch" -> QueryDef.rowsOnly(
+    "q85_quantile_sketch" -> QueryDef.sql(
       "Mergeable approximate percentiles (Greenwald-Khanna via Spark's " +
-      "approx_percentile, accuracy 1000) per group — q44's scale path: " +
-      "exact percentile state grows O(group) (every value buffers until " +
-      "finish, which at a 100 TB fact table is the aggregate that " +
-      "spills first), while the GK sketch caps state at O(accuracy) " +
-      "per group AND merges associatively, so partial sketches " +
-      "map-side-combine like any sum. Rank-error contract: each " +
-      "reported quantile's true rank within the group is within " +
-      "n/accuracy of the target rank — QuantileSketchSpec asserts the " +
-      "bound against exact sorted ranks at sf0.01 and determinism " +
-      "across runs. Sketch internals are engine-specific -> rows-only " +
-      "(same status as q46's HLL).") { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
+      "approx_percentile, accuracy 1000) per group, AUDITED in-plan — " +
+      "q44's scale path: exact percentile state grows O(group) (every " +
+      "value buffers until finish, which at a 100 TB fact table is the " +
+      "aggregate that spills first), while the GK sketch caps state at " +
+      "O(accuracy) per group AND merges associatively, so partial " +
+      "sketches map-side-combine like any sum. The reported VALUES are " +
+      "engine-specific sketch picks (kept visible in " +
+      "QuantileSketchSpec's anchor), but GK's rank-error CONTRACT is " +
+      "engine-independent: each reported quantile's true rank in the " +
+      "group lies within n/accuracy of the target rank phi*(n-1), and " +
+      "the pick is an actual group member. The catalog row emits that " +
+      "audit — per quantile, rank(pick) recomputed exactly against the " +
+      "data (one second combinable pass, quantiles stamped via a " +
+      "broadcast dimension-sized join) and reduced to the bound " +
+      "verdict, which the oracle pins to TRUE — a violated bound " +
+      "hash-fails the row (round-11 close of the r10 'shrink the " +
+      "rows-only surface' item, q46's pattern). At 100 TB the audit " +
+      "pass is optional certification; the sketch alone is the " +
+      "production read.",
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  true AS p25_rank_ok, true AS p50_rank_ok,
+        |  true AS p75_rank_ok, true AS p95_rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D), 1000)")
             .as("qs"))
-        .select(col("l_returnflag"), col("n"),
-          element_at(col("qs"), 1).as("p25"),
-          element_at(col("qs"), 2).as("p50"),
-          element_at(col("qs"), 3).as("p75"),
-          element_at(col("qs"), 4).as("p95"))
+      val phis = Seq(("p25", 1, 0.25), ("p50", 2, 0.50),
+        ("p75", 3, 0.75), ("p95", 4, 0.95))
+      val rankAggs = phis.flatMap { case (nm, i, _) => Seq(
+        sum(when(col("l_extendedprice") < element_at(col("qs"), i), 1L)
+          .otherwise(0L)).as(s"${nm}_lt"),
+        sum(when(col("l_extendedprice") <= element_at(col("qs"), i), 1L)
+          .otherwise(0L)).as(s"${nm}_le")) }
+      val counted = li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      val okCols = phis.map { case (nm, _, phi) =>
+        // the spec's bound, verbatim: target rank phi*(n-1) must fall in
+        // [count(<pick) - tol, count(<=pick) + tol], tol = n/1000 + 1,
+        // and the pick must be a group member (le > lt)
+        val target = lit(phi) * (col("n") - 1).cast("double")
+        val tol = col("n").cast("double") / 1000.0 + 1.0
+        (target >= col(s"${nm}_lt").cast("double") - tol &&
+          target <= col(s"${nm}_le").cast("double") + tol &&
+          col(s"${nm}_le") > col(s"${nm}_lt")).as(s"${nm}_rank_ok")
+      }
+      counted
+        .select(col("l_returnflag") +: col("n") +: okCols: _*)
         .orderBy("l_returnflag")
     },
 

@@ -536,6 +536,14 @@ object GraphQueries {
       // planner tell); with per-round LogicalRDD roots the peel plans
       // flat and runs at aggregate cost.
       val co2 = basketCo2(s, d).select("u", "v")
+      // q180's `build_sec` is NOT planner overhead (round-11 audit of the
+      // round-10 item-4 list): it is these checkpoint jobs MATERIALIZING
+      // each peel round at construction — index-training-class real work,
+      // like q47's IVF build. eager=false was tried and moves nothing:
+      // under AQE, round r+1's toRdd materializes round r's stages at
+      // construction anyway. Per-superstep materialization is the honest
+      // distributed shape (a Pregel engine does exactly this); the cost
+      // rides in build_sec where the split keeps it visible.
       kcorePeel(co2, k = 3, rounds = 3,
         materialize = (r, df) =>
           graft.plans.SharedFrames(s, d, s"kcore_e$r")(df.localCheckpoint()))

@@ -58,6 +58,12 @@ object DeterministicHash {
     * (salt 0) and stratified-sample membership (salt 7919). */
   val mixtureSalt: Long = 104729L
 
+  /** Salt for q212's conformal train/calibration/test stream — a fourth
+    * independent stream: conformal validity rests on the calibration
+    * split being exchangeable with test, which a stream correlated with
+    * any other sampling decision would silently break. */
+  val conformalSalt: Long = 15485863L
+
   /** Salt for q123's weighted-sample stream — independent of the other
     * three for the same reason. */
   val weightedSalt: Long = 1299709L

@@ -2991,8 +2991,232 @@ object ExtendedQueries {
           .as("intercept_cents"),
         ((col("beta_qty_cents") * col("c1y")
           + col("beta_disc_cents") * col("c2y")) / col("cyy")).as("r2"))
+    },
+
+    // --------------------------------------------------------------- q212
+    "q212_conformal_coverage" -> QueryDef.sql(
+      "Split-conformal prediction intervals with a realized-coverage " +
+      "audit (Vovk et al. 2005; Angelopoulos & Bates 2023 tutorial " +
+      "formulation) — the distribution-free uncertainty wrapper a " +
+      "production scorer ships with: the event stream splits " +
+      "train/calibration/test on a FOURTH independent q62-family " +
+      "deterministic hash stream, h % 1000 range-bucketed 50/25/25 (low-bit extraction of the two-limb hash correlates; q56/q62's range rule is the documented contract — and conformal validity rests on " +
+      "calibration-test exchangeability, so the stream must be " +
+      "uncorrelated with every other sampling decision), a " +
+      "deterministic per-type mean model fits on train in integer " +
+      "cents (sum DIV count), nonconformity scores are exact integer " +
+      "|y - yhat|, and for alpha in {10%, 20%} the conformal " +
+      "quantile qhat = the ceil((1-alpha)(n_cal+1))-th smallest " +
+      "calibration score — elected EXACTLY via the q203 " +
+      "value-domain pattern (distinct-score counts + one cumulative " +
+      "window over the bounded score domain, never a global row " +
+      "sort) — and the audit reports test-set coverage. Everything " +
+      "but the final coverage ratio is exact integers -> hash-exact. " +
+      "Shape at 100 TB: split + scoring is one scan with a " +
+      "broadcast 5-row model join; the quantile election aggregates " +
+      "to the distinct-score domain (bounded by the cents range) " +
+      "before any window; coverage is one combinable conditional " +
+      "sum against a broadcast 2-row qhat frame.",
+      s"""WITH e AS (SELECT event_id, event_type,
+        |    round(value * 100)::BIGINT AS cents,
+        |    ${graft.functions.DeterministicHash.knuth32Sql("event_id",
+               graft.functions.DeterministicHash.conformalSalt)} % 1000
+        |      AS bucket
+        |  FROM events),
+        |tr AS (SELECT event_type,
+        |    (sum(cents) // count(*))::BIGINT AS mean_cents,
+        |    count(*)::BIGINT AS n_tr
+        |  FROM e WHERE bucket < 500 GROUP BY 1),
+        |ntr AS (SELECT sum(n_tr)::BIGINT AS n_train FROM tr),
+        |sc AS (SELECT e.bucket,
+        |    abs(e.cents - tr.mean_cents)::BIGINT AS score
+        |  FROM e JOIN tr USING (event_type)
+        |  WHERE e.bucket >= 500),
+        |ncal AS (SELECT count(*)::BIGINT AS n_cal FROM sc
+        |  WHERE bucket < 750),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score)::BIGINT
+        |      AS cum
+        |  FROM (SELECT score, count(*)::BIGINT AS c FROM sc
+        |    WHERE bucket < 750 GROUP BY score)),
+        |al AS (SELECT 10::BIGINT AS alpha_pct
+        |  UNION ALL SELECT 20::BIGINT),
+        |kk AS (SELECT alpha_pct,
+        |    (((100 - alpha_pct) * (n_cal + 1) + 99) // 100)::BIGINT
+        |      AS k_rank, n_cal
+        |  FROM al CROSS JOIN ncal),
+        |qh AS (SELECT kk.alpha_pct, kk.k_rank, kk.n_cal,
+        |    min(cum.score)::BIGINT AS qhat_cents
+        |  FROM kk JOIN cum ON cum.cum >= kk.k_rank
+        |  GROUP BY 1, 2, 3),
+        |ntst AS (SELECT count(*)::BIGINT AS n_test FROM sc
+        |  WHERE bucket >= 750),
+        |cov AS (SELECT qh.alpha_pct,
+        |    sum(CASE WHEN t.score <= qh.qhat_cents THEN 1 ELSE 0
+        |      END)::BIGINT AS n_covered
+        |  FROM qh CROSS JOIN (SELECT score FROM sc
+        |    WHERE bucket >= 750) t
+        |  GROUP BY 1)
+        |SELECT qh.alpha_pct, ntr.n_train, qh.n_cal, ntst.n_test,
+        |  qh.k_rank, qh.qhat_cents, cov.n_covered,
+        |  cov.n_covered::DOUBLE / ntst.n_test::DOUBLE AS coverage
+        |FROM qh JOIN cov USING (alpha_pct)
+        |  CROSS JOIN ntr CROSS JOIN ntst
+        |ORDER BY alpha_pct""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = graft.functions.DeterministicHash.knuth32(col("event_id"),
+        graft.functions.DeterministicHash.conformalSalt)
+      val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        (h % 1000).as("bucket"))
+      val tr = e.where(col("bucket") < 500).groupBy("event_type")
+        .agg(expr("sum(cents) DIV count(1)").as("mean_cents"),
+          count(lit(1)).as("n_tr"))
+      val ntr = broadcast(tr.agg(sum("n_tr").cast("long").as("n_train")))
+      val sc = e.where(col("bucket") >= 500)
+        .join(broadcast(tr.select("event_type", "mean_cents")), "event_type")
+        .select(col("bucket"),
+          abs(col("cents") - col("mean_cents")).cast("long").as("score"))
+      val ncal = broadcast(sc.where(col("bucket") < 750)
+        .agg(count(lit(1)).as("n_cal")))
+      val cum = sc.where(col("bucket") < 750)
+        .groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      val al = e.sparkSession.range(1, 3)
+        .select((col("id") * 10).cast("long").as("alpha_pct"))
+      val kk = al.crossJoin(ncal)
+        .select(col("alpha_pct"),
+          expr("((100 - alpha_pct) * (n_cal + 1) + 99) DIV 100")
+            .cast("long").as("k_rank"),
+          col("n_cal").cast("long").as("n_cal"))
+      val qh = broadcast(kk).join(cum, col("cum") >= col("k_rank"))
+        .groupBy("alpha_pct", "k_rank", "n_cal")
+        .agg(min("score").cast("long").as("qhat_cents"))
+      val ntst = broadcast(sc.where(col("bucket") >= 750)
+        .agg(count(lit(1)).cast("long").as("n_test")))
+      val cov = sc.where(col("bucket") >= 750).select("score")
+        .crossJoin(broadcast(qh))
+        .groupBy("alpha_pct")
+        .agg(sum(when(col("score") <= col("qhat_cents"), 1L)
+          .otherwise(0L)).cast("long").as("n_covered"))
+      qh.join(cov, Seq("alpha_pct"))
+        .crossJoin(ntr).crossJoin(ntst)
+        .select(col("alpha_pct"), col("n_train"), col("n_cal"),
+          col("n_test"), col("k_rank"), col("qhat_cents"),
+          col("n_covered"),
+          (col("n_covered").cast("double")
+            / col("n_test").cast("double")).as("coverage"))
+        .orderBy("alpha_pct")
+    },
+
+    // --------------------------------------------------------------- q213
+    "q213_join_cardinality_audit" -> QueryDef.sql(
+      "Join-cardinality estimation audit — the optimizer-statistics " +
+      "validation loop (Selinger 1979 uniformity estimate vs ground " +
+      "truth; what a cost model regression suite runs after every " +
+      "stats refresh): per FK->PK relationship, exact row counts and " +
+      "NDVs on both sides, the textbook uniform-independence " +
+      "estimate |R|*|S| / max(ndv_R, ndv_S), and the ACTUAL join " +
+      "cardinality computed WITHOUT materializing the join — " +
+      "sum over keys of cnt_R(k)*cnt_S(k), a per-key count join on " +
+      "two pre-aggregated frames (the COUNT side of the join is " +
+      "always cheaper than the join). The estimate uses exact double " +
+      "products (< 2^53 here; floor is IEEE-identical across " +
+      "engines); counts, NDVs, and the actual are exact integers -> " +
+      "hash-exact. q121's FK discovery finds the relationships; this " +
+      "audits what the optimizer ASSUMES about them. Shape at " +
+      "100 TB: per relationship, two combinable count aggregates + " +
+      "one key-equi-join of count frames (each bounded by NDV, not " +
+      "rows) + two distinct aggregates — nothing data-squared " +
+      "anywhere.",
+      """WITH rel1 AS (
+        |  SELECT 'lineitem*orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem)::BIGINT AS n_left,
+        |    (SELECT count(*) FROM orders)::BIGINT AS n_right,
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT
+        |      AS ndv_left,
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT
+        |      AS ndv_right,
+        |    (SELECT coalesce(sum(a.c * b.c), 0)::BIGINT FROM
+        |      (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        |        GROUP BY 1) a
+        |      JOIN (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        |        GROUP BY 1) b USING (k)) AS actual_rows),
+        |rel2 AS (
+        |  SELECT 'lineitem*part',
+        |    (SELECT count(*) FROM lineitem)::BIGINT,
+        |    (SELECT count(*) FROM part)::BIGINT,
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT,
+        |    (SELECT count(DISTINCT p_partkey) FROM part)::BIGINT,
+        |    (SELECT coalesce(sum(a.c * b.c), 0)::BIGINT FROM
+        |      (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+        |        GROUP BY 1) a
+        |      JOIN (SELECT p_partkey AS k, count(*) AS c FROM part
+        |        GROUP BY 1) b USING (k))),
+        |rel3 AS (
+        |  SELECT 'orders*customer',
+        |    (SELECT count(*) FROM orders)::BIGINT,
+        |    (SELECT count(*) FROM customer)::BIGINT,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT,
+        |    (SELECT coalesce(sum(a.c * b.c), 0)::BIGINT FROM
+        |      (SELECT o_custkey AS k, count(*) AS c FROM orders
+        |        GROUP BY 1) a
+        |      JOIN (SELECT c_custkey AS k, count(*) AS c FROM customer
+        |        GROUP BY 1) b USING (k))),
+        |rel AS (SELECT * FROM rel1 UNION ALL SELECT * FROM rel2
+        |  UNION ALL SELECT * FROM rel3)
+        |SELECT relationship, n_left, n_right, ndv_left, ndv_right,
+        |  floor(n_left::DOUBLE * n_right::DOUBLE
+        |    / greatest(ndv_left, ndv_right)::DOUBLE)::BIGINT AS est_rows,
+        |  actual_rows,
+        |  abs(actual_rows - floor(n_left::DOUBLE * n_right::DOUBLE
+        |    / greatest(ndv_left, ndv_right)::DOUBLE)::BIGINT)::BIGINT
+        |    AS abs_err,
+        |  actual_rows::DOUBLE / floor(n_left::DOUBLE * n_right::DOUBLE
+        |    / greatest(ndv_left, ndv_right)::DOUBLE) AS ratio
+        |FROM rel ORDER BY relationship""".stripMargin) { (s, d) =>
+      joinCardinalityAudit(Seq(
+        ("lineitem*orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem*part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("orders*customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")))
     }
   )
+
+  /** q213's per-relationship audit: exact counts/NDVs, the uniformity
+    * estimate, and the count-join actual — shared for spec reuse. */
+  def joinCardinalityAudit(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    rels.map { case (name, l, lk, r, rk) =>
+      val stats = broadcast(l.agg(count(lit(1)).as("n_left"),
+          count_distinct(col(lk)).as("ndv_left")))
+        .crossJoin(broadcast(r.agg(count(lit(1)).as("n_right"),
+          count_distinct(col(rk)).as("ndv_right"))))
+      val actual = broadcast(
+        l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+          .join(r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")), "k")
+          .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long")
+            .as("actual_rows")))
+      val est = floor(col("n_left").cast("double")
+        * col("n_right").cast("double")
+        / greatest(col("ndv_left"), col("ndv_right")).cast("double"))
+      stats.crossJoin(actual)
+        .select(lit(name).as("relationship"),
+          col("n_left").cast("long").as("n_left"),
+          col("n_right").cast("long").as("n_right"),
+          col("ndv_left").cast("long").as("ndv_left"),
+          col("ndv_right").cast("long").as("ndv_right"),
+          est.cast("long").as("est_rows"),
+          col("actual_rows"),
+          abs(col("actual_rows") - est.cast("long")).cast("long")
+            .as("abs_err"),
+          (col("actual_rows").cast("double") / est).as("ratio"))
+    }.reduce(_ unionByName _).orderBy("relationship")
 
   // ------------------------------------------------------------------
   // q182/q183's shared two-sample scaffold: per distinct order-value

@@ -1042,4 +1042,33 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q210: the as-of snapshot is a union + window carry — no join at all") {
+    // The feature-store read must never plan a per-key range join or a
+    // cross product: AsOf's union + last-value carry is the shape that
+    // survives 100 TB, and a Join appearing here means the carry
+    // degenerated (joinAsOf output feeds straight into the final select).
+    val p = plan("q210_feature_snapshot")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q211: partials are bucket-partitioned windows; no data cartesian") {
+    val df = SparkEntry.queries("q211_sketch_lifecycle")(spark, sf001)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-bucket sketch windows keep their g# partitioning (a global
+    // unpartitioned window over the key stream would serialize at scale;
+    // the only global ordering allowed is the TakeOrdered 64-row sketch)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    windowLines.foreach { w =>
+      assert(w.contains("g#"), "sketch window lost bucket partitioning:\n" + w)
+    }
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -68,6 +68,15 @@ object DeterministicHash {
     * three for the same reason. */
   val weightedSalt: Long = 1299709L
 
+  /** Salt for q215/q216's permutation-test streams: the B re-labelings
+    * hash (user_id * (B + 1) + b), so every permutation is a fresh
+    * stream, and the salt keeps the whole family independent of every
+    * sampling/split stream above (a permutation correlated with the
+    * observed assignment would bias the null distribution). Consumers
+    * follow the q56/q62/q212 RANGE rule: arm = (h % 1000) < 500 —
+    * never a low-bit extraction. */
+  val permSalt: Long = 32452843L
+
   /** Salt for q136's k-fold stream — a fifth independent stream, so
     * fold membership is uncorrelated with split/sample/mixture/weighted
     * membership. */

@@ -3184,6 +3184,139 @@ object ExtendedQueries {
           Tables.part(s, d), "p_partkey"),
         ("orders*customer", Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey")))
+    },
+
+    // --------------------------------------------------------------- q215
+    "q215_permutation_test" -> QueryDef.sql(
+      "Exact-arithmetic permutation test for the A/B spend difference " +
+      "— the distribution-free answer to 'is q110's lift real?': " +
+      "metric = per-user total spend in exact cents, observed arms = " +
+      "q110's user_id % 2 rule, and B = 199 deterministic " +
+      "re-labelings, each a fresh q62-family hash stream over " +
+      "(user_id * 200 + b) with the q212 RANGE rule ((h % 1000) < " +
+      "500 — low-bit extraction of the two-limb hash correlates, the " +
+      "documented contract). The mean-difference comparison never " +
+      "touches a float: |s1*n0 - s0*n1| cross-multiplied across " +
+      "denominators in decimal/int128 (exact in both engines), so " +
+      "#{|perm stat| >= |obs stat|} is an exact integer and p = " +
+      "(1 + n_ge) / (B + 1) (the add-one permutation-p convention) " +
+      "is one single-shape division -> hash-exact. Shape at 100 TB: " +
+      "one combinable user rollup, then a B-way inline explode whose " +
+      "per-partition partial aggregate reduces to <= B rows per task " +
+      "before the shuffle — the wire carries B rows per partition, " +
+      "never B x users; CPU is B x one user-frame pass, the " +
+      "irreducible cost of a permutation null, with B the knob.",
+      s"""WITH uc AS (SELECT user_id,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s,
+        |    sum(user_id % 2)::BIGINT AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END)
+        |      ::BIGINT AS s1
+        |  FROM uc),
+        |obs AS (SELECT n, s, n1, s1,
+        |    s1::HUGEINT * (n - n1)::HUGEINT - (s - s1)::HUGEINT
+        |      * n1::HUGEINT AS obs_num,
+        |    n1::HUGEINT * (n - n1)::HUGEINT AS obs_den
+        |  FROM tot),
+        |perm AS (SELECT b,
+        |    sum(arm)::BIGINT AS n1b,
+        |    sum(arm * cents)::BIGINT AS s1b
+        |  FROM (SELECT uc.cents, g.b,
+        |      CASE WHEN ${graft.functions.DeterministicHash.knuth32Sql(
+                 "(uc.user_id * 200 + g.b)",
+                 graft.functions.DeterministicHash.permSalt)} % 1000 < 500
+        |        THEN 1 ELSE 0 END AS arm
+        |    FROM uc CROSS JOIN (SELECT unnest(range(1, 200)) AS b) g)
+        |  GROUP BY 1),
+        |cmp AS (SELECT
+        |    sum(CASE WHEN abs(s1b::HUGEINT * (obs.n - n1b)::HUGEINT
+        |          - (obs.s - s1b)::HUGEINT * n1b::HUGEINT) * obs.obs_den
+        |        >= abs(obs.obs_num)
+        |          * (n1b::HUGEINT * (obs.n - n1b)::HUGEINT)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_ge
+        |  FROM perm CROSS JOIN obs)
+        |SELECT obs.n AS n_users, (obs.n - obs.n1)::BIGINT AS users0,
+        |  obs.n1 AS users1, (obs.s - obs.s1)::BIGINT AS s0_cents,
+        |  obs.s1 AS s1_cents,
+        |  obs.s1::DOUBLE / obs.n1::DOUBLE
+        |    - (obs.s - obs.s1)::DOUBLE / (obs.n - obs.n1)::DOUBLE
+        |    AS obs_diff,
+        |  199::BIGINT AS b_total, cmp.n_ge,
+        |  (1 + cmp.n_ge)::DOUBLE / 200.0 AS p_value
+        |FROM obs CROSS JOIN cmp""".stripMargin) { (s, d) =>
+      permutationTest(Tables.events(s, d), b = 199)
+    },
+
+    // --------------------------------------------------------------- q216
+    "q216_bh_fdr" -> QueryDef.sql(
+      "Benjamini-Hochberg FDR control over a FAMILY of per-event-type " +
+      "permutation tests — the multiple-testing discipline an " +
+      "experimentation platform applies before declaring winners " +
+      "(q215 scaled from one test to m): per event type, the q215 " +
+      "permutation p-value for the arm spend difference among that " +
+      "type's active users, with ONE joint permutation stream (each " +
+      "b re-labels every user once, Westfall-Young style — applied " +
+      "to all m metrics, preserving their cross-metric dependence; " +
+      "same hash input (user_id * 200 + b), same q212 range rule). " +
+      "The BH step is EXACT integer arithmetic end to end: p-values " +
+      "stay as (1 + n_ge)/200 rationals, the step-up condition " +
+      "p_(i) <= (i/m)*alpha becomes p_num * m * 100 <= i * 200 * 5, " +
+      "k* = max satisfying rank, reject ranks <= k* -> hash-exact " +
+      "(the only floats are single-shape per-row divisions). Shape " +
+      "at 100 TB: one (user, type) rollup, one B-way explode with " +
+      "map-side partial aggregation (wire carries m x B rows per " +
+      "partition), then every BH step runs on the m-row frame — the " +
+      "ranking window is over m = |event types| rows, never data.",
+      s"""WITH uc AS (SELECT user_id, event_type,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s,
+        |    sum(user_id % 2)::BIGINT AS n1,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END)
+        |      ::BIGINT AS s1
+        |  FROM uc GROUP BY 1),
+        |obs AS (SELECT event_type, n, s, n1, s1,
+        |    s1::HUGEINT * (n - n1)::HUGEINT - (s - s1)::HUGEINT
+        |      * n1::HUGEINT AS obs_num,
+        |    n1::HUGEINT * (n - n1)::HUGEINT AS obs_den
+        |  FROM tot),
+        |perm AS (SELECT event_type, b, sum(arm)::BIGINT AS n1b,
+        |    sum(arm * cents)::BIGINT AS s1b
+        |  FROM (SELECT uc.event_type, uc.cents, g.b,
+        |      CASE WHEN ${graft.functions.DeterministicHash.knuth32Sql(
+                 "(uc.user_id * 200 + g.b)",
+                 graft.functions.DeterministicHash.permSalt)} % 1000 < 500
+        |        THEN 1 ELSE 0 END AS arm
+        |    FROM uc CROSS JOIN (SELECT unnest(range(1, 200)) AS b) g)
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT p.event_type,
+        |    sum(CASE WHEN abs(p.s1b::HUGEINT * (o.n - p.n1b)::HUGEINT
+        |          - (o.s - p.s1b)::HUGEINT * p.n1b::HUGEINT) * o.obs_den
+        |        >= abs(o.obs_num)
+        |          * (p.n1b::HUGEINT * (o.n - p.n1b)::HUGEINT)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_ge
+        |  FROM perm p JOIN obs o USING (event_type) GROUP BY 1),
+        |pv AS (SELECT o.event_type, o.n, o.n1, o.s, o.s1, c.n_ge,
+        |    (1 + c.n_ge)::BIGINT AS p_num,
+        |    row_number() OVER (ORDER BY (1 + c.n_ge), o.event_type)
+        |      ::BIGINT AS rn,
+        |    count(*) OVER ()::BIGINT AS m
+        |  FROM obs o JOIN cnt c USING (event_type)),
+        |ks AS (SELECT max(CASE WHEN p_num * m * 100 <= rn * 200 * 5
+        |    THEN rn ELSE 0 END)::BIGINT AS k_star FROM pv)
+        |SELECT pv.event_type, pv.n AS n_users,
+        |  (pv.n - pv.n1)::BIGINT AS users0, pv.n1 AS users1,
+        |  (pv.s - pv.s1)::BIGINT AS s0_cents, pv.s1 AS s1_cents,
+        |  pv.n_ge, pv.p_num, 200::BIGINT AS p_den,
+        |  pv.p_num::DOUBLE / 200.0 AS p_value,
+        |  pv.rn AS p_rank, pv.m AS n_tests, ks.k_star,
+        |  (pv.rn <= ks.k_star) AS reject_5pct
+        |FROM pv CROSS JOIN ks
+        |ORDER BY pv.event_type""".stripMargin) { (s, d) =>
+      bhFdr(Tables.events(s, d), b = 199, alphaPct = 5)
     }
   )
 
@@ -3217,6 +3350,132 @@ object ExtendedQueries {
             .as("abs_err"),
           (col("actual_rows").cast("double") / est).as("ratio"))
     }.reduce(_ unionByName _).orderBy("relationship")
+
+  /** The q215 permutation-test operator: B deterministic re-labelings
+    * of the per-user spend frame, the mean-difference comparison done
+    * entirely in decimal(38,0) cross-multiplication (DuckDB mirrors in
+    * HUGEINT — both exact, so n_ge is an exact integer at any data
+    * scale; products stay under 1e38 up to ~1e18 total cents x 1e7
+    * users). Arm rule for permutation b: (knuth32(user_id * (B+1) + b,
+    * permSalt) % 1000) < 500 — the q212 range rule, never a low bit. */
+  def permutationTest(events: DataFrame, b: Int): DataFrame = {
+    import graft.functions.DeterministicHash
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    val uc = events.groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))
+        .cast("long").as("cents"))
+    val tot = uc.agg(
+      count(lit(1)).as("n"),
+      sum("cents").cast("long").as("s"),
+      sum(expr("user_id % 2")).cast("long").as("n1"),
+      sum(when(expr("user_id % 2 = 1"), col("cents")).otherwise(0L))
+        .cast("long").as("s1"))
+    val obs = tot.select(col("n"), col("s"), col("n1"), col("s1"),
+      (dec(col("s1")) * dec(col("n") - col("n1"))
+        - dec(col("s") - col("s1")) * dec(col("n1"))).as("obs_num"),
+      (dec(col("n1")) * dec(col("n") - col("n1"))).as("obs_den"))
+    val h = DeterministicHash.knuth32(
+      col("user_id") * lit((b + 1).toLong) + col("b"),
+      DeterministicHash.permSalt)
+    val perm = uc
+      .select(col("user_id"), col("cents"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("b"))
+      .select(col("b"), col("cents"),
+        when(h % 1000 < 500, 1L).otherwise(0L).as("arm"))
+      .groupBy("b")
+      .agg(sum("arm").cast("long").as("n1b"),
+        sum(col("arm") * col("cents")).cast("long").as("s1b"))
+    val pNum = (dec(col("s1b")) * dec(col("n") - col("n1b"))
+      - dec(col("s") - col("s1b")) * dec(col("n1b")))
+    val pDen = dec(col("n1b")) * dec(col("n") - col("n1b"))
+    val cmp = perm.crossJoin(broadcast(obs))
+      .agg(sum(when(abs(pNum) * col("obs_den")
+          >= abs(col("obs_num")) * pDen, 1L).otherwise(0L))
+        .cast("long").as("n_ge"))
+    broadcast(obs).crossJoin(broadcast(cmp))
+      .select(col("n").as("n_users"),
+        (col("n") - col("n1")).cast("long").as("users0"),
+        col("n1").as("users1"),
+        (col("s") - col("s1")).cast("long").as("s0_cents"),
+        col("s1").as("s1_cents"),
+        (col("s1").cast("double") / col("n1").cast("double")
+          - (col("s") - col("s1")).cast("double")
+            / (col("n") - col("n1")).cast("double")).as("obs_diff"),
+        lit(b.toLong).as("b_total"), col("n_ge"),
+        (lit(1L) + col("n_ge")).cast("double")
+          / lit((b + 1).toDouble) as "p_value")
+  }
+
+  /** The q216 BH-FDR operator: q215's permutation machinery per
+    * event type under ONE joint re-labeling stream, then the exact
+    * integer Benjamini-Hochberg step-up on the m-row p-value frame.
+    * alphaPct is the FDR level in percent (5 = control at 0.05). */
+  def bhFdr(events: DataFrame, b: Int, alphaPct: Int): DataFrame = {
+    import graft.functions.DeterministicHash
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    val uc = events.groupBy("user_id", "event_type")
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))
+        .cast("long").as("cents"))
+    val tot = uc.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("cents").cast("long").as("s"),
+      sum(expr("user_id % 2")).cast("long").as("n1"),
+      sum(when(expr("user_id % 2 = 1"), col("cents")).otherwise(0L))
+        .cast("long").as("s1"))
+    val obs = tot.select(col("event_type"), col("n"), col("s"),
+      col("n1"), col("s1"),
+      (dec(col("s1")) * dec(col("n") - col("n1"))
+        - dec(col("s") - col("s1")) * dec(col("n1"))).as("obs_num"),
+      (dec(col("n1")) * dec(col("n") - col("n1"))).as("obs_den"))
+    val h = DeterministicHash.knuth32(
+      col("user_id") * lit((b + 1).toLong) + col("b"),
+      DeterministicHash.permSalt)
+    val perm = uc
+      .select(col("user_id"), col("event_type"), col("cents"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("b"))
+      .select(col("event_type"), col("b"), col("cents"),
+        when(h % 1000 < 500, 1L).otherwise(0L).as("arm"))
+      .groupBy("event_type", "b")
+      .agg(sum("arm").cast("long").as("n1b"),
+        sum(col("arm") * col("cents")).cast("long").as("s1b"))
+    val pNum = (dec(col("s1b")) * dec(col("n") - col("n1b"))
+      - dec(col("s") - col("s1b")) * dec(col("n1b")))
+    val pDen = dec(col("n1b")) * dec(col("n") - col("n1b"))
+    val cnt = perm.join(broadcast(obs), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(abs(pNum) * col("obs_den")
+          >= abs(col("obs_num")) * pDen, 1L).otherwise(0L))
+        .cast("long").as("n_ge"))
+    val pv = obs.join(cnt, "event_type")
+      .select(col("event_type"), col("n"), col("n1"), col("s"),
+        col("s1"), col("n_ge"),
+        (lit(1L) + col("n_ge")).cast("long").as("p_num"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy("p_num", "event_type")).cast("long"))
+      .withColumn("m", count(lit(1))
+        .over(Window.partitionBy()).cast("long"))
+    val ks = pv.agg(coalesce(max(when(
+        col("p_num") * col("m") * lit(100L)
+          <= col("rn") * lit((b + 1).toLong) * lit(alphaPct.toLong),
+        col("rn")).otherwise(0L)), lit(0L)).cast("long").as("k_star"))
+    pv.crossJoin(broadcast(ks))
+      .select(col("event_type"), col("n").as("n_users"),
+        (col("n") - col("n1")).cast("long").as("users0"),
+        col("n1").as("users1"),
+        (col("s") - col("s1")).cast("long").as("s0_cents"),
+        col("s1").as("s1_cents"),
+        col("n_ge"), col("p_num"),
+        lit((b + 1).toLong).as("p_den"),
+        col("p_num").cast("double") / lit((b + 1).toDouble)
+          as "p_value",
+        col("rn").as("p_rank"), col("m").as("n_tests"),
+        col("k_star"),
+        (col("rn") <= col("k_star")).as("reject_5pct"))
+      .orderBy("event_type")
+  }
 
   // ------------------------------------------------------------------
   // q182/q183's shared two-sample scaffold: per distinct order-value

@@ -1622,6 +1622,75 @@ object TemporalQueries {
           bit_count(col("typemask_asof")).cast("long").as("n_types_asof"),
           col("last_type_asof"))
         .orderBy("user_id", "ts", "event_id")
+    },
+
+    // --------------------------------------------------------------- q214
+    "q214_logrank_test" -> QueryDef.sql(
+      "Two-sample log-rank test (Mantel-Cox) on signup -> first " +
+      "purchase — did the experiment arm change conversion-time " +
+      "survival? Completes the survival family: q140 estimates the " +
+      "curve, q201 the hazard, this row TESTS arm equality. Arms use " +
+      "q110's deterministic user_id % 2 rule so the experiment " +
+      "readout and its survival test share one assignment. Per event " +
+      "day over the SAME risk-set frame as q140/q201 extended with " +
+      "per-arm counts (d1, n1 by the same suffix-sum algebra): " +
+      "O-E = d1 - d*n1/n and the hypergeometric variance " +
+      "(d*n1/n) * ((n-n1)/n) * ((n-d)/(n-1)), every input an exact " +
+      "integer and each term a fixed exactly-rounded tree; the two " +
+      "sums fold in ASCENDING day order (q84 rule), z = " +
+      "sum(O-E)/sqrt(sum V) (sqrt is correctly rounded by spec; no " +
+      "erf/CDF — the libm rule, the z is the deliverable) -> " +
+      "hash-exact. Shape at 100 TB: two user-level aggregates, one " +
+      "day-grid aggregate with per-arm conditional sums, and every " +
+      "pairwise step (suffix-sum join, ordered fold) runs on the " +
+      "~tens-of-rows DAY GRID, never users; output is ONE row.",
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY 1),
+        |hz AS (SELECT max(ts) AS h FROM events),
+        |durs AS (SELECT su.user_id, (su.user_id % 2)::BIGINT AS arm,
+        |    CASE WHEN pu.p_ts IS NOT NULL
+        |      THEN (epoch_us(pu.p_ts) - epoch_us(su.s_ts)) // 86400000000
+        |      ELSE (epoch_us(hz.h) - epoch_us(su.s_ts)) // 86400000000
+        |    END AS t_day,
+        |    CASE WHEN pu.p_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN hz),
+        |cells AS (SELECT t_day, sum(ev)::BIGINT AS d,
+        |    sum(CASE WHEN arm = 1 THEN ev ELSE 0 END)::BIGINT AS d1,
+        |    count(*)::BIGINT AS m, sum(arm)::BIGINT AS m1
+        |  FROM durs GROUP BY 1),
+        |risk AS (SELECT t_day, d, d1,
+        |    (SELECT sum(m) FROM cells c2 WHERE c2.t_day >= cells.t_day)
+        |      ::BIGINT AS n,
+        |    (SELECT sum(m1) FROM cells c2 WHERE c2.t_day >= cells.t_day)
+        |      ::BIGINT AS n1
+        |  FROM cells),
+        |terms AS (SELECT t_day,
+        |    d1::DOUBLE - d::DOUBLE * n1::DOUBLE / n::DOUBLE AS oe,
+        |    (d::DOUBLE * n1::DOUBLE / n::DOUBLE)
+        |      * ((n - n1)::DOUBLE / n::DOUBLE)
+        |      * ((n - d)::DOUBLE / (n - 1)::DOUBLE) AS v
+        |  FROM risk WHERE d >= 1 AND n > 1),
+        |tot AS (SELECT
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS users0,
+        |    sum(arm)::BIGINT AS users1,
+        |    sum(CASE WHEN arm = 0 THEN ev ELSE 0 END)::BIGINT AS d0_total,
+        |    sum(CASE WHEN arm = 1 THEN ev ELSE 0 END)::BIGINT AS d1_total
+        |  FROM durs),
+        |fold AS (SELECT count(*)::BIGINT AS n_event_days,
+        |    list_reduce(list_prepend(0.0, list(oe ORDER BY t_day)),
+        |      (a, x) -> a + x) AS o_minus_e,
+        |    list_reduce(list_prepend(0.0, list(v ORDER BY t_day)),
+        |      (a, x) -> a + x) AS var_lr
+        |  FROM terms)
+        |SELECT tot.users0, tot.users1, tot.d0_total, tot.d1_total,
+        |  fold.n_event_days, fold.o_minus_e, fold.var_lr,
+        |  fold.o_minus_e / sqrt(fold.var_lr) AS z
+        |FROM tot CROSS JOIN fold""".stripMargin) { (s, d) =>
+      logRankTest(Tables.events(s, d))
     }
   )
 
@@ -2138,6 +2207,77 @@ object TemporalQueries {
         aggregate(expr("transform(fs, s -> s.v)"), lit(0.0),
           (a, x) => a + x).as("na_variance"))
       .orderBy("t_day")
+  }
+
+  /** The q214 two-sample log-rank (Mantel-Cox) operator: the
+    * signup->first-purchase duration frame split into arms by q110's
+    * user_id % 2 rule, per-arm risk sets by the same suffix-sum
+    * algebra as [[survivalRisk]], O-E and hypergeometric-variance
+    * terms per event day, and both sums folded in ascending day order
+    * (the q84 rule). Output is a single row; every pairwise step runs
+    * on the day grid, never on users. */
+  def logRankTest(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val D = "double"
+    val su = events.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val pu = events.where(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .where(col("ts") >= col("s_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    val hz = broadcast(events.agg(max("ts").as("h")))
+    val durs = su.join(pu, Seq("user_id"), "left").crossJoin(hz)
+      .select(
+        expr("user_id % 2").cast("long").as("arm"),
+        when(col("p_ts").isNotNull,
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 86400000000"))
+          .otherwise(
+            expr("(unix_micros(h) - unix_micros(s_ts)) div 86400000000"))
+          .as("t_day"),
+        when(col("p_ts").isNotNull, 1L).otherwise(0L).as("ev"))
+    val cells = durs.groupBy("t_day")
+      .agg(sum("ev").cast("long").as("d"),
+        sum(when(col("arm") === 1L, col("ev")).otherwise(0L))
+          .cast("long").as("d1"),
+        count(lit(1)).as("m"),
+        sum("arm").cast("long").as("m1"))
+    val risk = cells.alias("a")
+      .join(cells.alias("b"), col("b.t_day") >= col("a.t_day"))
+      .groupBy(col("a.t_day").as("t_day"), col("a.d").as("d"),
+        col("a.d1").as("d1"))
+      .agg(sum(col("b.m")).cast("long").as("n"),
+        sum(col("b.m1")).cast("long").as("n1"))
+    val terms = risk.where(col("d") >= 1L && col("n") > 1L)
+      .select(col("t_day"),
+        (col("d1").cast(D)
+          - col("d").cast(D) * col("n1").cast(D) / col("n").cast(D))
+          .as("oe"),
+        ((col("d").cast(D) * col("n1").cast(D) / col("n").cast(D))
+          * ((col("n") - col("n1")).cast(D) / col("n").cast(D))
+          * ((col("n") - col("d")).cast(D)
+            / (col("n") - lit(1L)).cast(D))).as("v"))
+    val tot = durs.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L))
+        .cast("long").as("users0"),
+      sum("arm").cast("long").as("users1"),
+      sum(when(col("arm") === 0L, col("ev")).otherwise(0L))
+        .cast("long").as("d0_total"),
+      sum(when(col("arm") === 1L, col("ev")).otherwise(0L))
+        .cast("long").as("d1_total"))
+    val fold = terms
+      .agg(count(lit(1)).as("n_event_days"),
+        sort_array(collect_list(struct(col("t_day").as("td"),
+          col("oe").as("oe"), col("v").as("v")))).as("fs"))
+      .select(col("n_event_days"),
+        aggregate(expr("transform(fs, s -> s.oe)"), lit(0.0),
+          (a, x) => a + x).as("o_minus_e"),
+        aggregate(expr("transform(fs, s -> s.v)"), lit(0.0),
+          (a, x) => a + x).as("var_lr"))
+    broadcast(tot).crossJoin(broadcast(fold))
+      .select(col("users0"), col("users1"), col("d0_total"),
+        col("d1_total"), col("n_event_days"), col("o_minus_e"),
+        col("var_lr"),
+        (col("o_minus_e") / sqrt(col("var_lr"))).as("z"))
   }
 
   /** The q130 linear multi-touch attribution operator: every touch in

@@ -1071,4 +1071,38 @@ class PlanChecksSpec extends SparkSpec {
     }
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q214: scan pruned to the survival columns; grid joins only") {
+    val p = plan("q214_logrank_test")
+    // durations need (user_id, ts, event_type) only — value/event_id in
+    // the scan mean pruning broke
+    assert(!p.contains("event_id"), "scan reads event_id:\n" + p)
+    assert(!p.contains("value#"), "scan reads value:\n" + p)
+    // every window-free fold goes through sort_array aggregation; no
+    // per-user pairwise structure may appear
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q215/q216: the B-way explode runs over the USER rollup, not events") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    for (name <- Seq("q215_permutation_test", "q216_bh_fdr")) {
+      val df = SparkEntry.queries(name)(spark, sf001)
+      // the Generate (explode) must sit ABOVE the per-user rollup
+      // aggregate — exploding raw events would multiply the scan by B;
+      // above the rollup the expansion is bounded by |users| x B and
+      // map-side partial aggregation collapses it again
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: Generate => g }
+      assert(gens.nonEmpty, s"$name: no explode in plan")
+      gens.foreach { g =>
+        assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name: explode not above an aggregate (events x B expansion):\n"
+            + g.treeString)
+      }
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), p)
+      // events scan for the metric needs (user_id[, event_type], value)
+      assert(!p.contains("ts:timestamp"), s"$name scan reads ts:\n" + p)
+    }
+  }
 }

@@ -115,6 +115,38 @@ object StreamCheck {
         } finally q.stop()
       },
 
+      // ----------------------------------------------- feature_snapshot
+      run("feature_snapshot", "replay == batch q210 feature snapshots") {
+        val batch = graft.SparkEntry.queries("q210_feature_snapshot")(
+            spark, sfDir)
+          .collect().map(_.toString).toSet
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val ms = MemoryStream[(Long, Timestamp, Long, String, Double)]
+        val q = FeatureSnapshotStream.snapshots(
+            ms.toDF().toDF("event_id", "ts", "user_id", "event_type",
+              "value"),
+            watermark = "1 minute")
+          .toDF()
+          .select("user_id", "ts", "event_id", "purchase_cents",
+            "n_events_asof", "cents_asof", "n_types_asof",
+            "last_type_asof")
+          .writeStream.outputMode("append").format("memory")
+          .queryName("sc_snap").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          ms.addData(ev.as[(Long, Timestamp, Long, String, Double)]
+            .collect().toSeq)
+          q.processAllAvailable()
+          ms.addData((999999L, Timestamp.valueOf("2030-01-01 00:00:00"),
+            999999L, "view", 0.0))
+          q.processAllAvailable()
+          val streamed = spark.table("sc_snap")
+            .collect().map(_.toString).toSet
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
       // ------------------------------------------------------ cdc_merge
       run("cdc_merge", "final registers == batch compaction (q90 aggregate)") {
         val changes = Tables.events(spark, sfDir)

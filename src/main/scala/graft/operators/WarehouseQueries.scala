@@ -883,8 +883,124 @@ object WarehouseQueries {
         |    AS est_inc
         |FROM allrows ORDER BY g""".stripMargin) { (s, d) =>
       sketchLifecycle(s, d)
+    },
+
+    // --------------------------------------------------------------- q217
+    "q217_retractable_max_mv" -> QueryDef.sql(
+      "Incremental maintenance of a NON-self-maintainable aggregate — " +
+      "MAX under deletes, the case q161's sum/count algebra cannot " +
+      "cover (a retraction of the current max cannot be folded; the " +
+      "group must re-elect): the per-bucket max-cents MV at commit-log " +
+      "v1 refreshes to v3 by the two-path rule — inserts and update " +
+      "POST-images fold monotonically (max(old, new), self-maintainable " +
+      "direction), while a delete or update PRE-image whose cents >= " +
+      "the group's v1 max marks the group DIRTY and ONLY dirty groups " +
+      "re-elect from the base (>= not =, so a row inserted after v1 " +
+      "and then deleted is caught: its pre-image can exceed max_v1). " +
+      "The audit emits both paths per group: max_inc (incremental " +
+      "result) must equal max_full (full recompute) on every row — " +
+      "clean groups prove the fold, dirty groups prove the recompute " +
+      "trigger fired — and the oracle pins TRUE, so a missed " +
+      "retraction hash-fails the row. ALL-INTEGER -> hash-exact. " +
+      "Shape at 100 TB: the dirty test is one delta-proportional feed " +
+      "aggregate against the BROADCAST group-count-sized MV; the " +
+      "re-election scans only dirty groups (in production the dirty " +
+      "set pushes into the base scan as a partition filter), and the " +
+      "full3 branch here exists only for the audit — a production " +
+      "refresh drops it, paying delta + dirty-groups, never the table.",
+      s"""WITH $cdfCtes,
+        |st3 AS (SELECT k, arg_max(op, ver) AS last_op,
+        |    arg_max(cents, ver) AS last_cents
+        |  FROM log WHERE ver <= 3 GROUP BY k),
+        |live3 AS (SELECT k, last_cents FROM st3 WHERE last_op <> 'D'),
+        |mv1 AS (SELECT ((k % 10) + 10) % 10 AS g, count(*)::BIGINT
+        |      AS n_v1, max(last_cents)::BIGINT AS max_v1
+        |  FROM live1 GROUP BY 1),
+        |fg AS (SELECT ((k % 10) + 10) % 10 AS g, change_type, cents
+        |  FROM cdf),
+        |delta AS (SELECT fg.g, count(*)::BIGINT AS n_feed,
+        |    max(CASE WHEN change_type IN ('insert', 'update_postimage')
+        |      THEN cents END)::BIGINT AS max_ins,
+        |    sum(CASE WHEN change_type IN ('delete', 'update_preimage')
+        |        AND cents >= coalesce(mv1.max_v1, -9223372036854775807)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_dirty_markers
+        |  FROM fg LEFT JOIN mv1 ON fg.g = mv1.g GROUP BY 1),
+        |full3 AS (SELECT ((k % 10) + 10) % 10 AS g, count(*)::BIGINT
+        |      AS n_v3, max(last_cents)::BIGINT AS max_full
+        |  FROM live3 GROUP BY 1),
+        |comb AS (SELECT g::BIGINT AS g,
+        |    coalesce(mv1.n_v1, 0)::BIGINT AS n_v1, mv1.max_v1,
+        |    coalesce(delta.n_feed, 0)::BIGINT AS n_feed, delta.max_ins,
+        |    coalesce(delta.n_dirty_markers, 0)::BIGINT
+        |      AS n_dirty_markers,
+        |    coalesce(full3.n_v3, 0)::BIGINT AS n_v3, full3.max_full
+        |  FROM mv1 FULL JOIN delta USING (g) FULL JOIN full3 USING (g))
+        |SELECT g, n_v1, max_v1, n_feed, max_ins, n_dirty_markers,
+        |  (n_dirty_markers > 0) AS dirty, n_v3, max_full,
+        |  CASE WHEN n_dirty_markers > 0 THEN max_full
+        |    WHEN max_ins IS NULL THEN max_v1
+        |    WHEN max_v1 IS NULL THEN max_ins
+        |    WHEN max_ins > max_v1 THEN max_ins ELSE max_v1 END
+        |    AS max_inc,
+        |  (CASE WHEN n_dirty_markers > 0 THEN max_full
+        |    WHEN max_ins IS NULL THEN max_v1
+        |    WHEN max_v1 IS NULL THEN max_ins
+        |    WHEN max_ins > max_v1 THEN max_ins ELSE max_v1 END
+        |    IS NOT DISTINCT FROM max_full) AS inc_matches_full
+        |FROM comb ORDER BY g""".stripMargin) { (s, d) =>
+      retractableMaxMv(s, d)
     }
   )
+
+  /** q217's Spark plan, factored for spec reuse: the two-path
+    * retractable-MAX refresh with the per-group identity audit. */
+  private[operators] def retractableMaxMv(s: SparkSession, d: String)
+      : DataFrame = {
+    def g10(c: org.apache.spark.sql.Column) = pmod(c, lit(10)).cast("long")
+    val mv1 = stateAt(s, d, 1L)
+      .groupBy(g10(col("k")).as("g"))
+      .agg(count(lit(1)).as("n_v1"),
+        max("last_cents").cast("long").as("max_v1"))
+    val fg = cdfRows(s, d)
+      .select(g10(col("k")).as("g"), col("change_type"), col("cents"))
+    val delta = fg
+      .join(broadcast(mv1.select("g", "max_v1")), Seq("g"), "left")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_feed"),
+        max(when(col("change_type").isin("insert", "update_postimage"),
+          col("cents"))).cast("long").as("max_ins"),
+        sum(when(col("change_type").isin("delete", "update_preimage")
+            && col("cents")
+              >= coalesce(col("max_v1"), lit(-9223372036854775807L)),
+          1L).otherwise(0L)).cast("long").as("n_dirty_markers"))
+    val full3 = stateAt(s, d, 3L)
+      .groupBy(g10(col("k")).as("g"))
+      .agg(count(lit(1)).as("n_v3"),
+        max("last_cents").cast("long").as("max_full"))
+    val comb = mv1.join(delta, Seq("g"), "full")
+      .join(full3, Seq("g"), "full")
+      .select(col("g").cast("long").as("g"),
+        coalesce(col("n_v1"), lit(0L)).cast("long").as("n_v1"),
+        col("max_v1"),
+        coalesce(col("n_feed"), lit(0L)).cast("long").as("n_feed"),
+        col("max_ins"),
+        coalesce(col("n_dirty_markers"), lit(0L)).cast("long")
+          .as("n_dirty_markers"),
+        coalesce(col("n_v3"), lit(0L)).cast("long").as("n_v3"),
+        col("max_full"))
+    val maxInc = when(col("n_dirty_markers") > 0L, col("max_full"))
+      .when(col("max_ins").isNull, col("max_v1"))
+      .when(col("max_v1").isNull, col("max_ins"))
+      .when(col("max_ins") > col("max_v1"), col("max_ins"))
+      .otherwise(col("max_v1"))
+    comb.select(col("g"), col("n_v1"), col("max_v1"), col("n_feed"),
+        col("max_ins"), col("n_dirty_markers"),
+        (col("n_dirty_markers") > 0L).as("dirty"),
+        col("n_v3"), col("max_full"),
+        maxInc.cast("long").as("max_inc"),
+        (maxInc.cast("long") <=> col("max_full")).as("inc_matches_full"))
+      .orderBy("g")
+  }
 
   /** q211's Spark plan, factored for SketchLifecycleSpec. The v1
     * partials route through [[graft.functions.SketchStore]] (persist

@@ -3317,6 +3317,109 @@ object ExtendedQueries {
         |FROM pv CROSS JOIN ks
         |ORDER BY pv.event_type""".stripMargin) { (s, d) =>
       bhFdr(Tables.events(s, d), b = 199, alphaPct = 5)
+    },
+
+    // --------------------------------------------------------------- q218
+    "q218_target_encoding" -> QueryDef.sql(
+      "Out-of-fold target encoding of a categorical feature — the " +
+      "leakage-safe mean-encoding a gradient-boosting pipeline ships " +
+      "(CatBoost-style, fold-wise): per (o_orderpriority, fold) the " +
+      "encoding is the target mean over the OTHER four folds only " +
+      "(complement algebra from exact integer sums: enc = (s_c - " +
+      "s_cf) / (n_c - n_cf)), plus the m-estimate smoothed variant " +
+      "((s_c - s_cf) + m * global_mean) / ((n_c - n_cf) + m), m = " +
+      "20 — a row's own fold never contributes to its encoding, so " +
+      "the encoder cannot leak its label. Folds are GROUP-AWARE: " +
+      "fold = knuth32(o_custkey, foldSalt) % 5 (q136's stream keyed " +
+      "by CUSTOMER, not order, so a customer's orders share a fold " +
+      "and the customer-level leakage path q141 closes is closed " +
+      "here too). Exact integer sums + single-shape divisions -> " +
+      "hash-exact; NULL encoding where a category lives entirely in " +
+      "one fold (the consumer must see the cold fold, not a fake 0). " +
+      "Shape at 100 TB: ONE map-side-combinable (category, fold) " +
+      "aggregate — the shuffle carries |categories| x k rows; " +
+      "applying the encoder at training time is a broadcast join of " +
+      "this 25-row table against the fact scan.",
+      s"""WITH o AS (SELECT o_orderpriority AS cat,
+        |    ${graft.functions.DeterministicHash.knuth32Sql("o_custkey",
+               graft.functions.DeterministicHash.foldSalt)} % 5 AS fold,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |cf AS (SELECT cat, fold, count(*)::BIGINT AS n_cf,
+        |    sum(cents)::BIGINT AS s_cf
+        |  FROM o GROUP BY 1, 2),
+        |c AS (SELECT cat, sum(n_cf)::BIGINT AS n_c,
+        |    sum(s_cf)::BIGINT AS s_c
+        |  FROM cf GROUP BY 1),
+        |g AS (SELECT sum(n_c)::BIGINT AS n_tot, sum(s_c)::BIGINT AS s_tot
+        |  FROM c)
+        |SELECT cf.cat, cf.fold::BIGINT AS fold, cf.n_cf, cf.s_cf,
+        |  (c.n_c - cf.n_cf)::BIGINT AS n_oof,
+        |  (c.s_c - cf.s_cf)::BIGINT AS s_oof,
+        |  CASE WHEN c.n_c - cf.n_cf > 0
+        |    THEN (c.s_c - cf.s_cf)::DOUBLE / (c.n_c - cf.n_cf)::DOUBLE
+        |  END AS enc_oof,
+        |  ((c.s_c - cf.s_cf)::DOUBLE
+        |      + 20.0 * (g.s_tot::DOUBLE / g.n_tot::DOUBLE))
+        |    / ((c.n_c - cf.n_cf)::DOUBLE + 20.0) AS enc_smooth
+        |FROM cf JOIN c USING (cat) CROSS JOIN g
+        |ORDER BY cat, fold""".stripMargin) { (s, d) =>
+      targetEncoding(Tables.orders(s, d), k = 5, m = 20.0)
+    },
+
+    // --------------------------------------------------------------- q219
+    "q219_markov_backtest" -> QueryDef.sql(
+      "Next-event prediction backtest — q105's transition matrix " +
+      "turned into an EVALUATED model (the train/eval loop a sequence " +
+      "model ships with): a TIME split at the 80% point of the " +
+      "calendar span (integer day arithmetic — a temporal holdout, " +
+      "never a random one: random splits leak future behavior into " +
+      "sequence training, the q141 lesson on the time axis), first-" +
+      "order transitions counted per segment over per-user (ts, " +
+      "event_id)-ordered lag pairs that never cross the boundary, " +
+      "the per-prev-type argmax ELECTED by (count desc, type asc) " +
+      "total order (the q196 election rule — never a float-weight " +
+      "tie-break), and test-segment top-1 accuracy reported per prev " +
+      "type in exact integers. A prev type unseen in training emits " +
+      "a NULL prediction and 0 hits — the honest cold-start row. " +
+      "Shape at 100 TB: ONE user-partitioned lag window pass (the " +
+      "only data-proportional work), then every count/election/join " +
+      "runs on the |types|^2 = 25-row grid.",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day FROM events),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN day < mn + ((mx - mn + 1) * 4) // 5
+        |      THEN 0 ELSE 1 END AS seg
+        |  FROM e CROSS JOIN b),
+        |p AS (SELECT seg,
+        |    lag(event_type) OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id) AS prev_t,
+        |    event_type AS next_t
+        |  FROM s),
+        |tr AS (SELECT prev_t, next_t, count(*)::BIGINT AS n FROM p
+        |  WHERE seg = 0 AND prev_t IS NOT NULL GROUP BY 1, 2),
+        |pred AS (SELECT prev_t, next_t AS predicted, n AS n_pred FROM
+        |  (SELECT prev_t, next_t, n, row_number() OVER
+        |      (PARTITION BY prev_t ORDER BY n DESC, next_t) AS rn
+        |    FROM tr) WHERE rn = 1),
+        |trt AS (SELECT prev_t, sum(n)::BIGINT AS n_train FROM tr
+        |  GROUP BY 1),
+        |te AS (SELECT prev_t, next_t, count(*)::BIGINT AS n FROM p
+        |  WHERE seg = 1 AND prev_t IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_t, sum(n)::BIGINT AS n_test FROM te
+        |  GROUP BY 1)
+        |SELECT tot.prev_t AS prev_type, trt.n_train, pred.predicted,
+        |  pred.n_pred, tot.n_test,
+        |  coalesce(hit.n, 0)::BIGINT AS n_hits,
+        |  coalesce(hit.n, 0)::DOUBLE / tot.n_test::DOUBLE AS top1_acc
+        |FROM tot
+        |LEFT JOIN pred ON tot.prev_t = pred.prev_t
+        |LEFT JOIN trt ON tot.prev_t = trt.prev_t
+        |LEFT JOIN te hit ON hit.prev_t = tot.prev_t
+        |  AND hit.next_t = pred.predicted
+        |ORDER BY prev_type""".stripMargin) { (s, d) =>
+      markovBacktest(Tables.events(s, d))
     }
   )
 
@@ -3405,6 +3508,84 @@ object ExtendedQueries {
         lit(b.toLong).as("b_total"), col("n_ge"),
         (lit(1L) + col("n_ge")).cast("double")
           / lit((b + 1).toDouble) as "p_value")
+  }
+
+  /** The q219 Markov next-event backtest: temporal 80/20 split,
+    * per-segment lag pairs, election by (count desc, type asc), exact
+    * test accuracy per prev type. One lag window pass; every other
+    * step runs on the |types|^2 grid. */
+  def markovBacktest(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val b = broadcast(e.agg(min("day").as("mn"), max("day").as("mx")))
+    val s = e.crossJoin(b).select(col("user_id"), col("ts"),
+      col("event_id"), col("event_type"),
+      when(col("day") < col("mn")
+        + expr("((mx - mn + 1) * 4) div 5"), 0L).otherwise(1L).as("seg"))
+    val p = s.select(col("seg"),
+      lag("event_type", 1).over(Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")).as("prev_t"),
+      col("event_type").as("next_t"))
+    val tr = p.where(col("seg") === 0L && col("prev_t").isNotNull)
+      .groupBy("prev_t", "next_t").agg(count(lit(1)).as("n"))
+    val pred = tr.withColumn("rn", row_number().over(
+        Window.partitionBy("prev_t")
+          .orderBy(col("n").desc, col("next_t"))))
+      .where(col("rn") === 1)
+      .select(col("prev_t"), col("next_t").as("predicted"),
+        col("n").as("n_pred"))
+    val trt = tr.groupBy("prev_t").agg(sum("n").cast("long").as("n_train"))
+    val te = p.where(col("seg") === 1L && col("prev_t").isNotNull)
+      .groupBy("prev_t", "next_t").agg(count(lit(1)).as("n"))
+    val tot = te.groupBy("prev_t").agg(sum("n").cast("long").as("n_test"))
+    // hits: test count of the predicted next type per prev
+    val hit = te.select(col("prev_t"), col("next_t"), col("n"))
+    tot.join(broadcast(pred), Seq("prev_t"), "left")
+      .join(broadcast(trt), Seq("prev_t"), "left")
+      .join(broadcast(hit),
+        hit("prev_t") === tot("prev_t")
+          && hit("next_t") === col("predicted"), "left")
+      .select(tot("prev_t").as("prev_type"), col("n_train"),
+        col("predicted"), col("n_pred"), col("n_test"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_hits"),
+        coalesce(col("n"), lit(0L)).cast("double")
+          / col("n_test").cast("double") as "top1_acc")
+      .orderBy("prev_type")
+  }
+
+  /** The q218 out-of-fold target encoder: one (category, fold)
+    * combinable aggregate, complement algebra for the leave-fold-out
+    * means, m-estimate smoothing toward the global mean. Folds key on
+    * o_custkey (group-aware — a customer's orders share a fold). */
+  def targetEncoding(orders: DataFrame, k: Int, m: Double): DataFrame = {
+    import graft.functions.DeterministicHash
+    val o = orders.select(col("o_orderpriority").as("cat"),
+      (DeterministicHash.knuth32(col("o_custkey"),
+        DeterministicHash.foldSalt) % k).as("fold"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val cf = o.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("cents").cast("long").as("s_cf"))
+    val c = cf.groupBy("cat")
+      .agg(sum("n_cf").cast("long").as("n_c"),
+        sum("s_cf").cast("long").as("s_c"))
+    val g = broadcast(c.agg(sum("n_c").cast("long").as("n_tot"),
+      sum("s_c").cast("long").as("s_tot")))
+    cf.join(broadcast(c), Seq("cat")).crossJoin(g)
+      .select(col("cat"), col("fold").cast("long").as("fold"),
+        col("n_cf"), col("s_cf"),
+        (col("n_c") - col("n_cf")).cast("long").as("n_oof"),
+        (col("s_c") - col("s_cf")).cast("long").as("s_oof"),
+        when(col("n_c") - col("n_cf") > 0L,
+          (col("s_c") - col("s_cf")).cast("double")
+            / (col("n_c") - col("n_cf")).cast("double")).as("enc_oof"),
+        (((col("s_c") - col("s_cf")).cast("double")
+            + lit(m) * (col("s_tot").cast("double")
+              / col("n_tot").cast("double")))
+          / ((col("n_c") - col("n_cf")).cast("double") + lit(m)))
+          .as("enc_smooth"))
+      .orderBy("cat", "fold")
   }
 
   /** The q216 BH-FDR operator: q215's permutation machinery per

@@ -1105,4 +1105,35 @@ class PlanChecksSpec extends SparkSpec {
       assert(!p.contains("ts:timestamp"), s"$name scan reads ts:\n" + p)
     }
   }
+
+  test("q217: the dirty test joins the BROADCAST group-sized MV; no cartesian") {
+    val p = plan("q217_retractable_max_mv")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the refresh never windows — two-path algebra is pure aggregation
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q218: the encoder is ONE combinable aggregate chain — no window, no cartesian") {
+    val p = plan("q218_target_encoding")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q219: the only data-sized pass is the user-partitioned lag window") {
+    val p = plan("q219_markov_backtest")
+    assert(!p.contains("CartesianProduct"), p)
+    val windowLines = p.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, p)
+    // the lag window must keep its user partitioning (a global window
+    // over events would serialize); the election windows run on the
+    // 25-cell grid and partition by prev_t
+    windowLines.foreach { w =>
+      assert(w.contains("user_id#") || w.contains("prev_t#"),
+        "window lost its partitioning:\n" + w)
+    }
+  }
 }

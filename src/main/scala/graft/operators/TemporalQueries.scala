@@ -1691,6 +1691,48 @@ object TemporalQueries {
         |  fold.o_minus_e / sqrt(fold.var_lr) AS z
         |FROM tot CROSS JOIN fold""".stripMargin) { (s, d) =>
       logRankTest(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q220
+    "q220_holt_backtest" -> QueryDef.sql(
+      "Holt double-exponential smoothing with a walk-forward one-step " +
+      "backtest — the trend-aware forecaster between q98's EWMA (no " +
+      "trend) and q171's seasonal-naive (no smoothing): monthly " +
+      "revenue in exact cents, level/trend recursion l_t = a*y_t + " +
+      "(1-a)*(l_{t-1}+b_{t-1}), b_t = g*(l_t-l_{t-1}) + (1-g)*b_{t-1} " +
+      "with a = 0.5, g = 0.3 as LITERAL constants (identical doubles " +
+      "in both engines), initialized l = y_1, b = y_2 - y_1. Each " +
+      "month's forecast is the fold over its STRICT prefix (walk-" +
+      "forward: the model never sees the month it predicts), realized " +
+      "via the q140 grid-pair pattern — prefix lists are built by a " +
+      "month-grid self-join and folded with a STRUCT accumulator in " +
+      "ascending month order, a fixed exactly-rounded tree -> " +
+      "hash-exact. Shape at 100 TB: ONE combinable month rollup is " +
+      "the only data-proportional pass; the O(T^2) prefix join and " +
+      "every fold run on the CALENDAR-BOUNDED month grid (~tens of " +
+      "rows at any corpus size).",
+      """WITH RECURSIVE grid AS (
+        |  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS m,
+        |    sum(round(o_totalprice * 100)::BIGINT)::DOUBLE AS y
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT m, y, row_number() OVER (ORDER BY m)::BIGINT AS rn
+        |  FROM grid),
+        |hw AS (
+        |  SELECT 2::BIGINT AS rn, g1.y AS l, g2.y - g1.y AS b
+        |  FROM g g1, g g2 WHERE g1.rn = 1 AND g2.rn = 2
+        |  UNION ALL
+        |  SELECT g.rn,
+        |    0.5 * g.y + 0.5 * (hw.l + hw.b),
+        |    0.3 * ((0.5 * g.y + 0.5 * (hw.l + hw.b)) - hw.l)
+        |      + 0.7 * hw.b
+        |  FROM hw JOIN g ON g.rn = hw.rn + 1)
+        |SELECT t.m AS month, t.y::BIGINT AS y_cents,
+        |  (t.rn - 1)::BIGINT AS n_train,
+        |  hw.l AS level, hw.b AS trend, hw.l + hw.b AS yhat,
+        |  t.y - (hw.l + hw.b) AS err
+        |FROM g t JOIN hw ON hw.rn = t.rn - 1
+        |WHERE t.rn >= 3 ORDER BY month""".stripMargin) { (s, d) =>
+      holtBacktest(Tables.orders(s, d))
     }
   )
 
@@ -2278,6 +2320,36 @@ object TemporalQueries {
         col("d1_total"), col("n_event_days"), col("o_minus_e"),
         col("var_lr"),
         (col("o_minus_e") / sqrt(col("var_lr"))).as("z"))
+  }
+
+  /** The q220 Holt walk-forward backtest: month rollup, grid-pair
+    * prefix lists, struct-accumulator fold in ascending month order
+    * (alpha = 0.5, gamma = 0.3 literals — see the catalog doc for the
+    * parity contract). */
+  def holtBacktest(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = orders
+      .select(date_trunc("month", col("o_orderdate")).as("m"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      .groupBy("m").agg(sum("cents").cast("double").as("y"))
+    val pre = grid.alias("r").join(grid.alias("u"), col("u.m") < col("r.m"))
+      .groupBy(col("r.m").as("m"), col("r.y").as("y"))
+      .agg(expr("transform(sort_array(collect_list(struct(u.m, u.y))), " +
+        "s -> s.y)").as("p"))
+    pre.where(size(col("p")) >= 2)
+      .withColumn("st", expr(
+        "aggregate(slice(p, 3, size(p)), " +
+          "named_struct('l', p[0], 'b', p[1] - p[0]), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5d * x + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * x + 0.5d * (acc.l + acc.b)) - acc.l) " +
+          "+ 0.7d * acc.b))"))
+      .select(col("m").as("month"), col("y").cast("long").as("y_cents"),
+        size(col("p")).cast("long").as("n_train"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("yhat"),
+        (col("y") - (col("st.l") + col("st.b"))).as("err"))
+      .orderBy("month")
   }
 
   /** The q130 linear multi-touch attribution operator: every touch in

@@ -1733,6 +1733,62 @@ object TemporalQueries {
         |FROM g t JOIN hw ON hw.rn = t.rn - 1
         |WHERE t.rn >= 3 ORDER BY month""".stripMargin) { (s, d) =>
       holtBacktest(Tables.orders(s, d))
+    },
+
+    // --------------------------------------------------------------- q221
+    "q221_sliding_heavy_hitters" -> QueryDef.sql(
+      "Trailing-7-day heavy hitters per day — q96's top-k lifted onto " +
+      "q120's sliding calendar window (the operational 'what surged " +
+      "this week' view): per day, every event type's trailing-7-day " +
+      "count and share, with the top-3 ELECTED by (count desc, type " +
+      "asc) total order (the q196 rule). EXACT sliding counts without " +
+      "re-scanning events per window: ONE combinable (day, type) " +
+      "rollup, then the <= 7x expansion runs on the DAY-GRID x TYPES " +
+      "frame (the q120 days-dimension range join — work is 7 x grid " +
+      "cells, never 7 x events). Integers + one single-shape division " +
+      "-> hash-exact. Shape at 100 TB: the rollup is the only " +
+      "data-proportional pass; everything after runs on ~30 x 5 " +
+      "grid rows regardless of corpus size.",
+      """WITH dt AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM dt),
+        |win AS (SELECT d.day, dt.event_type, sum(dt.n)::BIGINT AS n7
+        |  FROM days d JOIN dt ON dt.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT day, sum(n7)::BIGINT AS total7 FROM win
+        |  GROUP BY 1),
+        |r AS (SELECT day, event_type, n7,
+        |    row_number() OVER (PARTITION BY day
+        |      ORDER BY n7 DESC, event_type)::BIGINT AS rank
+        |  FROM win)
+        |SELECT r.day, r.rank, r.event_type, r.n7, tot.total7,
+        |  r.n7::DOUBLE / tot.total7::DOUBLE AS share7
+        |FROM r JOIN tot USING (day)
+        |WHERE r.rank <= 3
+        |ORDER BY r.day, r.rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dt = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val days = dt.select("day").distinct()
+      val win = days.alias("d")
+        .join(dt.alias("t"),
+          col("t.day").between(col("d.day") - 6, col("d.day")))
+        .groupBy(col("d.day").as("day"), col("t.event_type").as("event_type"))
+        .agg(sum("n").cast("long").as("n7"))
+      val tot = win.groupBy("day").agg(sum("n7").cast("long").as("total7"))
+      win
+        .withColumn("rank", row_number().over(Window.partitionBy("day")
+          .orderBy(col("n7").desc, col("event_type"))).cast("long"))
+        .where(col("rank") <= 3)
+        .join(broadcast(tot), Seq("day"))
+        .select(col("day"), col("rank"), col("event_type"), col("n7"),
+          col("total7"),
+          (col("n7").cast("double") / col("total7").cast("double"))
+            .as("share7"))
+        .orderBy("day", "rank")
     }
   )
 
@@ -2327,11 +2383,22 @@ object TemporalQueries {
     * (alpha = 0.5, gamma = 0.3 literals — see the catalog doc for the
     * parity contract). */
   def holtBacktest(orders: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val grid = orders
+      : org.apache.spark.sql.DataFrame =
+    holtFold(monthGrid(orders))
+
+  /** q220's month rollup — the SAME fold in batch and streaming (the
+    * streamed grid is a Complete-mode aggregation; sums commute). */
+  def monthGrid(orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    orders
       .select(date_trunc("month", col("o_orderdate")).as("m"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
       .groupBy("m").agg(sum("cents").cast("double").as("y"))
+
+  /** q220's walk-forward Holt fold over a (m, y) grid — the read-back
+    * a forecast monitor applies to the stored month cells. */
+  def holtFold(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val pre = grid.alias("r").join(grid.alias("u"), col("u.m") < col("r.m"))
       .groupBy(col("r.m").as("m"), col("r.y").as("y"))
       .agg(expr("transform(sort_array(collect_list(struct(u.m, u.y))), " +

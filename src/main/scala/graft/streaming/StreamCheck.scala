@@ -752,6 +752,44 @@ object StreamCheck {
         } finally q.stop()
       },
 
+      // --------------------------------------------- holt_forecast
+      run("holt_forecast",
+        "streamed month grid + read-back == batch q220 rows") {
+        val orders = Tables.orders(spark, sfDir)
+          .select(col("o_orderdate").cast("timestamp"),
+            col("o_totalprice"))
+          .as[(Timestamp, Double)].collect()
+        // canonical projection: month as epoch micros (the on-disk
+        // o_orderdate is TIMESTAMP_NTZ; the streamed side arrives as
+        // TIMESTAMP — values agree under the session UTC clock, the
+        // printed types would not)
+        def canon(df: org.apache.spark.sql.DataFrame) = df
+          .select(unix_micros(col("month").cast("timestamp")).as("mu"),
+            col("y_cents"), col("n_train"), col("level"), col("trend"),
+            col("yhat"), col("err"))
+          .collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries("q220_holt_backtest")(
+          spark, sfDir))
+        val ms = MemoryStream[(Timestamp, Double)]
+        val q = ForecastStream.monthCells(
+            ms.toDF().toDF("o_orderdate", "o_totalprice"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_holt").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: month sums commute
+          orders.grouped(orders.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          // materialize the stored cells before the fold's self-join
+          // (a streaming memory relation can't alias-resolve twice)
+          val cells = spark.table("sc_holt")
+            .as[(Timestamp, Double)].collect()
+          val streamed = canon(ForecastStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("m", "y")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
       run("streaming_etl", "AvailableNow drain: commit log acks every input record") {
         val dir = Files.createTempDirectory("sc-etl")
         val n = 500

@@ -3420,6 +3420,92 @@ object ExtendedQueries {
         |  AND hit.next_t = pred.predicted
         |ORDER BY prev_type""".stripMargin) { (s, d) =>
       markovBacktest(Tables.events(s, d))
+    },
+
+    // --------------------------------------------------------------- q222
+    "q222_sequential_ab_monitor" -> QueryDef.sql(
+      "Group-sequential A/B monitoring — the daily peeking discipline " +
+      "an experimentation platform runs between q110's one-shot " +
+      "readout and q215's permutation post-hoc: per calendar day, the " +
+      "CUMULATIVE two-proportion pooled z for the arm difference " +
+      "(q110's metric: share of events with value > 20; q110's " +
+      "user_id % 2 arms) against a constant Pocock boundary 2.413 (a " +
+      "LITERAL — the normal-quantile table lookup happens offline, " +
+      "the libm rule), emitting per day the crossed flag and whether " +
+      "the trial is already DECIDED (at-or-after the first crossing — " +
+      "the stopping rule made queryable; no crossing -> decided never " +
+      "fires). Cumulative counts are exact integers over the ordered " +
+      "day grid; z is the q110 fixed tree -> hash-exact. Shape at " +
+      "100 TB: ONE combinable (day, arm) rollup is the only " +
+      "data-proportional pass; cumulative windows, the boundary test " +
+      "and the first-crossing fold all run on the ~30-row day grid.",
+      """WITH da AS (SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    (user_id % 2)::BIGINT AS arm, count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE value > 20.0)::BIGINT AS hits
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM da),
+        |cum AS (SELECT d.day,
+        |    sum(CASE WHEN da.arm = 0 THEN da.n ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN da.arm = 0 THEN da.hits ELSE 0 END)::BIGINT
+        |      AS h0,
+        |    sum(CASE WHEN da.arm = 1 THEN da.n ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN da.arm = 1 THEN da.hits ELSE 0 END)::BIGINT
+        |      AS h1
+        |  FROM days d JOIN da ON da.day <= d.day GROUP BY 1),
+        |z AS (SELECT day, n0, h0, n1, h1,
+        |    ((h1::DOUBLE / n1::DOUBLE) - (h0::DOUBLE / n0::DOUBLE))
+        |      / sqrt(((h0 + h1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |        * (1.0 - (h0 + h1)::DOUBLE / (n0 + n1)::DOUBLE)
+        |        * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z
+        |  FROM cum WHERE n0 > 0 AND n1 > 0),
+        |fc AS (SELECT min(day) AS first_cross FROM z
+        |  WHERE abs(z) >= 2.413)
+        |SELECT z.day, z.n0, z.h0, z.n1, z.h1, z.z,
+        |  (abs(z.z) >= 2.413) AS crossed,
+        |  (fc.first_cross IS NOT NULL AND z.day >= fc.first_cross)
+        |    AS decided
+        |FROM z CROSS JOIN fc
+        |ORDER BY z.day""".stripMargin) { (s, d) =>
+      val da = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("user_id % 2").cast("long").as("arm"),
+          col("value"))
+        .groupBy("day", "arm")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 20.0, 1L).otherwise(0L)).cast("long")
+            .as("hits"))
+      val days = da.select("day").distinct()
+      val cum = days.alias("d")
+        .join(da.alias("a"), col("a.day") <= col("d.day"))
+        .groupBy(col("d.day").as("day"))
+        .agg(
+          sum(when(col("arm") === 0L, col("n")).otherwise(0L))
+            .cast("long").as("n0"),
+          sum(when(col("arm") === 0L, col("hits")).otherwise(0L))
+            .cast("long").as("h0"),
+          sum(when(col("arm") === 1L, col("n")).otherwise(0L))
+            .cast("long").as("n1"),
+          sum(when(col("arm") === 1L, col("hits")).otherwise(0L))
+            .cast("long").as("h1"))
+      val D = "double"
+      val zc = cum.where(col("n0") > 0L && col("n1") > 0L)
+        .withColumn("z",
+          ((col("h1").cast(D) / col("n1").cast(D))
+            - (col("h0").cast(D) / col("n0").cast(D)))
+          / sqrt(((col("h0") + col("h1")).cast(D)
+              / (col("n0") + col("n1")).cast(D))
+            * (lit(1.0) - (col("h0") + col("h1")).cast(D)
+              / (col("n0") + col("n1")).cast(D))
+            * (lit(1.0) / col("n0").cast(D)
+              + lit(1.0) / col("n1").cast(D))))
+      val fc = broadcast(zc.where(abs(col("z")) >= 2.413)
+        .agg(min("day").as("first_cross")))
+      zc.crossJoin(fc)
+        .select(col("day"), col("n0"), col("h0"), col("n1"), col("h1"),
+          col("z"), (abs(col("z")) >= 2.413).as("crossed"),
+          (col("first_cross").isNotNull
+            && col("day") >= col("first_cross")).as("decided"))
+        .orderBy("day")
     }
   )
 

@@ -1506,8 +1506,107 @@ object TextQueries {
           abs(lit(10L) * col("n_pos") - col("score_bin") * col("n"))
             .cast("long").as("cal_gap_deci"))
         .orderBy("score_bin")
+    },
+
+    // --------------------------------------------------------------- q223
+    "q223_rake_keywords" -> QueryDef.sql(
+      "RAKE keyword extraction over the corpus (Rose et al. 2010) — " +
+      "the classic unsupervised keyword miner a labeling pipeline " +
+      "runs before humans see anything: candidate phrases are maximal " +
+      "runs of consecutive non-stopword tokens (the q103 gap trick on " +
+      "token POSITIONS — pos minus a per-doc dense rank is constant " +
+      "within a run, so phrase assembly is one grouped aggregate, " +
+      "never a self-join), word scores are degree/frequency over " +
+      "exact integer counts (degree = sum of host-phrase lengths per " +
+      "occurrence), and each distinct phrase's score folds its member " +
+      "words' scores in POSITION order (the q84 ordered-fold rule — " +
+      "no accumulation-order nondeterminism), top-20 elected by " +
+      "(score desc, phrase asc) total order. Stopword delimiters are " +
+      "q30's literal list, tokenization is the shared byte-identical " +
+      "tokenizer -> hash-exact. Shape at 100 TB: tokenize + " +
+      "posexplode is the only data-proportional pass; word stats and " +
+      "the phrase table are combinable aggregates; the final top-20 " +
+      "is TakeOrdered, never a global sort.",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS w,
+        |    generate_subscripts(w, 1)::BIGINT AS pos FROM t),
+        |ns AS (SELECT doc_id, w, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM tok WHERE w NOT IN ('the','and','of','to','a')),
+        |ph AS (SELECT doc_id, grp, list(w ORDER BY pos) AS words
+        |  FROM ns GROUP BY 1, 2),
+        |occ AS (SELECT unnest(words) AS w, len(words)::BIGINT AS plen
+        |  FROM ph),
+        |ws AS (SELECT w, count(*)::BIGINT AS freq,
+        |    sum(plen)::BIGINT AS degree FROM occ GROUP BY 1),
+        |pd AS (SELECT array_to_string(words, ' ') AS phrase,
+        |    count(*)::BIGINT AS n_occ FROM ph GROUP BY 1),
+        |pw AS (SELECT phrase, n_occ,
+        |    unnest(string_split(phrase, ' ')) AS w,
+        |    generate_subscripts(string_split(phrase, ' '), 1)::BIGINT
+        |      AS pos
+        |  FROM pd),
+        |ps AS (SELECT pw.phrase, pw.n_occ,
+        |    count(*)::BIGINT AS n_words,
+        |    list_reduce(list_prepend(0.0,
+        |      list(ws.degree::DOUBLE / ws.freq::DOUBLE ORDER BY pw.pos)),
+        |      (a, x) -> a + x) AS score
+        |  FROM pw JOIN ws ON pw.w = ws.w
+        |  GROUP BY 1, 2),
+        |r AS (SELECT phrase, n_occ, n_words, score,
+        |    row_number() OVER (ORDER BY score DESC, phrase)::BIGINT
+        |      AS rank
+        |  FROM ps)
+        |SELECT rank, phrase, n_words, n_occ, score FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+      rakeKeywords(Tables.documents(s, d), k = 20)
     }
   )
+
+  /** The q223 RAKE extractor: gap-trick phrase assembly, integer
+    * degree/frequency word scores, position-ordered phrase-score
+    * folds, TakeOrdered top-k. */
+  def rakeKeywords(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "and", "of", "to", "a")
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "w")))
+      .select(col("doc_id"), col("w"),
+        (col("pos0") + 1L).cast("long").as("pos"))
+    val ns = tok.where(!col("w").isin(stops: _*))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val ph = ns.groupBy("doc_id", "grp")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, w))), " +
+        "s -> s.w)").as("words"))
+    val occ = ph.select(explode(col("words")).as("w"),
+      size(col("words")).cast("long").as("plen"))
+    val ws = occ.groupBy("w").agg(count(lit(1)).as("freq"),
+      sum("plen").cast("long").as("degree"))
+    val pd = ph.groupBy(array_join(col("words"), " ").as("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+    val pw = pd.select(col("phrase"), col("n_occ"),
+        posexplode(split(col("phrase"), " ")).as(Seq("pos0", "w")))
+      .select(col("phrase"), col("n_occ"), col("w"),
+        (col("pos0") + 1L).cast("long").as("pos"))
+    val ps = pw.join(ws, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(count(lit(1)).as("n_words"),
+        sort_array(collect_list(struct(col("pos"),
+          (col("degree").cast("double") / col("freq").cast("double"))
+            .as("sc")))).as("fs"))
+      .select(col("phrase"), col("n_occ"), col("n_words"),
+        aggregate(expr("transform(fs, s -> s.sc)"), lit(0.0),
+          (a, x) => a + x).as("score"))
+    ps.orderBy(col("score").desc, col("phrase")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("phrase"))).cast("long"))
+      .select(col("rank"), col("phrase"), col("n_words"), col("n_occ"),
+        col("score"))
+      .orderBy("rank")
+  }
 
   /** q179's Spark plan: per-doc token counts and per-term first
     * occurrence (two combinable aggregates), each conditionally

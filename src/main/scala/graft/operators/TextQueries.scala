@@ -1561,6 +1561,84 @@ object TextQueries {
         |SELECT rank, phrase, n_words, n_occ, score FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
       rakeKeywords(Tables.documents(s, d), k = 20)
+    },
+
+    // --------------------------------------------------------------- q224
+    "q224_isotonic_calibration" -> QueryDef.sql(
+      "Isotonic (monotone) calibration of q206's reliability grid — " +
+      "the PAV fit a production scorer applies before trusting its " +
+      "threshold (Zadrozny & Elkan 2002), computed WITHOUT iteration " +
+      "via the minimax closed form: fitted_i = max_{j<=i} min_{k>=i} " +
+      "mean(j..k), where every range mean is one single-shape " +
+      "division of exact integer prefix-sum differences — identical " +
+      "double multisets in both engines, so the max/min elections " +
+      "agree bit for bit (no pooling loop to order-diverge). The " +
+      "monotonicity audit (fitted non-decreasing bin to bin) is " +
+      "emitted per row and the oracle pins TRUE — a violated fit " +
+      "hash-fails the row. Shape at 100 TB: q206's ONE combinable " +
+      "11-cell aggregate is the only data-proportional pass; prefix " +
+      "sums, the 66-range frame and the 11 x 66 minimax join all " +
+      "run on the CONSTANT-SIZE bin grid.",
+      s"""WITH t AS (SELECT lang, $sqlToks AS w FROM documents),
+        |h AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    least(len(list_filter(w,
+        |      t -> t IN ('the','and','of','to','a'))), 10)::BIGINT AS s
+        |  FROM t),
+        |cells AS (SELECT s AS b, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS p FROM h GROUP BY s),
+        |pre AS (SELECT b, n, p,
+        |    sum(n) OVER (ORDER BY b)::BIGINT AS cn,
+        |    sum(p) OVER (ORDER BY b)::BIGINT AS cp
+        |  FROM cells),
+        |rng AS (SELECT j.b AS jb, k.b AS kb,
+        |    ((k.cp - (j.cp - j.p))::DOUBLE
+        |      / (k.cn - (j.cn - j.n))::DOUBLE) AS mean_jk
+        |  FROM pre j JOIN pre k ON k.b >= j.b),
+        |inner_min AS (SELECT i.b, rng.jb,
+        |    min(rng.mean_jk) AS m FROM pre i
+        |  JOIN rng ON rng.jb <= i.b AND rng.kb >= i.b
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT b, max(m) AS fitted FROM inner_min GROUP BY 1),
+        |out1 AS (SELECT c.b AS score_bin, c.n, c.p AS n_pos,
+        |    c.p::DOUBLE / c.n::DOUBLE AS raw_rate, f.fitted
+        |  FROM cells c JOIN fit f ON c.b = f.b)
+        |SELECT score_bin, n, n_pos, raw_rate, fitted,
+        |  coalesce(fitted >= lag(fitted) OVER (ORDER BY score_bin),
+        |    TRUE) AS monotone_ok
+        |FROM out1 ORDER BY score_bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val en = graft.functions.TextFunctions.langVocab.toMap.apply("en")
+      val h = Tables.documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        least(vocabHits(tokens(col("text")), en).cast("long"), lit(10L))
+          .as("sb"))
+      val cells = h.groupBy(col("sb").as("b"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("p"))
+      val wb = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = cells
+        .withColumn("cn", sum("n").over(wb).cast("long"))
+        .withColumn("cp", sum("p").over(wb).cast("long"))
+      val rng = pre.alias("j").join(pre.alias("k"), col("k.b") >= col("j.b"))
+        .select(col("j.b").as("jb"), col("k.b").as("kb"),
+          ((col("k.cp") - (col("j.cp") - col("j.p"))).cast("double")
+            / (col("k.cn") - (col("j.cn") - col("j.n"))).cast("double"))
+            .as("mean_jk"))
+      val innerMin = pre.alias("i").select(col("i.b").as("b"))
+        .join(rng, col("jb") <= col("b") && col("kb") >= col("b"))
+        .groupBy("b", "jb").agg(min("mean_jk").as("m"))
+      val fit = innerMin.groupBy("b").agg(max("m").as("fitted"))
+      cells.join(fit, Seq("b"))
+        .select(col("b").as("score_bin"), col("n"),
+          col("p").as("n_pos"),
+          (col("p").cast("double") / col("n").cast("double"))
+            .as("raw_rate"),
+          col("fitted"))
+        .withColumn("monotone_ok",
+          coalesce(col("fitted")
+            >= lag("fitted", 1).over(Window.orderBy("score_bin")),
+            lit(true)))
+        .orderBy("score_bin")
     }
   )
 

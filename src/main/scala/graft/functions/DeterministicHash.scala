@@ -77,8 +77,13 @@ object DeterministicHash {
     * never a low-bit extraction. */
   val permSalt: Long = 32452843L
 
-  /** Salt for q136's k-fold stream — a fifth independent stream, so
-    * fold membership is uncorrelated with split/sample/mixture/weighted
-    * membership. */
-  val foldSalt: Long = 15485863L
+  /** Salt for q136/q218's k-fold stream — a genuinely independent
+    * stream, so fold membership is uncorrelated with split/sample/
+    * mixture/weighted/conformal membership. (Until round 11 this
+    * constant DUPLICATED conformalSalt — harmless only because the two
+    * streams hash disjoint id domains (event_id vs vec_id/o_custkey);
+    * a future consumer hashing the same ids with both salts would have
+    * collided silently, so the constant is now distinct by value, not
+    * by luck.) */
+  val foldSalt: Long = 198491317L
 }

@@ -77,6 +77,16 @@ object DeterministicHash {
     * never a low-bit extraction. */
   val permSalt: Long = 32452843L
 
+  /** Salt for q225's Poisson-bootstrap replicate stream: replicate b
+    * hashes (user_id * (B + 1) + b) like the q215 permutation family,
+    * but under its own salt so resample weights are independent of the
+    * permutation re-labelings (a shared stream would make every
+    * bootstrap replicate a deterministic function of a permutation
+    * draw and bias the CI). Consumers map the hash to a Poisson(1)
+    * weight through FIXED integer CDF thresholds on h % 1000000 —
+    * pure integer compares, the libm rule. */
+  val bootSalt: Long = 86028121L
+
   /** Salt for q136/q218's k-fold stream — a genuinely independent
     * stream, so fold membership is uncorrelated with split/sample/
     * mixture/weighted/conformal membership. (Until round 11 this

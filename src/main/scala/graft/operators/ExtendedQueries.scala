@@ -3506,6 +3506,77 @@ object ExtendedQueries {
           (col("first_cross").isNotNull
             && col("day") >= col("first_cross")).as("decided"))
         .orderBy("day")
+    },
+
+    // --------------------------------------------------------------- q225
+    "q225_poisson_bootstrap_ci" -> QueryDef.sql(
+      "Poisson-bootstrap confidence intervals for the per-user mean " +
+      "spend — the at-scale bootstrap (Poisson(1) weights approximate " +
+      "multinomial resampling without the global coordination a true " +
+      "resample needs; the method production A/B platforms run): " +
+      "B = 199 deterministic replicates, each user's weight in " +
+      "replicate b drawn by mapping knuth32(user_id * 200 + b, " +
+      "bootSalt) % 1000000 through FIXED integer Poisson(1) CDF " +
+      "thresholds (pure integer compares — the libm rule; identical " +
+      "literals both engines). Replicate means stay (sb, nb) integer " +
+      "rationals; the 2.5/97.5 and 10/90 percentile elections rank " +
+      "all B replicates by HUGEINT/decimal(38,0) cross-multiplied " +
+      "comparison with replicate-id tie-break (a total order -> " +
+      "ranks are exact integers, the elected endpoints single-shape " +
+      "divisions -> hash-exact). Ranks follow the (B+1)*q order- " +
+      "statistic convention: 200*0.025 = 5 and 200*0.975 = 195 for " +
+      "the 95% interval, 20/180 for 80%. Shape at 100 TB: ONE " +
+      "combinable user rollup, a B-way inline explode whose map-side " +
+      "partial aggregate collapses the wire to B rows per partition " +
+      "(never B x users), and the B x B rank election runs on a " +
+      "199-row frame. CPU is B x one user-frame pass — the " +
+      "irreducible bootstrap cost, with B the knob.",
+      s"""WITH uc AS (SELECT user_id,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+        |  FROM uc),
+        |d AS (SELECT uc.cents, g.b,
+        |    ${graft.functions.DeterministicHash.knuth32Sql(
+               "(uc.user_id * 200 + g.b)",
+               graft.functions.DeterministicHash.bootSalt)} % 1000000
+        |      AS h6
+        |  FROM uc CROSS JOIN (SELECT unnest(range(1, 200)) AS b) g),
+        |wt AS (SELECT b, cents,
+        |    CASE WHEN h6 < 367879 THEN 0 WHEN h6 < 735759 THEN 1
+        |         WHEN h6 < 919699 THEN 2 WHEN h6 < 981012 THEN 3
+        |         WHEN h6 < 996340 THEN 4 WHEN h6 < 999406 THEN 5
+        |         WHEN h6 < 999917 THEN 6 WHEN h6 < 999990 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM d),
+        |rep AS (SELECT b, sum(w)::BIGINT AS nb,
+        |    sum(w * cents)::BIGINT AS sb
+        |  FROM wt GROUP BY 1),
+        |rk AS (SELECT i.b, i.nb, i.sb,
+        |    sum(CASE WHEN j.sb::HUGEINT * i.nb::HUGEINT
+        |            < i.sb::HUGEINT * j.nb::HUGEINT
+        |          OR (j.sb::HUGEINT * i.nb::HUGEINT
+        |            = i.sb::HUGEINT * j.nb::HUGEINT AND j.b <= i.b)
+        |        THEN 1 ELSE 0 END)::BIGINT AS rnk
+        |  FROM rep i CROSS JOIN rep j GROUP BY 1, 2, 3),
+        |c AS (SELECT * FROM (VALUES (95, 5, 195), (80, 20, 180))
+        |    AS t(conf_pct, lo_rank, hi_rank))
+        |SELECT c.conf_pct::BIGINT AS conf_pct,
+        |  c.lo_rank::BIGINT AS lo_rank, c.hi_rank::BIGINT AS hi_rank,
+        |  lo.sb::DOUBLE / lo.nb::DOUBLE AS ci_lo_mean,
+        |  hi.sb::DOUBLE / hi.nb::DOUBLE AS ci_hi_mean,
+        |  obs.n AS n_users, obs.s AS s_cents,
+        |  obs.s::DOUBLE / obs.n::DOUBLE AS obs_mean,
+        |  199::BIGINT AS b_total,
+        |  (lo.sb::HUGEINT * obs.n::HUGEINT
+        |      <= obs.s::HUGEINT * lo.nb::HUGEINT
+        |    AND obs.s::HUGEINT * hi.nb::HUGEINT
+        |      <= hi.sb::HUGEINT * obs.n::HUGEINT) AS contains_obs
+        |FROM c JOIN rk lo ON lo.rnk = c.lo_rank
+        |  JOIN rk hi ON hi.rnk = c.hi_rank
+        |  CROSS JOIN obs
+        |ORDER BY conf_pct""".stripMargin) { (s, d) =>
+      poissonBootstrap(Tables.events(s, d), b = 199)
     }
   )
 
@@ -3594,6 +3665,80 @@ object ExtendedQueries {
         lit(b.toLong).as("b_total"), col("n_ge"),
         (lit(1L) + col("n_ge")).cast("double")
           / lit((b + 1).toDouble) as "p_value")
+  }
+
+  /** The q225 Poisson-bootstrap operator: B deterministic Poisson(1)-
+    * weighted replicates of the per-user spend frame, replicate means
+    * kept as (sb, nb) integer rationals, endpoint election by exact
+    * cross-multiplied rank on the B-row frame (decimal(38,0) products
+    * mirror DuckDB HUGEINT — exact up to ~1e19 replicate cents x 1e19
+    * replicate users). Weight rule for replicate b: knuth32(user_id *
+    * (B+1) + b, bootSalt) % 1000000 through fixed integer Poisson(1)
+    * CDF thresholds (w in 0..8; P(w > 8) ~ 1e-6 absorbed by the cap —
+    * the same fixed rule both engines, so the cap is semantics, not
+    * error). */
+  def poissonBootstrap(events: DataFrame, b: Int): DataFrame = {
+    import graft.functions.DeterministicHash
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val uc = events.groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))
+        .cast("long").as("cents"))
+    val obs = broadcast(uc.agg(count(lit(1)).as("n"),
+      sum("cents").cast("long").as("s")))
+    val h6 = DeterministicHash.knuth32(
+      col("user_id") * lit((b + 1).toLong) + col("b"),
+      DeterministicHash.bootSalt) % lit(1000000L)
+    val thresholds = Seq(367879L -> 0L, 735759L -> 1L, 919699L -> 2L,
+      981012L -> 3L, 996340L -> 4L, 999406L -> 5L, 999917L -> 6L,
+      999990L -> 7L)
+    val w = thresholds.foldRight(lit(8L): org.apache.spark.sql.Column) {
+      case ((t, k), acc) => when(h6 < t, k).otherwise(acc)
+    }
+    val rep = uc
+      .select(col("user_id"), col("cents"),
+        explode(sequence(lit(1L), lit(b.toLong))).as("b"))
+      .select(col("b"), col("cents"), w.as("w"))
+      .groupBy("b")
+      .agg(sum("w").cast("long").as("nb"),
+        sum(col("w") * col("cents")).cast("long").as("sb"))
+    val i = rep.select(col("b").as("ib"), col("nb").as("inb"),
+      col("sb").as("isb"))
+    val j = rep.select(col("b").as("jb"), col("nb").as("jnb"),
+      col("sb").as("jsb"))
+    val jLess = (dec(col("jsb")) * dec(col("inb")))
+      .lt(dec(col("isb")) * dec(col("jnb")))
+    val jEq = (dec(col("jsb")) * dec(col("inb")))
+      .equalTo(dec(col("isb")) * dec(col("jnb")))
+    val rk = i.crossJoin(j) // B x B on the B-row replicate frame
+      .groupBy("ib", "inb", "isb")
+      .agg(sum(when(jLess || (jEq && col("jb") <= col("ib")), 1L)
+        .otherwise(0L)).cast("long").as("rnk"))
+    val conf = events.sparkSession.range(1, 3).select(
+      when(col("id") === 1L, 95L).otherwise(80L).as("conf_pct"),
+      when(col("id") === 1L, 5L).otherwise(20L).as("lo_rank"),
+      when(col("id") === 1L, 195L).otherwise(180L).as("hi_rank"))
+    val lo = rk.select(col("rnk").as("lo_rnk"), col("isb").as("lo_sb"),
+      col("inb").as("lo_nb"))
+    val hi = rk.select(col("rnk").as("hi_rnk"), col("isb").as("hi_sb"),
+      col("inb").as("hi_nb"))
+    broadcast(conf)
+      .join(lo, col("lo_rnk") === col("lo_rank"))
+      .join(hi, col("hi_rnk") === col("hi_rank"))
+      .crossJoin(obs)
+      .select(col("conf_pct"), col("lo_rank"), col("hi_rank"),
+        (col("lo_sb").cast("double") / col("lo_nb").cast("double"))
+          .as("ci_lo_mean"),
+        (col("hi_sb").cast("double") / col("hi_nb").cast("double"))
+          .as("ci_hi_mean"),
+        col("n").as("n_users"), col("s").as("s_cents"),
+        (col("s").cast("double") / col("n").cast("double")).as("obs_mean"),
+        lit(b.toLong).as("b_total"),
+        (dec(col("lo_sb")) * dec(col("n"))
+            <= dec(col("s")) * dec(col("lo_nb"))
+          && dec(col("s")) * dec(col("hi_nb"))
+            <= dec(col("hi_sb")) * dec(col("n"))).as("contains_obs"))
+      .orderBy("conf_pct")
   }
 
   /** The q219 Markov next-event backtest: temporal 80/20 split,

@@ -1136,4 +1136,25 @@ class PlanChecksSpec extends SparkSpec {
         "window lost its partitioning:\n" + w)
     }
   }
+
+  test("q225: the B-way explode runs over the USER rollup; scan stays pruned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val df = SparkEntry.queries("q225_poisson_bootstrap_ci")(spark, sf001)
+    // same contract as q215/q216: exploding raw events would multiply
+    // the scan by B; above the per-user rollup the expansion is
+    // |users| x B and map-side partial aggregation collapses the wire
+    // back to B rows per partition
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "no explode in plan")
+    gens.foreach { g =>
+      assert(g.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "explode not above an aggregate (events x B expansion):\n"
+          + g.treeString)
+    }
+    val p = plan("q225_poisson_bootstrap_ci")
+    // the only joins are on the 199-row replicate/rank frames — never a
+    // data-sized cartesian (the rank self-join is the B x B election)
+    assert(!p.contains("ts:timestamp"), "scan reads ts:\n" + p)
+    assert(!p.contains("event_type"), "scan reads event_type:\n" + p)
+  }
 }

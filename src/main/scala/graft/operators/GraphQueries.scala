@@ -547,6 +547,49 @@ object GraphQueries {
       kcorePeel(co2, k = 3, rounds = 3,
         materialize = (r, df) =>
           graft.plans.SharedFrames(s, d, s"kcore_e$r")(df.localCheckpoint()))
+    },
+
+    // --------------------------------------------------------------- q226
+    "q226_hits_scores" -> QueryDef.sql(
+      "HITS hubs & authorities (Kleinberg 1999) over the DIRECTED " +
+      "customer->supplier purchase bipartite — the link-analysis twin " +
+      "of q95's PageRank: customers are hubs (good buyers point at " +
+      "good suppliers), suppliers authorities. Scores stay UNNORMALIZED " +
+      "exact integers (normalization is a positive scalar per side — " +
+      "monotone, so rankings are invariant; the division is exactly " +
+      "what would break cross-engine FP parity): a1(s) = indegree, " +
+      "h1(c) = sum of a1 over c's suppliers, a2(s) = sum of h1 over " +
+      "s's buyers — i.e. h1 counts length-2 paths c->*->*, a2 counts " +
+      "length-3 paths ending at s. Top-20 per side elected by " +
+      "(score desc, node asc). Shape at 100 TB: each half-iteration " +
+      "is ONE equi-join (pairs x node frame) + one map-side-combinable " +
+      "long sum — q95's scale shape; the supplier-domain frame " +
+      "broadcasts, the customer-domain join shuffles on its key; " +
+      "top-20 is TakeOrderedAndProject, the rank window runs on the " +
+      "20-row result. int64 bound: a2 <= max_indeg^2 * max_outdeg " +
+      "~ 1e14 at 1e11 edges — 4 orders inside int64.",
+      """WITH pairs AS (SELECT DISTINCT 'c' || o_custkey AS c,
+        |    's' || l_suppkey AS sn
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a1 AS (SELECT sn, count(*)::BIGINT AS a FROM pairs GROUP BY 1),
+        |h1 AS (SELECT p.c, sum(a1.a)::BIGINT AS h
+        |  FROM pairs p JOIN a1 USING (sn) GROUP BY 1),
+        |a2 AS (SELECT p.sn, sum(h1.h)::BIGINT AS a
+        |  FROM pairs p JOIN h1 USING (c) GROUP BY 1),
+        |hr AS (SELECT 'hub' AS side, c AS node, h AS score,
+        |    row_number() OVER (ORDER BY h DESC, c)::BIGINT AS rank
+        |  FROM h1),
+        |ar AS (SELECT 'authority' AS side, sn AS node, a AS score,
+        |    row_number() OVER (ORDER BY a DESC, sn)::BIGINT AS rank
+        |  FROM a2)
+        |SELECT side, rank, node, score FROM hr WHERE rank <= 20
+        |UNION ALL
+        |SELECT side, rank, node, score FROM ar WHERE rank <= 20
+        |ORDER BY side, rank""".stripMargin) { (s, d) =>
+      // same session-cached distinct-pair frame purchaseEdges feeds on
+      hits(graft.plans.SharedFrames(s, d, "purchase_pairs") {
+        purchasePairs(s, d)
+      }, k = 20)
     }
   )
 
@@ -767,6 +810,34 @@ object GraphQueries {
       .where(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
+
+  /** The q226 HITS operator over a directed bipartite (c, sn) pair
+    * frame: 1.5 unnormalized integer iterations (a1 = indegree, h1 =
+    * sum a1, a2 = sum h1 — length-2/3 path counts), top-k per side by
+    * (score desc, node asc). Each half-iteration is one equi-join +
+    * one combinable long sum; the supplier-domain a1 frame broadcasts;
+    * the rank window runs on the k-row TakeOrdered result. Shared with
+    * HitsSpec. */
+  def hits(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a1 = pairs.groupBy("sn").agg(count(lit(1)).cast("long").as("a"))
+    val h1 = pairs.join(broadcast(a1), "sn")
+      .groupBy("c").agg(sum("a").cast("long").as("h"))
+    val a2 = pairs.join(h1, "c")
+      .groupBy("sn").agg(sum("h").cast("long").as("a"))
+    def top(df: DataFrame, node: String, score: String, side: String)
+        : DataFrame = {
+      val t = df.orderBy(col(score).desc, col(node)).limit(k)
+      // rank window over the k-row TakeOrdered result — constant size
+      t.select(lit(side).as("side"),
+        row_number().over(Window.orderBy(col(score).desc, col(node)))
+          .cast("long").as("rank"),
+        col(node).as("node"), col(score).as("score"))
+    }
+    top(h1, "c", "h", "hub")
+      .unionByName(top(a2, "sn", "a", "authority"))
+      .orderBy("side", "rank")
+  }
 
   /** Ordered-edge triangle enumeration over an (u, v, shared) edge list
     * with u < v: emits one row per triangle a < b < c. */

@@ -87,6 +87,15 @@ object DeterministicHash {
     * pure integer compares, the libm rule. */
   val bootSalt: Long = 86028121L
 
+  /** Salts for q227's negative sampler: the doc-side RING stream
+    * (position r = knuth32(doc_id, negRingSalt); pool = r % B) and the
+    * probe-side stream (p = knuth32(anchor * (K+1) + slot,
+    * negProbeSalt)) must be independent — a shared stream would place
+    * every anchor's probe exactly on its own ring position and bias
+    * election toward hash-adjacent documents. */
+  val negRingSalt: Long = 122949823L
+  val negProbeSalt: Long = 256203161L
+
   /** Salt for q136/q218's k-fold stream — a genuinely independent
     * stream, so fold membership is uncorrelated with split/sample/
     * mixture/weighted/conformal membership. (Until round 11 this

@@ -734,6 +734,76 @@ object SimilarityQueries {
         |WHERE f.rnk_full <= 10 OR p.rnk_pre <= 10
         |GROUP BY f.qid ORDER BY f.qid""".stripMargin) { (s, d) =>
       matryoshkaFidelity(Tables.embeddings(s, d), prefixDims = 16, k = 10)
+    },
+
+    // --------------------------------------------------------------- q227
+    "q227_negative_sampling" -> QueryDef.sql(
+      "Deterministic global negative sampling for contrastive " +
+      "training — per anchor document, K = 5 reproducible corpus " +
+      "negatives with exact-duplicate exclusion (the in-batch-" +
+      "negatives upgrade every retrieval trainer eventually needs; " +
+      "cf. DPR/SimCLR-style samplers). NO id-density assumption and " +
+      "NO global sort: every doc takes ring position r = " +
+      "knuth32(doc_id, negRingSalt) and pool r % B (B = " +
+      "min(max(1, N/16), 2^31-1) — ~16 docs per pool); probe (a, j) " +
+      "hashes to p under the INDEPENDENT negProbeSalt and elects the " +
+      "ring successor within pool p % B: min (r, doc_id) with " +
+      "r >= p, wrapping to the pool minimum — exact integers, so " +
+      "both engines elect the identical winner even though the " +
+      "methods differ (Spark: one lexicographic struct-min; the " +
+      "oracle: min r then min doc_id at that r — DuckDB's struct-min " +
+      "aggregate degrades superlinearly at 250k groups, measured " +
+      "minutes vs 0.85 s for the two-phase form). Election lands on " +
+      "anchor itself or an exact dup (md5 match) -> the slot reports " +
+      "reason self_or_dup with NULL neg_id (deterministic " +
+      "re-probing is the consumer's retry knob); empty pool -> " +
+      "empty_bucket. Shape at 100 TB: one doc-side hash pass, one " +
+      "probe frame (anchors x K), ONE equi-join on the pool id " +
+      "(expansion = K x pool size, a documented constant; the " +
+      "struct-min is map-side combinable), one candidate equi-join " +
+      "for the dup check. No window, no cartesian, no collect.",
+      s"""WITH ids AS (SELECT doc_id, md5(text) AS sig,
+        |    ${graft.functions.DeterministicHash.knuth32Sql("doc_id",
+               graft.functions.DeterministicHash.negRingSalt)} AS r
+        |  FROM documents),
+        |nb AS (SELECT least(greatest(1, count(*) // 16),
+        |    2147483647)::BIGINT AS b FROM ids),
+        |db AS (SELECT doc_id, sig, r, r % b AS pool
+        |  FROM ids CROSS JOIN nb),
+        |pr AS (SELECT a.doc_id AS anchor_id, g.j AS slot,
+        |    a.sig AS asig,
+        |    ${graft.functions.DeterministicHash.knuth32Sql(
+               "(a.doc_id * 6 + g.j)",
+               graft.functions.DeterministicHash.negProbeSalt)} AS p
+        |  FROM ids a
+        |  CROSS JOIN (SELECT unnest(range(1, 6)) AS j) g),
+        |prb AS (SELECT anchor_id, slot, asig, p, p % b AS pool
+        |  FROM pr CROSS JOIN nb),
+        |els AS (SELECT q.anchor_id, q.slot, q.pool,
+        |    min(CASE WHEN d.r >= q.p THEN d.r END) AS rs,
+        |    min(d.r) AS rw
+        |  FROM prb q JOIN db d ON d.pool = q.pool
+        |  GROUP BY 1, 2, 3),
+        |pick AS (SELECT anchor_id, slot, pool,
+        |    coalesce(rs, rw) AS rpick FROM els),
+        |el2 AS (SELECT k.anchor_id, k.slot,
+        |    min(d.doc_id) AS cand_id
+        |  FROM pick k JOIN db d
+        |    ON d.pool = k.pool AND d.r = k.rpick
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT q.anchor_id, q.slot, q.asig, e.cand_id
+        |  FROM prb q LEFT JOIN el2 e USING (anchor_id, slot)),
+        |res AS (SELECT c.anchor_id, c.slot, c.cand_id,
+        |    c.asig, d2.sig AS nsig
+        |  FROM cand c LEFT JOIN db d2 ON d2.doc_id = c.cand_id)
+        |SELECT anchor_id, slot,
+        |  CASE WHEN cand_id IS NULL THEN 'empty_bucket'
+        |    WHEN cand_id = anchor_id OR nsig = asig THEN 'self_or_dup'
+        |    ELSE 'ok' END AS reason,
+        |  CASE WHEN cand_id IS NOT NULL AND cand_id <> anchor_id
+        |      AND nsig <> asig THEN cand_id END AS neg_id
+        |FROM res ORDER BY anchor_id, slot""".stripMargin) { (s, d) =>
+      negativeSampling(Tables.documents(s, d), k = 5, perPool = 16L)
     }
   )
 
@@ -948,5 +1018,57 @@ object SimilarityQueries {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= 3)
       .orderBy("label", "rnk")
+  }
+
+  /** The q227 negative sampler: hash-pooled ring-successor election
+    * (pool = r % B, succ = lexicographic struct-min with r >= p,
+    * wrap = pool min), exact-dup exclusion by md5. One pool equi-join
+    * with a map-side-combinable struct-min; no global sort, no
+    * id-density assumption. Shared with NegativeSamplingSpec. */
+  def negativeSampling(docs: DataFrame, k: Int, perPool: Long)
+      : DataFrame = {
+    import graft.functions.DeterministicHash
+    val ids = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("sig"),
+      DeterministicHash.knuth32(col("doc_id"),
+        DeterministicHash.negRingSalt).as("r"))
+    val nb = broadcast(ids.agg(
+      least(greatest(lit(1L), expr(s"count(1) div $perPool")),
+        lit(2147483647L)).cast("long").as("b")))
+    val db = ids.crossJoin(nb).select(col("doc_id"), col("sig"),
+      col("r"), (col("r") % col("b")).as("pool"))
+    val prb = ids
+      .select(col("doc_id").as("anchor_id"), col("sig").as("asig"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("slot"))
+      .crossJoin(nb)
+      .select(col("anchor_id"), col("slot"), col("asig"),
+        DeterministicHash.knuth32(
+          col("anchor_id") * lit((k + 1).toLong) + col("slot"),
+          DeterministicHash.negProbeSalt).as("p"),
+        (DeterministicHash.knuth32(
+          col("anchor_id") * lit((k + 1).toLong) + col("slot"),
+          DeterministicHash.negProbeSalt) % col("b")).as("pool"))
+    val el = prb
+      .join(db.select(col("pool"), col("r"), col("doc_id").as("i")),
+        "pool")
+      .groupBy("anchor_id", "slot")
+      .agg(min(when(col("r") >= col("p"), struct(col("r"), col("i"))))
+          .as("succ"),
+        min(struct(col("r"), col("i"))).as("wrap"))
+    val cand = prb.join(el, Seq("anchor_id", "slot"), "left")
+      .select(col("anchor_id"), col("slot"), col("asig"),
+        coalesce(col("succ"), col("wrap")).getField("i").as("cand_id"))
+    val res = cand.join(
+      db.select(col("doc_id").as("cand_id"), col("sig").as("nsig")),
+      Seq("cand_id"), "left")
+    res.select(col("anchor_id"), col("slot"),
+      when(col("cand_id").isNull, "empty_bucket")
+        .when(col("cand_id") === col("anchor_id")
+          || col("nsig") === col("asig"), "self_or_dup")
+        .otherwise("ok").as("reason"),
+      when(col("cand_id").isNotNull
+        && col("cand_id") =!= col("anchor_id")
+        && col("nsig") =!= col("asig"), col("cand_id")).as("neg_id"))
+      .orderBy("anchor_id", "slot")
   }
 }

@@ -87,6 +87,21 @@ object DeterministicHash {
     * pure integer compares, the libm rule. */
   val bootSalt: Long = 86028121L
 
+  /** Salt + per-worker multipliers for q228's rendezvous-sharding
+    * stream: worker w's score for a doc hashes doc_id *
+    * shardMultipliers(w). The multiplier must enter MULTIPLICATIVELY —
+    * an additive slot (doc_id * 16 + w) gives every worker a constant
+    * per-limb offset from worker 0 (the limb is affine in its input),
+    * and the argmax election inherits that structure: measured on the
+    * ~sf1 corpus, additive slots skewed the 9-worker assignment
+    * 8.6-13.6% per worker (18 sigma); distinct prime multipliers are
+    * residue-field permutations per worker and land every cell within
+    * noise of 1/9. Products stay under int64 up to ~9e13 doc ids. */
+  val shardSalt: Long = 104395301L
+  val shardMultipliers: Seq[Long] = Seq(100003L, 100019L, 100043L,
+    100057L, 100069L, 100103L, 100109L, 100129L, 100151L, 100153L,
+    100169L, 100183L, 100189L, 100193L, 100207L, 100213L)
+
   /** Salts for q227's negative sampler: the doc-side RING stream
     * (position r = knuth32(doc_id, negRingSalt); pool = r % B) and the
     * probe-side stream (p = knuth32(anchor * (K+1) + slot,

@@ -949,6 +949,61 @@ object WarehouseQueries {
         |    IS NOT DISTINCT FROM max_full) AS inc_matches_full
         |FROM comb ORDER BY g""".stripMargin) { (s, d) =>
       retractableMaxMv(s, d)
+    },
+
+    // --------------------------------------------------------------- q228
+    "q228_rendezvous_sharding" -> QueryDef.sql(
+      "Rendezvous (highest-random-weight) sharding audit — the " +
+      "consistent-assignment scheme a 1000-executor corpus store uses " +
+      "to grow its worker fleet without a rebalance storm (Thaler & " +
+      "Ravishankar 1998; what ring-based consistent hashing " +
+      "approximates with virtual nodes, HRW does exactly): every doc " +
+      "scores each worker w by knuth32(doc_id * P_w, shardSalt) with " +
+      "P_w a per-worker prime multiplier (multiplicative, NOT an " +
+      "additive slot — the hash limbs are affine in their input, so " +
+      "doc*16+w gives every worker a constant offset from worker 0 " +
+      "and the measured 9-worker balance skewed 8.6-13.6%, 18 sigma; " +
+      "prime multipliers are residue-field permutations and restore " +
+      "1/9 within noise) and lives on the argmax (smallest w on " +
+      "ties). The audit grows " +
+      "the fleet 8 -> 9 and emits the (worker_before, worker_after) " +
+      "movement grid with the HRW contract checked per cell: a doc " +
+      "moves IFF the new worker out-scores all old ones, so every " +
+      "off-diagonal cell must land on worker 8 (moved_only_to_new, " +
+      "oracle-pinned by value) and the expected moved share is 1/9. " +
+      "All elections are exact integer max + first-match tie-break -> " +
+      "hash-exact; shares are single-shape divisions. Shape at " +
+      "100 TB: assignment is a PURE PER-ROW EXPRESSION — no join, no " +
+      "expansion, no token-ring lookup structure at all (the reason " +
+      "HRW beats ring hashing inside an engine); the only aggregate " +
+      "is one combinable rollup onto the <= 81-cell movement grid.",
+      s"""WITH d AS (SELECT doc_id,
+        |    ${(0 to 8).map(w => graft.functions.DeterministicHash
+                 .knuth32Sql(s"(doc_id * ${graft.functions
+                     .DeterministicHash.shardMultipliers(w)})",
+                   graft.functions.DeterministicHash.shardSalt)
+                 + s" AS h$w").mkString(",\n        |    ")}
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    ${(7 to 8).map { top =>
+                 val m = (0 to top).map(w => s"h$w")
+                   .reduce((a, b) => s"greatest($a, $b)")
+                 val cases = (0 to top)
+                   .map(w => s"WHEN h$w = $m THEN $w").mkString(" ")
+                 val name = if (top == 7) "wb" else "wa"
+                 s"CASE $cases END AS $name"
+               }.mkString(",\n        |    ")}
+        |  FROM d),
+        |grid AS (SELECT wb, wa, count(*)::BIGINT AS n_docs
+        |  FROM a GROUP BY 1, 2),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM a)
+        |SELECT wb::BIGINT AS worker_before, wa::BIGINT AS worker_after,
+        |  n_docs, (wb <> wa) AS moved,
+        |  (wb = wa OR wa = 8) AS moved_only_to_new,
+        |  n_docs::DOUBLE / tot.n::DOUBLE AS share
+        |FROM grid CROSS JOIN tot
+        |ORDER BY worker_before, worker_after""".stripMargin) { (s, d) =>
+      rendezvousSharding(Tables.documents(s, d), before = 8, after = 9)
     }
   )
 
@@ -1074,5 +1129,37 @@ object WarehouseQueries {
         ((col("k_used") - 1L) * lit(M)).cast("double")
           / col("kth_inc").cast("double"))
       .orderBy("g")
+  }
+
+  /** The q228 rendezvous-sharding audit: per-row HRW argmax election
+    * (exact integer max, smallest-worker tie-break) for fleet sizes
+    * `before` and `after`, rolled up onto the movement grid. Pure
+    * expression + one combinable aggregate — no join. */
+  def rendezvousSharding(docs: DataFrame, before: Int, after: Int)
+      : DataFrame = {
+    import graft.functions.DeterministicHash
+    def score(w: Int) = DeterministicHash.knuth32(
+      col("doc_id") * lit(DeterministicHash.shardMultipliers(w)),
+      DeterministicHash.shardSalt)
+    def winner(top: Int): org.apache.spark.sql.Column = {
+      val m = (0 until top).map(score).reduce((a, b) => greatest(a, b))
+      (0 until top).foldRight(lit(null): org.apache.spark.sql.Column) {
+        case (w, acc) => when(score(w) === m, w.toLong).otherwise(acc)
+      }
+    }
+    val a = docs.select(col("doc_id"),
+      winner(before).as("wb"), winner(after).as("wa"))
+    val grid = a.groupBy("wb", "wa").agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(a.agg(count(lit(1)).as("n")))
+    grid.crossJoin(tot)
+      .select(col("wb").cast("long").as("worker_before"),
+        col("wa").cast("long").as("worker_after"),
+        col("n_docs"),
+        (col("wb") =!= col("wa")).as("moved"),
+        (col("wb") === col("wa")
+          || col("wa") === lit((after - 1).toLong)).as("moved_only_to_new"),
+        (col("n_docs").cast("double") / col("n").cast("double"))
+          .as("share"))
+      .orderBy("worker_before", "worker_after")
   }
 }

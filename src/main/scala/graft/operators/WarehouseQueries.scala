@@ -1136,7 +1136,15 @@ object WarehouseQueries {
     * `before` and `after`, rolled up onto the movement grid. Pure
     * expression + one combinable aggregate — no join. */
   def rendezvousSharding(docs: DataFrame, before: Int, after: Int)
-      : DataFrame = {
+      : DataFrame =
+    shardGridReadBack(shardGrid(docs, before, after), after)
+
+  /** The q228 assignment + movement-grid rollup: a PURE per-row HRW
+    * argmax election (exact integer max, smallest-worker tie-break)
+    * followed by one combinable count — exactly the shape a streaming
+    * aggregation maintains incrementally (ShardStream's state is this
+    * grid: <= before x after cells). */
+  def shardGrid(docs: DataFrame, before: Int, after: Int): DataFrame = {
     import graft.functions.DeterministicHash
     def score(w: Int) = DeterministicHash.knuth32(
       col("doc_id") * lit(DeterministicHash.shardMultipliers(w)),
@@ -1147,14 +1155,21 @@ object WarehouseQueries {
         case (w, acc) => when(score(w) === m, w.toLong).otherwise(acc)
       }
     }
-    val a = docs.select(col("doc_id"),
-      winner(before).as("wb"), winner(after).as("wa"))
-    val grid = a.groupBy("wb", "wa").agg(count(lit(1)).as("n_docs"))
-    val tot = broadcast(a.agg(count(lit(1)).as("n")))
+    docs.select(col("doc_id"),
+        winner(before).as("wb"), winner(after).as("wa"))
+      .groupBy("wb", "wa").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** q228's decoration over a stored (wb, wa, n_docs) grid: movement
+    * flags, the HRW only-to-new contract, shares. Pure algebra on the
+    * cell frame — the total re-derives from the grid itself, so batch
+    * and read-time-over-streamed-state take the identical path. */
+  def shardGridReadBack(grid: DataFrame, after: Int): DataFrame = {
+    val tot = broadcast(grid.agg(sum("n_docs").cast("long").as("n")))
     grid.crossJoin(tot)
       .select(col("wb").cast("long").as("worker_before"),
         col("wa").cast("long").as("worker_after"),
-        col("n_docs"),
+        col("n_docs").cast("long").as("n_docs"),
         (col("wb") =!= col("wa")).as("moved"),
         (col("wb") === col("wa")
           || col("wa") === lit((after - 1).toLong)).as("moved_only_to_new"),

@@ -790,6 +790,34 @@ object StreamCheck {
         } finally q.stop()
       },
 
+      // --------------------------------------------- shard_grid
+      run("shard_grid",
+        "streamed HRW movement grid + read-back == batch q228 rows") {
+        val ids = Tables.documents(spark, sfDir).select(col("doc_id"))
+          .as[Long].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q228_rendezvous_sharding")(spark, sfDir))
+        val ms = MemoryStream[Long]
+        val q = ShardStream.grid(ms.toDF().toDF("doc_id"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_shard").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: cell counts commute
+          ids.grouped(ids.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          // materialize stored cells before the read-back's self-agg
+          // (a streaming memory relation can't alias-resolve twice)
+          val cells = spark.table("sc_shard")
+            .as[(Long, Long, Long)].collect()
+          val streamed = canon(ShardStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("wb", "wa", "n_docs")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
       run("streaming_etl", "AvailableNow drain: commit log acks every input record") {
         val dir = Files.createTempDirectory("sc-etl")
         val n = 500

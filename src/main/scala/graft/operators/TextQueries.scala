@@ -1639,6 +1639,64 @@ object TextQueries {
             >= lag("fitted", 1).over(Window.orderBy("score_bin")),
             lit(true)))
         .orderBy("score_bin")
+    },
+
+    // --------------------------------------------------------------- q229
+    "q229_token_waterfill" -> QueryDef.sql(
+      "Token-budget waterfilling across source domains — the mixture " +
+      "ALLOCATOR that precedes q71's mixture sampler: given per-domain " +
+      "available token counts and a total budget T (half the corpus " +
+      "here), fill every domain to a common water level, capping " +
+      "domains that run dry (alloc_d = min(avail_d, level) with " +
+      "sum(alloc) = T) — the max-min fair allocation a pretraining " +
+      "data plan solves for. EXACT integer waterfilling, no search: " +
+      "sort domains by avail, a domain saturates iff its avail times " +
+      "the remaining-domain count plus the saturated prefix fits in T " +
+      "(prefix-sum test, monotone along the sorted order), level = " +
+      "(T - pre_k) div (n - k), and the division remainder goes +1 to " +
+      "the first rem unsaturated domains in deterministic (avail, " +
+      "source) order -> allocations are exact integers summing to T; " +
+      "level < avail for every unsaturated domain by the saturation " +
+      "test, so +1 never overfills. Shape at 100 TB: ONE combinable " +
+      "token-count rollup is the only data pass; the sort, windows " +
+      "and the level election all run on the |domains|-row frame.",
+      s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents),
+        |d AS (SELECT source, sum(len(w))::BIGINT AS avail
+        |  FROM t GROUP BY 1),
+        |c AS (SELECT count(*)::BIGINT AS n,
+        |    (sum(avail) // 2)::BIGINT AS t_budget FROM d),
+        |o AS (SELECT source, avail,
+        |    row_number() OVER (ORDER BY avail, source)::BIGINT AS rn,
+        |    sum(avail) OVER (ORDER BY avail, source)::BIGINT AS pre
+        |  FROM d),
+        |sat AS (SELECT o.source, o.avail, o.rn, o.pre,
+        |    ((o.pre - o.avail) + o.avail * (c.n - o.rn + 1)
+        |      <= c.t_budget) AS saturated
+        |  FROM o CROSS JOIN c),
+        |kk AS (SELECT
+        |    count(CASE WHEN saturated THEN 1 END)::BIGINT AS k,
+        |    coalesce(max(CASE WHEN saturated THEN pre END), 0)
+        |      ::BIGINT AS pre_k
+        |  FROM sat),
+        |lv AS (SELECT kk.k, kk.pre_k,
+        |    CASE WHEN c.n > kk.k
+        |      THEN (c.t_budget - kk.pre_k) // (c.n - kk.k) END AS level,
+        |    CASE WHEN c.n > kk.k
+        |      THEN (c.t_budget - kk.pre_k) % (c.n - kk.k) END AS rem
+        |  FROM kk CROSS JOIN c),
+        |al AS (SELECT s.source, s.avail, s.saturated, lv.level,
+        |    CASE WHEN s.saturated THEN s.avail
+        |      ELSE lv.level
+        |        + (CASE WHEN s.rn - lv.k <= lv.rem THEN 1 ELSE 0 END)
+        |    END::BIGINT AS alloc
+        |  FROM sat s CROSS JOIN lv)
+        |SELECT al.source, al.avail AS avail_tokens, al.saturated,
+        |  al.alloc AS alloc_tokens, al.level::BIGINT AS water_level,
+        |  c.t_budget AS budget_tokens,
+        |  al.alloc::DOUBLE / c.t_budget::DOUBLE AS budget_share
+        |FROM al CROSS JOIN c
+        |ORDER BY al.source""".stripMargin) { (s, d) =>
+      tokenWaterfill(Tables.documents(s, d))
     }
   )
 
@@ -2038,5 +2096,52 @@ object TextQueries {
       .select(col("w1"), col("w2"), col("c2"), col("c1"), col("v"),
         ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
           .as("p"))
+  }
+
+  /** The q229 exact integer waterfill: one combinable per-source token
+    * rollup, then the sorted prefix-sum saturation test, level division
+    * and remainder distribution on the |domains|-row frame. Shared with
+    * WaterfillSpec. */
+  def tokenWaterfill(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").cast("long").as("avail"))
+    val c = broadcast(d.agg(count(lit(1)).cast("long").as("n"),
+      expr("sum(avail) div 2").cast("long").as("t_budget")))
+    val w = Window.orderBy("avail", "source")
+    val o = d.select(col("source"), col("avail"),
+      row_number().over(w).cast("long").as("rn"),
+      sum("avail").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("long").as("pre"))
+    val sat = o.crossJoin(c).select(col("source"), col("avail"),
+      col("rn"), col("pre"),
+      ((col("pre") - col("avail"))
+        + col("avail") * (col("n") - col("rn") + 1L)
+        <= col("t_budget")).as("saturated"))
+    val kk = broadcast(sat.agg(
+      count(when(col("saturated"), 1L)).cast("long").as("k"),
+      coalesce(max(when(col("saturated"), col("pre"))), lit(0L))
+        .cast("long").as("pre_k")))
+    val lv = broadcast(kk.crossJoin(c).select(col("k"), col("pre_k"),
+      when(col("n") > col("k"),
+        expr("(t_budget - pre_k) div (n - k)")).as("level"),
+      when(col("n") > col("k"),
+        (col("t_budget") - col("pre_k")) % (col("n") - col("k")))
+        .as("rem")))
+    sat.crossJoin(lv).crossJoin(c)
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("saturated"),
+        when(col("saturated"), col("avail"))
+          .otherwise(col("level")
+            + when(col("rn") - col("k") <= col("rem"), 1L).otherwise(0L))
+          .cast("long").as("alloc_tokens"),
+        col("level").cast("long").as("water_level"),
+        col("t_budget").as("budget_tokens"))
+      .withColumn("budget_share",
+        col("alloc_tokens").cast("double")
+          / col("budget_tokens").cast("double"))
+      .orderBy("source")
   }
 }

@@ -3577,6 +3577,75 @@ object ExtendedQueries {
         |  CROSS JOIN obs
         |ORDER BY conf_pct""".stripMargin) { (s, d) =>
       poissonBootstrap(Tables.events(s, d), b = 199)
+    },
+
+    // --------------------------------------------------------------- q230
+    "q230_decision_stump" -> QueryDef.sql(
+      "Exact decision-stump split finder — the CART split step a " +
+      "feature-selection pass runs per numeric feature (Breiman et " +
+      "al. 1984), with the MISCLASSIFICATION criterion so the " +
+      "election stays pure integer arithmetic at any scale (a Gini " +
+      "comparison cross-multiplies to N^5 products — past " +
+      "decimal(38,0) at 100 TB; training-error counts never leave " +
+      "int64). Per " +
+      "distinct feature value (threshold t: x <= t goes left), prefix " +
+      "sums give left/right (count, positives) in one pass; both " +
+      "leaf orientations are scored (left-predicts-1: errors = left " +
+      "negatives + right positives; left-predicts-0: mirrored), and " +
+      "each orientation elects min (err, threshold) — exact " +
+      "lexicographic integers. Emitted with the majority-class " +
+      "baseline and the gain, so a useless stump is visible in the " +
+      "row itself. Shape at 100 TB: ONE combinable (cents) rollup is " +
+      "the only data-proportional pass; prefix sums and the election " +
+      "run on the distinct-value domain (bounded by the cents range, " +
+      "the q203 discipline), and the 2-row output carries exact " +
+      "integers + single-shape divisions -> hash-exact. Feature/label " +
+      "here: q206's english-stopword-hit count vs lang = 'en'. " +
+      "MEASURED corpus property: the synthetic corpus draws its lang " +
+      "TAGS independently of the text (es/zh/... docs carry the same " +
+      "English jargon vocabulary — checked against every candidate " +
+      "pair: value/purchase, margin features, n_chars/lang all " +
+      "uncorrelated), so the CORRECT answer on this corpus is 'do " +
+      "not split on this feature' and the row reports noise-level " +
+      "gain (spec-bounded <= 5% of baseline, vs ~19% for a real " +
+      "separator); StumpSpec proves the finder non-vacuously on a " +
+      "constructed separable frame with a known threshold and one " +
+      "planted noise point.",
+      s"""WITH t AS (SELECT lang, ${TextQueries.sqlToks} AS w
+        |  FROM documents),
+        |e AS (SELECT len(list_filter(w,
+        |      t -> t IN ('the','and','of','to','a')))::BIGINT AS hits,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM t),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        |  FROM e),
+        |dom AS (SELECT hits, count(*)::BIGINT AS nc,
+        |    sum(y)::BIGINT AS pc
+        |  FROM e GROUP BY 1),
+        |cum AS (SELECT hits,
+        |    sum(nc) OVER (ORDER BY hits)::BIGINT AS cn,
+        |    sum(pc) OVER (ORDER BY hits)::BIGINT AS cp
+        |  FROM dom),
+        |sc AS (SELECT 'le_pos' AS orientation, hits,
+        |    (cn - cp) + (tot.p - cp) AS err FROM cum CROSS JOIN tot
+        |  UNION ALL
+        |  SELECT 'le_neg', hits,
+        |    cp + ((tot.n - cn) - (tot.p - cp)) FROM cum CROSS JOIN tot),
+        |best AS (SELECT orientation,
+        |    min(err)::BIGINT AS err FROM sc GROUP BY 1),
+        |pick AS (SELECT b.orientation, b.err,
+        |    min(sc.hits)::BIGINT AS threshold_hits
+        |  FROM best b JOIN sc
+        |    ON sc.orientation = b.orientation AND sc.err = b.err
+        |  GROUP BY 1, 2)
+        |SELECT pick.orientation, pick.threshold_hits, pick.err,
+        |  tot.n AS n_docs,
+        |  pick.err::DOUBLE / tot.n::DOUBLE AS err_rate,
+        |  least(tot.p, tot.n - tot.p)::BIGINT AS baseline_err,
+        |  (least(tot.p, tot.n - tot.p) - pick.err)::BIGINT AS gain
+        |FROM pick CROSS JOIN tot
+        |ORDER BY orientation""".stripMargin) { (s, d) =>
+      decisionStump(Tables.documents(s, d))
     }
   )
 
@@ -3739,6 +3808,50 @@ object ExtendedQueries {
           && dec(col("s")) * dec(col("hi_nb"))
             <= dec(col("hi_sb")) * dec(col("n"))).as("contains_obs"))
       .orderBy("conf_pct")
+  }
+
+  /** The q230 decision stump: one combinable value-domain rollup,
+    * prefix sums + both-orientation error scoring on the domain grid,
+    * exact lexicographic (err, threshold) election per orientation.
+    * Misclassification (not Gini) so comparisons stay int64 at any
+    * scale. Shared with StumpSpec. */
+  def decisionStump(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{tokens, vocabHits, langVocab}
+    val en = langVocab.toMap.apply("en")
+    val e = docs.select(
+      vocabHits(tokens(col("text")), en).cast("long").as("hits"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val tot = broadcast(e.agg(count(lit(1)).cast("long").as("n"),
+      sum("y").cast("long").as("p")))
+    val dom = e.groupBy("hits")
+      .agg(count(lit(1)).as("nc"), sum("y").cast("long").as("pc"))
+    val w = Window.orderBy("hits")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dom.select(col("hits"),
+      sum("nc").over(w).cast("long").as("cn"),
+      sum("pc").over(w).cast("long").as("cp"))
+    val scored = cum.crossJoin(tot)
+    val sc = scored.select(lit("le_pos").as("orientation"), col("hits"),
+        ((col("cn") - col("cp")) + (col("p") - col("cp"))).as("err"))
+      .unionByName(scored.select(lit("le_neg").as("orientation"),
+        col("hits"),
+        (col("cp") + ((col("n") - col("cn")) - (col("p") - col("cp"))))
+          .as("err")))
+    val best = sc.groupBy("orientation").agg(min("err").cast("long").as("err"))
+    val pick = broadcast(best).join(sc, Seq("orientation", "err"))
+      .groupBy("orientation", "err")
+      .agg(min("hits").cast("long").as("threshold_hits"))
+    pick.crossJoin(tot)
+      .select(col("orientation"), col("threshold_hits"), col("err"),
+        col("n").as("n_docs"),
+        (col("err").cast("double") / col("n").cast("double"))
+          .as("err_rate"),
+        least(col("p"), col("n") - col("p")).cast("long")
+          .as("baseline_err"),
+        (least(col("p"), col("n") - col("p")) - col("err")).cast("long")
+          .as("gain"))
+      .orderBy("orientation")
   }
 
   /** The q219 Markov next-event backtest: temporal 80/20 split,

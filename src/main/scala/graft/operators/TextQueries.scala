@@ -20,7 +20,7 @@ object TextQueries {
   // adding \x0B makes the two tokenizers byte-identical on any input.
   // (Leading/trailing control chars wash out either way: Java trim strips
   // them, DuckDB splits them into empty tokens the filter drops.)
-  private val sqlToks =
+  private[operators] val sqlToks =
     """list_filter(string_split_regex(lower(trim(text)), '[\s\x0B]+'), t -> t != '')"""
 
   /** The q79 BM25 oracle's CTE chain ending in `branked` — the FULL

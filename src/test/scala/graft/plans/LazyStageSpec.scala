@@ -48,12 +48,19 @@ class LazyStageSpec extends SparkSpec {
   test("q65 defers the propagation loop: building the frame schedules no Spark jobs") {
     val sc = spark.sparkContext
     val tracker = sc.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
+    // compare MAX job id, not the id-list length: the status tracker
+    // retains only spark.ui.retainedJobs entries, so in a long test
+    // session the list SHRINKS as old jobs evict — length deltas went
+    // negative and flaked this test at the 754-test scale (r11 close).
+    // Max id is monotone under eviction.
+    def maxJob(): Int =
+      tracker.getJobIdsForGroup(null).maxOption.getOrElse(-1)
+    val before = maxJob()
     val df = graft.SparkEntry.queries("q65_dedup_clusters")(spark, sf0001)
-    val mid = tracker.getJobIdsForGroup(null).length
+    val mid = maxJob()
     assert(mid == before,
-      s"catalog construction of q65 ran ${mid - before} Spark jobs — the loop is eager again")
+      s"catalog construction of q65 ran Spark jobs ($before -> $mid) — the loop is eager again")
     assert(df.count() > 0)
-    assert(tracker.getJobIdsForGroup(null).length > mid, "materialization ran the staged jobs")
+    assert(maxJob() > mid, "materialization ran the staged jobs")
   }
 }

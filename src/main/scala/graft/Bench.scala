@@ -39,6 +39,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
     catch { case _: Throwable => () }
+    // Resolve every table's relation ONCE before timing: the session-
+    // scoped Tables cache (round-11 item-2 fix) makes first access pay
+    // the file-index + footer read for the whole session, and with only
+    // region warmed that cost landed in whichever query ran first
+    // (q01: 1.41 s vs its 0.5-0.6 s steady band at the r11 close).
+    // Measured effect: 1.41 -> ~1.2 s — the resolution share; the
+    // residual is the session's first REAL data job at the bench SF
+    // (executor/broadcast spin-up), a per-session constant like the
+    // JIT warmup above, visible in q01's number and documented here
+    // rather than masked by a data-reading warmup pass.
+    // schema access forces listing + footer resolution without a job.
+    Tables.names.foreach { t =>
+      try { Tables(spark, sfDir, t).schema; () }
+      catch { case _: Throwable => () }
+    }
     // Smallest SF for per-query JIT warmup (same directory layout).
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent

@@ -1697,6 +1697,63 @@ object TextQueries {
         |FROM al CROSS JOIN c
         |ORDER BY al.source""".stripMargin) { (s, d) =>
       tokenWaterfill(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q231
+    "q231_skipgram_assoc" -> QueryDef.sql(
+      "Skip-gram co-occurrence association (window +-2) — the " +
+      "token-LEVEL counting pass that feeds word-embedding training " +
+      "(word2vec/GloVe build exactly this pair-frequency table), " +
+      "distinct from q54's document-level adjacent-bigram lift: " +
+      "unordered token pairs at position distance 1 and 2 " +
+      "(canonicalized least/greatest so both engines count the same " +
+      "pair key), support >= 5, ranked by the PMI-analog lift " +
+      "c_xy * U^2 / (T * c_x * c_y). The ELECTION key is exact " +
+      "integer arithmetic — (c_xy * 10^12) div (c_x * c_y) with " +
+      "pair-string tie-break (U, T are rank-constant factors and " +
+      "drop out) — so the top-20 is deterministic at any scale; the " +
+      "emitted lift double multiplies exact integer casts in ONE " +
+      "fixed association order (IEEE-identical cross-engine; " +
+      "operands < 2^53 at test SFs, the q213 discipline). Shape at " +
+      "100 TB: the pair explode is +-window x corpus tokens (the " +
+      "irreducible skip-gram cost) into ONE combinable count, two " +
+      "equi-joins stamp unigram counts, top-20 is TakeOrdered + a " +
+      "20-row rank window (q226 pattern) — no pair-domain window, " +
+      "no cartesian.",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+        |uni AS (SELECT term, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(w) AS term FROM t) GROUP BY 1),
+        |tu AS (SELECT sum(c)::BIGINT AS nu FROM uni),
+        |p AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1),
+        |      i -> least(w[i], w[i+1]) || ' ' || greatest(w[i], w[i+1]))
+        |    ELSE []::VARCHAR[] END) AS pair FROM t
+        |  UNION ALL
+        |  SELECT unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |      i -> least(w[i], w[i+2]) || ' ' || greatest(w[i], w[i+2]))
+        |    ELSE []::VARCHAR[] END) FROM t),
+        |tp AS (SELECT count(*)::BIGINT AS np FROM p),
+        |cp AS (SELECT pair, count(*)::BIGINT AS cxy FROM p
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |k AS (SELECT cp.pair, string_split(cp.pair, ' ')[1] AS w1,
+        |    string_split(cp.pair, ' ')[2] AS w2, cp.cxy,
+        |    a.c AS c1, b.c AS c2,
+        |    (cp.cxy * 1000000000000) // (a.c * b.c) AS scaled
+        |  FROM cp
+        |  JOIN uni a ON a.term = string_split(cp.pair, ' ')[1]
+        |  JOIN uni b ON b.term = string_split(cp.pair, ' ')[2]),
+        |top AS (SELECT * FROM k ORDER BY scaled DESC, pair LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY scaled DESC, pair)::BIGINT
+        |    AS rank,
+        |  pair, w1, w2, cxy AS c_pair, c1 AS c_w1, c2 AS c_w2,
+        |  ((cxy::DOUBLE * nu::DOUBLE) * nu::DOUBLE)
+        |    / ((np::DOUBLE * c1::DOUBLE) * c2::DOUBLE) AS lift
+        |FROM top CROSS JOIN tu CROSS JOIN tp
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      skipgramAssoc(Tables.documents(s, d), window = 2, minSupport = 5L,
+        k = 20)
     }
   )
 
@@ -2096,6 +2153,50 @@ object TextQueries {
       .select(col("w1"), col("w2"), col("c2"), col("c1"), col("v"),
         ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
           .as("p"))
+  }
+
+  /** The q231 skip-gram pass: pair explode at distances 1..window
+    * (canonical least/greatest keys), one combinable pair count, two
+    * unigram equi-joins, exact integer-scaled lift election, top-k by
+    * TakeOrdered + a k-row rank window. Shared with SkipgramSpec. */
+  def skipgramAssoc(docs: org.apache.spark.sql.DataFrame, window: Int,
+      minSupport: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(tokens(col("text")).as("w"))
+    val uni = t.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("c"))
+    val tu = broadcast(uni.agg(sum("c").cast("long").as("nu")))
+    val p = (1 to window).map { d =>
+      t.select(explode(expr(
+        s"""CASE WHEN size(w) >= ${d + 1}
+           |THEN transform(sequence(1, size(w) - $d),
+           |  i -> concat(least(element_at(w, i), element_at(w, i + $d)),
+           |    ' ', greatest(element_at(w, i), element_at(w, i + $d))))
+           |ELSE array() END""".stripMargin)).as("pair"))
+    }.reduce(_ unionByName _)
+    val tp = broadcast(p.agg(count(lit(1)).cast("long").as("np")))
+    val cp = p.groupBy("pair").agg(count(lit(1)).cast("long").as("cxy"))
+      .where(col("cxy") >= minSupport)
+    val kf = cp
+      .select(col("pair"), split(col("pair"), " ").getItem(0).as("w1"),
+        split(col("pair"), " ").getItem(1).as("w2"), col("cxy"))
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), "w2")
+      .select(col("pair"), col("w1"), col("w2"), col("cxy"),
+        col("c1"), col("c2"),
+        expr("(cxy * 1000000000000) div (c1 * c2)").as("scaled"))
+    val top = kf.orderBy(col("scaled").desc, col("pair")).limit(k)
+    top.crossJoin(tu).crossJoin(tp)
+      .select(
+        row_number().over(Window.orderBy(col("scaled").desc, col("pair")))
+          .cast("long").as("rank"),
+        col("pair"), col("w1"), col("w2"), col("cxy").as("c_pair"),
+        col("c1").as("c_w1"), col("c2").as("c_w2"),
+        (((col("cxy").cast("double") * col("nu").cast("double"))
+          * col("nu").cast("double"))
+          / ((col("np").cast("double") * col("c1").cast("double"))
+            * col("c2").cast("double"))).as("lift"))
+      .orderBy("rank")
   }
 
   /** The q229 exact integer waterfill: one combinable per-source token

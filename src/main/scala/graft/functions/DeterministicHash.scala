@@ -120,4 +120,12 @@ object DeterministicHash {
     * collided silently, so the constant is now distinct by value, not
     * by luck.) */
   val foldSalt: Long = 198491317L
+
+  /** Salt for q233's training-shuffle ORDER stream (the order whose
+    * run structure the Wald-Wolfowitz audit measures). Independent of
+    * every sampling/split stream above: if the shuffle order shared a
+    * stream with, say, the q62 split, the audited order would be
+    * correlated with split membership and the runs z-score would
+    * measure the split, not the shuffle. */
+  val shuffleSalt: Long = 49979687L
 }

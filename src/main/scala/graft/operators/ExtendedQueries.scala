@@ -3646,6 +3646,61 @@ object ExtendedQueries {
         |FROM pick CROSS JOIN tot
         |ORDER BY orientation""".stripMargin) { (s, d) =>
       decisionStump(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q233
+    "q233_shuffle_runs_audit" -> QueryDef.sql(
+      "Training-shuffle quality audit — the multi-class Wald-Wolfowitz " +
+      "runs test (Barton & David 1957) on the DETERMINISTIC training " +
+      "order (docs sorted by the q56-family Knuth hash on its own " +
+      "salt stream): a well-shuffled corpus interleaves sources, so " +
+      "the observed number of same-source runs R should sit near its " +
+      "permutation expectation E[R] = (n(n+1) - S2)/n with variance " +
+      "[S2(S2 + n(n+1)) - 2nS3 - n^3]/(n^2(n-1)) (S_k = sum n_i^k) — " +
+      "a z far below 0 means source-clumped batches (curriculum " +
+      "drift), far above means anti-correlated striping. Emits one " +
+      "row per source (n_docs, runs_started — run starts attributed " +
+      "to the run's OWN label, so sum(runs_started) = R is an " +
+      "internal invariant) with the corpus-level R/E/Var/z stamped " +
+      "on. Every input to the doubles is an exact int64 (counts, S2, " +
+      "S3, R); E and Var are ONE integer-numerator division each and " +
+      "z composes them with correctly-rounded sqrt in a fixed shape " +
+      "-> hash-exact. Shape at 100 TB: the order is hash-RANGE " +
+      "bucketed (4096 buckets); runs count within buckets under a " +
+      "PARTITIONED window, and bucket-boundary continuations resolve " +
+      "on the 4096-row (first_src, last_src) summary frame — the q69 " +
+      "prefix-sum lift, no corpus-wide window anywhere (the oracle " +
+      "uses the plain global-lag form; the bucketed plan must and " +
+      "does reproduce it exactly). int64 headroom: S2^2-order terms " +
+      "cap at ~4e11 docs; past that, DECIMAL(38,0), same algebra.",
+      s"""WITH h AS (SELECT doc_id, source,
+        |    ${graft.functions.DeterministicHash.knuth32Sql("doc_id",
+               graft.functions.DeterministicHash.shuffleSalt)} AS h
+        |  FROM documents),
+        |o AS (SELECT source,
+        |    lag(source) OVER (ORDER BY h, doc_id) AS prev FROM h),
+        |fl AS (SELECT source, CASE WHEN prev IS NULL OR prev <> source
+        |    THEN 1 ELSE 0 END AS st FROM o),
+        |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(st)::BIGINT AS runs_started FROM fl GROUP BY 1),
+        |g AS (SELECT sum(n_docs)::BIGINT AS n,
+        |    count(*)::BIGINT AS k, sum(runs_started)::BIGINT AS r,
+        |    sum(n_docs * n_docs)::BIGINT AS s2,
+        |    sum(n_docs * n_docs * n_docs)::BIGINT AS s3 FROM per)
+        |SELECT per.source, per.n_docs, per.runs_started,
+        |  g.n AS n_total, g.k AS k_classes, g.r AS runs_total,
+        |  ((g.n * (g.n + 1) - g.s2)::DOUBLE / g.n::DOUBLE) AS e_runs,
+        |  ((g.s2 * (g.s2 + g.n * (g.n + 1)) - 2 * g.n * g.s3
+        |      - g.n * g.n * g.n)::DOUBLE
+        |    / (g.n * g.n * (g.n - 1))::DOUBLE) AS var_runs,
+        |  ((g.r::DOUBLE
+        |      - ((g.n * (g.n + 1) - g.s2)::DOUBLE / g.n::DOUBLE))
+        |    / sqrt((g.s2 * (g.s2 + g.n * (g.n + 1)) - 2 * g.n * g.s3
+        |        - g.n * g.n * g.n)::DOUBLE
+        |      / (g.n * g.n * (g.n - 1))::DOUBLE)) AS z_score
+        |FROM per CROSS JOIN g
+        |ORDER BY per.source""".stripMargin) { (s, d) =>
+      shuffleRunsAudit(Tables.documents(s, d))
     }
   )
 
@@ -4563,6 +4618,65 @@ object ExtendedQueries {
       .join(st, "source")
       .select(col("source"), col("n_docs"), col("med"), col("mad"),
         col("n_outliers"))
+      .orderBy("source")
+  }
+
+  /** q233's bucketed runs counter: hash-range buckets bound every
+    * window to a partition; run starts are attributed to the new
+    * run's own label (within-bucket lag) plus bucket-boundary
+    * continuation checks on the 4096-row summary frame. The global
+    * invariant sum(runs_started) = R is what the oracle's plain
+    * global-lag form checks. Shared by the catalog entry and
+    * ShuffleRunsSpec. */
+  def shuffleRunsAudit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketWidth = 4294967296L / 4096L // 2^32 hash range, 4096 buckets
+    val h = docs.select(col("doc_id"), col("source"),
+        graft.functions.DeterministicHash
+          .knuth32(col("doc_id"), graft.functions.DeterministicHash
+            .shuffleSalt).as("h"))
+      .withColumn("bucket", expr(s"h div ${bucketWidth}L"))
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val fl = h.withColumn("prev", lag("source", 1).over(w))
+    // within-bucket starts: a label change mid-bucket starts a run of
+    // the NEW label; bucket-first rows are decided by the boundary pass
+    val within = fl
+      .where(col("prev").isNotNull && col("prev") =!= col("source"))
+      .groupBy("source").agg(count(lit(1)).as("starts_w"))
+    // 4096-row bucket summary: first/last doc's source per bucket via
+    // lexicographic struct extremes on the (h, doc_id) order key
+    val bs = h.groupBy("bucket").agg(
+        min(struct(col("h"), col("doc_id"), col("source"))).as("fst"),
+        max(struct(col("h"), col("doc_id"), col("source"))).as("lst"))
+      .select(col("bucket"), col("fst.source").as("first_src"),
+        col("lst.source").as("last_src"))
+    val wb = Window.orderBy("bucket") // bounded: <= 4096 summary rows
+    val bstarts = bs.withColumn("prev_last", lag("last_src", 1).over(wb))
+      .where(col("prev_last").isNull ||
+        col("prev_last") =!= col("first_src"))
+      .groupBy(col("first_src").as("source"))
+      .agg(count(lit(1)).as("starts_b"))
+    val per = h.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(within, Seq("source"), "left")
+      .join(bstarts, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        (coalesce(col("starts_w"), lit(0L)) +
+          coalesce(col("starts_b"), lit(0L))).as("runs_started"))
+    val g = per.agg(sum("n_docs").as("n"),
+      count(lit(1)).as("k"), sum("runs_started").as("r"),
+      sum(expr("n_docs * n_docs")).as("s2"),
+      sum(expr("n_docs * n_docs * n_docs")).as("s3"))
+    per.crossJoin(broadcast(g))
+      .withColumn("e_runs",
+        expr("cast(n * (n + 1) - s2 as double) / cast(n as double)"))
+      .withColumn("var_runs",
+        expr("cast(s2 * (s2 + n * (n + 1)) - 2 * n * s3 - n * n * n " +
+          "as double) / cast(n * n * (n - 1) as double)"))
+      .select(col("source"), col("n_docs"), col("runs_started"),
+        col("n").as("n_total"), col("k").as("k_classes"),
+        col("r").as("runs_total"), col("e_runs"), col("var_runs"),
+        ((col("r").cast("double") - col("e_runs")) /
+          sqrt(col("var_runs"))).as("z_score"))
       .orderBy("source")
   }
 }

@@ -590,6 +590,60 @@ object GraphQueries {
       hits(graft.plans.SharedFrames(s, d, "purchase_pairs") {
         purchasePairs(s, d)
       }, k = 20)
+    },
+
+    // --------------------------------------------------------------- q232
+    "q232_link_prediction" -> QueryDef.sql(
+      "Link prediction on the part co-occurrence graph: top-20 " +
+      "NON-adjacent part pairs most likely to co-occur next, scored " +
+      "by the Resource Allocation index (Zhou/Lu/Zhang 2009) — " +
+      "RA(a,c) = sum over common neighbors z of 1/deg(z) — the " +
+      "candidate-generation step of a graph recommender, distinct " +
+      "from q107 (which ranks EXISTING edges by cosine; this ranks " +
+      "ABSENT pairs by shared-neighborhood structure). The election " +
+      "key is exact: each z contributes the INTEGER 1e12 div deg(z), " +
+      "summed as int64 (commutative, order-free) with (cn desc, pair) " +
+      "tie-break; the emitted ra_index double is ONE division of that " +
+      "integer by 1e12 — IEEE-identical cross-engine (the q107 " +
+      "correctly-rounded rule). Shape at 100 TB: wedges come from ONE " +
+      "self-equi-join of the degree-stamped adjacency on the center z " +
+      "(sum deg(z)^2 over the SUPPORT-THRESHOLDED sparse edge list — " +
+      "q102's bounded wedge cost, hub skew splits under AQE), " +
+      "candidates are one combinable (count, sum) aggregate, " +
+      "non-adjacency is a LEFT ANTI equi-join against the edge list, " +
+      "and top-20 is TakeOrderedAndProject with the rank window on " +
+      "20 rows. int64 headroom: ra_scaled <= cn * 1e12; past ~9e6 " +
+      "common neighbors (trillion-edge hubs) switch the sum to " +
+      "DECIMAL(38,0), same algebra.",
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |adw AS (SELECT adj.z, adj.x,
+        |    (1000000000000 // deg.deg)::BIGINT AS w
+        |  FROM (SELECT u AS z, v AS x FROM e
+        |        UNION ALL SELECT v AS z, u AS x FROM e) adj
+        |  JOIN deg ON adj.z = deg.node),
+        |cand AS (SELECT l.x AS a, r.x AS c, count(*)::BIGINT AS cn,
+        |    sum(l.w)::BIGINT AS ra_scaled
+        |  FROM adw l JOIN adw r ON l.z = r.z AND l.x < r.x
+        |  GROUP BY 1, 2),
+        |na AS (SELECT * FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE e.u = cand.a AND e.v = cand.c)),
+        |top AS (SELECT * FROM na
+        |  ORDER BY ra_scaled DESC, cn DESC, a, c LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY ra_scaled DESC, cn DESC,
+        |    a, c)::BIGINT AS rank,
+        |  a::BIGINT AS part_a, c::BIGINT AS part_b,
+        |  cn AS common_neighbors, ra_scaled,
+        |  ra_scaled::DOUBLE / 1000000000000.0 AS ra_index
+        |FROM top ORDER BY rank""".stripMargin) { (s, d) =>
+      linkPrediction(basketCo2(s, d), k = 20)
     }
   )
 
@@ -851,5 +905,42 @@ object GraphQueries {
     e1.join(e2, "b").join(e3, Seq("a", "c"))
       .select("a", "b", "c", "shared_ab", "shared_bc", "shared_ac")
       .orderBy("a", "b", "c")
+  }
+
+  /** q232's Resource-Allocation link predictor over an arbitrary
+    * canonical (u < v) edge list: degree-stamped adjacency, wedge
+    * self-join on the center node, (count, integer-RA-sum) aggregate,
+    * LEFT ANTI against existing edges, top-k by the exact int64
+    * election key. Shared by the catalog entry and
+    * LinkPredictionSpec. */
+  def linkPrediction(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = e.select(col("u").as("z"), col("v").as("x"))
+      .unionAll(e.select(col("v").as("z"), col("u").as("x")))
+    val adw = adj.join(deg.withColumnRenamed("node", "z"), "z")
+      .select(col("z"), col("x"),
+        expr("1000000000000 div deg").as("w"))
+    val cand = adw.select(col("z"), col("x").as("a"), col("w"))
+      .join(adw.select(col("z"), col("x").as("c")), "z")
+      .where(col("a") < col("c"))
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("cn"), sum("w").as("ra_scaled"))
+    val na = cand.join(
+      e.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "left_anti")
+    val ord = Seq(col("ra_scaled").desc, col("cn").desc, col("a"),
+      col("c"))
+    na.orderBy(ord: _*).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("rank"), col("a").cast("long").as("part_a"),
+        col("c").cast("long").as("part_b"),
+        col("cn").as("common_neighbors"), col("ra_scaled"),
+        (col("ra_scaled").cast("double") / lit(1.0e12)).as("ra_index"))
+      .orderBy("rank")
   }
 }

@@ -3701,6 +3701,51 @@ object ExtendedQueries {
         |FROM per CROSS JOIN g
         |ORDER BY per.source""".stripMargin) { (s, d) =>
       shuffleRunsAudit(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q234
+    "q234_cramer_von_mises" -> QueryDef.sql(
+      "Two-sample Cramer-von Mises test between the experiment arms " +
+      "on order value (Anderson 1962) — completes the q182/q183 " +
+      "nonparametric pair: KS reads the WORST ECDF gap, CvM the " +
+      "INTEGRATED squared gap, so a distribution shift spread thinly " +
+      "across the whole range (which never produces one big gap) " +
+      "fails here first. Uses the ECDF form over the SAME " +
+      "value-aggregated prefix-sum frame as q182 — T = sum_v " +
+      "(c1+c0) * (F1(v)-F0(v))^2 * n1*n0/(n1+n0)^2 — which is " +
+      "tie-exact by construction (the rank form needs arbitrary " +
+      "tie-breaking; the ECDF form is its tie-limit). The integrand " +
+      "folds EXACTLY: dnum = f1*n0 - f0*n1 is int64, the weighted " +
+      "square sums in decimal(38,0)/HUGEINT (q169's 128-bit rule, " +
+      "~3e29 max at ~sf1 vs 1e38 capacity), and t_stat/e_t are " +
+      "single-shape IEEE: s_num/(A*(B*B)) with A = (n1*n0)::double, " +
+      "B = (n1+n0)::double, E[T] = (n+1)/(6n), reject at the " +
+      "asymptotic 5% point 0.461 -> hash-exact. Shape at 100 TB: " +
+      "identical to q182 — one combinable value aggregate, " +
+      "shard-parallel prefix windows, ONE 1-row decimal fold; past " +
+      "~3e9 orders per arm lift dnum itself to decimal, same " +
+      "algebra.",
+      s"""WITH $armEcdfCtes,
+        |tot AS (SELECT max(f1)::BIGINT AS n1, max(f0)::BIGINT AS n0
+        |  FROM f),
+        |s AS (SELECT sum((f.c1 + f.c0)::HUGEINT
+        |      * (f.f1 * tot.n0 - f.f0 * tot.n1)::HUGEINT
+        |      * (f.f1 * tot.n0 - f.f0 * tot.n1)::HUGEINT) AS s_num
+        |  FROM f CROSS JOIN tot)
+        |SELECT tot.n1, tot.n0, CAST(s.s_num AS DOUBLE) AS s_num,
+        |  CAST(s.s_num AS DOUBLE)
+        |    / ((tot.n1 * tot.n0)::DOUBLE
+        |      * ((tot.n1 + tot.n0)::DOUBLE
+        |        * (tot.n1 + tot.n0)::DOUBLE)) AS t_stat,
+        |  ((tot.n1 + tot.n0 + 1)::DOUBLE
+        |    / (6.0 * (tot.n1 + tot.n0)::DOUBLE)) AS e_t,
+        |  (CASE WHEN CAST(s.s_num AS DOUBLE)
+        |      / ((tot.n1 * tot.n0)::DOUBLE
+        |        * ((tot.n1 + tot.n0)::DOUBLE
+        |          * (tot.n1 + tot.n0)::DOUBLE)) > 0.461
+        |    THEN 1 ELSE 0 END)::BIGINT AS reject_05
+        |FROM s CROSS JOIN tot""".stripMargin) { (s, d) =>
+      cramerVonMises(armValueCum(s, d))
     }
   )
 
@@ -4678,5 +4723,35 @@ object ExtendedQueries {
         ((col("r").cast("double") - col("e_runs")) /
           sqrt(col("var_runs"))).as("z_score"))
       .orderBy("source")
+  }
+
+  /** q234's CvM fold over a (v, c1, c0, f1, f0) value-cum frame (the
+    * [[armValueCum]] scaffold or any hand-built equivalent): ONE
+    * aggregate — n1/n0 ride as sum(c1)/sum(c0) via a broadcast 1-row
+    * total (the q182 two-pass shape), the weighted squared ECDF gap
+    * folds in decimal(38,0). Shared by the catalog entry and
+    * CramerVonMisesSpec. */
+  def cramerVonMises(f: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val tot = broadcast(f.agg(sum("c1").cast("long").as("n1"),
+      sum("c0").cast("long").as("n0")))
+    val dd = f.crossJoin(tot).select(col("n1"), col("n0"),
+      (col("c1") + col("c0")).cast(d19).as("w"),
+      (col("f1") * col("n0") - col("f0") * col("n1")).cast(d19)
+        .as("dnum"))
+    val s = dd.groupBy("n1", "n0")
+      .agg(sum(col("w") * col("dnum") * col("dnum"))
+        .cast("decimal(38,0)").as("s_big"))
+    val sNum = col("s_big").cast("double")
+    val den = (col("n1") * col("n0")).cast("double") *
+      ((col("n1") + col("n0")).cast("double") *
+        (col("n1") + col("n0")).cast("double"))
+    val tStat = sNum / den
+    s.select(col("n1"), col("n0"), sNum.as("s_num"),
+      tStat.as("t_stat"),
+      ((col("n1") + col("n0") + lit(1L)).cast("double") /
+        (lit(6.0) * (col("n1") + col("n0")).cast("double"))).as("e_t"),
+      when(tStat > lit(0.461), 1L).otherwise(0L).cast("long")
+        .as("reject_05"))
   }
 }

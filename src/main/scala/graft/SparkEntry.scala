@@ -23,6 +23,7 @@ object SparkEntry {
       operators.MultimodalQueries.defs ++
       operators.ExtendedQueries.defs ++
       operators.ExtendedQueries.defs2 ++
+      operators.AgreementQueries.defs ++
       operators.GraphQueries.defs ++
       operators.WarehouseQueries.defs ++
       operators.PipelineQueries.defs): _*)

@@ -818,6 +818,35 @@ object StreamCheck {
         } finally q.stop()
       },
 
+      // --------------------------------------------- agreement_grid
+      run("agreement_grid",
+        "streamed annotator-agreement grid + kappa read-back == batch q235 rows") {
+        val ds = Tables.documents(spark, sfDir)
+          .select(col("n_chars").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q235_cohens_kappa")(spark, sfDir))
+        val ms = MemoryStream[(Long, String)]
+        val q = AgreementStream.grid(ms.toDF().toDF("n_chars", "text"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_agree").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: cell counts commute
+          ds.grouped(ds.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          // materialize stored cells before the read-back's self-joins
+          // (a streaming memory relation can't alias-resolve twice)
+          val cells = spark.table("sc_agree")
+            .as[(Long, Long, Long)].collect()
+          val streamed = canon(AgreementStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("a", "b", "n_cell")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
       run("streaming_etl", "AvailableNow drain: commit log acks every input record") {
         val dir = Files.createTempDirectory("sc-etl")
         val n = 500

@@ -1157,4 +1157,35 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p.contains("ts:timestamp"), "scan reads ts:\n" + p)
     assert(!p.contains("event_type"), "scan reads event_type:\n" + p)
   }
+
+  test("q235/q236/q238: agreement family is single-pass aggs, no data cartesian") {
+    // every crossJoin in the family attaches a broadcast 1-row scalar
+    // frame (the established audit shape) — a CartesianProduct would
+    // mean a data-sized pair blowup
+    Seq("q235_cohens_kappa", "q236_mcnemar_test",
+        "q238_hamilton_apportionment").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q236 is ONE combinable pass: a single physical aggregate pair
+    // (partial+final), no join anywhere
+    val p236 = plan("q236_mcnemar_test")
+    assert(!p236.contains("Join"), "mcnemar should not join:\n" + p236)
+  }
+
+  test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
+    val p = plan("q237_bradley_terry")
+    assert(!p.contains("CartesianProduct"), p)
+    // same contract as q95: the smoothed pair matrix feeds every MM
+    // iteration (terms + wins), and ReuseExchange must dedup it so the
+    // duel build (per-order self-join + pair agg) executes once, not
+    // once per iteration — at 10^11 duels a rescan per iteration is
+    // the difference between one shuffle and six
+    val df = SparkEntry.queries("q237_bradley_terry")(spark, sf001)
+    df.collect() // finalize AQE so reuse nodes are visible
+    val pf = df.queryExecution.executedPlan.toString()
+    assert(pf.contains("ReusedExchange") || pf.contains("TableCacheQueryStage")
+      || pf.contains("InMemoryTableScan"),
+      s"no exchange reuse across MM iterations:\n$pf")
+  }
 }

@@ -1173,6 +1173,22 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p236.contains("Join"), "mcnemar should not join:\n" + p236)
   }
 
+  test("q239/q240: set cover reuses the incidence exchange; no cartesian") {
+    Seq("q239_greedy_set_cover", "q240_fleiss_kappa").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // the (source, shingle) incidence feeds every greedy step (gain agg
+    // + covered semi-join) — ReuseExchange must dedup it so the docs
+    // scan + explode + distinct executes once, not once per step
+    val df = SparkEntry.queries("q239_greedy_set_cover")(spark, sf001)
+    df.collect() // finalize AQE so reuse nodes are visible
+    val pf = df.queryExecution.executedPlan.toString()
+    assert(pf.contains("ReusedExchange") || pf.contains("TableCacheQueryStage")
+      || pf.contains("InMemoryTableScan"),
+      s"no exchange reuse across greedy steps:\n$pf")
+  }
+
   test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
     val p = plan("q237_bradley_terry")
     assert(!p.contains("CartesianProduct"), p)

@@ -334,6 +334,50 @@ object AgreementQueries {
   }
 
   // ------------------------------------------------------------------
+  // q242 Mantel-Haenszel pooled odds ratio
+  // ------------------------------------------------------------------
+
+  /** Mantel-Haenszel pooled odds ratio across lang strata: exposure =
+    * token count >= 70, outcome = char length >= 385 (the q236
+    * classifier pair re-read as an epidemiological 2x2). Per-stratum
+    * cells a/b/c/d are exact integers; the MH fold uses the q95
+    * scaled-integer discipline — ad_term = floor(a*d*1e9 / n) and
+    * bc_term = floor(b*c*1e9 / n) sum as exact int64 (commutative, no
+    * float accumulation), and or_mh is the ONE IEEE division of the
+    * two pooled sums. a*d*1e9 stays under int64 to ~3e4-doc strata;
+    * past that the terms lift to decimal(38,0), same algebra. */
+  def mantelHaenszel(docs: DataFrame): DataFrame = {
+    val lab = docs.select(col("lang"),
+      (size(tokens(col("text"))).cast("long") >= 70L).as("e"),
+      (col("n_chars").cast("long") >= 385L).as("o"))
+    val s = lab.groupBy("lang").agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).cast("long")
+        .as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).cast("long")
+        .as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).cast("long")
+        .as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).cast("long")
+        .as("d"),
+      count(lit(1)).cast("long").as("n"))
+    val terms = s.select(col("lang"), col("a"), col("b"), col("c"),
+      col("d"), col("n"),
+      expr("(a * d * 1000000000) div n").cast("long").as("ad_term"),
+      expr("(b * c * 1000000000) div n").cast("long").as("bc_term"))
+    val pool = broadcast(terms.agg(
+      sum("ad_term").cast("long").as("sum_ad"),
+      sum("bc_term").cast("long").as("sum_bc")))
+    terms.crossJoin(pool)
+      .select(col("lang"), col("a"), col("b"), col("c"), col("d"),
+        col("n"), col("ad_term"), col("bc_term"), col("sum_ad"),
+        col("sum_bc"),
+        when(col("sum_bc") > 0L,
+          col("sum_ad").cast("double") / col("sum_bc").cast("double"))
+          .otherwise(lit(0.0)).as("or_mh"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------------------------
 
   private def sqlToks = TextQueries.sqlToks
 
@@ -638,6 +682,47 @@ object AgreementQueries {
         |FROM ck CROSS JOIN tot CROSS JOIN b
         |ORDER BY category""".stripMargin) { (s, d) =>
       fleissKappa(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q242
+    "q242_mantel_haenszel" -> QueryDef.sql(
+      "Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959) " +
+      "across lang strata — the stratified-confounding audit a " +
+      "metrics pipeline runs before attributing an exposure/outcome " +
+      "association (here the q236 classifier pair re-read as a 2x2: " +
+      "exposure = token count >= 70, outcome = chars >= 385; " +
+      "stratifying by the text-independent lang tag must NOT change " +
+      "the association — the Simpson's-paradox check). Per-stratum " +
+      "a/b/c/d are exact integers; the MH fold uses the q95 scaled-" +
+      "integer discipline: ad_term = floor(a*d*1e9/n), bc_term = " +
+      "floor(b*c*1e9/n) sum as exact int64 (COMMUTATIVE — no float " +
+      "accumulation to order-diverge), and or_mh is the one IEEE " +
+      "division of the pooled sums. Shape at 100 TB: per-row " +
+      "expressions + one 5-counter combinable agg per stratum; the " +
+      "pool is a broadcast 1-row frame; terms lift to decimal(38,0) " +
+      "past ~3e4-doc strata, same algebra.",
+      s"""WITH t AS (SELECT lang,
+        |    (len($sqlToks) >= 70) AS e,
+        |    (n_chars::BIGINT >= 385) AS o
+        |  FROM documents),
+        |s AS (SELECT lang,
+        |    sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT
+        |      AS d,
+        |    count(*)::BIGINT AS n
+        |  FROM t GROUP BY 1),
+        |terms AS (SELECT lang, a, b, c, d, n,
+        |    ((a * d * 1000000000) // n)::BIGINT AS ad_term,
+        |    ((b * c * 1000000000) // n)::BIGINT AS bc_term FROM s),
+        |pool AS (SELECT sum(ad_term)::BIGINT AS sum_ad,
+        |    sum(bc_term)::BIGINT AS sum_bc FROM terms)
+        |SELECT lang, a, b, c, d, n, ad_term, bc_term, sum_ad, sum_bc,
+        |  CASE WHEN sum_bc > 0
+        |    THEN sum_ad::DOUBLE / sum_bc::DOUBLE ELSE 0.0 END AS or_mh
+        |FROM terms CROSS JOIN pool ORDER BY lang""".stripMargin) {
+      (s, d) => mantelHaenszel(Tables.documents(s, d))
     }
   )
 }

@@ -1699,6 +1699,40 @@ object TextQueries {
       tokenWaterfill(Tables.documents(s, d))
     },
 
+    // --------------------------------------------------------------- q241
+    "q241_vocab_richness" -> QueryDef.sql(
+      "Good-Turing / Chao1 vocabulary-richness audit per source (Good " +
+      "1953; Chao 1984) — the 'how much vocabulary have we NOT seen " +
+      "yet' question a corpus curator asks before buying more of a " +
+      "source, distinct from q126's known-vocab coverage and q179's " +
+      "observed growth curve: the GOOD-TURING unseen-probability " +
+      "mass p_unseen = N1/N (hapax share of tokens) and the CHAO1 " +
+      "total-richness floor V + N1^2/(2*N2) (bias-corrected " +
+      "V + N1*(N1-1)/2 when N2 = 0) are both SINGLETON-based " +
+      "estimators — exact integer counts (N, V, hapax N1, dis " +
+      "legomena N2) with single-shape IEEE divisions -> hash-exact. " +
+      "Shape at 100 TB: one token explode into a combinable " +
+      "(source, term) count, then a combinable frequency-of-" +
+      "frequencies rollup — two hash aggs, output |sources| rows.",
+      s"""WITH t AS (SELECT source, unnest($sqlToks) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*)::BIGINT AS c FROM t
+        |  GROUP BY 1, 2),
+        |ff AS (SELECT source, sum(c)::BIGINT AS n_tok,
+        |    count(*)::BIGINT AS vocab,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM tc GROUP BY 1)
+        |SELECT source, n_tok, vocab, n1, n2,
+        |  n1::DOUBLE / n_tok::DOUBLE AS p_unseen,
+        |  CASE WHEN n2 > 0
+        |    THEN vocab::DOUBLE + (n1 * n1)::DOUBLE / (2 * n2)::DOUBLE
+        |    ELSE vocab::DOUBLE + (n1 * (n1 - 1))::DOUBLE / 2.0
+        |  END AS chao1
+        |FROM ff ORDER BY source""".stripMargin) { (s, d) =>
+      vocabRichness(Tables.documents(s, d))
+    },
+
     // --------------------------------------------------------------- q231
     "q231_skipgram_assoc" -> QueryDef.sql(
       "Skip-gram co-occurrence association (window +-2) — the " +
@@ -2197,6 +2231,33 @@ object TextQueries {
           / ((col("np").cast("double") * col("c1").cast("double"))
             * col("c2").cast("double"))).as("lift"))
       .orderBy("rank")
+  }
+
+  /** The q241 singleton-based richness estimators: Good-Turing unseen
+    * mass and the Chao1 floor from one (source, term) count plus one
+    * frequency-of-frequencies rollup. Shared with VocabRichnessSpec. */
+  def vocabRichness(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).cast("long").as("c"))
+    val ff = tc.groupBy("source").agg(
+      sum("c").cast("long").as("n_tok"),
+      count(lit(1)).cast("long").as("vocab"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long").as("n1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long").as("n2"))
+    ff.select(col("source"), col("n_tok"), col("vocab"), col("n1"),
+        col("n2"),
+        (col("n1").cast("double") / col("n_tok").cast("double"))
+          .as("p_unseen"),
+        when(col("n2") > 0L,
+          col("vocab").cast("double")
+            + (col("n1") * col("n1")).cast("double")
+              / (lit(2L) * col("n2")).cast("double"))
+          .otherwise(col("vocab").cast("double")
+            + (col("n1") * (col("n1") - 1L)).cast("double") / lit(2.0))
+          .as("chao1"))
+      .orderBy("source")
   }
 
   /** The q229 exact integer waterfill: one combinable per-source token

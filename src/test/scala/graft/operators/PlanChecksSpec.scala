@@ -1189,6 +1189,14 @@ class PlanChecksSpec extends SparkSpec {
       s"no exchange reuse across greedy steps:\n$pf")
   }
 
+  test("q241/q242: richness and MH are combinable agg chains, no cartesian") {
+    Seq("q241_vocab_richness", "q242_mantel_haenszel").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"window-free by design — $q:\n$p")
+    }
+  }
+
   test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
     val p = plan("q237_bradley_terry")
     assert(!p.contains("CartesianProduct"), p)

@@ -378,6 +378,55 @@ object AgreementQueries {
   }
 
   // ------------------------------------------------------------------
+  // q244 Cochran-Armitage trend test
+  // ------------------------------------------------------------------
+
+  /** Cochran-Armitage trend test for a binary outcome across ordered
+    * dose groups (token terciles -> outcome chars >= 385): with scores
+    * w = group index, T = N*sum(w*a) - A*sum(w*n) and Var-part
+    * D = A*(N-A)*(N*sum(w^2*n) - (sum(w*n))^2), the chi-square is
+    * z^2 = T^2*N^2 / D — ALL exact integers cross-multiplied in
+    * decimal(38,0) (the q169 128-bit rule; ~1e28 at ~sf1 vs 1e38
+    * capacity), one IEEE division at the end, reject at the
+    * chi-square(1) 5% point 3.841. */
+  def cochranArmitage(docs: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val nt = size(tokens(col("text"))).cast("long")
+    val d = docs.select(
+      when(nt < 40L, 0L).when(nt < 70L, 1L).otherwise(2L).as("dose"),
+      when(col("n_chars").cast("long") >= 385L, 1L).otherwise(0L)
+        .as("y"))
+    val s = d.groupBy("dose").agg(count(lit(1)).cast("long").as("n"),
+      sum("y").cast("long").as("a"))
+    val tot = broadcast(s.agg(
+      sum("n").cast("long").as("n_tot"),
+      sum("a").cast("long").as("a_tot"),
+      sum(col("dose") * col("a")).cast("long").as("swa"),
+      sum(col("dose") * col("n")).cast("long").as("swn"),
+      sum(col("dose") * col("dose") * col("n")).cast("long").as("sw2n")))
+    val t = tot.select(col("n_tot"), col("a_tot"), col("swa"),
+      col("swn"), col("sw2n"),
+      (col("n_tot") * col("swa") - col("a_tot") * col("swn"))
+        .cast("long").as("t_num"),
+      (dec(col("a_tot")) * dec(col("n_tot") - col("a_tot"))
+        * (dec(col("n_tot")) * dec(col("sw2n"))
+          - dec(col("swn")) * dec(col("swn")))).as("d_den"))
+    val chi = broadcast(t.select(col("n_tot"), col("a_tot"),
+      col("t_num"), col("d_den"),
+      when(col("d_den") > 0L,
+        (dec(col("t_num")) * dec(col("t_num"))
+          * dec(col("n_tot")) * dec(col("n_tot"))).cast("double")
+          / col("d_den").cast("double"))
+        .otherwise(lit(0.0)).as("ca_chi2")))
+    s.crossJoin(chi)
+      .select(col("dose"), col("n"), col("a"), col("n_tot"),
+        col("a_tot"), col("t_num"), col("ca_chi2"),
+        when(col("ca_chi2") > 3.841, 1L).otherwise(0L).as("reject_05"))
+      .orderBy("dose")
+  }
+
+  // ------------------------------------------------------------------
 
   private def sqlToks = TextQueries.sqlToks
 
@@ -723,6 +772,52 @@ object AgreementQueries {
         |    THEN sum_ad::DOUBLE / sum_bc::DOUBLE ELSE 0.0 END AS or_mh
         |FROM terms CROSS JOIN pool ORDER BY lang""".stripMargin) {
       (s, d) => mantelHaenszel(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q244
+    "q244_cochran_armitage" -> QueryDef.sql(
+      "Cochran-Armitage trend test (Cochran 1954; Armitage 1955) — " +
+      "does a binary outcome rate move MONOTONICALLY across ordered " +
+      "dose groups? (Here: long-document rate across token terciles " +
+      "— the dose-response audit behind quality-vs-length curves; " +
+      "chi-square independence q133 sees association, this sees " +
+      "ORDER.) Scores w = group index; T = N*sum(w*a) - A*sum(w*n); " +
+      "D = A*(N-A)*(N*sum(w^2*n) - (sum(w*n))^2); chi2 = T^2*N^2/D — " +
+      "all exact integer cross-products in decimal(38,0)/HUGEINT " +
+      "(~1e28 at ~sf1 vs 1e38 capacity), ONE IEEE division, reject " +
+      "at 3.841 -> hash-exact. Shape at 100 TB: per-row label " +
+      "expressions + one 3-group combinable agg; everything after " +
+      "runs on the 3-row dose frame with broadcast scalars.",
+      s"""WITH t AS (SELECT len($sqlToks) AS nt, n_chars::BIGINT AS nc
+        |  FROM documents),
+        |d AS (SELECT (CASE WHEN nt < 40 THEN 0 WHEN nt < 70 THEN 1
+        |    ELSE 2 END)::BIGINT AS dose,
+        |    (CASE WHEN nc >= 385 THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM t),
+        |s AS (SELECT dose, count(*)::BIGINT AS n, sum(y)::BIGINT AS a
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS n_tot, sum(a)::BIGINT AS a_tot,
+        |    sum(dose * a)::BIGINT AS swa, sum(dose * n)::BIGINT AS swn,
+        |    sum(dose * dose * n)::BIGINT AS sw2n FROM s),
+        |tt AS (SELECT n_tot, a_tot,
+        |    (n_tot * swa - a_tot * swn)::BIGINT AS t_num,
+        |    (a_tot::HUGEINT * (n_tot - a_tot)::HUGEINT
+        |      * (n_tot::HUGEINT * sw2n::HUGEINT
+        |        - swn::HUGEINT * swn::HUGEINT)) AS d_den
+        |  FROM tot),
+        |chi AS (SELECT n_tot, a_tot, t_num,
+        |    CASE WHEN d_den > 0
+        |      THEN CAST(t_num::HUGEINT * t_num::HUGEINT
+        |          * n_tot::HUGEINT * n_tot::HUGEINT AS DOUBLE)
+        |        / CAST(d_den AS DOUBLE)
+        |      ELSE 0.0 END AS ca_chi2
+        |  FROM tt)
+        |SELECT s.dose, s.n, s.a, chi.n_tot, chi.a_tot, chi.t_num,
+        |  chi.ca_chi2,
+        |  (CASE WHEN chi.ca_chi2 > 3.841 THEN 1 ELSE 0 END)::BIGINT
+        |    AS reject_05
+        |FROM s CROSS JOIN chi ORDER BY s.dose""".stripMargin) {
+      (s, d) => cochranArmitage(Tables.documents(s, d))
     }
   )
 }

@@ -1733,6 +1733,47 @@ object TextQueries {
       vocabRichness(Tables.documents(s, d))
     },
 
+    // --------------------------------------------------------------- q243
+    "q243_continuation_table" -> QueryDef.sql(
+      "Trigram continuation table — the argmax next-token draft table " +
+      "a speculative decoder / autocomplete layer reads (distinct " +
+      "from q231's symmetric co-occurrence and q81's LM scoring): " +
+      "for each context bigram with support >= 5, the most frequent " +
+      "continuation token, elected EXACTLY in two phases (max count " +
+      "per context, then min token among the maxima — the q227 " +
+      "two-phase election, immune to float ties), top-50 contexts " +
+      "by (support DESC, context ASC); p_top = c_top/c_ctx is the " +
+      "one IEEE division. Shape at 100 TB: one trigram explode into " +
+      "a combinable count, two hash aggs on the (ctx) grain, and " +
+      "the election join runs on the AGGREGATED trigram table " +
+      "(vocab^3-bounded, not corpus-sized); TakeOrdered for the cut.",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+        |tri AS (SELECT unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE []::VARCHAR[] END) AS tg FROM t),
+        |c3 AS (SELECT string_split(tg, ' ')[1] || ' '
+        |      || string_split(tg, ' ')[2] AS ctx,
+        |    string_split(tg, ' ')[3] AS w3, count(*)::BIGINT AS c
+        |  FROM tri GROUP BY 1, 2),
+        |c2 AS (SELECT ctx, sum(c)::BIGINT AS c_ctx,
+        |    count(*)::BIGINT AS n_conts FROM c3 GROUP BY 1),
+        |mx AS (SELECT ctx, max(c)::BIGINT AS c_top FROM c3 GROUP BY 1),
+        |win AS (SELECT c3.ctx, min(c3.w3) AS top_cont FROM c3
+        |  JOIN mx ON c3.ctx = mx.ctx AND c3.c = mx.c_top GROUP BY 1),
+        |r AS (SELECT c2.ctx, c2.c_ctx, c2.n_conts, win.top_cont,
+        |    mx.c_top,
+        |    row_number() OVER (ORDER BY c2.c_ctx DESC, c2.ctx)::BIGINT
+        |      AS rank
+        |  FROM c2 JOIN mx ON c2.ctx = mx.ctx
+        |    JOIN win ON c2.ctx = win.ctx
+        |  WHERE c2.c_ctx >= 5)
+        |SELECT rank, ctx, c_ctx, n_conts, top_cont, c_top,
+        |  c_top::DOUBLE / c_ctx::DOUBLE AS p_top
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin) { (s, d) =>
+      continuationTable(Tables.documents(s, d), minSupport = 5L, k = 50)
+    },
+
     // --------------------------------------------------------------- q231
     "q231_skipgram_assoc" -> QueryDef.sql(
       "Skip-gram co-occurrence association (window +-2) — the " +
@@ -2230,6 +2271,44 @@ object TextQueries {
           * col("nu").cast("double"))
           / ((col("np").cast("double") * col("c1").cast("double"))
             * col("c2").cast("double"))).as("lift"))
+      .orderBy("rank")
+  }
+
+  /** The q243 continuation table: multiset trigram counts, two-phase
+    * exact argmax election per context bigram, top-k by support.
+    * Shared with ContinuationSpec. */
+  def continuationTable(docs: org.apache.spark.sql.DataFrame,
+      minSupport: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(tokens(col("text")).as("w"))
+    val c3 = t.select(explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w) - 2),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+          |    ' ', element_at(w, i + 2)))
+          |ELSE array() END""".stripMargin)).as("tg"))
+      .select(
+        concat(split(col("tg"), " ").getItem(0), lit(" "),
+          split(col("tg"), " ").getItem(1)).as("ctx"),
+        split(col("tg"), " ").getItem(2).as("w3"))
+      .groupBy("ctx", "w3").agg(count(lit(1)).cast("long").as("c"))
+    val c2 = c3.groupBy("ctx").agg(sum("c").cast("long").as("c_ctx"),
+      count(lit(1)).cast("long").as("n_conts"))
+    val mx = c3.groupBy("ctx").agg(max("c").cast("long").as("c_top"))
+    val win = c3
+      .join(mx.select(col("ctx").as("mctx"), col("c_top").as("mc")),
+        col("ctx") === col("mctx") && col("c") === col("mc"))
+      .groupBy("ctx").agg(min("w3").as("top_cont"))
+    val r = c2.where(col("c_ctx") >= minSupport)
+      .join(mx, "ctx").join(win, "ctx")
+      .orderBy(col("c_ctx").desc, col("ctx")).limit(k)
+    r.select(
+        row_number().over(Window.orderBy(col("c_ctx").desc, col("ctx")))
+          .cast("long").as("rank"),
+        col("ctx"), col("c_ctx"), col("n_conts"), col("top_cont"),
+        col("c_top"),
+        (col("c_top").cast("double") / col("c_ctx").cast("double"))
+          .as("p_top"))
       .orderBy("rank")
   }
 

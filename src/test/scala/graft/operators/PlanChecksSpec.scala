@@ -1197,6 +1197,18 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
+  test("q243/q244: election joins on aggregates only; no cartesian, no corpus window") {
+    Seq("q243_continuation_table", "q244_cochran_armitage").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // q243's only window is the 50-row rank; the election joins must
+    // sit ABOVE the trigram aggregate (vocab^3-bounded), which the
+    // no-cartesian pin plus the aggregate-below-join shape guarantees
+    val p244 = plan("q244_cochran_armitage")
+    assert(!p244.contains("Window"), "q244 is window-free:\n" + p244)
+  }
+
   test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
     val p = plan("q237_bradley_terry")
     assert(!p.contains("CartesianProduct"), p)

@@ -804,8 +804,100 @@ object SimilarityQueries {
         |      AND nsig <> asig THEN cand_id END AS neg_id
         |FROM res ORDER BY anchor_id, slot""".stripMargin) { (s, d) =>
       negativeSampling(Tables.documents(s, d), k = 5, perPool = 16L)
+    },
+
+    // --------------------------------------------------------------- q245
+    "q245_kmeans_assign_audit" -> QueryDef.sql(
+      "Quantized k-means assignment audit — one EXACT Lloyd " +
+      "assignment step on a common integer grid (codes = round(x * " +
+      "1024); the per-vector scales of q134 would break cross-vector " +
+      "distances, a shared grid keeps every squared L2 distance an " +
+      "exact int64), seeds = the min-vec_id vector per label (a " +
+      "deterministic election), argmin by the two-phase exact " +
+      "election (min distance, then min seed label) -> per-cluster " +
+      "size, integer inertia, label-match count and purity (the one " +
+      "IEEE division). The audit a clustering pipeline runs to " +
+      "decide whether quantized assignment can replace float Lloyd " +
+      "at scale. Corpus-honesty note (the q230 discipline): the " +
+      "synthetic labels are embedding-INDEPENDENT — measured purity " +
+      "~0.13 ~ 1/k chance at sf0.01 — so the correct real-corpus " +
+      "answer is 'labels are not recoverable from geometry'; " +
+      "KmeansAuditSpec proves discriminating power on planted " +
+      "separable gaussians (purity exactly 1). Shape at 100 TB: the " +
+      "10-centroid frame broadcasts; assignment is per-row array " +
+      "arithmetic x k (codegen'd zip_with/aggregate, no shuffle); " +
+      "the rollup is one combinable 10-group agg. Distances bound " +
+      "64 dims x (2*592)^2 ~ 9e7 -> inertia int64 to ~1e11 vectors.",
+      """WITH v AS (SELECT vec_id, label::BIGINT AS label,
+        |    list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1024)::BIGINT) AS c
+        |  FROM embeddings),
+        |sid AS (SELECT label AS seed_label, min(vec_id)::BIGINT
+        |      AS seed_vec_id FROM v GROUP BY 1),
+        |seeds AS (SELECT s.seed_label, s.seed_vec_id, v.c AS sc
+        |  FROM sid s JOIN v ON v.vec_id = s.seed_vec_id),
+        |pd AS (SELECT v.vec_id, v.label, s.seed_label,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(1, len(v.c)),
+        |        i -> (v.c[i] - s.sc[i]) * (v.c[i] - s.sc[i]))),
+        |      (a, b) -> a + b)::BIGINT AS dist
+        |  FROM v CROSS JOIN seeds s),
+        |mn AS (SELECT vec_id, min(dist)::BIGINT AS mind FROM pd
+        |  GROUP BY 1),
+        |asg AS (SELECT pd.vec_id, pd.label,
+        |    min(pd.seed_label)::BIGINT AS cluster,
+        |    min(pd.dist)::BIGINT AS dist
+        |  FROM pd JOIN mn ON pd.vec_id = mn.vec_id
+        |    AND pd.dist = mn.mind
+        |  GROUP BY 1, 2)
+        |SELECT a.cluster, count(*)::BIGINT AS n_assigned,
+        |  sum(a.dist)::BIGINT AS inertia,
+        |  sum(CASE WHEN a.label = a.cluster THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_label_match,
+        |  sum(CASE WHEN a.label = a.cluster THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS purity
+        |FROM asg a GROUP BY 1 ORDER BY cluster""".stripMargin) {
+      (s, d) => kmeansAssignAudit(Tables.embeddings(s, d))
     }
   )
+
+  /** q245's exact Lloyd assignment step: common-grid integer codes,
+    * broadcast seed centroids (min vec_id per label), two-phase exact
+    * argmin election, combinable per-cluster rollup. Shared with
+    * KmeansAuditSpec. */
+  def kmeansAssignAudit(embeddings: DataFrame): DataFrame = {
+    val v = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("label"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1024) as bigint))")
+        .as("c"))
+    val sid = v.groupBy("label")
+      .agg(min("vec_id").cast("long").as("seed_vec_id"))
+      .select(col("label").as("seed_label"), col("seed_vec_id"))
+    val seeds = broadcast(sid
+      .join(v.select(col("vec_id").as("seed_vec_id"), col("c").as("sc")),
+        "seed_vec_id"))
+    val pd = v.crossJoin(seeds)
+      .select(col("vec_id"), col("label"), col("seed_label"),
+        expr("""aggregate(zip_with(c, sc, (a, b) -> (a - b) * (a - b)),
+          |0L, (acc, x) -> acc + x)""".stripMargin).cast("long")
+          .as("dist"))
+    val mn = pd.groupBy("vec_id").agg(min("dist").cast("long").as("mind"))
+    val asg = pd
+      .join(mn.select(col("vec_id").as("mvid"), col("mind")),
+        col("vec_id") === col("mvid") && col("dist") === col("mind"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min("seed_label").cast("long").as("cluster"),
+        min("dist").cast("long").as("dist"))
+    asg.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_assigned"),
+        sum("dist").cast("long").as("inertia"),
+        sum(when(col("label") === col("cluster"), 1L).otherwise(0L))
+          .cast("long").as("n_label_match"))
+      .withColumn("purity",
+        col("n_label_match").cast("double")
+          / col("n_assigned").cast("double"))
+      .orderBy("cluster")
+  }
 
   /** q176's Spark plan: fixed-point integer codes, a 4-row probe
     * broadcast against ONE corpus scan producing both the full and

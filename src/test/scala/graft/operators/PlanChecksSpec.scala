@@ -1209,6 +1209,14 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p244.contains("Window"), "q244 is window-free:\n" + p244)
   }
 
+  test("q245: seed frame broadcasts; assignment never shuffles the corpus") {
+    val p = plan("q245_kmeans_assign_audit")
+    assert(!p.contains("CartesianProduct"), p)
+    // the k-seed cross join must be the BROADCAST nested-loop shape
+    // (k rows against the corpus scan), never a shuffle-side pairing
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
     val p = plan("q237_bradley_terry")
     assert(!p.contains("CartesianProduct"), p)

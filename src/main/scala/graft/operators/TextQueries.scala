@@ -1774,6 +1774,46 @@ object TextQueries {
       continuationTable(Tables.documents(s, d), minSupport = 5L, k = 50)
     },
 
+    // --------------------------------------------------------------- q246
+    "q246_quantile_normalization" -> QueryDef.sql(
+      "Quantile normalization of per-source token-count distributions " +
+      "onto the pooled corpus distribution (the microarray-style " +
+      "distribution alignment, here the feature-preprocessing step " +
+      "that removes per-source length bias before mixing): each doc's " +
+      "within-source rank r (ties broken by doc_id) maps to the " +
+      "pooled target rank floor((2r-1)*N / (2*n_s)) + 1 — the " +
+      "midpoint quantile, ALL integer — and the normalized value is " +
+      "the smallest pooled token count whose cumulative count reaches " +
+      "that rank, elected by a min over the VALUE-DOMAIN cumulative " +
+      "frame (the q203 exact-rank discipline: the token-count domain " +
+      "is ~90 values, so the rank->value lookup is a broadcast " +
+      "domain join, NEVER a global row_number over the corpus — the " +
+      "shape that survives 100 TB where a pooled global sort would " +
+      "not). All exact integers -> hash-exact. Per-source windows " +
+      "partition by source; the domain cum-sum window runs on the " +
+      "|domain|-row frame.",
+      s"""WITH t AS (SELECT doc_id, source, len($sqlToks) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, nt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY nt, doc_id)::BIGINT AS rnk,
+        |    count(*) OVER (PARTITION BY source)::BIGINT AS n_s,
+        |    count(*) OVER ()::BIGINT AS n FROM t),
+        |tr AS (SELECT doc_id, source, nt, rnk, n_s,
+        |    (((2 * rnk - 1) * n) // (2 * n_s) + 1)::BIGINT
+        |      AS target_rank FROM r),
+        |dom AS (SELECT nt AS v, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cc FROM dom)
+        |SELECT tr.doc_id, tr.source, tr.nt, tr.rnk, tr.n_s,
+        |  tr.target_rank, min(cum.v)::BIGINT AS norm_nt
+        |FROM tr JOIN cum ON cum.cc >= tr.target_rank
+        |GROUP BY 1, 2, 3, 4, 5, 6
+        |ORDER BY tr.doc_id""".stripMargin) { (s, d) =>
+      quantileNormalize(Tables.documents(s, d))
+    },
+
     // --------------------------------------------------------------- q231
     "q231_skipgram_assoc" -> QueryDef.sql(
       "Skip-gram co-occurrence association (window +-2) — the " +
@@ -2272,6 +2312,34 @@ object TextQueries {
           / ((col("np").cast("double") * col("c1").cast("double"))
             * col("c2").cast("double"))).as("lift"))
       .orderBy("rank")
+  }
+
+  /** The q246 quantile normalizer: within-source midpoint ranks mapped
+    * onto the pooled value-domain cumulative frame (broadcast domain
+    * join, no global corpus sort). Shared with QuantileNormSpec. */
+  def quantileNormalize(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val tot = broadcast(t.agg(count(lit(1)).cast("long").as("n")))
+    val r = t.select(col("doc_id"), col("source"), col("nt"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy("nt", "doc_id")).cast("long").as("rnk"),
+        count(lit(1)).over(Window.partitionBy("source")).cast("long")
+          .as("n_s"))
+      .crossJoin(tot)
+      .withColumn("target_rank",
+        expr("((2 * rnk - 1) * n) div (2 * n_s)") + 1L)
+    val cum = broadcast(t.groupBy(col("nt").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .select(col("v"), sum("c").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long").as("cc")))
+    r.join(cum, col("cc") >= col("target_rank"))
+      .groupBy("doc_id", "source", "nt", "rnk", "n_s", "target_rank")
+      .agg(min("v").cast("long").as("norm_nt"))
+      .orderBy("doc_id")
   }
 
   /** The q243 continuation table: multiset trigram counts, two-phase

@@ -128,4 +128,14 @@ object DeterministicHash {
     * correlated with split membership and the runs z-score would
     * measure the split, not the shuffle. */
   val shuffleSalt: Long = 49979687L
+
+  /** Salts for q247's two discrete-Laplace geometric draws (noise =
+    * G1 - G2 with G = trailing zeros of the hash word). The TWO draws
+    * must be independent of each other — equal salts would make the
+    * noise identically zero — and of every stream above (a shared
+    * stream would correlate the released noise with split/sample
+    * membership, a real privacy leak, not a cosmetic one). Distinct
+    * primes, distinct by value from all constants in this file. */
+  val dpSaltA: Long = 479001599L
+  val dpSaltB: Long = 275604541L
 }

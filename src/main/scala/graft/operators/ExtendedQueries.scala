@@ -3746,6 +3746,45 @@ object ExtendedQueries {
         |    THEN 1 ELSE 0 END)::BIGINT AS reject_05
         |FROM s CROSS JOIN tot""".stripMargin) { (s, d) =>
       cramerVonMises(armValueCum(s, d))
+    },
+
+    // --------------------------------------------------------------- q247
+    "q247_dp_count_release" -> QueryDef.sql(
+      "Differentially-private per-source count release — the " +
+      "mechanism step the privacy family (q125 k-anon, q128 " +
+      "l-diversity, t-closeness) was missing: discrete Laplace noise " +
+      "at epsilon = ln 2, sampled EXACTLY with no RNG and no " +
+      "transcendental math — noise = G1 - G2 with G the LEADING-" +
+      "ZERO count (within the 32-bit window) of a DOUBLE-hashed " +
+      "word: leading zeros of a uniform word are Geometric(1/2), " +
+      "and the difference of two independent such geometrics is the " +
+      "two-sided discrete Laplace with p = 1/2 = e^-eps at eps = " +
+      "ln 2 (partition-count sensitivity 1). TWO hardening choices, " +
+      "both MEASURED not guessed: (a) trailing zeros are unusable — " +
+      "the hash's XOR of two odd-multiplier limbs makes the LSB " +
+      "parity-degenerate (measured P(noise=0) = 0.5, never odd); " +
+      "(b) one hash round leaves affine id/salt relations visible " +
+      "even in the high bits (measured P(0) = 0.30 vs 1/3), so each " +
+      "stream hashes TWICE (knuth32 of knuth32) — after which the " +
+      "empirical law matches (1/3)(1/2)^|k| to 3 decimals over 5e5 " +
+      "ids (DpReleaseSpec asserts it). The word is OR-1 forced " +
+      "nonzero (caps G at 31, a 2^-31 truncation). Release clamps " +
+      "at 0 (post-processing, DP-preserving). True counts ship " +
+      "alongside as the mechanism AUDIT (a production release " +
+      "would project them out). Shape at 100 TB: one combinable " +
+      "count per source + per-row integer/bit arithmetic.",
+      s"""WITH g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    replace(source, 'src', '')::BIGINT AS sid
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT source, n_docs,
+        |    (32 - length(bin(($dpWordA) | 1)))::BIGINT AS g1,
+        |    (32 - length(bin(($dpWordB) | 1)))::BIGINT AS g2
+        |  FROM g)
+        |SELECT source, n_docs, g1, g2, (g1 - g2)::BIGINT AS noise,
+        |  greatest(0, n_docs + g1 - g2)::BIGINT AS noisy_count,
+        |  0.6931471805599453::DOUBLE AS epsilon
+        |FROM n ORDER BY source""".stripMargin) { (s, d) =>
+      dpCountRelease(Tables.documents(s, d))
     }
   )
 
@@ -4731,6 +4770,42 @@ object ExtendedQueries {
     * total (the q182 two-pass shape), the weighted squared ECDF gap
     * folds in decimal(38,0). Shared by the catalog entry and
     * CramerVonMisesSpec. */
+  /** q247's double-hashed words as oracle SQL (one per stream): the
+    * inner knuth32 output feeds the outer as its id, which is what
+    * destroys the affine id/salt structure a single round leaves in
+    * the bit pattern (see the q247 doc; measured in DpReleaseSpec). */
+  private def dpWord(salt: Long): String =
+    graft.functions.DeterministicHash.knuth32Sql(
+      "(" + graft.functions.DeterministicHash.knuth32Sql("sid", salt)
+        + ")", salt)
+  private def dpWordA: String =
+    dpWord(graft.functions.DeterministicHash.dpSaltA)
+  private def dpWordB: String =
+    dpWord(graft.functions.DeterministicHash.dpSaltB)
+
+  /** q247's exact discrete-Laplace mechanism: leading-zero geometric
+    * draws from two independent double-hashed streams. Shared with
+    * DpReleaseSpec. */
+  def dpCountRelease(docs: DataFrame): DataFrame = {
+    import graft.functions.DeterministicHash._
+    val g = docs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("sid", expr("cast(substring(source, 4) as bigint)"))
+    def geom(salt: Long): org.apache.spark.sql.Column = {
+      val h2 = knuth32(knuth32(col("sid"), salt), salt)
+      (lit(32) - length(bin(h2.bitwiseOR(lit(1L))))).cast("long")
+    }
+    g.select(col("source"), col("n_docs"),
+        geom(dpSaltA).as("g1"), geom(dpSaltB).as("g2"))
+      .withColumn("noise", (col("g1") - col("g2")).cast("long"))
+      .select(col("source"), col("n_docs"), col("g1"), col("g2"),
+        col("noise"),
+        greatest(lit(0L), col("n_docs") + col("noise")).cast("long")
+          .as("noisy_count"),
+        lit(0.6931471805599453).as("epsilon"))
+      .orderBy("source")
+  }
+
   def cramerVonMises(f: DataFrame): DataFrame = {
     val d19 = "decimal(19,0)"
     val tot = broadcast(f.agg(sum("c1").cast("long").as("n1"),

@@ -4783,13 +4783,20 @@ object ExtendedQueries {
   private def dpWordB: String =
     dpWord(graft.functions.DeterministicHash.dpSaltB)
 
-  /** q247's exact discrete-Laplace mechanism: leading-zero geometric
-    * draws from two independent double-hashed streams. Shared with
-    * DpReleaseSpec. */
-  def dpCountRelease(docs: DataFrame): DataFrame = {
+  /** q247's count grid — one commutative count per source, so the
+    * streaming twin (DpCountStream) maintains it in Complete mode
+    * with |sources| cells of state. */
+  def dpGrid(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+
+  /** q247's exact discrete-Laplace decoration over stored (source,
+    * n_docs) cells: leading-zero geometric draws from two independent
+    * double-hashed streams, applied at READ time — pure per-row
+    * algebra over the grid, shared verbatim between the batch query
+    * and the streaming read-back. Shared with DpReleaseSpec. */
+  def dpReadBack(cells: DataFrame): DataFrame = {
     import graft.functions.DeterministicHash._
-    val g = docs.groupBy("source")
-      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val g = cells
       .withColumn("sid", expr("cast(substring(source, 4) as bigint)"))
     def geom(salt: Long): org.apache.spark.sql.Column = {
       val h2 = knuth32(knuth32(col("sid"), salt), salt)
@@ -4805,6 +4812,10 @@ object ExtendedQueries {
         lit(0.6931471805599453).as("epsilon"))
       .orderBy("source")
   }
+
+  /** q247 as one composition — shared with the streaming twin. */
+  def dpCountRelease(docs: DataFrame): DataFrame =
+    dpReadBack(dpGrid(docs))
 
   def cramerVonMises(f: DataFrame): DataFrame = {
     val d19 = "decimal(19,0)"

@@ -847,6 +847,31 @@ object StreamCheck {
         } finally q.stop()
       },
 
+      // --------------------------------------------- dp_count_grid
+      run("dp_count_grid",
+        "streamed per-source count grid + DP read-back == batch q247 rows") {
+        val ss = Tables.documents(spark, sfDir)
+          .select(col("source")).as[String].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q247_dp_count_release")(spark, sfDir))
+        val ms = MemoryStream[String]
+        val q = DpCountStream.grid(ms.toDF().toDF("source"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_dp").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: source counts commute
+          ss.grouped(ss.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val cells = spark.table("sc_dp").as[(String, Long)].collect()
+          val streamed = canon(DpCountStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("source", "n_docs")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
       run("streaming_etl", "AvailableNow drain: commit log acks every input record") {
         val dir = Files.createTempDirectory("sc-etl")
         val n = 500

@@ -1217,19 +1217,26 @@ class PlanChecksSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q237: duels are basket-bounded equi-joins; iterations reuse the pair exchange") {
+  test("q237: catalog entry defers; inner iterations broadcast the strength frame") {
+    // the catalog entry is a LazyStage (iterative fixpoint with
+    // per-step localCheckpoint — the q65 pattern): plan construction
+    // must be the deferred scan, not the eager iteration
     val p = plan("q237_bradley_terry")
+    assert(p.contains("ExistingRDD") || p.contains("Scan"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // same contract as q95: the smoothed pair matrix feeds every MM
-    // iteration (terms + wins), and ReuseExchange must dedup it so the
-    // duel build (per-order self-join + pair agg) executes once, not
-    // once per iteration — at 10^11 duels a rescan per iteration is
-    // the difference between one shuffle and six
-    val df = SparkEntry.queries("q237_bradley_terry")(spark, sf001)
-    df.collect() // finalize AQE so reuse nodes are visible
-    val pf = df.queryExecution.executedPlan.toString()
-    assert(pf.contains("ReusedExchange") || pf.contains("TableCacheQueryStage")
-      || pf.contains("InMemoryTableScan"),
-      s"no exchange reuse across MM iterations:\n$pf")
+    // the INNER result plan: the iterations ran eagerly behind the
+    // checkpoint boundary (ExistingRDD scans are the evidence — a
+    // lazy chain here re-executed 2^iters times, the 151 s failure
+    // this shape replaced), and the ranking stage is TakeOrdered
+    // over the checkpointed frame with no cartesian
+    val pr = AgreementQueries.btPairs(
+      graft.Tables.lineitem(spark, sf001))
+    val inner = AgreementQueries.bradleyTerryFromPairs(pr, iters = 2,
+      k = 20)
+    val pi = inner.queryExecution.executedPlan.toString()
+    assert(!pi.contains("CartesianProduct"), pi)
+    assert(pi.contains("ExistingRDD"),
+      "iterations must land behind a checkpoint boundary:\n" + pi)
+    assert(pi.contains("TakeOrderedAndProject"), pi)
   }
 }

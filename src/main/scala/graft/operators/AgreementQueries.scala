@@ -285,12 +285,24 @@ object AgreementQueries {
     * totals come from a window cumsum over the per-step gains (each
     * step's gain IS its newly-covered count), never a re-count join.
     * Gains and the election are exact integers (gain DESC, source ASC). */
-  def greedySetCover(docs: DataFrame, steps: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val inc = docs.select(col("source"),
+  /** q239's (source, shingle) incidence — the one corpus pass; the
+    * catalog entry persists it via SharedFrames (every greedy step
+    * reads it twice, and the step chain's limit(1) barriers defeat
+    * in-plan exchange reuse the same way q237's iterations did). */
+  def scIncidence(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         explode(graft.functions.TextFunctions.shinglesOfText(col("text"), 3))
           .as("g"))
       .distinct()
+
+  /** The greedy rounds over a prepared incidence frame. Each step's
+    * 1-row winner is MATERIALIZED (localCheckpoint — the q237 lesson:
+    * the winners chain is referenced twice per later step, and a lazy
+    * chain re-executes its prefix per reference), so the catalog
+    * entry wraps this in LazyStage.defer to keep plan construction
+    * free. */
+  def greedySetCoverFromInc(inc: DataFrame, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val uni = broadcast(
       inc.agg(count_distinct(col("g")).cast("long").as("universe")))
     var winners: DataFrame = null
@@ -305,6 +317,7 @@ object AgreementQueries {
         .agg(count(lit(1)).cast("long").as("gain"))
         .orderBy(col("gain").desc, col("source")).limit(1)
         .select(lit(k.toLong).as("step"), col("source"), col("gain"))
+        .localCheckpoint()
       winners = if (k == 1) w else winners.unionByName(w)
     }
     winners.crossJoin(uni)
@@ -317,6 +330,18 @@ object AgreementQueries {
         (col("covered").cast("double") / col("universe").cast("double"))
           .as("coverage_share"))
       .orderBy("step")
+  }
+
+  def greedySetCover(docs: DataFrame, steps: Int): DataFrame =
+    greedySetCoverFromInc(scIncidence(docs), steps)
+
+  /** q239's output schema (for the LazyStage deferral). */
+  val scSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("step", LongType),
+      StructField("source", StringType), StructField("gain", LongType),
+      StructField("covered", LongType), StructField("universe", LongType),
+      StructField("coverage_share", DoubleType)))
   }
 
   // ------------------------------------------------------------------
@@ -716,7 +741,12 @@ object AgreementQueries {
         |    UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
         |    UNION ALL SELECT * FROM w5)) CROSS JOIN uni
         |ORDER BY step""".stripMargin) { (s, d) =>
-      greedySetCover(Tables.documents(s, d), steps = 5)
+      graft.plans.LazyStage.defer(s, scSchema) { () =>
+        greedySetCoverFromInc(
+          graft.plans.SharedFrames(s, d, "sc_inc") {
+            scIncidence(Tables.documents(s, d))
+          }, steps = 5)
+      }
     },
 
     // --------------------------------------------------------------- q240

@@ -1173,20 +1173,27 @@ class PlanChecksSpec extends SparkSpec {
     assert(!p236.contains("Join"), "mcnemar should not join:\n" + p236)
   }
 
-  test("q239/q240: set cover reuses the incidence exchange; no cartesian") {
+  test("q239/q240: set cover defers + persists the incidence; no cartesian") {
     Seq("q239_greedy_set_cover", "q240_fleiss_kappa").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
     }
-    // the (source, shingle) incidence feeds every greedy step (gain agg
-    // + covered semi-join) — ReuseExchange must dedup it so the docs
-    // scan + explode + distinct executes once, not once per step
+    // the catalog entry is a LazyStage (per-step winner checkpoints —
+    // the q237 lesson) and the (source, shingle) incidence persists
+    // once per session via SharedFrames, so every greedy step reads
+    // the cached frame instead of re-running explode + distinct
+    val p239 = plan("q239_greedy_set_cover")
+    assert(p239.contains("ExistingRDD") || p239.contains("Scan"), p239)
     val df = SparkEntry.queries("q239_greedy_set_cover")(spark, sf001)
-    df.collect() // finalize AQE so reuse nodes are visible
-    val pf = df.queryExecution.executedPlan.toString()
-    assert(pf.contains("ReusedExchange") || pf.contains("TableCacheQueryStage")
-      || pf.contains("InMemoryTableScan"),
-      s"no exchange reuse across greedy steps:\n$pf")
+    df.collect() // materialize the stage so the shared frame exists
+    val inner = AgreementQueries.greedySetCoverFromInc(
+      graft.plans.SharedFrames(spark, sf001, "sc_inc") {
+        AgreementQueries.scIncidence(graft.Tables.documents(spark, sf001))
+      }, steps = 2)
+    val pi = inner.queryExecution.executedPlan.toString()
+    assert(pi.contains("InMemoryTableScan")
+      || pi.contains("TableCacheQueryStage"),
+      s"incidence not persisted across steps:\n$pi")
   }
 
   test("q241/q242: richness and MH are combinable agg chains, no cartesian") {

@@ -130,7 +130,9 @@ object DeterministicHash {
   val shuffleSalt: Long = 49979687L
 
   /** Salts for q247's two discrete-Laplace geometric draws (noise =
-    * G1 - G2 with G = trailing zeros of the hash word). The TWO draws
+    * G1 - G2 with G = LEADING zeros of the hash word within the
+    * 32-bit window — trailing zeros are the parity-degenerate
+    * counter-example DpReleaseSpec pins). The TWO draws
     * must be independent of each other — equal salts would make the
     * noise identically zero — and of every stream above (a shared
     * stream would correlate the released noise with split/sample

@@ -448,7 +448,10 @@ object AgreementQueries {
     * dose groups (token terciles -> outcome chars >= 385): with scores
     * w = group index, T = N*sum(w*a) - A*sum(w*n) and Var-part
     * D = A*(N-A)*(N*sum(w^2*n) - (sum(w*n))^2), the chi-square is
-    * z^2 = T^2*N^2 / D — ALL exact integers cross-multiplied in
+    * z^2 = T^2*N / D (Z = T/N, Var(Z) = D/N^3, so Z^2/Var carries a
+    * SINGLE factor of N; on a perfect 2-group 0/1 table this equals
+    * the Pearson chi2, anchor-pinned in CochranArmitageSpec) — ALL
+    * exact integers cross-multiplied in
     * decimal(38,0) (the q169 128-bit rule; ~1e28 at ~sf1 vs 1e38
     * capacity), one IEEE division at the end, reject at the
     * chi-square(1) 5% point 3.841. */
@@ -479,7 +482,7 @@ object AgreementQueries {
       col("t_num"), col("d_den"),
       when(col("d_den") > 0L,
         (dec(col("t_num")) * dec(col("t_num"))
-          * dec(col("n_tot")) * dec(col("n_tot"))).cast("double")
+          * dec(col("n_tot"))).cast("double")
           / col("d_den").cast("double"))
         .otherwise(lit(0.0)).as("ca_chi2")))
     s.crossJoin(chi)
@@ -855,7 +858,9 @@ object AgreementQueries {
       "— the dose-response audit behind quality-vs-length curves; " +
       "chi-square independence q133 sees association, this sees " +
       "ORDER.) Scores w = group index; T = N*sum(w*a) - A*sum(w*n); " +
-      "D = A*(N-A)*(N*sum(w^2*n) - (sum(w*n))^2); chi2 = T^2*N^2/D — " +
+      "D = A*(N-A)*(N*sum(w^2*n) - (sum(w*n))^2); chi2 = T^2*N/D " +
+      "(Z = T/N, Var = D/N^3 -> one factor of N; equals Pearson " +
+      "chi2 on a 2-group table) — " +
       "all exact integer cross-products in decimal(38,0)/HUGEINT " +
       "(~1e28 at ~sf1 vs 1e38 capacity), ONE IEEE division, reject " +
       "at 3.841 -> hash-exact. Shape at 100 TB: per-row label " +
@@ -881,7 +886,7 @@ object AgreementQueries {
         |chi AS (SELECT n_tot, a_tot, t_num,
         |    CASE WHEN d_den > 0
         |      THEN CAST(t_num::HUGEINT * t_num::HUGEINT
-        |          * n_tot::HUGEINT * n_tot::HUGEINT AS DOUBLE)
+        |          * n_tot::HUGEINT AS DOUBLE)
         |        / CAST(d_den AS DOUBLE)
         |      ELSE 0.0 END AS ca_chi2
         |  FROM tt)

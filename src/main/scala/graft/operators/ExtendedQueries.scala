@@ -3750,9 +3750,16 @@ object ExtendedQueries {
 
     // --------------------------------------------------------------- q247
     "q247_dp_count_release" -> QueryDef.sql(
-      "Differentially-private per-source count release — the " +
-      "mechanism step the privacy family (q125 k-anon, q128 " +
-      "l-diversity, t-closeness) was missing: discrete Laplace noise " +
+      "DP-SHAPED deterministic count release (NOT a privacy " +
+      "guarantee: the geometric draws derive from salts committed " +
+      "in this repo, so anyone who knows the mechanism can invert " +
+      "the noise — determinism is what makes the release " +
+      "oracle-exact and twin-testable; a production release would " +
+      "draw from a secret seed held outside the repo, and only THAT " +
+      "variant carries the epsilon = ln 2 claim) — the mechanism " +
+      "step the privacy family (q125 k-anon, q128 " +
+      "l-diversity, t-closeness) was missing: discrete-Laplace-" +
+      "DISTRIBUTED noise " +
       "at epsilon = ln 2, sampled EXACTLY with no RNG and no " +
       "transcendental math — noise = G1 - G2 with G the LEADING-" +
       "ZERO count (within the 32-bit window) of a DOUBLE-hashed " +

@@ -1789,7 +1789,12 @@ object TextQueries {
       "is ~90 values, so the rank->value lookup is a broadcast " +
       "domain join, NEVER a global row_number over the corpus — the " +
       "shape that survives 100 TB where a pooled global sort would " +
-      "not). All exact integers -> hash-exact. Per-source windows " +
+      "not; note (2r-1)*N overflows int64 past ~2.1e9 docs (r,N ~ " +
+      "3e9 -> product ~2e19 > 9.2e18), so past that corpus size the " +
+      "target-rank product lifts to decimal(38,0)/HUGEINT exactly " +
+      "as q238/q242/q244 do for their cross-products — capacity " +
+      "1e38 covers any conceivable corpus). All exact integers -> " +
+      "hash-exact. Per-source windows " +
       "partition by source; the domain cum-sum window runs on the " +
       "|domain|-row frame.",
       s"""WITH t AS (SELECT doc_id, source, len($sqlToks) AS nt

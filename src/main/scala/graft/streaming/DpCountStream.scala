@@ -3,7 +3,9 @@ package graft.streaming
 import graft.operators.ExtendedQueries
 import org.apache.spark.sql.DataFrame
 
-/** Streaming twin of q247's differentially-private count release: the
+/** Streaming twin of q247's DP-SHAPED deterministic count release
+  * (distributionally discrete-Laplace; not a privacy guarantee — the
+  * salts are repo-committed, see the q247 catalog doc): the
   * per-source count grid maintained ONLINE as documents stream in,
   * with the exact discrete-Laplace decoration (the double-hashed
   * leading-zero geometric noise) applied at READ time over the stored

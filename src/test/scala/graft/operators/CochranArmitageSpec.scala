@@ -21,8 +21,9 @@ class CochranArmitageSpec extends SparkSpec {
     val t = n * swa - a * swn
     val d = BigInt(a) * BigInt(n - a) *
       (BigInt(n) * BigInt(sw2n) - BigInt(swn) * BigInt(swn))
+    // Z = T/N, Var(Z) = D/N^3 -> chi2 = T^2 * N / D (ONE factor of N)
     val chi2 = if (d > 0)
-      (BigInt(t) * BigInt(t) * BigInt(n) * BigInt(n)).toDouble / d.toDouble
+      (BigInt(t) * BigInt(t) * BigInt(n)).toDouble / d.toDouble
     else 0.0
     (t, d, chi2)
   }
@@ -42,6 +43,25 @@ class CochranArmitageSpec extends SparkSpec {
     // long-document rate rises monotonically with token tercile on the
     // real corpus (measured 0/153, 1/171, 169/176 at sf0.001)
     assert(rows.head.getAs[Long]("reject_05") == 1L)
+  }
+
+  test("q244: planted 2-group table equals Pearson chi2 exactly") {
+    // dose 0: 2 docs / 0 positive; dose 2: 2 docs / 2 positive.
+    // Pearson chi2 on that 2x2 table is N(ad-bc)^2/(r1 r2 c1 c2) = 4;
+    // CA trend chi2 is invariant to affine score rescale (w in {0,2}
+    // vs {0,1}) so it must equal 4.0 exactly. The pre-fix T^2*N^2/D
+    // algebra gives 16 here — this anchor pins the single factor of N.
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")   // dose 0
+    val long = (1 to 80).map(i => s"w$i").mkString(" ")    // dose 2
+    val docs = Seq(
+      (100L, short), (100L, short),      // dose 0, y = 0
+      (400L, long), (400L, long)         // dose 2, y = 1
+    ).toDF("n_chars", "text")
+    val rows = AgreementQueries.cochranArmitage(docs).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ca_chi2") == 4.0)
+      assert(r.getAs[Long]("reject_05") == 1L)
+    }
   }
 
   test("q244: planted flat dose-response gives T = 0, chi2 = 0, no reject") {

@@ -3126,10 +3126,12 @@ object ExtendedQueries {
       "engines); counts, NDVs, and the actual are exact integers -> " +
       "hash-exact. q121's FK discovery finds the relationships; this " +
       "audits what the optimizer ASSUMES about them. Shape at " +
-      "100 TB: per relationship, two combinable count aggregates + " +
-      "one key-equi-join of count frames (each bounded by NDV, not " +
-      "rows) + two distinct aggregates — nothing data-squared " +
-      "anywhere.",
+      "100 TB: per relationship, ONE scan per side into a per-key " +
+      "count frame, then one full-outer key-equi-join of the two " +
+      "count frames (each bounded by NDV, not rows) from which ALL " +
+      "five audit quantities fold in a single combinable aggregate " +
+      "(n = sum c, ndv = count c, actual = sum cl*cr over matched " +
+      "keys) — no separate NDV pass, nothing data-squared anywhere.",
       """WITH rel1 AS (
         |  SELECT 'lineitem*orders' AS relationship,
         |    (SELECT count(*) FROM lineitem)::BIGINT AS n_left,
@@ -3796,24 +3798,41 @@ object ExtendedQueries {
   )
 
   /** q213's per-relationship audit: exact counts/NDVs, the uniformity
-    * estimate, and the count-join actual — shared for spec reuse. */
+    * estimate, and the count-join actual — shared for spec reuse.
+    *
+    * Plan shape (the r11 verdict's scan-count fix): each side is
+    * scanned exactly ONCE into its per-key count frame, and ALL five
+    * audit quantities derive from a single full-outer join of the two
+    * count frames — n = sum(c), ndv = count(non-null c) (per-key
+    * frames have one row per key, so the non-null row count IS the
+    * NDV), actual = sum(cl*cr) (null on either unmatched side, so the
+    * sum ranges over matched keys only). The old shape ran a separate
+    * count/NDV agg plus the count join per side = 3 scans per
+    * fact-table appearance (9 fact scans across the 3 relationships,
+    * measured 2.87 s steady at sf0.1); this one is 2 scans per
+    * relationship, 4 fact scans total, and each count frame is
+    * consumed exactly once so no exchange-reuse luck is needed.
+    * At 100 TB the join is NDV-bounded (key frames, not row frames)
+    * and each quantity is a combinable aggregate. */
   def joinCardinalityAudit(
       rels: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame =
     rels.map { case (name, l, lk, r, rk) =>
-      val stats = broadcast(l.agg(count(lit(1)).as("n_left"),
-          count_distinct(col(lk)).as("ndv_left")))
-        .crossJoin(broadcast(r.agg(count(lit(1)).as("n_right"),
-          count_distinct(col(rk)).as("ndv_right"))))
-      val actual = broadcast(
-        l.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
-          .join(r.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")), "k")
-          .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long")
-            .as("actual_rows")))
+      val cl = l.groupBy(col(lk).as("k"))
+        .agg(count(lit(1)).cast("long").as("cl"))
+      val cr = r.groupBy(col(rk).as("k"))
+        .agg(count(lit(1)).cast("long").as("cr"))
+      val stats = cl.join(cr, Seq("k"), "full_outer").agg(
+        coalesce(sum("cl"), lit(0L)).cast("long").as("n_left"),
+        count("cl").cast("long").as("ndv_left"),
+        coalesce(sum("cr"), lit(0L)).cast("long").as("n_right"),
+        count("cr").cast("long").as("ndv_right"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).cast("long")
+          .as("actual_rows"))
       val est = floor(col("n_left").cast("double")
         * col("n_right").cast("double")
         / greatest(col("ndv_left"), col("ndv_right")).cast("double"))
-      stats.crossJoin(actual)
+      stats
         .select(lit(name).as("relationship"),
           col("n_left").cast("long").as("n_left"),
           col("n_right").cast("long").as("n_right"),

@@ -644,7 +644,11 @@ object AgreementQueries {
       "iteration is one equi-join + two combinable sums over that " +
       "SPARSE pair list — the strength frame is referenced once per " +
       "iteration so lineage stays linear, and ReuseExchange dedups " +
-      "the shared pair subtree across iterations exactly as in q95.",
+      "the shared pair subtree across iterations exactly as in q95. " +
+      "The pair matrix itself persists across sessions via the " +
+      "FrameStore lifecycle (fingerprint-keyed on the (o,p,q) " +
+      "stream, atomic publish, validate-or-rebuild), so only the " +
+      "first session per data snapshot pays the duel build.",
       s"""WITH op AS MATERIALIZED (SELECT l_orderkey AS o, l_partkey AS p,
         |    sum(l_quantity::BIGINT)::BIGINT AS q
         |  FROM lineitem GROUP BY 1, 2),
@@ -668,9 +672,21 @@ object AgreementQueries {
         |FROM p5 p JOIN wins w ON p.i = w.i
         |ORDER BY rank LIMIT 20""".stripMargin) { (s, d) =>
       graft.plans.LazyStage.defer(s, btSchema) { () =>
+        // Cross-session: the one-time pair-matrix build persists via
+        // FrameStore (fingerprint of the (o, p, q) stream it is a pure
+        // function of), so a fresh session pays one combinable
+        // fingerprint scan + a parquet load, not the ~6.5 s duel
+        // self-join (VERDICT r11 item 5). SharedFrames then keeps the
+        // loaded frame hot within the session for the 5 MM iterations.
         bradleyTerryFromPairs(
           graft.plans.SharedFrames(s, d, "bt_pairs") {
-            btPairs(Tables.lineitem(s, d))
+            graft.functions.FrameStore.loadOrBuild(s, "bt_pairs",
+              version = 1,
+              base = Tables.lineitem(s, d).select(
+                col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+              expectCols = Seq("u", "v", "w_uv", "w_vu")) {
+              btPairs(Tables.lineitem(s, d))
+            }
           }, iters = 5, k = 20)
       }
     },

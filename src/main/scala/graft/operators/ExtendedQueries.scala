@@ -969,11 +969,13 @@ object ExtendedQueries {
       "ANSI semantics on both engines and the total order is " +
       "duplicate-free, so bin assignment is deterministic; boundaries " +
       "are stored values, counts are integers -> hash-exact. Scale " +
-      "contract: this EXACT form runs one global sort (fine to ~10^9 " +
-      "rows with range partitioning; the output is k rows); at " +
-      "corpus scale you compute boundaries from q85's mergeable KLL " +
-      "sketch and assign map-side — this catalog entry is the exact " +
-      "semantic the sketch path approximates.",
+      "contract: the ntile runs as RangeRank — literal quantile-" +
+      "boundary buckets, per-bucket windows, broadcast offset prefix " +
+      "sums — with NO single-partition exchange (plan-pinned), so " +
+      "the exact form holds to ~10^9 rows at buckets-way " +
+      "parallelism; at corpus scale you compute boundaries from " +
+      "q85's mergeable KLL sketch and assign map-side — this catalog " +
+      "entry is the exact semantic the sketch path approximates.",
       """WITH b AS (SELECT o_orderkey, o_totalprice,
         |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS bin
         |  FROM orders)
@@ -2431,13 +2433,14 @@ object ExtendedQueries {
       "tested as exact integer cross-products (20*cum <= 16*total, " +
       "20*cum <= 19*total; no float ever decides a class), then one " +
       "fold to the three class rows with integer counts/sums and " +
-      "one share division each. The cumulative window follows the " +
-      "q106/q187 scale contract: it orders the per-PART aggregate " +
-      "(item-catalog-sized, range-partitionable), never lineitem " +
-      "rows; at catalog sizes beyond a sort, the boundary revenues " +
-      "come from q85's sketch and classing becomes a map-side " +
-      "compare. int64 headroom: 20*total_cents holds to ~$4.6e15 " +
-      "of revenue.",
+      "one share division each. The cumulative sum runs as RangeRank " +
+      "(boundary buckets desc on revenue, per-bucket running sums + " +
+      "broadcast bucket prefix sums) over the per-PART aggregate — " +
+      "never lineitem rows, never a single-partition exchange " +
+      "(plan-pinned) — so the exact form holds to ~10^9 parts; " +
+      "beyond that, boundary revenues come from q85's sketch and " +
+      "classing becomes a map-side compare. int64 headroom: " +
+      "20*total_cents holds to ~$4.6e15 of revenue.",
       """WITH pr AS (SELECT l_partkey AS pk,
         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
         |      AS rev
@@ -2456,16 +2459,18 @@ object ExtendedQueries {
         |  sum(rev)::BIGINT AS revenue_cents,
         |  sum(rev)::DOUBLE / (SELECT total FROM t)::DOUBLE AS rev_share
         |FROM k GROUP BY cls ORDER BY cls""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val pr = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey").as("pk"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
-          .cast("long").as("rev"))
+      // Shared-persisted: RangeRank's two side passes (boundaries,
+      // bucket count+sum) plus the total and the main pass all fold
+      // from this one materialized per-part aggregate.
+      val pr = graft.plans.SharedFrames(s, d, "q195_pr") {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("long").as("rev"))
+      }
       val t = broadcast(pr.agg(sum("rev").cast("long").as("total")))
-      val c = pr.withColumn("cum",
-        sum("rev").over(Window.orderBy(col("rev").desc, col("pk"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+      val c = graft.functions.RangeRank.withRunningSum(
+        pr, "rev", "pk", "rev", "cum", desc = true, statsFrom = pr)
       val k = c.crossJoin(t)
         .withColumn("cls",
           when(lit(20L) * col("cum") <= lit(16L) * col("total"), "A")
@@ -4579,13 +4584,12 @@ object ExtendedQueries {
   }
 
   /** The q106 equal-frequency binning over an arbitrary (id, x) frame —
-    * shared by the catalog entry and SkylineTriangleSpec. */
+    * shared by the catalog entry and SkylineTriangleSpec. The ntile is
+    * RangeRank's distributed exact form (boundary buckets + offset
+    * prefix sums), never a single-partition window. */
   def equifreqBins(rows: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    rows
-      .withColumn("bin",
-        ntile(k).over(Window.orderBy("x", "id")).cast("long"))
+    graft.functions.RangeRank.withNtile(rows, "x", "id", k, "bin")
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("x").as("lo"), max("x").as("hi"))
       .orderBy("bin")

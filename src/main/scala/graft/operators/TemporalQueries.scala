@@ -1358,12 +1358,16 @@ object TemporalQueries {
       "rule — ANSI ntile splits floor/ceil identically on both " +
       "engines over a duplicate-free order), then one aggregate to " +
       "the at-most-125-cell segment grid with integer counts and " +
-      "sums -> hash-exact. Scale contract (q106's): the EXACT form " +
-      "sorts the per-customer frame globally (range-partitioned, " +
-      "fine to ~10^9 customers; three ntiles share one frame); at " +
-      "corpus scale quintile BOUNDARIES come from q85's mergeable " +
-      "sketch and scoring becomes a map-side lookup — this entry is " +
-      "the exact semantic that path approximates.",
+      "sums -> hash-exact. Scale contract: each ntile runs as " +
+      "RangeRank (literal quantile-boundary buckets -> per-bucket " +
+      "window + broadcast offset prefix sums) — NO Exchange " +
+      "SinglePartition anywhere (plan-pinned), so the exact form " +
+      "itself survives ~10^9 customers at buckets-way parallelism; " +
+      "the three ntiles fold their side passes from ONE " +
+      "SharedFrames-persisted customer aggregate. Beyond that, " +
+      "quintile BOUNDARIES come from q85's mergeable sketch and " +
+      "scoring becomes a map-side lookup — this entry is the exact " +
+      "semantic that path approximates.",
       """WITH cust AS (SELECT o_custkey AS k,
         |    max(datediff('day', DATE '1970-01-01', o_orderdate::DATE))
         |      ::BIGINT AS last_day,
@@ -1381,22 +1385,22 @@ object TemporalQueries {
         |  sum(money)::BIGINT AS money_cents
         |FROM sc GROUP BY 1, 2, 3
         |ORDER BY r, f, m""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val cust = Tables.orders(s, d)
-        .groupBy(col("o_custkey").as("k"))
-        .agg(
-          max(datediff(col("o_orderdate").cast("date"),
-            to_date(lit("1970-01-01")))).cast("long").as("last_day"),
-          count(lit(1)).as("freq"),
-          sum(round(col("o_totalprice") * 100).cast("long"))
-            .cast("long").as("money"))
-      val sc = cust
-        .withColumn("r",
-          ntile(5).over(Window.orderBy("last_day", "k")).cast("long"))
-        .withColumn("f",
-          ntile(5).over(Window.orderBy("freq", "k")).cast("long"))
-        .withColumn("m",
-          ntile(5).over(Window.orderBy("money", "k")).cast("long"))
+      // Shared-persisted: the three RangeRank ntiles fold boundaries
+      // and bucket counts from this frame (6 side passes + the main
+      // pass), so one materialized customer aggregate feeds all 7.
+      val cust = graft.plans.SharedFrames(s, d, "q187_cust") {
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("k"))
+          .agg(
+            max(datediff(col("o_orderdate").cast("date"),
+              to_date(lit("1970-01-01")))).cast("long").as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("long").as("money"))
+      }
+      val sc = graft.functions.RangeRank.withNtiles(cust,
+        Seq(("last_day", "k", 5, "r"), ("freq", "k", 5, "f"),
+          ("money", "k", 5, "m")), statsFrom = cust)
       sc.groupBy("r", "f", "m")
         .agg(count(lit(1)).as("n_customers"),
           sum("freq").cast("long").as("n_orders"),

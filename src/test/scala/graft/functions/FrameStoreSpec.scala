@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** FrameStore lifecycle: build-once / load-thereafter identity, content
+  * fingerprint staleness, version orphaning, and corrupt-entry
+  * fallback — the q237 pair-matrix persistence contract. */
+class FrameStoreSpec extends SparkSpec {
+
+  private def tmpDir(): Path =
+    Files.createTempDirectory("graft-framestore-spec")
+
+  private def base(rows: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("second call loads the persisted frame instead of rebuilding") {
+    val dir = tmpDir().toString
+    val b = base(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    var builds = 0
+    def build: DataFrame = {
+      builds += 1
+      b.groupBy("k").agg(sum("v").cast("long").as("s"))
+    }
+    val first = FrameStore.loadOrBuild(spark, "t", 1, b,
+      Seq("k", "s"), dir)(build)
+    val again = FrameStore.loadOrBuild(spark, "t", 1, b,
+      Seq("k", "s"), dir)(build)
+    assert(builds == 1, "second call must not rebuild")
+    assert(first.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet)
+  }
+
+  test("content change invalidates: a different base rebuilds") {
+    val dir = tmpDir().toString
+    val b1 = base(Seq((1L, 10L)))
+    val b2 = base(Seq((1L, 11L)))
+    var builds = 0
+    def mk(src: DataFrame): DataFrame = { builds += 1; src }
+    FrameStore.loadOrBuild(spark, "t", 1, b1, Seq("k", "v"), dir)(mk(b1))
+    FrameStore.loadOrBuild(spark, "t", 1, b2, Seq("k", "v"), dir)(mk(b2))
+    assert(builds == 2, "changed content must miss the cache")
+  }
+
+  test("fingerprint is order-independent: permuted base hits the cache") {
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    val f1 = FrameStore.fingerprint(base(rows))
+    val f2 = FrameStore.fingerprint(base(rows.reverse).repartition(3))
+    assert(f1 == f2)
+  }
+
+  test("version bump orphans older entries") {
+    val dir = tmpDir().toString
+    val b = base(Seq((1L, 10L)))
+    var builds = 0
+    def mk: DataFrame = { builds += 1; b }
+    FrameStore.loadOrBuild(spark, "t", 1, b, Seq("k", "v"), dir)(mk)
+    FrameStore.loadOrBuild(spark, "t", 2, b, Seq("k", "v"), dir)(mk)
+    assert(builds == 2)
+  }
+
+  test("wrong-shape persisted entry is rebuilt, never trusted") {
+    val dir = tmpDir().toString
+    val b = base(Seq((1L, 10L), (2L, 20L)))
+    // persist a frame under kind=t v1 whose columns do NOT match what
+    // the consumer expects — must be treated as absent
+    FrameStore.loadOrBuild(spark, "t", 1, b, Seq("k", "v"), dir)(b)
+    var rebuilt = false
+    val out = FrameStore.loadOrBuild(spark, "t", 1, b,
+      Seq("k", "v", "extra"), dir) {
+      rebuilt = true
+      b.withColumn("extra", lit(0L))
+    }
+    assert(rebuilt, "column mismatch must fall back to rebuild")
+    assert(out.columns.sorted.toSeq == Seq("extra", "k", "v"))
+  }
+
+  test("q237 pair matrix: loaded equals built, value for value") {
+    val dir = tmpDir().toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val proj = li.select(col("l_orderkey"), col("l_partkey"),
+      col("l_quantity"))
+    val cols = Seq("u", "v", "w_uv", "w_vu")
+    val built = FrameStore.loadOrBuild(spark, "bt_pairs_spec", 1, proj,
+      cols, dir)(graft.operators.AgreementQueries.btPairs(li))
+    val loaded = FrameStore.loadOrBuild(spark, "bt_pairs_spec", 1, proj,
+      cols, dir)(sys.error("must not rebuild"))
+    val key = (df: DataFrame) => df.select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(key(built) == key(loaded))
+    assert(key(built).nonEmpty)
+  }
+}

@@ -1246,4 +1246,33 @@ class PlanChecksSpec extends SparkSpec {
       "iterations must land behind a checkpoint boundary:\n" + pi)
     assert(pi.contains("TakeOrderedAndProject"), pi)
   }
+
+  test("q106/q187/q195: global ranks plan NO unpartitioned window") {
+    // VERDICT r11 finding 3: an unpartitioned Window.orderBy plans as
+    // Exchange SinglePartition — ONE task sorting the whole
+    // data-proportional frame. These three now rank via RangeRank
+    // (literal boundary buckets + per-bucket windows + broadcast
+    // offset prefix sums); the pin is that no Window with an empty
+    // partition spec survives anywhere in the optimized plan, so the
+    // claim "exact form holds to ~10^9 groups" matches the plan Spark
+    // actually produces. (Scalar total aggregates — q195's
+    // sum(rev) — still single-partition their <= #partitions partial
+    // rows; that is partition-count-bounded, not data-proportional,
+    // and stays allowed.)
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (q <- Seq("q106_equifreq_binning", "q187_rfm_segmentation",
+        "q195_abc_classification")) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q still carries ${bad.size} unpartitioned window(s):\n" +
+          df.queryExecution.optimizedPlan.toString())
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        q + " should broadcast the offsets frame:\n" + p)
+    }
+  }
 }

@@ -38,6 +38,70 @@ object DedupQueries {
       TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
   }
 
+  /** q36's signature-vs-ground-truth audit over shared-shingle-blocked
+    * pairs: per tier (exact / near / far by md5 + exact Jaccard) the
+    * engine-independent pair count and intersection/union sums, plus
+    * the verdict the SimHash signature must earn — exact pairs at
+    * hamming 0 and strict mean-hamming separation near < far as an
+    * exact integer cross-product. Shared by the catalog entry and
+    * DedupSpec's corpus anchor. */
+  def simhashAudit(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val s0 = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sig"),
+      TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+    val sz = s0.where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("h"), col("sig"),
+        size(col("sh")).cast("long").as("n"))
+    val x = s0.select(col("doc_id"), explode(col("sh")).as("g"))
+    val ints = x.as("a").join(x.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).cast("long").as("i"))
+    val p = ints
+      .join(sz.select(col("doc_id").as("da"), col("h").as("ha"),
+        col("sig").as("siga"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("h").as("hb"),
+        col("sig").as("sigb"), col("n").as("nb")), "db")
+      .withColumn("jac", col("i").cast("double")
+        / (col("na") + col("nb") - col("i")).cast("double"))
+      .withColumn("tier",
+        when(col("ha") === col("hb"), "exact")
+          .when(col("jac") >= 0.8, "near")
+          .when(col("jac") < 0.1, "far"))
+      .where(col("tier").isNotNull)
+      .withColumn("ham", expr("bit_count(siga ^ sigb)").cast("long"))
+    // ONE pass over the blocked pairs folds every per-tier quantity;
+    // the collect is bounded by construction at <= 3 rows (one per
+    // tier), and the verdicts are exact integer driver arithmetic on
+    // those three rows — the heavy shingle join never runs twice.
+    val agg = p.groupBy("tier").agg(
+      count(lit(1)).cast("long").as("n_pairs"),
+      sum("i").cast("long").as("s_i"),
+      sum(col("na") + col("nb") - col("i")).cast("long").as("s_u"),
+      sum("ham").cast("long").as("s_ham"),
+      max("ham").cast("long").as("m_ham"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val (nNear, hamNear) =
+      agg.get("near").map(t => (t._1, t._4)).getOrElse((0L, 0L))
+    val (nFar, hamFar) =
+      agg.get("far").map(t => (t._1, t._4)).getOrElse((0L, 0L))
+    val exactOk = agg.get("exact").forall(_._5 == 0L)
+    val sepOk = nNear == 0L || nFar == 0L ||
+      hamNear * nFar < hamFar * nNear
+    Seq("exact", "near", "far").map { t =>
+      val (n, si, su) = agg.get(t).map(x => (x._1, x._2, x._3))
+        .getOrElse((0L, 0L, 0L))
+      (t, n, si, su, if (t == "exact") exactOk else sepOk)
+    }.toDF("tier", "n_pairs", "sum_shingle_inter", "sum_shingle_union",
+      "sim_audit").orderBy("tier")
+  }
+
   /** q65's symmetric similarity-edge set (pairs sharing >= 3 3-gram
     * shingles on the bounded slice, both directions). Shared with
     * PlanChecksSpec so the no-cartesian guard inspects the plan that
@@ -741,16 +805,57 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q36
-    "q36_dedup_simhash" -> QueryDef.rowsOnly(
-      "64-bit SimHash signature per document + 16-bit prefix bucket: " +
-      "hamming-close signatures land in the same bucket for near-dup " +
-      "blocking. Engine-specific hashing -> rows-only check; hamming " +
-      "properties covered by DedupSpec.") { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          HashFunctions.simhash64(TextFunctions.tokens(col("text"))).as("simhash"))
-        .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
-        .orderBy("doc_id")
+    "q36_dedup_simhash" -> QueryDef.sql(
+      "SimHash near-dup signature AUDITED against exact shingle " +
+      "Jaccard (the q46/q85 conversion pattern — r11 item 7: the raw " +
+      "64-bit signature is engine-internal hashing no portable SQL " +
+      "can reproduce, so the catalog row emits the engine-" +
+      "INDEPENDENT audit instead and the signature keeps its " +
+      "DedupSpec/SketchesSpec anchors): shared-shingle-blocked doc " +
+      "pairs (the q75/q91 equi-join shape, never corpus-quadratic) " +
+      "tiered by ground truth — exact (md5-equal text), near (exact " +
+      "3-gram Jaccard >= 0.8), far (< 0.1); per tier the exact " +
+      "integer pair count and shingle intersection/union sums, plus " +
+      "the oracle-PINNED verdict the signature must earn: exact " +
+      "pairs have hamming identically 0 (same tokens -> same " +
+      "signature, bit for bit) and near pairs beat far pairs on MEAN " +
+      "hamming via the exact integer cross-product ham_near*n_far < " +
+      "ham_far*n_near — no float ever decides the verdict, and a " +
+      "signature regression (hash family, weighting, bit order) " +
+      "hash-fails the row. Jac tier cuts are one IEEE division of " +
+      "exact ints on both engines (the q75 argument). Shape at " +
+      "100 TB: the SIGNATURE is one scan; the audit certifies it on " +
+      "the blocked pair set (sampled blocks at corpus scale) exactly " +
+      "like q46 certifies HLL against the exact count.",
+      s"""WITH t AS (SELECT doc_id, md5(text) AS h, $sqlToks AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, $sqlShingles AS sh FROM t),
+        |sz AS (SELECT doc_id, h, len(sh)::BIGINT AS n FROM s
+        |       WHERE len(sh) > 0),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |ints AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    count(*)::BIGINT AS i
+        |  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT i, sa.n AS na, sb.n AS nb,
+        |    CASE WHEN sa.h = sb.h THEN 'exact'
+        |         WHEN i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.8
+        |           THEN 'near'
+        |         WHEN i::DOUBLE / (sa.n + sb.n - i)::DOUBLE < 0.1
+        |           THEN 'far' END AS tier
+        |  FROM ints JOIN sz sa ON da = sa.doc_id
+        |  JOIN sz sb ON db = sb.doc_id),
+        |agg AS (SELECT tier, count(*)::BIGINT AS n_pairs,
+        |    sum(i)::BIGINT AS s_i, sum(na + nb - i)::BIGINT AS s_u
+        |  FROM p WHERE tier IS NOT NULL GROUP BY 1),
+        |spine AS (SELECT unnest(['exact', 'near', 'far']) AS tier)
+        |SELECT sp.tier, coalesce(a.n_pairs, 0)::BIGINT AS n_pairs,
+        |  coalesce(a.s_i, 0)::BIGINT AS sum_shingle_inter,
+        |  coalesce(a.s_u, 0)::BIGINT AS sum_shingle_union,
+        |  true AS sim_audit
+        |FROM spine sp LEFT JOIN agg a ON sp.tier = a.tier
+        |ORDER BY sp.tier""".stripMargin) { (s, d) =>
+      simhashAudit(s, Tables.documents(s, d))
     },
 
     // ---------------------------------------------------------------- q75

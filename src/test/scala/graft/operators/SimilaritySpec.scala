@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
       .map { case (q, v, c) => (q, v) -> c }.toMap
     // full exact scores for any (query, candidate) the LSH emits
-    val lsh = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+    val lsh = SimilarityQueries.lshTopK(spark, sf0001, 4, 8, 2)
       .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty, "LSH returned no candidates at sf0.001")
     // where LSH picked a pair the exact top-5 also contains, scores agree exactly
@@ -44,7 +44,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("per-query LSH output is at most top-5 and rank-ordered") {
-    val rows = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+    val rows = SimilarityQueries.lshTopK(spark, sf0001, 4, 8, 2)
       .select(col("qid"), col("rnk"), col("cos")).as[(Long, Long, Double)].collect()
     rows.groupBy(_._1).foreach { case (_, g) =>
       assert(g.length <= 5)
@@ -71,12 +71,16 @@ class SimilaritySpec extends SparkSpec {
   test("banded multi-probe LSH recall@5 >= 0.5 against the exact baseline") {
     val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
-    val lsh = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+    val lsh = SimilarityQueries.lshTopK(spark, sf0001, 4, 8, 2)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
     val recall = (exact & lsh).size.toDouble / exact.size
     info(s"banded multi-probe LSH recall@5 = $recall (${(exact & lsh).size}/${exact.size})")
     assert(recall >= 0.5,
       s"banded LSH recall@5 = $recall below the 0.5 design floor")
+    // and the CATALOG q39 audit row must earn its pinned verdict here too
+    val audit = graft.SparkEntry.queries("q39_ann_lsh_bucketed")(spark, sf0001)
+    assert(audit.where(!col("recall_floor_met")).count() == 0L,
+      "q39 recall_floor_met verdict not earned at sf0.001")
   }
 
   test("IVF (trained centroids) recall@5 >= 0.6 against the exact baseline") {

@@ -24,6 +24,7 @@ object SparkEntry {
       operators.ExtendedQueries.defs ++
       operators.ExtendedQueries.defs2 ++
       operators.AgreementQueries.defs ++
+      operators.CurationQueries.defs ++
       operators.GraphQueries.defs ++
       operators.WarehouseQueries.defs ++
       operators.PipelineQueries.defs): _*)

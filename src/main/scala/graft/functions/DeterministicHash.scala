@@ -140,4 +140,12 @@ object DeterministicHash {
     * primes, distinct by value from all constants in this file. */
   val dpSaltA: Long = 479001599L
   val dpSaltB: Long = 275604541L
+
+  /** Salt for q249's per-sample pass/fail stream. Independent of every
+    * stream above: pass@k is an unbiased estimator only if sample
+    * outcomes are exchangeable within a task, so sharing a stream with
+    * any split/sample/shuffle assignment would correlate "correct"
+    * with pipeline membership and bias the estimate the query audits.
+    * Distinct prime, distinct by value from all constants here. */
+  val passSalt: Long = 15485863L
 }

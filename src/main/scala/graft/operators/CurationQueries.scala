@@ -1,0 +1,561 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-12 LLM-data-curation battery: the decode/eval/mixture-side
+  * operators a training-data pipeline runs AFTER dedup and quality
+  * scoring — speculative-decoding acceptance (q248), pass@k estimation
+  * (q249), curriculum pacing over a global exact rank (q250), Condorcet
+  * / Copeland ranking of pairwise duels (q251), draft-table n-gram
+  * coverage (q252), leave-one-source-out ablation (q253), cross-source
+  * n-gram redundancy (q254), and DSIR-style importance sign scoring
+  * (q255). Exactness discipline as everywhere in the catalog: integer
+  * counts, integer cross-multiplication for every election/verdict,
+  * and only fixed-shape IEEE divisions in emitted doubles — hash-exact
+  * vs DuckDB with no tolerance. q250/q252 rank through RangeRank
+  * (boundary buckets + offset prefix sums), so no query here plans a
+  * single-partition window over a data-proportional frame.
+  */
+object CurationQueries {
+
+  private def sqlToks = TextQueries.sqlToks
+
+  /** Trigram occurrence stream (tg = "w1 w2 w3") keyed by the given
+    * columns — the q243 explode shape, shared by q248/q252/q254. */
+  private def trigrams(docs: DataFrame, keep: Seq[String] = Nil)
+      : DataFrame =
+    docs.select((keep.map(col) :+ tokens(col("text")).as("w")): _*)
+      .select((keep.map(col) :+ explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w) - 2),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+          |    ' ', element_at(w, i + 2)))
+          |ELSE array() END""".stripMargin)).as("tg")): _*)
+
+  private val sqlTri =
+    """unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE []::VARCHAR[] END) AS tg""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // --------------------------------------------------------------- q248
+    "q248_speculative_acceptance" -> QueryDef.sql(
+      "Speculative-decoding acceptance audit (Leviathan 2023; " +
+      "Chen 2023): per trigram context, the EXPECTED acceptance rate " +
+      "of a bigram draft model against the trigram target is the " +
+      "total-variation overlap sum_w min(p_draft(w), p_target(w)) — " +
+      "the number a deployment measures before sizing its draft " +
+      "ladder. Computed EXACTLY: with target counts c_t over context " +
+      "(a,b) totaling T and draft counts c_d over unigram context " +
+      "(b) totaling D, the overlap numerator is " +
+      "sum_w min(c_t*D, c_d*T) — pure int64 cross-products (c*T <= " +
+      "~1e12 at sf0.1; lifts to decimal(38,0) past ~3e9 occurrences " +
+      "per table, the q238 rule) — and accept_rate = num/(T*D) is " +
+      "the one IEEE division. Words absent from either model " +
+      "contribute exactly 0, so the aggregated-table equi-join on " +
+      "(prev, w) IS the sum. Top-30 contexts by (T DESC, ctx) with " +
+      "support >= 5. Shape at 100 TB: both model tables are " +
+      "vocab-bounded aggregates (never corpus-sized), the overlap is " +
+      "one equi-join + one combinable sum, and the cut is " +
+      "TakeOrdered.",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+        |tri AS (SELECT $sqlTri FROM t),
+        |c3 AS (SELECT string_split(tg, ' ')[1] || ' '
+        |      || string_split(tg, ' ')[2] AS ctx,
+        |    string_split(tg, ' ')[2] AS b,
+        |    string_split(tg, ' ')[3] AS w3, count(*)::BIGINT AS c
+        |  FROM tri GROUP BY 1, 2, 3),
+        |tt AS (SELECT ctx, sum(c)::BIGINT AS t_total FROM c3 GROUP BY 1),
+        |bg AS (SELECT string_split(bgr, ' ')[1] AS prev,
+        |    string_split(bgr, ' ')[2] AS w3, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1])
+        |      ELSE []::VARCHAR[] END) AS bgr FROM t)
+        |  GROUP BY 1, 2),
+        |dt AS (SELECT prev, sum(c)::BIGINT AS d_total FROM bg GROUP BY 1),
+        |num AS (SELECT c3.ctx,
+        |    sum(least(c3.c * dt.d_total, bg.c * tt.t_total))::BIGINT
+        |      AS acc_num
+        |  FROM c3 JOIN bg ON c3.b = bg.prev AND c3.w3 = bg.w3
+        |  JOIN tt ON c3.ctx = tt.ctx JOIN dt ON c3.b = dt.prev
+        |  GROUP BY 1),
+        |r AS (SELECT tt.ctx, tt.t_total, dt.d_total,
+        |    coalesce(num.acc_num, 0)::BIGINT AS acc_num,
+        |    row_number() OVER (ORDER BY tt.t_total DESC, tt.ctx)
+        |      ::BIGINT AS rank
+        |  FROM tt
+        |  JOIN dt ON string_split(tt.ctx, ' ')[2] = dt.prev
+        |  LEFT JOIN num ON tt.ctx = num.ctx
+        |  WHERE tt.t_total >= 5)
+        |SELECT rank, ctx, t_total, d_total, acc_num,
+        |  acc_num::DOUBLE / (t_total * d_total)::DOUBLE AS accept_rate
+        |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin) { (s, d) =>
+      speculativeAcceptance(Tables.documents(s, d), minSupport = 5L,
+        k = 30)
+    },
+
+    // --------------------------------------------------------------- q249
+    "q249_pass_at_k" -> QueryDef.sql(
+      "pass@k estimation (Chen 2021, the Codex estimator) — the " +
+      "standard coding-eval metric: per task with n samples of which " +
+      "c pass, pass@k = 1 - C(n-c,k)/C(n,k), computed with the " +
+      "numerically-stable telescoped product 1 - prod_{i<k} " +
+      "(n-c-i)/(n-i) at k=5 — five int-exact IEEE divisions " +
+      "multiplied in FIXED left-assoc order on both engines, so the " +
+      "double is bit-identical with no factorial overflow at ANY n " +
+      "(the naive binomial products overflow int64 past n ~ 6000). " +
+      "c > n-k short-circuits to exactly 1.0 (C(n-c,k) = 0). Tasks = " +
+      "suppliers; the per-sample pass bit is the q56-family salted " +
+      "integer hash (passSalt stream — independent of every " +
+      "split/sample stream, see DeterministicHash) at a 1-in-5 rate, " +
+      "so the whole metric is engine-reproducible. Shape at 100 TB: " +
+      "one combinable (task) rollup is the only data pass; the " +
+      "estimator runs on the |tasks|-row frame.",
+      s"""WITH s AS (SELECT l_suppkey AS task,
+        |    CASE WHEN ${graft.functions.DeterministicHash.knuth32Sql(
+              "(l_orderkey * 8 + l_linenumber)",
+              graft.functions.DeterministicHash.passSalt)} % 5 = 0
+        |      THEN 1 ELSE 0 END AS ok
+        |  FROM lineitem),
+        |a AS (SELECT task, count(*)::BIGINT AS n, sum(ok)::BIGINT AS c
+        |  FROM s GROUP BY 1)
+        |SELECT task, n, c,
+        |  CASE WHEN n - c < 5 THEN 1.0
+        |    ELSE 1.0
+        |      - ((n-c)::DOUBLE / n::DOUBLE)
+        |      * ((n-c-1)::DOUBLE / (n-1)::DOUBLE)
+        |      * ((n-c-2)::DOUBLE / (n-2)::DOUBLE)
+        |      * ((n-c-3)::DOUBLE / (n-3)::DOUBLE)
+        |      * ((n-c-4)::DOUBLE / (n-4)::DOUBLE)
+        |  END AS pass_at_5
+        |FROM a WHERE n >= 5 ORDER BY task""".stripMargin) { (s, d) =>
+      passAtK(Tables.lineitem(s, d), k = 5)
+    },
+
+    // --------------------------------------------------------------- q250
+    "q250_curriculum_pacing" -> QueryDef.sql(
+      "Curriculum pacing stages (Bengio 2009 curriculum learning): " +
+      "the corpus globally ranked by an exact difficulty proxy " +
+      "(token count, tie-broken by doc_id) and cut into 4 " +
+      "equal-frequency pacing stages — the schedule table a " +
+      "curriculum loader consumes; per stage the doc count, token " +
+      "budget, and [min,max] difficulty bounds, all exact integers. " +
+      "The global ntile runs as RangeRank (literal quantile-boundary " +
+      "buckets -> per-bucket windows + broadcast offset prefix " +
+      "sums) — NO single-partition exchange, so the exact schedule " +
+      "itself survives ~10^9 docs; beyond that the stage boundaries " +
+      "come from q85's mergeable sketch (the q106 contract).",
+      s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_tok
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tok,
+        |    ntile(4) OVER (ORDER BY n_tok, doc_id)::BIGINT AS stage
+        |  FROM t)
+        |SELECT stage, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS sum_tokens,
+        |  min(n_tok)::BIGINT AS min_tokens,
+        |  max(n_tok)::BIGINT AS max_tokens
+        |FROM b GROUP BY 1 ORDER BY stage""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      graft.functions.RangeRank.withNtile(t, "n_tok", "doc_id", 4, "stage")
+        .groupBy("stage")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("sum_tokens"),
+          min("n_tok").cast("long").as("min_tokens"),
+          max("n_tok").cast("long").as("max_tokens"))
+        .orderBy("stage")
+    },
+
+    // --------------------------------------------------------------- q251
+    "q251_condorcet_copeland" -> QueryDef.sql(
+      "Condorcet / Copeland ranking of pairwise duels (Copeland " +
+      "1951; the arena-leaderboard aggregation rule that, unlike " +
+      "q237's Bradley-Terry MM, needs no model fit): from the " +
+      "within-order quantity duels, each co-dueling pair awards 2 " +
+      "points to the head-to-head winner (1 each on a tie); an " +
+      "item's Copeland score is its point sum over opponents and " +
+      "the Condorcet flag marks items that beat EVERY opponent " +
+      "(copeland2 = 2*n_opp). Pure integer comparisons -> " +
+      "hash-exact. The Spark side reads q237's FrameStore-persisted " +
+      "SMOOTHED pair matrix: head-to-head verdicts are invariant " +
+      "under the Laplace +1 applied to BOTH orientations (w_uv+1 > " +
+      "w_vu+1 iff w_uv > w_vu), so the cross-session asset is shared " +
+      "while the oracle derives the same verdicts from raw duels. " +
+      "Top-20 by (copeland2 DESC, partkey). Shape at 100 TB: duels " +
+      "are basket-bounded, scoring is one union + one combinable " +
+      "sum over the sparse pair list, TakeOrdered cut.",
+      """WITH op AS (SELECT l_orderkey AS o, l_partkey AS p,
+        |    sum(l_quantity::BIGINT)::BIGINT AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |duel AS (SELECT a.p AS w, b.p AS l FROM op a JOIN op b
+        |  ON a.o = b.o AND a.q > b.q),
+        |pr AS (SELECT least(w, l) AS u, greatest(w, l) AS v,
+        |    sum(CASE WHEN w < l THEN 1 ELSE 0 END)::BIGINT AS w_uv,
+        |    sum(CASE WHEN w > l THEN 1 ELSE 0 END)::BIGINT AS w_vu
+        |  FROM duel GROUP BY 1, 2),
+        |sc AS (SELECT u AS i,
+        |    CASE WHEN w_uv > w_vu THEN 2 WHEN w_uv = w_vu THEN 1
+        |      ELSE 0 END AS pts FROM pr
+        |  UNION ALL SELECT v,
+        |    CASE WHEN w_vu > w_uv THEN 2 WHEN w_uv = w_vu THEN 1
+        |      ELSE 0 END FROM pr),
+        |g AS (SELECT i, count(*)::BIGINT AS n_opp,
+        |    sum(pts)::BIGINT AS copeland2 FROM sc GROUP BY 1),
+        |r AS (SELECT i, n_opp, copeland2,
+        |    row_number() OVER (ORDER BY copeland2 DESC, i)::BIGINT
+        |      AS rank FROM g)
+        |SELECT rank, i AS partkey, n_opp, copeland2,
+        |  (copeland2 = 2 * n_opp) AS is_condorcet
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, d) =>
+      condorcetCopeland(s, d, k = 20)
+    },
+
+    // --------------------------------------------------------------- q252
+    "q252_draft_coverage_curve" -> QueryDef.sql(
+      "Draft-table coverage curve — what fraction of all trigram " +
+      "OCCURRENCES the top-k most frequent trigram TYPES cover, at " +
+      "k = 10/100/1000: the sizing curve for q248's speculative " +
+      "draft table and q243's continuation cache (a draft table only " +
+      "helps where its entries fire; coverage is the firing " +
+      "probability under the corpus distribution). Types ranked by " +
+      "(count DESC, trigram ASC) through RangeRank — the type table " +
+      "is vocab^3-bounded but still data-proportional at corpus " +
+      "scale, so the rank must not plan a single-partition window " +
+      "(r11 finding 3 discipline); only the k <= 1000 head survives " +
+      "the rank filter, and the three curve points fold from that " +
+      "head against broadcast totals. Integer counts + one IEEE " +
+      "division per point -> hash-exact.",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+        |tri AS (SELECT $sqlTri FROM t),
+        |c3 AS (SELECT tg, count(*)::BIGINT AS c FROM tri GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS total_occ,
+        |    count(*)::BIGINT AS n_types FROM c3),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tg)
+        |    ::BIGINT AS rnk FROM c3),
+        |ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT ks.k::BIGINT AS k,
+        |  coalesce(sum(CASE WHEN r.rnk <= ks.k THEN r.c END), 0)
+        |    ::BIGINT AS covered_occ,
+        |  max(tot.total_occ)::BIGINT AS total_occ,
+        |  max(tot.n_types)::BIGINT AS n_types,
+        |  coalesce(sum(CASE WHEN r.rnk <= ks.k THEN r.c END), 0)::DOUBLE
+        |    / max(tot.total_occ)::DOUBLE AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN r ON r.rnk <= ks.k
+        |GROUP BY ks.k ORDER BY k""".stripMargin) { (s, d) =>
+      draftCoverageCurve(s, Tables.documents(s, d), Seq(10L, 100L, 1000L))
+    },
+
+    // --------------------------------------------------------------- q253
+    "q253_loo_source_ablation" -> QueryDef.sql(
+      "Leave-one-source-out ablation audit (the cheapest data-" +
+      "valuation signal: how the corpus-wide mean document length " +
+      "moves when a source is removed — the same fold a quality or " +
+      "toxicity mean uses): per source its exact token sum and doc " +
+      "count, the REST-of-corpus mean from broadcast totals, the " +
+      "exact integer SIGN of (source mean - rest mean) via the " +
+      "cross-product tok*(N - n_docs) - (T - tok)*n_docs (no float " +
+      "ever decides direction; lifts to decimal(38,0) past ~3e9 " +
+      "docs x 3e9 tokens, the q238 rule), and the fixed-shape " +
+      "two-division IEEE delta. ONE combinable (source) rollup is " +
+      "the only data pass at any scale — leave-one-out needs no " +
+      "second scan because rest = total - self.",
+      s"""WITH d AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len($sqlToks))::BIGINT AS tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS nn,
+        |    sum(tok)::BIGINT AS tt FROM d)
+        |SELECT source, n_docs, tok,
+        |  CASE WHEN tok * (nn - n_docs) - (tt - tok) * n_docs > 0
+        |      THEN 1
+        |    WHEN tok * (nn - n_docs) - (tt - tok) * n_docs < 0
+        |      THEN -1 ELSE 0 END::BIGINT AS delta_sign,
+        |  (tok::DOUBLE / n_docs::DOUBLE)
+        |    - ((tt - tok)::DOUBLE / (nn - n_docs)::DOUBLE)
+        |    AS loo_delta
+        |FROM d CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+      looSourceAblation(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q254
+    "q254_crosssource_redundancy" -> QueryDef.sql(
+      "Cross-source n-gram redundancy (the self-BLEU-style diversity " +
+      "proxy, source-granular): per source, the fraction of its " +
+      "trigram OCCURRENCES whose trigram TYPE also appears in at " +
+      "least one OTHER source — high redundancy marks a source " +
+      "contributing little novel text to the mixture (boilerplate, " +
+      "syndication), the signal mixture reweighting (q71) and " +
+      "dedup budgeting (q143) consume. Exact: one (source, type) " +
+      "count table, a type-spread rollup (distinct-source count), " +
+      "and one fold per source splitting occurrences by spread >= " +
+      "2 — integer counts + one IEEE division. Shape at 100 TB: " +
+      "two combinable hash aggs on the (source, type) and (type) " +
+      "grains + one equi-join of vocab-bounded tables; never a " +
+      "doc-pair join (the q157 closed-form discipline).",
+      s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents),
+        |tri AS (SELECT source, $sqlTri FROM t),
+        |tc AS (SELECT source, tg, count(*)::BIGINT AS c
+        |  FROM tri GROUP BY 1, 2),
+        |sp AS (SELECT tg, count(*)::BIGINT AS n_src FROM tc GROUP BY 1)
+        |SELECT tc.source, sum(tc.c)::BIGINT AS total_occ,
+        |  sum(CASE WHEN sp.n_src >= 2 THEN tc.c ELSE 0 END)::BIGINT
+        |    AS redundant_occ,
+        |  sum(CASE WHEN sp.n_src >= 2 THEN tc.c ELSE 0 END)::DOUBLE
+        |    / sum(tc.c)::DOUBLE AS redundancy
+        |FROM tc JOIN sp ON tc.tg = sp.tg
+        |GROUP BY 1 ORDER BY tc.source""".stripMargin) { (s, d) =>
+      crossSourceRedundancy(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q255
+    "q255_dsir_sign_score" -> QueryDef.sql(
+      "DSIR-style importance sign score (Xie 2023 data selection " +
+      "via importance resampling, integer-exact form): with target " +
+      "distribution = the en slice and source = the rest, each " +
+      "token type leans target (+1), source (-1), or neutral (0) by " +
+      "the EXACT cross-product ce*TR vs cr*TE of its split counts " +
+      "against the split totals (the sign of the log-likelihood " +
+      "ratio without computing a log — engine-portable where the " +
+      "float LLR is not); a document's score is the occurrence-" +
+      "weighted lean sum over its tokens, an integer. Top-30 docs " +
+      "by (score DESC, doc_id) = the resampling head. Shape at " +
+      "100 TB: the lean table is vocab-bounded and broadcast; " +
+      "scoring is one equi-join + one combinable per-doc sum; " +
+      "TakeOrdered cut. ce*TR lifts to decimal(38,0) past ~3e9 " +
+      "x 3e9 (q238 rule).",
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($sqlToks) AS term
+        |  FROM documents),
+        |tc AS (SELECT term,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ce,
+        |    sum(CASE WHEN lang != 'en' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(ce)::BIGINT AS te, sum(cr)::BIGINT AS tr
+        |  FROM tc),
+        |lean AS (SELECT term,
+        |    CASE WHEN ce * tr > cr * te THEN 1
+        |      WHEN ce * tr < cr * te THEN -1 ELSE 0 END::BIGINT AS lean
+        |  FROM tc CROSS JOIN tot),
+        |ds AS (SELECT tk.doc_id, count(*)::BIGINT AS n_tok,
+        |    sum(lean.lean)::BIGINT AS score
+        |  FROM tk JOIN lean ON tk.term = lean.term GROUP BY 1),
+        |r AS (SELECT doc_id, n_tok, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+        |      AS rank FROM ds)
+        |SELECT rank, doc_id, n_tok, score
+        |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin) { (s, d) =>
+      dsirSignScore(Tables.documents(s, d), k = 30)
+    }
+  )
+
+  /** q248's acceptance table over arbitrary documents — shared with
+    * CurationSpec. */
+  def speculativeAcceptance(docs: DataFrame, minSupport: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(tokens(col("text")).as("w"))
+    val c3 = t.select(explode(expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(1, size(w) - 2),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+          |    ' ', element_at(w, i + 2)))
+          |ELSE array() END""".stripMargin)).as("tg"))
+      .select(
+        concat(split(col("tg"), " ").getItem(0), lit(" "),
+          split(col("tg"), " ").getItem(1)).as("ctx"),
+        split(col("tg"), " ").getItem(1).as("b"),
+        split(col("tg"), " ").getItem(2).as("w3"))
+      .groupBy("ctx", "b", "w3").agg(count(lit(1)).cast("long").as("c"))
+    val tt = c3.groupBy("ctx").agg(sum("c").cast("long").as("t_total"))
+    val bg = t.select(explode(expr(
+        """CASE WHEN size(w) >= 2
+          |THEN transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |ELSE array() END""".stripMargin)).as("bgr"))
+      .select(split(col("bgr"), " ").getItem(0).as("prev"),
+        split(col("bgr"), " ").getItem(1).as("w3"))
+      .groupBy("prev", "w3").agg(count(lit(1)).cast("long").as("c"))
+    val dt = bg.groupBy("prev").agg(sum("c").cast("long").as("d_total"))
+    val num = c3.as("c3")
+      .join(bg.as("bg"),
+        col("c3.b") === col("bg.prev") && col("c3.w3") === col("bg.w3"))
+      .join(tt, "ctx")
+      .join(dt.select(col("prev").as("dprev"), col("d_total")),
+        col("c3.b") === col("dprev"))
+      .groupBy("ctx")
+      .agg(sum(least(col("c3.c") * col("d_total"),
+        col("bg.c") * col("t_total"))).cast("long").as("acc_num"))
+    val r = tt.where(col("t_total") >= minSupport)
+      .join(dt, split(col("ctx"), " ").getItem(1) === col("prev"))
+      .join(num, Seq("ctx"), "left")
+      .select(col("ctx"), col("t_total"), col("d_total"),
+        coalesce(col("acc_num"), lit(0L)).cast("long").as("acc_num"))
+      .orderBy(col("t_total").desc, col("ctx")).limit(k)
+    r.select(
+        row_number().over(Window.orderBy(col("t_total").desc, col("ctx")))
+          .cast("long").as("rank"),
+        col("ctx"), col("t_total"), col("d_total"), col("acc_num"),
+        (col("acc_num").cast("double")
+          / (col("t_total") * col("d_total")).cast("double"))
+          .as("accept_rate"))
+      .orderBy("rank")
+  }
+
+  /** q249's pass@k over arbitrary (task, ok) samples derived from
+    * lineitem — shared with CurationSpec via passAtKFrom. */
+  def passAtK(lineitem: DataFrame, k: Int): DataFrame = {
+    val ok = when(graft.functions.DeterministicHash.knuth32(
+        col("l_orderkey") * 8 + col("l_linenumber"),
+        graft.functions.DeterministicHash.passSalt) % 5 === 0, 1L)
+      .otherwise(0L)
+    passAtKFrom(lineitem.select(col("l_suppkey").as("task"),
+      ok.as("ok")), k)
+  }
+
+  /** The estimator over a prepared (task, ok) frame. */
+  def passAtKFrom(samples: DataFrame, k: Int): DataFrame = {
+    val a = samples.groupBy("task")
+      .agg(count(lit(1)).cast("long").as("n"), sum("ok").cast("long").as("c"))
+      .where(col("n") >= k)
+    val prod = (0 until k).map { i =>
+      (col("n") - col("c") - lit(i.toLong)).cast("double")./(
+        (col("n") - lit(i.toLong)).cast("double"))
+    }.reduceLeft(_ * _)
+    a.select(col("task"), col("n"), col("c"),
+        when(col("n") - col("c") < k.toLong, lit(1.0))
+          .otherwise(lit(1.0) - prod).as(s"pass_at_$k"))
+      .orderBy("task")
+  }
+
+  /** q252's coverage fold: trigram types ranked by (count DESC, type)
+    * via RangeRank, head filtered to max(ks), curve points against
+    * broadcast totals. */
+  def draftCoverageCurve(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, ks: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val c3 = trigrams(docs).groupBy("tg")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tot = broadcast(c3.agg(sum("c").cast("long").as("total_occ"),
+      count(lit(1)).cast("long").as("n_types")))
+    val head = graft.functions.RangeRank
+      .withRowNumber(c3, "c", "tg", "rnk", desc = true)
+      .where(col("rnk") <= ks.max)
+      .select(col("rnk"), col("c"))
+    val cov = ks.toDF("k")
+      .join(broadcast(head), col("rnk") <= col("k"), "left")
+      .groupBy("k")
+      .agg(coalesce(sum("c"), lit(0L)).cast("long").as("covered_occ"))
+    cov.crossJoin(tot)
+      .select(col("k"), col("covered_occ"), col("total_occ"),
+        col("n_types"),
+        (col("covered_occ").cast("double")
+          / col("total_occ").cast("double")).as("coverage"))
+      .orderBy("k")
+  }
+
+  /** q253's leave-one-source-out fold: one (source) rollup + broadcast
+    * totals; rest = total - self. */
+  def looSourceAblation(docs: DataFrame): DataFrame = {
+    val dd = docs.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).cast("long").as("tok"))
+    val tot = broadcast(dd.agg(sum("n_docs").cast("long").as("nn"),
+      sum("tok").cast("long").as("tt")))
+    dd.crossJoin(tot)
+      .select(col("source"), col("n_docs"), col("tok"),
+        when(expr("tok * (nn - n_docs) - (tt - tok) * n_docs") > 0, 1L)
+          .when(expr("tok * (nn - n_docs) - (tt - tok) * n_docs") < 0,
+            -1L)
+          .otherwise(0L).cast("long").as("delta_sign"),
+        (col("tok").cast("double")./(col("n_docs").cast("double")))
+          .-((col("tt") - col("tok")).cast("double")
+            ./((col("nn") - col("n_docs")).cast("double")))
+          .as("loo_delta"))
+      .orderBy("source")
+  }
+
+  /** q254's redundancy fold: (source, type) counts x type spread. */
+  def crossSourceRedundancy(docs: DataFrame): DataFrame = {
+    val tc = trigrams(docs, Seq("source")).groupBy("source", "tg")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val sp = tc.groupBy("tg").agg(count(lit(1)).cast("long").as("n_src"))
+    tc.join(sp, "tg")
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("total_occ"),
+        sum(when(col("n_src") >= 2, col("c")).otherwise(0L))
+          .cast("long").as("redundant_occ"))
+      .select(col("source"), col("total_occ"), col("redundant_occ"),
+        (col("redundant_occ").cast("double")
+          / col("total_occ").cast("double")).as("redundancy"))
+      .orderBy("source")
+  }
+
+  /** q255's integer lean table + occurrence-weighted doc scores. */
+  def dsirSignScore(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val tc = tk.groupBy("term").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+        .as("ce"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).cast("long")
+        .as("cr"))
+    val tot = broadcast(tc.agg(sum("ce").cast("long").as("te"),
+      sum("cr").cast("long").as("tr")))
+    val lean = tc.crossJoin(tot).select(col("term"),
+      when(col("ce") * col("tr") > col("cr") * col("te"), 1L)
+        .when(col("ce") * col("tr") < col("cr") * col("te"), -1L)
+        .otherwise(0L).cast("long").as("lean"))
+    val ds = tk.join(lean, "term").groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum("lean").cast("long").as("score"))
+    ds.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long").as("rank"),
+        col("doc_id"), col("n_tok"), col("score"))
+      .orderBy("rank")
+  }
+
+  /** q251's Copeland scoring from q237's persisted smoothed pair
+    * matrix (verdict-invariant under symmetric +1 smoothing). */
+  def condorcetCopeland(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = graft.plans.SharedFrames(s, d, "bt_pairs") {
+      graft.functions.FrameStore.loadOrBuild(s, "bt_pairs",
+        version = 1,
+        base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        expectCols = Seq("u", "v", "w_uv", "w_vu")) {
+        AgreementQueries.btPairs(Tables.lineitem(s, d))
+      }
+    }
+    copelandFromPairs(pr, k)
+  }
+
+  /** The scoring fold over any (u, v, w_uv, w_vu) pair matrix —
+    * shared with CurationSpec's hand graphs. */
+  def copelandFromPairs(pr: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = pr.select(col("u").as("i"),
+        when(col("w_uv") > col("w_vu"), 2L)
+          .when(col("w_uv") === col("w_vu"), 1L).otherwise(0L).as("pts"))
+      .unionByName(pr.select(col("v").as("i"),
+        when(col("w_vu") > col("w_uv"), 2L)
+          .when(col("w_uv") === col("w_vu"), 1L).otherwise(0L).as("pts")))
+    val g = sc.groupBy("i").agg(count(lit(1)).cast("long").as("n_opp"),
+      sum("pts").cast("long").as("copeland2"))
+    g.orderBy(col("copeland2").desc, col("i")).limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("copeland2").desc, col("i")))
+          .cast("long").as("rank"),
+        col("i").as("partkey"), col("n_opp"), col("copeland2"),
+        (col("copeland2") === lit(2L) * col("n_opp")).as("is_condorcet"))
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computed semantics for the round-12 curation battery
+  * (q248-q255): every law is checked against a brute fold or a
+  * closed-form value on planted inputs, plus corpus invariants where
+  * the hand case can't cover the scale shape. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- q248
+  test("q248: draft == target distribution accepts with rate exactly 1") {
+    // one context "a b" with continuations only reachable via b:
+    // trigram and bigram conditionals coincide -> TV overlap = 1
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val r = CurationQueries.speculativeAcceptance(docs, 1L, 10)
+      .where(col("ctx") === "a b")
+      .select("t_total", "d_total", "acc_num", "accept_rate")
+      .as[(Long, Long, Long, Double)].head()
+    // T=3 (c:2, d:1); draft after b: c:2, d:1, D=3
+    // num = min(2*3, 2*3) + min(1*3, 1*3) = 9 = T*D -> rate 1.0
+    assert(r == ((3L, 3L, 9L, 1.0)), s"$r")
+  }
+
+  test("q248: diverging draft loses acceptance by the exact overlap") {
+    // context "a b": target c:2 d:1 (T=3). Extra doc "x b c" skews the
+    // draft after b: c:3 d:1 (D=4).
+    // num = min(2*4, 3*3) + min(1*4, 1*3) = 8 + 3 = 11; rate 11/12
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"),
+      (4L, "x b c")).toDF("doc_id", "text")
+    val r = CurationQueries.speculativeAcceptance(docs, 1L, 10)
+      .where(col("ctx") === "a b")
+      .select("t_total", "d_total", "acc_num", "accept_rate")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((3L, 4L, 11L, 11.0 / 12.0)), s"$r")
+  }
+
+  // ------------------------------------------------------------- q249
+  test("q249: pass@5 closed forms — saturated, zero, and 1 - C(5,5)/C(6,5)") {
+    val samples = (
+      (1 to 6).map(i => (1L, if (i <= 2) 1L else 0L)) ++   // n=6 c=2
+      (1 to 10).map(_ => (2L, 0L)) ++                       // n=10 c=0
+      (1 to 6).map(i => (3L, if (i == 1) 1L else 0L)) ++    // n=6 c=1
+      (1 to 4).map(_ => (4L, 1L))                           // n=4 < k
+    ).toDF("task", "ok")
+    val got = CurationQueries.passAtKFrom(samples, 5)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got.map(_._1) == List(1L, 2L, 3L), s"$got")
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L) == ((1L, 6L, 2L, 1.0)))           // n-c=4 < 5 -> 1.0
+    assert(m(2L) == ((2L, 10L, 0L, 0.0)))          // no passes -> 0
+    // n=6 c=1: 1 - 5/6*4/5*3/4*2/3*1/2 = 1 - 1/6
+    assert(math.abs(m(3L)._4 - (1.0 - 1.0 / 6.0)) < 1e-12, s"${m(3L)}")
+  }
+
+  // ------------------------------------------------------------- q250
+  test("q250: stages equal the single-partition ntile fold") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sf0001)
+    val t = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("n_tok"))
+    val want = t.withColumn("stage",
+        ntile(4).over(Window.orderBy("n_tok", "doc_id")).cast("long"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"),
+        min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+      .orderBy("stage")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val got = graft.SparkEntry
+      .queries("q250_curriculum_pacing")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == want, s"got $got want $want")
+    // stages are contiguous by difficulty: max of stage s <= min of s+1
+    got.sliding(2).foreach { case List(a, b) =>
+      assert(a._5 <= b._4, s"stage overlap: $a vs $b")
+    case _ => ()
+    }
+  }
+
+  // ------------------------------------------------------------- q251
+  test("q251: 3-cycle has no Condorcet winner; a dominator is flagged") {
+    // cycle: 1 beats 2, 2 beats 3, 3 beats 1; 4 beats everyone; 5 ties 1
+    val pr = Seq(
+      (1L, 2L, 5L, 1L), (2L, 3L, 5L, 1L), (1L, 3L, 1L, 5L),
+      (1L, 4L, 0L, 9L), (2L, 4L, 0L, 9L), (3L, 4L, 0L, 9L),
+      (1L, 5L, 2L, 2L)
+    ).toDF("u", "v", "w_uv", "w_vu")
+    val got = CurationQueries.copelandFromPairs(pr, 10)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    val m = got.map(r => r._2 -> r).toMap
+    // item 4: 3 opponents, 3 wins -> 6 = 2*3, Condorcet
+    assert(m(4L) == ((1L, 4L, 3L, 6L, true)), s"${m(4L)}")
+    // cycle members: 1 win, 1 loss vs cycle peers + loss to 4 (+ tie for 1)
+    assert(m(1L)._4 == 2L + 0L + 0L + 1L && !m(1L)._5, s"${m(1L)}") // win2, lose3, lose4, tie5
+    assert(m(2L)._4 == 2L && !m(2L)._5, s"${m(2L)}")
+    assert(m(3L)._4 == 2L && !m(3L)._5, s"${m(3L)}")
+    assert(m(5L)._4 == 1L && !m(5L)._5, s"${m(5L)}")
+    // ranks are (copeland2 DESC, partkey) with no gaps
+    assert(got.map(_._1) == (1L to got.length).toList)
+  }
+
+  test("q251: corpus scores are bounded and the flag matches the bound") {
+    val got = graft.SparkEntry
+      .queries("q251_condorcet_copeland")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toList
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, nOpp, cope2, flag) =>
+      assert(cope2 >= 0L && cope2 <= 2L * nOpp)
+      assert(flag == (cope2 == 2L * nOpp))
+    }
+  }
+
+  // ------------------------------------------------------------- q252
+  test("q252: coverage points equal the hand fold") {
+    // trigram counts: "a b c" x3 (three docs), "b c d" x1 -> total 4
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    // doc 3 contributes "a b c" and "b c d"
+    val got = CurationQueries
+      .draftCoverageCurve(spark, docs, Seq(1L, 2L))
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      (1L, 3L, 4L, 2L, 0.75),
+      (2L, 4L, 4L, 2L, 1.0)), s"$got")
+  }
+
+  // ------------------------------------------------------------- q253
+  test("q253: ablation deltas equal the closed form; signs are exact") {
+    val docs = Seq(
+      (1L, "t1 t2 t3", "src1"), (2L, "t1 t2 t3 t4 t5", "src1"),
+      (3L, "u1 u2 u3 u4 u5 u6", "src2"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.looSourceAblation(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    // src1: mean 8/2=4, rest 6/1=6 -> sign -1, delta -2; src2 mirror
+    assert(got == List(
+      ("src1", 2L, 8L, -1L, -2.0),
+      ("src2", 1L, 6L, 1L, 2.0)), s"$got")
+  }
+
+  test("q253: corpus deltas conserve — weighted deltas sum to ~0 sign-wise") {
+    // invariant: sum over sources of n_docs*(mean_s - mean_rest) has the
+    // same sign structure as the per-source deltas; cheap sanity: at
+    // least one source above and one below the corpus mean
+    val got = CurationQueries
+      .looSourceAblation(graft.Tables.documents(spark, sf0001))
+      .select("delta_sign").as[Long].collect().toList
+    assert(got.contains(1L) && got.contains(-1L), s"$got")
+  }
+
+  // ------------------------------------------------------------- q254
+  test("q254: redundancy equals the hand fold") {
+    // src1 trigrams: "a b c" x2, "p q r" x1; src2: "a b c" x1
+    val docs = Seq(
+      (1L, "a b c", "src1"), (2L, "a b c", "src1"),
+      (3L, "p q r", "src1"), (4L, "a b c", "src2"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.crossSourceRedundancy(docs)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("src1", 3L, 2L, 2.0 / 3.0),
+      ("src2", 1L, 1L, 1.0)), s"$got")
+  }
+
+  // ------------------------------------------------------------- q255
+  test("q255: lean signs and occurrence-weighted scores are exact") {
+    val docs = Seq(
+      (1L, "good good fine", "en"), (2L, "good fine", "en"),
+      (3L, "bad bad fine", "de"), (4L, "bad good", "de"))
+      .toDF("doc_id", "text", "lang")
+    // counts: good ce=3 cr=1; bad ce=0 cr=3; fine ce=2 cr=1
+    // totals TE=5 TR=5 -> lean good: 15>5 -> +1; bad: 0<15 -> -1;
+    // fine: 10>5 -> +1
+    val got = CurationQueries.dsirSignScore(docs, 10)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // scores: d1 = +3, d2 = +2, d3 = -1, d4 = 0
+    assert(got == List(
+      (1L, 1L, 3L, 3L), (2L, 2L, 2L, 2L),
+      (3L, 4L, 2L, 0L), (4L, 3L, 3L, -1L)), s"$got")
+  }
+}

@@ -407,29 +407,44 @@ object CurationQueries {
 
   /** q249's pass@k over arbitrary (task, ok) samples derived from
     * lineitem — shared with CurationSpec via passAtKFrom. */
-  def passAtK(lineitem: DataFrame, k: Int): DataFrame = {
+  def passAtK(lineitem: DataFrame, k: Int): DataFrame =
+    passAtKFrom(passSamples(lineitem), k)
+
+  /** The (task, ok) sample stream q249 derives from lineitem: task =
+    * supplier, pass bit = the salted integer hash at a 1-in-5 rate.
+    * Shared with the PassAtKStream twin so batch and stream hash the
+    * same stream. */
+  def passSamples(lineitem: DataFrame): DataFrame = {
     val ok = when(graft.functions.DeterministicHash.knuth32(
         col("l_orderkey") * 8 + col("l_linenumber"),
         graft.functions.DeterministicHash.passSalt) % 5 === 0, 1L)
       .otherwise(0L)
-    passAtKFrom(lineitem.select(col("l_suppkey").as("task"),
-      ok.as("ok")), k)
+    lineitem.select(col("l_suppkey").as("task"), ok.as("ok"))
   }
 
-  /** The estimator over a prepared (task, ok) frame. */
-  def passAtKFrom(samples: DataFrame, k: Int): DataFrame = {
-    val a = samples.groupBy("task")
-      .agg(count(lit(1)).cast("long").as("n"), sum("ok").cast("long").as("c"))
-      .where(col("n") >= k)
+  /** The per-task (n, c) counter grid — one commutative rollup, shared
+    * by batch q249 and the streaming twin (state = |tasks| cells). */
+  def passTaskGrid(samples: DataFrame): DataFrame =
+    samples.groupBy("task").agg(count(lit(1)).cast("long").as("n"),
+      sum("ok").cast("long").as("c"))
+
+  /** The estimator read over stored (task, n, c) cells — pure per-row
+    * algebra, shared by batch and stream read-back. */
+  def passAtKRead(cells: DataFrame, k: Int): DataFrame = {
     val prod = (0 until k).map { i =>
       (col("n") - col("c") - lit(i.toLong)).cast("double")./(
         (col("n") - lit(i.toLong)).cast("double"))
     }.reduceLeft(_ * _)
-    a.select(col("task"), col("n"), col("c"),
+    cells.where(col("n") >= k)
+      .select(col("task"), col("n"), col("c"),
         when(col("n") - col("c") < k.toLong, lit(1.0))
           .otherwise(lit(1.0) - prod).as(s"pass_at_$k"))
       .orderBy("task")
   }
+
+  /** The estimator over a prepared (task, ok) frame. */
+  def passAtKFrom(samples: DataFrame, k: Int): DataFrame =
+    passAtKRead(passTaskGrid(samples), k)
 
   /** q252's coverage fold: trigram types ranked by (count DESC, type)
     * via RangeRank, head filtered to max(ks), curve points against

@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 20 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 26 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -868,6 +868,33 @@ object StreamCheck {
           val cells = spark.table("sc_dp").as[(String, Long)].collect()
           val streamed = canon(DpCountStream.readBack(
             spark.createDataset(cells.toSeq).toDF("source", "n_docs")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
+      // --------------------------------------------- pass_at_k_grid
+      run("pass_at_k_grid",
+        "streamed per-task (n,c) counters + estimator read == batch q249 rows") {
+        val ss = graft.operators.CurationQueries
+          .passSamples(Tables.lineitem(spark, sfDir))
+          .as[(Long, Long)].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q249_pass_at_k")(spark, sfDir))
+        val ms = MemoryStream[(Long, Long)]
+        val q = PassAtKStream.grid(ms.toDF().toDF("task", "ok"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_passk").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: sample counts commute
+          ss.grouped(ss.length / 5 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val cells = spark.table("sc_passk")
+            .as[(Long, Long, Long)].collect()
+          val streamed = canon(PassAtKStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("task", "n", "c")))
           (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
         } finally q.stop()
       },

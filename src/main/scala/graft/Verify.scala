@@ -50,9 +50,11 @@ object Verify {
         s"[verify] WARNING: q66 LSH-recall premise violated at $sfDir: " +
         s"$gap doc pairs with exact shingle Jaccard in [0.1, 0.8). The " +
         "8x2 banding can miss pairs in that band, so q66's sketch-built " +
-        "edge set may legitimately diverge from the exact-edge oracle — " +
-        "a q66 hash mismatch in this run is the corpus changing, not an " +
-        "engine bug (see DedupQueries.recallPremiseGapPairs).")
+        "edge set — and q35's confirmed-pair set, whose r12 oracle " +
+        "rests on the same premise — may legitimately diverge from " +
+        "the exact-pair oracle: a q66/q35 hash mismatch in this run " +
+        "is the corpus changing, not an engine bug (see " +
+        "DedupQueries.recallPremiseGapPairs).")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q66 premise probe failed: ${e.getMessage}")
     }

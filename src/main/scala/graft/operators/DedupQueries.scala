@@ -632,12 +632,40 @@ object DedupQueries {
     },
 
     // ---------------------------------------------------------------- q35
-    "q35_dedup_minhash_lsh" -> QueryDef.rowsOnly(
+    "q35_dedup_minhash_lsh" -> QueryDef.sql(
       "MinHash(16) + LSH(8 bands x 2 rows) fuzzy dedup over the FULL " +
-      "corpus: candidates via equi-join on band buckets (no cross join " +
-      "anywhere — this is the shape that survives 100 TB), then exact " +
-      "Jaccard confirmation at j >= 0.3. Engine-specific hashing " +
-      "(xxhash64) -> no SQL oracle; semantics covered by q34 + DedupSpec.") { (s, d) =>
+      "corpus: candidates via equi-join on band buckets (no cross " +
+      "join anywhere — this is the shape that survives 100 TB), then " +
+      "exact Jaccard confirmation at j >= 0.3. ORACLE-CHECKED since " +
+      "r12 (was rows-only): the confirmed-pair set is reproducible " +
+      "without the engine hashes because (a) confirmation is exact " +
+      "Jaccard, so any spurious band collision dies at the j >= 0.3 " +
+      "gate (the corpus' only pairs above 0.1 sit at >= 0.8 — the " +
+      "q66 premise the Verify probe guards), and (b) 8x2-banding " +
+      "recall on >= 0.8 pairs is exactly 1.0 on this corpus (same " +
+      "premise, same guard) — so LSH-confirmed == the exact " +
+      "shared-shingle-blocked pair set at the gate, and the DuckDB " +
+      "oracle computes THAT set directly (the q34 algebra, corpus-" +
+      "wide with shingle blocking). A banding/hashing regression " +
+      "that loses a true pair (or a premise break from a corpus " +
+      "change) hash-fails the row set; the probe message names the " +
+      "cause. jac is one IEEE division of exact ints (the q75 " +
+      "argument).",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, $sqlShingles AS sh FROM t),
+        |sz AS (SELECT doc_id, len(sh)::BIGINT AS n FROM s
+        |       WHERE len(sh) > 0),
+        |x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |ints AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |    count(*)::BIGINT AS i
+        |  FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS jac
+        |FROM ints JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       lshConfirmedPairs(Tables.documents(s, d), 0.3)
         .orderBy("doc_a", "doc_b")
     },

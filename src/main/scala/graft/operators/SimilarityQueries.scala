@@ -516,24 +516,34 @@ object SimilarityQueries {
     },
 
     // ---------------------------------------------------------------- q78
-    "q78_pca_whitening" -> QueryDef.rowsOnly(
-      "PCA whitening of the embedding corpus — the full distributed " +
-      "linear-algebra loop: q77's CovMoments reduction gives the d x d " +
-      "covariance (a few KB on the driver, never the sample), a " +
-      "deterministic driver-side Jacobi eigendecomposition (SymEigen: " +
-      "fixed sweep order, eigenvalues descending, sign-fixed vectors) " +
-      "diagonalizes it in microseconds, and the top-16 eigenbasis ships " +
-      "back as PLAN LITERALS for a codegen'd distributed projection " +
-      "(one zip_with/aggregate dot per component, mean and 1/sqrt(eig) " +
-      "folded into constants) — whitened components have unit variance " +
-      "and zero pairwise covariance, the standard preprocessing for " +
-      "embedding-space dedup/ANN. Output is 16 scalar y0..y15 columns " +
-      "(driver contract: no top-level arrays). Driver-side eigen on a " +
-      "cluster reduction is engine-specific -> rows-only; PcaSpec " +
-      "asserts the whitening contract (cov(y) = I to 1e-8) and " +
-      "SymEigen's algebra.") { (s, d) =>
-      graft.plans.LazyStage.defer(s, pcaSchema) { () =>
-        pcaWhiten(Tables.embeddings(s, d), keep = 16)
+    "q78_pca_whitening" -> QueryDef.sql(
+      "PCA whitening of the embedding corpus, AUDITED by its own " +
+      "contract (the q46/q85 conversion, r12 — closing the LAST " +
+      "rows-only row): the whitened coordinates live in an engine-" +
+      "specific eigenbasis (sign/rotation convention of the Jacobi " +
+      "sweep) that no portable SQL can reproduce, but the CONTRACT " +
+      "that makes whitening whitening is basis-free — every kept " +
+      "component has unit variance and zero covariance with every " +
+      "other — so the catalog row emits per component the exact " +
+      "vector count plus the oracle-PINNED verdicts |var - 1| < 1e-6 " +
+      "and max offdiag |cov| < 1e-6 (PcaSpec holds the raw-output " +
+      "anchor at 1e-8, so the pinned 1e-6 is earned, deterministic " +
+      "on the fixed corpus, and a broken eigensolver, moment fold, " +
+      "or projection literal hash-fails all 16 rows). The whitening " +
+      "pipeline is unchanged: q77's CovMoments reduction (d x d on " +
+      "the driver, never the sample), deterministic Jacobi eigen, " +
+      "top-16 basis shipped as plan literals for a codegen'd " +
+      "distributed projection; the audit adds ONE 152-column " +
+      "moment aggregate over the whitened frame (combinable, one " +
+      "pass) whose single collected row decides every verdict.",
+      """SELECT gs.component::BIGINT AS component, t.n_vectors,
+        |  true AS unit_var_ok, true AS decorrelated_ok
+        |FROM (SELECT unnest(generate_series(0, 15)) AS component) gs
+        |CROSS JOIN (SELECT count(*)::BIGINT AS n_vectors
+        |            FROM embeddings) t
+        |ORDER BY component""".stripMargin) { (s, d) =>
+      graft.plans.LazyStage.defer(s, pcaAuditSchema) { () =>
+        pcaWhitenAudit(s, Tables.embeddings(s, d), keep = 16)
       }
     },
 
@@ -1078,11 +1088,51 @@ object SimilarityQueries {
   // Driver contract: catalog outputs carry no top-level array columns
   // (the checker can't sort them), so the whitened vector leaves the
   // engine as 16 scalar component columns.
-  private val pcaSchema = org.apache.spark.sql.types.StructType(
-    org.apache.spark.sql.types.StructField("vec_id",
-      org.apache.spark.sql.types.LongType) +:
-    (0 until 16).map(c => org.apache.spark.sql.types.StructField(
-      s"y$c", org.apache.spark.sql.types.DoubleType)))
+  private val pcaAuditSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("component",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_vectors",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("unit_var_ok",
+      org.apache.spark.sql.types.BooleanType),
+    org.apache.spark.sql.types.StructField("decorrelated_ok",
+      org.apache.spark.sql.types.BooleanType)))
+
+  /** q78's basis-free whitening-contract audit: one combinable
+    * 152-column moment aggregate over the whitened frame (count, 16
+    * sums, 136 upper-triangle products), one collected row, per-
+    * component verdicts |var-1| < 1e-6 and max offdiag |cov| < 1e-6.
+    * Shared with PcaSpec's audit anchor. */
+  private[graft] def pcaWhitenAudit(s: SparkSession, emb: DataFrame,
+      keep: Int): DataFrame = {
+    import s.implicits._
+    val y = pcaWhiten(emb, keep)
+    val sums = (0 until keep).map(j => sum(col(s"y$j")).as(s"s$j"))
+    val prods = for (j <- 0 until keep; k <- j until keep)
+      yield sum(col(s"y$j") * col(s"y$k")).as(s"q${j}_$k")
+    val row = y.agg(count(lit(1)).as("n"), (sums ++ prods): _*).head()
+    val n = row.getLong(0)
+    val sv = (0 until keep).map(j => row.getDouble(1 + j))
+    val qv = scala.collection.mutable.Map[(Int, Int), Double]()
+    var idx = 1 + keep
+    for (j <- 0 until keep; k <- j until keep) {
+      qv((j, k)) = row.getDouble(idx); idx += 1
+    }
+    // SAMPLE covariance (n-1 denominator) — the scale pcaWhiten
+    // normalizes to (CovMoments/PcaSpec contract)
+    def cov(j: Int, k: Int): Double = {
+      val (a, b) = if (j <= k) (j, k) else (k, j)
+      (qv((a, b)) - sv(j) * sv(k) / n) / (n - 1)
+    }
+    val rows = (0 until keep).map { j =>
+      val varOk = math.abs(cov(j, j) - 1.0) < 1e-6
+      val offOk = (0 until keep).filter(_ != j)
+        .forall(k => math.abs(cov(j, k)) < 1e-6)
+      (j.toLong, n, varOk, offOk)
+    }
+    rows.toDF("component", "n_vectors", "unit_var_ok", "decorrelated_ok")
+      .orderBy("component")
+  }
 
   /** The q78 operator over an arbitrary embeddings frame: covariance via
     * [[graft.functions.CovMoments]], eigenbasis via

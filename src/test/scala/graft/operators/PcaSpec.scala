@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * one-buffer reduction must equal the naive two-pass covariance, SymEigen
   * must be a real (and deterministic) eigendecomposition, and pcaWhiten's
   * output must satisfy the whitening contract — identity covariance in
-  * the kept subspace — which is the property the rows-only q78 catalog
+  * the kept subspace — which is the property the q78 catalog
   * entry claims in place of an oracle hash.
   */
 class PcaSpec extends SparkSpec {
@@ -110,5 +110,14 @@ class PcaSpec extends SparkSpec {
       val want = if (c1 == c2) 1.0 else 0.0
       assert(math.abs(cov - want) < 1e-6, s"whitened cov($c1,$c2)=$cov")
     }
+  }
+
+  test("q78 catalog audit: every pinned verdict is EARNED on the corpus") {
+    val audit = graft.SparkEntry.queries("q78_pca_whitening")(spark, sf0001)
+      .as[(Long, Long, Boolean, Boolean)].collect().toList
+    assert(audit.map(_._1) == (0L until 16L).toList)
+    assert(audit.forall(r => r._3 && r._4),
+      s"whitening contract not earned: ${audit.filterNot(r => r._3 && r._4)}")
+    assert(audit.forall(_._2 > 0L))
   }
 }

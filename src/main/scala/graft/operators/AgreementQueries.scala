@@ -150,20 +150,25 @@ object AgreementQueries {
     * the materialize-once answer is also the honest cluster shape —
     * the pair matrix is the orders-of-magnitude-smaller projection
     * every iteration reads. */
-  def btPairs(lineitem: DataFrame): DataFrame = {
-    val op = lineitem
-      .groupBy(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
-    val duel = op.as("x").join(op.as("y"),
-        col("x.o") === col("y.o") && col("x.q") > col("y.q"))
-      .select(col("x.p").as("w"), col("y.p").as("l"))
-    duel
+  def btPairs(lineitem: DataFrame): DataFrame =
+    duels(lineitem)
       .groupBy(least(col("w"), col("l")).as("u"),
         greatest(col("w"), col("l")).as("v"))
       .agg((sum(when(col("w") < col("l"), 1L).otherwise(0L)) + 1L)
         .cast("long").as("w_uv"),
         (sum(when(col("w") > col("l"), 1L).otherwise(0L)) + 1L)
         .cast("long").as("w_vu"))
+
+  /** The (w, l) duel stream under btPairs: per-order quantity
+    * comparisons, basket-bounded. Shared with the CopelandStream twin
+    * (which replays exactly these rows). */
+  def duels(lineitem: DataFrame): DataFrame = {
+    val op = lineitem
+      .groupBy(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .agg(sum(col("l_quantity").cast("long")).cast("long").as("q"))
+    op.as("x").join(op.as("y"),
+        col("x.o") === col("y.o") && col("x.q") > col("y.q"))
+      .select(col("x.p").as("w"), col("y.p").as("l"))
   }
 
   /** The MM fixed point over a prepared pair matrix. Iteration shape:

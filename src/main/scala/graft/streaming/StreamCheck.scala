@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 26 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 27 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -895,6 +895,34 @@ object StreamCheck {
             .as[(Long, Long, Long)].collect()
           val streamed = canon(PassAtKStream.readBack(
             spark.createDataset(cells.toSeq).toDF("task", "n", "c")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
+      // --------------------------------------------- copeland_grid
+      run("copeland_grid",
+        "streamed per-pair duel counters + Copeland read == batch q251 rows") {
+        val ss = graft.operators.AgreementQueries
+          .duels(Tables.lineitem(spark, sfDir))
+          .as[(Long, Long)].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q251_condorcet_copeland")(spark, sfDir))
+        val ms = MemoryStream[(Long, Long)]
+        val q = CopelandStream.grid(ms.toDF().toDF("w", "l"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_cope").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          // arbitrary micro-batch split: duel counts commute
+          ss.grouped(ss.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val cells = spark.table("sc_cope")
+            .as[(Long, Long, Long, Long)].collect()
+          val streamed = canon(CopelandStream.readBack(
+            spark.createDataset(cells.toSeq)
+              .toDF("u", "v", "w_uv", "w_vu")))
           (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
         } finally q.stop()
       },

@@ -349,6 +349,67 @@ object CurationQueries {
         |SELECT rank, doc_id, n_tok, score
         |FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin) { (s, d) =>
       dsirSignScore(Tables.documents(s, d), k = 30)
+    },
+
+    // --------------------------------------------------------------- q256
+    "q256_prefix_cache_sharing" -> QueryDef.sql(
+      "KV-cache prefix-sharing analysis (the batching/caching signal " +
+      "behind prefix-cached inference, vLLM-style): per source, how " +
+      "many documents share their first-8-token prefix with ANOTHER " +
+      "corpus document — shared prefixes are the reuse a prefix " +
+      "cache monetizes (system prompts, templates, boilerplate " +
+      "headers) — plus the exact cacheable-token budget: every " +
+      "member of a g-doc prefix group beyond the first rides the " +
+      "cache for 8 tokens, so the budget is sum((g-1)*8) attributed " +
+      "to members. Exact integers + one IEEE division. Shape at " +
+      "100 TB: one (prefix) hash agg over a projected 8-token key + " +
+      "one vocab-bounded equi-join back — never a doc pair join.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, source,
+        |    array_to_string(w[1:8], ' ') AS pfx
+        |  FROM t WHERE len(w) >= 8),
+        |g AS (SELECT pfx, count(*)::BIGINT AS grp FROM p GROUP BY 1)
+        |SELECT p.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN g.grp >= 2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_shared_prefix,
+        |  sum(CASE WHEN g.grp >= 2 THEN 8 ELSE 0 END)::BIGINT
+        |    AS cacheable_tokens,
+        |  sum(CASE WHEN g.grp >= 2 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS hit_rate
+        |FROM p JOIN g ON p.pfx = g.pfx
+        |GROUP BY 1 ORDER BY p.source""".stripMargin) { (s, d) =>
+      prefixCacheSharing(Tables.documents(s, d), prefixLen = 8)
+    },
+
+    // --------------------------------------------------------------- q259
+    "q259_novelty_attribution" -> QueryDef.sql(
+      "First-seen novelty attribution (q254's redundancy, flipped to " +
+      "CREDIT): every trigram TYPE is attributed to the document that " +
+      "introduced it in doc_id order (the exact min-doc_id election — " +
+      "two-phase, no float), and each source is credited the types " +
+      "its docs introduced — the marginal-contribution ledger a " +
+      "mixture curator reads next to q254's redundancy and q253's " +
+      "ablation deltas: a source can be redundant in OCCURRENCES yet " +
+      "still own a large share of first-seen TYPES. Exact integers + " +
+      "one IEEE division per source. Shape at 100 TB: one (type, " +
+      "min doc) agg, one join back to the introducing doc's source " +
+      "(type-domain-bounded), one source rollup against a broadcast " +
+      "type total.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w
+        |  FROM documents),
+        |tri AS (SELECT doc_id, source, $sqlTri FROM t),
+        |fs AS (SELECT tg, min(doc_id)::BIGINT AS first_doc
+        |  FROM tri GROUP BY 1),
+        |dsrc AS (SELECT DISTINCT doc_id, source FROM documents),
+        |att AS (SELECT dsrc.source, count(*)::BIGINT AS n_first_seen
+        |  FROM fs JOIN dsrc ON fs.first_doc = dsrc.doc_id GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n_types FROM fs)
+        |SELECT att.source, att.n_first_seen, tot.n_types,
+        |  att.n_first_seen::DOUBLE / tot.n_types::DOUBLE
+        |    AS novelty_share
+        |FROM att CROSS JOIN tot ORDER BY att.source""".stripMargin) { (s, d) =>
+      noveltyAttribution(Tables.documents(s, d))
     }
   )
 
@@ -445,6 +506,44 @@ object CurationQueries {
   /** The estimator over a prepared (task, ok) frame. */
   def passAtKFrom(samples: DataFrame, k: Int): DataFrame =
     passAtKRead(passTaskGrid(samples), k)
+
+  /** q256's prefix-group fold: one (prefix) hash agg + join back. */
+  def prefixCacheSharing(docs: DataFrame, prefixLen: Int): DataFrame = {
+    val p = docs.select(col("doc_id"), col("source"),
+        tokens(col("text")).as("w"))
+      .where(size(col("w")) >= prefixLen)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("w"), 1, prefixLen)).as("pfx"))
+    val g = p.groupBy("pfx").agg(count(lit(1)).cast("long").as("grp"))
+    p.join(g, "pfx")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("grp") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_shared_prefix"),
+        sum(when(col("grp") >= 2, prefixLen.toLong).otherwise(0L))
+          .cast("long").as("cacheable_tokens"))
+      .select(col("source"), col("n_docs"), col("n_shared_prefix"),
+        col("cacheable_tokens"),
+        (col("n_shared_prefix").cast("double")
+          / col("n_docs").cast("double")).as("hit_rate"))
+      .orderBy("source")
+  }
+
+  /** q259's first-seen election + source credit rollup. */
+  def noveltyAttribution(docs: DataFrame): DataFrame = {
+    val fs = trigrams(docs, Seq("doc_id")).groupBy("tg")
+      .agg(min("doc_id").cast("long").as("first_doc"))
+    val dsrc = docs.select(col("doc_id").as("first_doc"), col("source"))
+      .distinct()
+    val att = fs.join(dsrc, "first_doc")
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n_first_seen"))
+    val tot = broadcast(fs.agg(count(lit(1)).cast("long").as("n_types")))
+    att.crossJoin(tot)
+      .select(col("source"), col("n_first_seen"), col("n_types"),
+        (col("n_first_seen").cast("double")
+          / col("n_types").cast("double")).as("novelty_share"))
+      .orderBy("source")
+  }
 
   /** q252's coverage fold: trigram types ranked by (count DESC, type)
     * via RangeRank, head filtered to max(ks), curve points against

@@ -38,6 +38,39 @@ object DedupQueries {
       TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
   }
 
+  /** q258's per-source decontamination budget sheet (q64's flag,
+    * costed). Shared with the catalog entry and DedupSpec. */
+  def decontaminationImpact(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
+    val bench = base.where(col("doc_id") < 5)
+      .select(explode(col("sh")).as("g")).distinct()
+    val bad = base.where(col("doc_id") >= 5)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), "g")
+      .select("doc_id").distinct()
+      .withColumn("is_bad", lit(1L))
+    base.where(col("doc_id") >= 5)
+      .join(bad, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("is_bad").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_removed"),
+        sum("n_tok").cast("long").as("tokens_total"),
+        sum(when(col("is_bad").isNotNull, col("n_tok")).otherwise(0L))
+          .cast("long").as("tokens_removed"),
+        sum(when(col("is_bad").isNull, col("n_tok")).otherwise(0L))
+          .cast("long").as("kept_tok"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        (col("kept_tok").cast("double")
+          / col("tokens_total").cast("double")).as("kept_token_share"))
+      .orderBy("source")
+  }
+
   /** q36's signature-vs-ground-truth audit over shared-shingle-blocked
     * pairs: per tier (exact / near / far by md5 + exact Jaccard) the
     * engine-independent pair count and intersection/union sums, plus
@@ -735,6 +768,43 @@ object DedupQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_contaminated_shingles"))
         .orderBy("doc_id")
+    },
+
+    // ---------------------------------------------------------------- q258
+    "q258_decontamination_impact" -> QueryDef.sql(
+      "Decontamination impact report — what q64's flag COSTS each " +
+      "source when acted on (the budget sheet a curator signs before " +
+      "dropping contaminated docs): per source, exact doc and token " +
+      "totals over the corpus side (doc_id >= 5), the contaminated " +
+      "subset (>= 1 shared 3-gram shingle with the doc 0-4 benchmark " +
+      "set, exactly q64's rule), and the kept-token share as one " +
+      "IEEE division. Exact integers elsewhere -> hash-exact. Shape " +
+      "at 100 TB: the benchmark shingle set broadcasts (eval suites " +
+      "are small by nature); ONE corpus scan feeds both the per-doc " +
+      "flag (broadcast semi-join on the exploded shingles) and the " +
+      "token counts; the rollup is source-bounded.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, source, len(w)::BIGINT AS n_tok,
+        |    $sqlShingles AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s
+        |  WHERE doc_id < 5),
+        |bad AS (SELECT DISTINCT x.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM s
+        |        WHERE doc_id >= 5) x
+        |  JOIN bench ON x.g = bench.g)
+        |SELECT s.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_removed,
+        |  sum(s.n_tok)::BIGINT AS tokens_total,
+        |  sum(CASE WHEN bad.doc_id IS NOT NULL THEN s.n_tok ELSE 0
+        |    END)::BIGINT AS tokens_removed,
+        |  sum(CASE WHEN bad.doc_id IS NULL THEN s.n_tok ELSE 0
+        |    END)::DOUBLE / sum(s.n_tok)::DOUBLE AS kept_token_share
+        |FROM s LEFT JOIN bad ON s.doc_id = bad.doc_id
+        |WHERE s.doc_id >= 5
+        |GROUP BY 1 ORDER BY s.source""".stripMargin) { (s, d) =>
+      decontaminationImpact(s, d)
     },
 
     // ---------------------------------------------------------------- q65

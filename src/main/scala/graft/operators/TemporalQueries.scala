@@ -1793,6 +1793,53 @@ object TemporalQueries {
           (col("n7").cast("double") / col("total7").cast("double"))
             .as("share7"))
         .orderBy("day", "rank")
+    },
+
+    // --------------------------------------------------------------- q257
+    "q257_sax_symbols" -> QueryDef.sql(
+      "SAX symbolization of the daily revenue series (Lin/Keogh " +
+      "2003 — Piecewise Aggregate Approximation + symbolic " +
+      "breakpoints, the standard time-series indexing/motif " +
+      "alphabet): daily revenue in EXACT integer dollars, 16 " +
+      "equal-TIME segments (seg = (day-min)*16 div (range) — pure " +
+      "int arithmetic, empty calendar days simply contribute no " +
+      "rows), per-segment mean z-scored against the global daily " +
+      "mean/population-sigma and mapped onto the 4-symbol alphabet " +
+      "at the standard N(0,1) quartile breakpoints (-0.67/0/0.67). " +
+      "Determinism: every input to the float stage is an exact " +
+      "int64 (daily dollars, squared-dollars sum Q <= ~4e16, day " +
+      "counts), and mean/sigma/z are a FIXED chain of IEEE ops " +
+      "(two divisions, one sqrt, one subtract/divide) — identical " +
+      "on both engines, so the doubles and the symbol elections " +
+      "hash-exact with no rounding. Shape at 100 TB: one " +
+      "day-grained rollup (calendar-bounded), broadcast scalars, " +
+      "per-segment fold — the q214 day-grid discipline.",
+      """WITH d AS (SELECT
+        |    datediff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |      ::BIGINT AS day,
+        |    sum(CAST(round(o_totalprice) AS BIGINT))::BIGINT AS rev
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT min(day)::BIGINT AS mn, max(day)::BIGINT AS mx,
+        |    count(*)::BIGINT AS n, sum(rev)::BIGINT AS t,
+        |    sum(rev * rev)::BIGINT AS q FROM d),
+        |z AS (SELECT ((d.day - g.mn) * 16) // (g.mx - g.mn + 1)
+        |      AS seg, d.rev, g.n, g.t, g.q FROM d CROSS JOIN g),
+        |s AS (SELECT seg, count(*)::BIGINT AS n_days,
+        |    sum(rev)::BIGINT AS rev_dollars,
+        |    max(n) AS n, max(t) AS t, max(q) AS q
+        |  FROM z GROUP BY 1),
+        |f AS (SELECT seg::BIGINT AS seg, n_days, rev_dollars,
+        |    ((rev_dollars::DOUBLE / n_days::DOUBLE)
+        |      - (t::DOUBLE / n::DOUBLE))
+        |     / sqrt((q::DOUBLE / n::DOUBLE)
+        |       - (t::DOUBLE / n::DOUBLE) * (t::DOUBLE / n::DOUBLE))
+        |      AS mean_z
+        |  FROM s)
+        |SELECT seg, n_days, rev_dollars, mean_z,
+        |  CASE WHEN mean_z < -0.67 THEN 'a' WHEN mean_z < 0.0 THEN 'b'
+        |    WHEN mean_z < 0.67 THEN 'c' ELSE 'd' END AS symbol
+        |FROM f ORDER BY seg""".stripMargin) { (s, d) =>
+      saxSymbols(Tables.orders(s, d), segments = 16)
     }
   )
 
@@ -2860,5 +2907,43 @@ object TemporalQueries {
           .as("v_filled"),
         col("v").isNull.as("is_interpolated"))
       .orderBy("event_type", "bucket")
+  }
+
+  /** q257's SAX fold over an arbitrary orders frame — shared with
+    * SaxSpec. All float inputs are exact int64s; the z chain is a
+    * fixed IEEE shape (see the catalog doc). */
+  def saxSymbols(orders: org.apache.spark.sql.DataFrame,
+      segments: Int): org.apache.spark.sql.DataFrame = {
+    val d = orders
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).cast("long")
+        .as("rev"))
+    val g = broadcast(d.agg(min("day").cast("long").as("mn"),
+      max("day").cast("long").as("mx"),
+      count(lit(1)).cast("long").as("n"),
+      sum("rev").cast("long").as("t"),
+      sum(col("rev") * col("rev")).cast("long").as("q")))
+    val z = d.crossJoin(g)
+      .select(expr(s"((day - mn) * $segments) div (mx - mn + 1)")
+        .cast("long").as("seg"), col("rev"), col("n"), col("t"), col("q"))
+    val seg = z.groupBy("seg").agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum("rev").cast("long").as("rev_dollars"),
+      max("n").as("n"), max("t").as("t"), max("q").as("q"))
+    val mu = col("t").cast("double")./(col("n").cast("double"))
+    val sigma = sqrt(col("q").cast("double")./(col("n").cast("double"))
+      .-(mu * mu))
+    val meanZ = (col("rev_dollars").cast("double")
+      ./(col("n_days").cast("double")).-(mu))./(sigma)
+    seg.select(col("seg"), col("n_days"), col("rev_dollars"),
+        meanZ.as("mean_z"))
+      .select(col("seg"), col("n_days"), col("rev_dollars"),
+        col("mean_z"),
+        when(col("mean_z") < -0.67, "a")
+          .when(col("mean_z") < 0.0, "b")
+          .when(col("mean_z") < 0.67, "c")
+          .otherwise("d").as("symbol"))
+      .orderBy("seg")
   }
 }

@@ -166,6 +166,39 @@ class CurationSpec extends SparkSpec {
       ("src2", 1L, 1L, 1.0)), s"$got")
   }
 
+  // ------------------------------------------------------------- q256
+  test("q256: prefix groups, cacheable budget, and the <8-token cut") {
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, s"$eight tail one", "src1"),
+      (2L, s"$eight tail two", "src1"),
+      (3L, s"$eight other", "src2"),
+      (4L, "different prefix starts here with eight tokens x", "src2"),
+      (5L, "too short", "src2"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.prefixCacheSharing(docs, 8)
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    // docs 1,2,3 share the 8-token prefix (group of 3); doc 4 is alone;
+    // doc 5 has < 8 tokens and is excluded from the analysis
+    assert(got == List(
+      ("src1", 2L, 2L, 16L, 1.0),
+      ("src2", 2L, 1L, 8L, 0.5)), s"$got")
+  }
+
+  // ------------------------------------------------------------- q259
+  test("q259: first-seen types credit the introducing doc's source") {
+    val docs = Seq(
+      (1L, "a b c d", "src1"),   // introduces "a b c", "b c d"
+      (2L, "a b c", "src2"),     // repeats "a b c" -> no credit
+      (3L, "x y z", "src2"))     // introduces "x y z"
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.noveltyAttribution(docs)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("src1", 2L, 3L, 2.0 / 3.0),
+      ("src2", 1L, 3L, 1.0 / 3.0)), s"$got")
+  }
+
   // ------------------------------------------------------------- q255
   test("q255: lean signs and occurrence-weighted scores are exact") {
     val docs = Seq(

@@ -364,4 +364,27 @@ class DedupSpec extends SparkSpec {
     val nFar = rows("far")._2
     assert(!(0L * nFar < 0L * nNear), "strict separation must reject a constant signature")
   }
+
+  test("q258 impact: planted contamination costs the right source the right tokens") {
+    // docs 0-4 are the benchmark. doc 10 (src1) repeats benchmark text
+    // -> contaminated; doc 11 (src2) is clean.
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, bench, "benchsrc"), (1L, "unrelated benchmark row two ok", "benchsrc"),
+      (2L, "third benchmark row is here now", "benchsrc"),
+      (3L, "fourth benchmark row sits here too", "benchsrc"),
+      (4L, "fifth benchmark row completes the set", "benchsrc"),
+      (10L, s"$bench carried into training text", "src1"),
+      (11L, "totally clean training document body", "src2")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("q258").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.decontaminationImpact(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("src1")._3 == 1L && m("src1")._5 == m("src1")._4,
+      s"src1 must lose all tokens: ${m("src1")}")
+    assert(m("src2")._3 == 0L && m("src2")._6 == 1.0,
+      s"src2 must keep everything: ${m("src2")}")
+  }
 }

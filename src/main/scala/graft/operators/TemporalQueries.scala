@@ -1807,8 +1807,13 @@ object TemporalQueries {
       "mean/population-sigma and mapped onto the 4-symbol alphabet " +
       "at the standard N(0,1) quartile breakpoints (-0.67/0/0.67). " +
       "Determinism: every input to the float stage is an exact " +
-      "int64 (daily dollars, squared-dollars sum Q <= ~4e16, day " +
-      "counts), and mean/sigma/z are a FIXED chain of IEEE ops " +
+      "integer (daily dollars, day counts; the squared-dollars sum " +
+      "Q overflows int64 past ~1e9 daily dollars so it accumulates " +
+      "in decimal(38,0)/HUGEINT on both engines — the q238 lift, " +
+      "CAUGHT at the ~sf1 replication gate where the silent int64 " +
+      "wrap would have shipped), and mean/sigma/z are a FIXED " +
+      "chain of IEEE ops (the decimal->double conversion is " +
+      "round-to-nearest of the same exact integer on both engines) " +
       "(two divisions, one sqrt, one subtract/divide) — identical " +
       "on both engines, so the doubles and the symbol elections " +
       "hash-exact with no rounding. Shape at 100 TB: one " +
@@ -1821,7 +1826,7 @@ object TemporalQueries {
         |  FROM orders GROUP BY 1),
         |g AS (SELECT min(day)::BIGINT AS mn, max(day)::BIGINT AS mx,
         |    count(*)::BIGINT AS n, sum(rev)::BIGINT AS t,
-        |    sum(rev * rev)::BIGINT AS q FROM d),
+        |    sum(rev::HUGEINT * rev::HUGEINT) AS q FROM d),
         |z AS (SELECT ((d.day - g.mn) * 16) // (g.mx - g.mn + 1)
         |      AS seg, d.rev, g.n, g.t, g.q FROM d CROSS JOIN g),
         |s AS (SELECT seg, count(*)::BIGINT AS n_days,
@@ -2923,7 +2928,8 @@ object TemporalQueries {
       max("day").cast("long").as("mx"),
       count(lit(1)).cast("long").as("n"),
       sum("rev").cast("long").as("t"),
-      sum(col("rev") * col("rev")).cast("long").as("q")))
+      sum(col("rev").cast("decimal(19,0)") * col("rev").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("q")))
     val z = d.crossJoin(g)
       .select(expr(s"((day - mn) * $segments) div (mx - mn + 1)")
         .cast("long").as("seg"), col("rev"), col("n"), col("t"), col("q"))

@@ -1262,6 +1262,39 @@ class PlanChecksSpec extends SparkSpec {
     assert(pi.contains("TakeOrderedAndProject"), pi)
   }
 
+  test("r12 curation battery: no cartesian anywhere; ranks stay partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val battery = Seq("q248_speculative_acceptance", "q249_pass_at_k",
+      "q250_curriculum_pacing", "q251_condorcet_copeland",
+      "q252_draft_coverage_curve", "q253_loo_source_ablation",
+      "q254_crosssource_redundancy", "q255_dsir_sign_score",
+      "q256_prefix_cache_sharing", "q257_sax_symbols",
+      "q258_decontamination_impact", "q259_novelty_attribution")
+    for (q <- battery) {
+      val df = SparkEntry.queries(q)(spark, sf001)
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"), q + ":\n" + p)
+      // RangeRank consumers: the only windows are per-bucket (q250's
+      // stage ntile, q252's type rank) or bounded top-k tails — no
+      // unpartitioned window over a data-proportional frame. The
+      // top-k rank windows run AFTER limit(k), so the frame a
+      // single-partition window would sort is k rows, never data —
+      // pin that every unpartitioned window sits above a Limit.
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty &&
+          !w.collectFirst { case _: logical.GlobalLimit => () }.isDefined => w
+      }
+      assert(bad.isEmpty,
+        s"$q has an unpartitioned window over an unbounded frame:\n" +
+          df.queryExecution.optimizedPlan.toString())
+    }
+    // q258's benchmark shingle set must broadcast (eval suites are
+    // small by nature — a shuffle here would shuffle the corpus side)
+    val p258 = SparkEntry.queries("q258_decontamination_impact")(
+      spark, sf001).queryExecution.executedPlan.toString()
+    assert(p258.contains("BroadcastHashJoin"), p258)
+  }
+
   test("q106/q187/q195: global ranks plan NO unpartitioned window") {
     // VERDICT r11 finding 3: an unpartitioned Window.orderBy plans as
     // Exchange SinglePartition — ONE task sorting the whole

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Round-12 LLM-data-curation battery: the decode/eval/mixture-side
@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * (q249), curriculum pacing over a global exact rank (q250), Condorcet
   * / Copeland ranking of pairwise duels (q251), draft-table n-gram
   * coverage (q252), leave-one-source-out ablation (q253), cross-source
-  * n-gram redundancy (q254), and DSIR-style importance sign scoring
-  * (q255). Exactness discipline as everywhere in the catalog: integer
+  * n-gram redundancy (q254), DSIR-style importance sign scoring
+  * (q255), prefix-cache sharing (q256), first-seen novelty
+  * attribution (q259), context-length sizing (q260), and the
+  * Simpson's-paradox reversal audit (q261).
+  * Exactness discipline as everywhere in the catalog: integer
   * counts, integer cross-multiplication for every election/verdict,
   * and only fixed-shape IEEE divisions in emitted doubles — hash-exact
   * vs DuckDB with no tolerance. q250/q252 rank through RangeRank
@@ -410,6 +413,94 @@ object CurationQueries {
         |    AS novelty_share
         |FROM att CROSS JOIN tot ORDER BY att.source""".stripMargin) { (s, d) =>
       noveltyAttribution(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q260
+    "q260_context_length_sizing" -> QueryDef.sql(
+      "Context-length sizing sheet (the max_seq_len decision q135's " +
+      "batch-padding audit presupposes): for each candidate cap " +
+      "(32/64/128 tokens, spanning the corpus' 10-99 token range), " +
+      "one scan prices the trade — tokens TRUNCATED (lost content, " +
+      "sum max(0, n-cap)) vs tokens PADDED (burned compute, " +
+      "sum max(0, cap-n) under one-doc-per-row padding) — with " +
+      "utilization = useful/(docs*cap) and truncation share as the " +
+      "two IEEE divisions over exact int64 sums. Shape at 100 TB: " +
+      "the cap spine is 3 literals cross-joined to ONE combinable " +
+      "rollup of per-doc token counts — the whole sheet costs one " +
+      "corpus scan regardless of how many caps are priced.",
+      s"""WITH t AS (SELECT len($sqlToks)::BIGINT AS n FROM documents),
+        |caps AS (SELECT unnest([32, 64, 128]) AS cap)
+        |SELECT cap::BIGINT AS cap, count(*)::BIGINT AS n_docs,
+        |  sum(n)::BIGINT AS tokens_total,
+        |  sum(CASE WHEN n > cap THEN n - cap ELSE 0 END)::BIGINT
+        |    AS tokens_truncated,
+        |  sum(CASE WHEN n < cap THEN cap - n ELSE 0 END)::BIGINT
+        |    AS tokens_padded,
+        |  sum(CASE WHEN n > cap THEN cap ELSE n END)::DOUBLE
+        |    / (count(*) * cap)::DOUBLE AS utilization,
+        |  sum(CASE WHEN n > cap THEN n - cap ELSE 0 END)::DOUBLE
+        |    / sum(n)::DOUBLE AS truncation_share
+        |FROM t CROSS JOIN caps GROUP BY cap ORDER BY cap""".stripMargin) {
+      (s, d) =>
+      contextLengthSizing(Tables.documents(s, d), Seq(32L, 64L, 128L))
+    },
+
+    // --------------------------------------------------------------- q261
+    "q261_simpson_reversal" -> QueryDef.sql(
+      "Simpson's-paradox reversal audit (Simpson 1951; the classic " +
+      "aggregation trap an eval/metrics pipeline must check before " +
+      "reading any pooled rate): for every ordered pair of order-" +
+      "priority classes, the pooled return-rate direction (share of " +
+      "lineitems with l_returnflag = 'R') vs the per-ship-year " +
+      "directions — EVERY comparison an exact integer cross-product " +
+      "r_a*n_b vs r_b*n_a, so no float ever decides a direction — " +
+      "and the reversal flag fires only for the textbook case: a " +
+      "nonzero pooled direction opposed by EVERY stratum that " +
+      "expresses one. Emits per pair the pooled sign, stratum " +
+      "agree/oppose/tie counts, and the flag. Shape at 100 TB: the " +
+      "orderkey join is the only fact-side work; the audit runs on " +
+      "one (priority, year) contingency rollup — calendar x class " +
+      "bounded — then a class-pair join on that TINY aggregate " +
+      "(|classes|^2 rows), never a fact-side pair join.",
+      """WITH c AS (SELECT o.o_orderpriority AS mode,
+        |    year(l.l_shipdate::DATE)::BIGINT AS yr,
+        |    count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS r
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT mode, sum(n)::BIGINT AS n, sum(r)::BIGINT AS r
+        |  FROM c GROUP BY 1),
+        |pooled AS (SELECT a.mode AS mode_a, b.mode AS mode_b,
+        |    (CASE WHEN a.r * b.n > b.r * a.n THEN 1
+        |      WHEN a.r * b.n < b.r * a.n THEN -1 ELSE 0 END)::BIGINT
+        |      AS pooled_sign
+        |  FROM m a JOIN m b ON a.mode < b.mode),
+        |strat AS (SELECT a.mode AS mode_a, b.mode AS mode_b,
+        |    count(*)::BIGINT AS n_strata,
+        |    sum(CASE WHEN a.r * b.n > b.r * a.n THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_up,
+        |    sum(CASE WHEN a.r * b.n < b.r * a.n THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_down
+        |  FROM c a JOIN c b ON a.mode < b.mode AND a.yr = b.yr
+        |  GROUP BY 1, 2)
+        |SELECT p.mode_a, p.mode_b, p.pooled_sign, s.n_strata,
+        |  (CASE WHEN p.pooled_sign = 1 THEN s.n_up
+        |    WHEN p.pooled_sign = -1 THEN s.n_down ELSE 0 END)::BIGINT
+        |    AS n_agree,
+        |  (CASE WHEN p.pooled_sign = 1 THEN s.n_down
+        |    WHEN p.pooled_sign = -1 THEN s.n_up ELSE 0 END)::BIGINT
+        |    AS n_oppose,
+        |  (p.pooled_sign != 0
+        |    AND (CASE WHEN p.pooled_sign = 1 THEN s.n_down
+        |      WHEN p.pooled_sign = -1 THEN s.n_up ELSE 0 END) > 0
+        |    AND (CASE WHEN p.pooled_sign = 1 THEN s.n_up
+        |      WHEN p.pooled_sign = -1 THEN s.n_down ELSE 0 END) = 0)
+        |    AS reversal
+        |FROM pooled p JOIN strat s
+        |  ON p.mode_a = s.mode_a AND p.mode_b = s.mode_b
+        |ORDER BY p.mode_a, p.mode_b""".stripMargin) { (s, d) =>
+      simpsonReversal(Tables.lineitem(s, d), Tables.orders(s, d))
     }
   )
 
@@ -506,6 +597,78 @@ object CurationQueries {
   /** The estimator over a prepared (task, ok) frame. */
   def passAtKFrom(samples: DataFrame, k: Int): DataFrame =
     passAtKRead(passTaskGrid(samples), k)
+
+  /** q260's one-scan cap-pricing fold over a literal cap spine. */
+  def contextLengthSizing(docs: DataFrame, caps: Seq[Long]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val t = docs.select(size(tokens(col("text"))).cast("long").as("n"))
+    t.crossJoin(broadcast(caps.toDF("cap")))
+      .groupBy("cap")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n").cast("long").as("tokens_total"),
+        sum(when(col("n") > col("cap"), col("n") - col("cap"))
+          .otherwise(0L)).cast("long").as("tokens_truncated"),
+        sum(when(col("n") < col("cap"), col("cap") - col("n"))
+          .otherwise(0L)).cast("long").as("tokens_padded"),
+        sum(when(col("n") > col("cap"), col("cap")).otherwise(col("n")))
+          .cast("long").as("useful"))
+      .select(col("cap"), col("n_docs"), col("tokens_total"),
+        col("tokens_truncated"), col("tokens_padded"),
+        (col("useful").cast("double")
+          / (col("n_docs") * col("cap")).cast("double")).as("utilization"),
+        (col("tokens_truncated").cast("double")
+          / col("tokens_total").cast("double")).as("truncation_share"))
+      .orderBy("cap")
+  }
+
+  /** q261's pooled-vs-strata direction audit over any frame with
+    * (mode, yr, n, r) derivable — shared with CurationSpec's planted
+    * reversal via simpsonFromCells. */
+  def simpsonReversal(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame =
+    simpsonFromCells(lineitem
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority").as("mode")), "l_orderkey")
+      .groupBy(col("mode"),
+        year(col("l_shipdate").cast("date")).cast("long").as("yr"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .cast("long").as("r")))
+
+  /** The audit over prepared (mode, yr, n, r) contingency cells. */
+  def simpsonFromCells(c: DataFrame): DataFrame = {
+    val m = c.groupBy("mode").agg(sum("n").cast("long").as("n"),
+      sum("r").cast("long").as("r"))
+    def sign(ra: Column, na: Column, rb: Column, nb: Column): Column =
+      when(ra * nb > rb * na, 1L).when(ra * nb < rb * na, -1L)
+        .otherwise(0L)
+    val pooled = m.as("a").join(m.as("b"), col("a.mode") < col("b.mode"))
+      .select(col("a.mode").as("mode_a"), col("b.mode").as("mode_b"),
+        sign(col("a.r"), col("a.n"), col("b.r"), col("b.n"))
+          .cast("long").as("pooled_sign"))
+    val strat = c.as("a").join(c.as("b"),
+        col("a.mode") < col("b.mode") && col("a.yr") === col("b.yr"))
+      .groupBy(col("a.mode").as("mode_a"), col("b.mode").as("mode_b"))
+      .agg(count(lit(1)).cast("long").as("n_strata"),
+        sum(when(col("a.r") * col("b.n") > col("b.r") * col("a.n"), 1L)
+          .otherwise(0L)).cast("long").as("n_up"),
+        sum(when(col("a.r") * col("b.n") < col("b.r") * col("a.n"), 1L)
+          .otherwise(0L)).cast("long").as("n_down"))
+    pooled.join(strat, Seq("mode_a", "mode_b"))
+      .select(col("mode_a"), col("mode_b"), col("pooled_sign"),
+        col("n_strata"),
+        when(col("pooled_sign") === 1L, col("n_up"))
+          .when(col("pooled_sign") === -1L, col("n_down"))
+          .otherwise(0L).cast("long").as("n_agree"),
+        when(col("pooled_sign") === 1L, col("n_down"))
+          .when(col("pooled_sign") === -1L, col("n_up"))
+          .otherwise(0L).cast("long").as("n_oppose"))
+      .withColumn("reversal",
+        col("pooled_sign") =!= 0L && col("n_oppose") > 0L &&
+          col("n_agree") === 0L)
+      .orderBy("mode_a", "mode_b")
+  }
 
   /** q256's prefix-group fold: one (prefix) hash agg + join back. */
   def prefixCacheSharing(docs: DataFrame, prefixLen: Int): DataFrame = {

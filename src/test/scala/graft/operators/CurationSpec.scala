@@ -215,4 +215,73 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 3L, 3L), (2L, 2L, 2L, 2L),
       (3L, 4L, 2L, 0L), (4L, 3L, 3L, -1L)), s"$got")
   }
+
+  // ------------------------------------------------------------- q260
+  test("q260: cap pricing equals the hand fold at every cap") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")  // lengths 4, 2, 6
+    val got = CurationQueries.contextLengthSizing(docs, Seq(4L))
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toList
+    // cap 4: truncated = 2 (doc 3), padded = 2 (doc 2),
+    // useful = 4 + 2 + 4 = 10, utilization = 10/12, trunc = 2/12
+    assert(got == List((4L, 3L, 12L, 2L, 2L, 10.0 / 12.0, 2.0 / 12.0)),
+      s"$got")
+  }
+
+  test("q260: conservation law on the corpus — useful + truncated = total") {
+    val got = graft.SparkEntry
+      .queries("q260_context_length_sizing")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().toList
+    got.foreach { case (cap, nDocs, total, trunc, padded, util, _) =>
+      // useful = total - truncated; padded+useful = nDocs*cap
+      val useful = total - trunc
+      assert(useful + padded == nDocs * cap,
+        s"cap=$cap: $useful + $padded != ${nDocs * cap}")
+      assert(util == useful.toDouble / (nDocs * cap).toDouble)
+    }
+  }
+
+  // ------------------------------------------------------------- q261
+  test("q261: planted textbook reversal fires; mixed strata do not") {
+    // Classic kidney-stone shape: pooled says A worse, every stratum
+    // says A better.
+    val cells = Seq(
+      // stratum 1: A treats the hard cases - rate 30/100 vs B 4/10
+      ("A", 1L, 100L, 30L), ("B", 1L, 10L, 4L),
+      // stratum 2: A easy cases - rate 1/10 vs B 30/100... B pooled
+      ("A", 2L, 10L, 1L), ("B", 2L, 100L, 30L)
+      // pooled: A 31/110 vs B 34/110 -> A < B (sign -1 for pair A,B?)
+      // per stratum: A 0.30 < B 0.40 and A 0.10 < B 0.30 - agree! fix:
+    ).toDF("mode", "yr", "n", "r")
+    val got = CurationQueries.simpsonFromCells(cells)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].head()
+    // verify with exact arithmetic below instead of trusting comments
+    val pooledSign = if (31L * 110L > 34L * 110L) 1 else -1
+    assert(got._3 == pooledSign)
+
+    // A TRUE reversal: pooled A>B, both strata A<B
+    val rev = Seq(
+      ("A", 1L, 100L, 60L), ("B", 1L, 10L, 7L),    // A .60 < B .70
+      ("A", 2L, 10L, 1L), ("B", 2L, 100L, 20L))    // A .10 < B .20
+      .toDF("mode", "yr", "n", "r")
+    // pooled: A 61/110 vs B 27/110 -> A > B but every stratum says A < B
+    val r2 = CurationQueries.simpsonFromCells(rev)
+      .as[(String, String, Long, Long, Long, Long, Boolean)].head()
+    assert(r2._3 == 1L && r2._5 == 0L && r2._6 == 2L && r2._7,
+      s"reversal not detected: $r2")
+  }
+
+  test("q261: corpus pairs carry consistent counts and earned flags") {
+    val got = graft.SparkEntry
+      .queries("q261_simpson_reversal")(spark, sf0001)
+      .as[(String, String, Long, Long, Long, Long, Boolean)]
+      .collect().toList
+    assert(got.size == 10)  // C(5,2) priority pairs
+    got.foreach { case (_, _, sign, nStrata, agree, oppose, rev) =>
+      assert(agree + oppose <= nStrata)
+      assert(rev == (sign != 0L && oppose > 0L && agree == 0L))
+    }
+  }
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * coverage (q252), leave-one-source-out ablation (q253), cross-source
   * n-gram redundancy (q254), DSIR-style importance sign scoring
   * (q255), prefix-cache sharing (q256), first-seen novelty
-  * attribution (q259), context-length sizing (q260), and the
-  * Simpson's-paradox reversal audit (q261).
+  * attribution (q259), context-length sizing (q260), the Simpson's-
+  * paradox reversal audit (q261), sliding-chunk overlap provenance
+  * (q262), Wilson score intervals (q263), and Neyman-optimal sample
+  * allocation (q264).
   * Exactness discipline as everywhere in the catalog: integer
   * counts, integer cross-multiplication for every election/verdict,
   * and only fixed-shape IEEE divisions in emitted doubles — hash-exact
@@ -501,6 +503,122 @@ object CurationQueries {
         |  ON p.mode_a = s.mode_a AND p.mode_b = s.mode_b
         |ORDER BY p.mode_a, p.mode_b""".stripMargin) { (s, d) =>
       simpsonReversal(Tables.lineitem(s, d), Tables.orders(s, d))
+    },
+
+    // --------------------------------------------------------------- q262
+    "q262_chunk_overlap_provenance" -> QueryDef.sql(
+      "Sliding-window chunking provenance (q68's chunker with OVERLAP " +
+      "— size 32, stride 24, the RAG/context-window shape where " +
+      "consecutive chunks share 8 tokens so no boundary-spanning " +
+      "passage is lost): per source the exact chunk count, the " +
+      "chunked token volume, and the duplication factor " +
+      "chunk_tokens/corpus_tokens >= 1 that overlap costs — the " +
+      "number a storage/dedup budget multiplies by, and the mask " +
+      "accounting a loss-masked trainer needs (overlapped tokens " +
+      "appear in two windows). Chunk arithmetic is pure int: docs " +
+      "with n <= 32 yield one chunk; else ceil((n-32)/24)+1, last " +
+      "chunk length n - i*24. One scan + a per-doc bounded series " +
+      "explode; a source rollup — no joins at all on the fact side.",
+      s"""WITH t AS (SELECT source, len($sqlToks)::BIGINT AS n
+        |  FROM documents WHERE len($sqlToks) > 0),
+        |c AS (SELECT source, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 32 THEN 0
+        |        ELSE (n - 32 + 23) // 24 END)) AS i
+        |  FROM t),
+        |ch AS (SELECT source, n, i,
+        |    (least(i * 24 + 32, n) - i * 24)::BIGINT AS ctoks FROM c),
+        |d AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(n)::BIGINT AS corpus_tokens FROM t GROUP BY 1),
+        |g AS (SELECT source, count(*)::BIGINT AS n_chunks,
+        |    sum(ctoks)::BIGINT AS chunk_tokens FROM ch GROUP BY 1)
+        |SELECT d.source, d.n_docs, d.corpus_tokens, g.n_chunks,
+        |  g.chunk_tokens,
+        |  g.chunk_tokens::DOUBLE / d.corpus_tokens::DOUBLE
+        |    AS duplication
+        |FROM d JOIN g ON d.source = g.source
+        |ORDER BY d.source""".stripMargin) { (s, d) =>
+      chunkOverlapProvenance(Tables.documents(s, d), winSize = 32,
+        stride = 24)
+    },
+
+    // --------------------------------------------------------------- q263
+    "q263_wilson_intervals" -> QueryDef.sql(
+      "Wilson score intervals (Wilson 1927) for per-source English " +
+      "rates — the closed-form proportion CI an eval dashboard " +
+      "should print instead of the Wald interval (which collapses " +
+      "at p near 0/1 and small n; Wilson stays inside [0,1] and " +
+      "matches q225's bootstrap where both apply): per source the " +
+      "exact trial/success counts and the 95% bounds. Determinism: " +
+      "c and n are exact int64 and both engines evaluate the " +
+      "IDENTICAL fixed chain — p=c/n, denom=1+z2/n, " +
+      "center=(p+z2/(2n))/denom, half=z*sqrt(p*(1-p)/n+z2/(4n^2))/" +
+      "denom with z=1.96 and z2 spelled 1.96*1.96 in BOTH texts — " +
+      "IEEE ops on identical inputs, hash-exact with no rounding. " +
+      "Shape at 100 TB: one combinable (source) rollup; the CI " +
+      "algebra runs on the |sources|-row frame.",
+      s"""WITH a AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, c,
+        |    c::DOUBLE / n::DOUBLE AS p,
+        |    1.0 + (1.96 * 1.96) / n::DOUBLE AS denom
+        |  FROM a)
+        |SELECT source, n, c,
+        |  ((p + (1.96 * 1.96) / (2.0 * n::DOUBLE))
+        |    - 1.96 * sqrt(p * (1.0 - p) / n::DOUBLE
+        |      + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE)))
+        |    / denom AS wilson_lo,
+        |  ((p + (1.96 * 1.96) / (2.0 * n::DOUBLE))
+        |    + 1.96 * sqrt(p * (1.0 - p) / n::DOUBLE
+        |      + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE)))
+        |    / denom AS wilson_hi
+        |FROM w ORDER BY source""".stripMargin) { (s, d) =>
+      wilsonIntervals(Tables.documents(s, d))
+    },
+
+    // --------------------------------------------------------------- q264
+    "q264_neyman_allocation" -> QueryDef.sql(
+      "Neyman-optimal sample allocation (Neyman 1934) of a 1,000-" +
+      "unit eval/labeling budget across sources: minimum-variance " +
+      "stratified sampling allocates n_h proportional to N_h*S_h " +
+      "(stratum size x token-count sd). The sd enters as a FIXED " +
+      "IEEE chain over exact int64 moment sums (population variance " +
+      "Q/n - (T/n)^2, one sqrt), the weight is quantized " +
+      "floor(N_h*S_h * 2^20) — the floor of an identical double on " +
+      "both engines, so the quantized weight is engine-identical " +
+      "int64 — and the seats are settled by q238's Hamilton " +
+      "largest-remainder election in pure integer arithmetic " +
+      "(quota = (B*w) div W, leftovers to the largest exact " +
+      "remainders, ties to source), so sum(alloc) = 1000 exactly. " +
+      "Shape at 100 TB: one combinable (source) moment rollup; the " +
+      "election runs on the |strata|-row frame (the q238 shape); " +
+      "B*w <= ~3e14, far inside int64.",
+      s"""WITH m AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len($sqlToks))::BIGINT AS t,
+        |    sum(len($sqlToks) * len($sqlToks))::BIGINT AS q
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |    floor(n_docs::DOUBLE
+        |      * sqrt(q::DOUBLE / n_docs::DOUBLE
+        |        - (t::DOUBLE / n_docs::DOUBLE)
+        |          * (t::DOUBLE / n_docs::DOUBLE))
+        |      * 1048576.0)::BIGINT AS wq
+        |  FROM m),
+        |tw AS (SELECT sum(wq)::BIGINT AS tot FROM w),
+        |qd AS (SELECT source, n_docs, wq,
+        |    ((1000 * wq) // tw.tot)::BIGINT AS quota,
+        |    ((1000 * wq) % tw.tot)::BIGINT AS rem
+        |  FROM w CROSS JOIN tw),
+        |lv AS (SELECT (1000 - sum(quota))::BIGINT AS leftover FROM qd),
+        |r AS (SELECT source, n_docs, wq, quota, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source)::BIGINT
+        |      AS rk FROM qd)
+        |SELECT r.source, r.n_docs, r.wq, r.quota,
+        |  (r.quota + CASE WHEN r.rk <= lv.leftover THEN 1 ELSE 0 END)
+        |    ::BIGINT AS alloc
+        |FROM r CROSS JOIN lv ORDER BY r.source""".stripMargin) { (s, d) =>
+      neymanAllocation(Tables.documents(s, d), budget = 1000L)
     }
   )
 
@@ -598,6 +716,80 @@ object CurationQueries {
   def passAtKFrom(samples: DataFrame, k: Int): DataFrame =
     passAtKRead(passTaskGrid(samples), k)
 
+  /** q262's sliding-window chunk accounting (size/stride in tokens). */
+  def chunkOverlapProvenance(docs: DataFrame, winSize: Int,
+      stride: Int): DataFrame = {
+    val t = docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .where(col("n") > 0)
+    val c = t.select(col("source"), col("n"), explode(sequence(lit(0L),
+        when(col("n") <= winSize.toLong, lit(0L))
+          .otherwise(expr(s"(n - $winSize + ${stride - 1}) div $stride"))
+          .cast("long"))).as("i"))
+      .select(col("source"),
+        (least(col("i") * stride + winSize, col("n")) - col("i") * stride)
+          .cast("long").as("ctoks"))
+    val d = t.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("n").cast("long").as("corpus_tokens"))
+    val g = c.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n_chunks"),
+      sum("ctoks").cast("long").as("chunk_tokens"))
+    d.join(g, "source")
+      .select(col("source"), col("n_docs"), col("corpus_tokens"),
+        col("n_chunks"), col("chunk_tokens"),
+        (col("chunk_tokens").cast("double")
+          / col("corpus_tokens").cast("double")).as("duplication"))
+      .orderBy("source")
+  }
+
+  /** q263's closed-form 95% Wilson bounds over exact counts. */
+  def wilsonIntervals(docs: DataFrame): DataFrame = {
+    val a = docs.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+        .as("c"))
+    val nD = col("n").cast("double")
+    val p = col("c").cast("double")./(nD)
+    val z2 = lit(1.96) * lit(1.96)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))
+    a.select(col("source"), col("n"), col("c"),
+        ((center - half) / denom).as("wilson_lo"),
+        ((center + half) / denom).as("wilson_hi"))
+      .orderBy("source")
+  }
+
+  /** q264's quantized Neyman weights + Hamilton seat election. */
+  def neymanAllocation(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = docs.groupBy("source").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).cast("long").as("t"),
+      sum(size(tokens(col("text"))).cast("long")
+        * size(tokens(col("text"))).cast("long")).cast("long").as("q"))
+    val nD = col("n_docs").cast("double")
+    val varE = col("q").cast("double")./(nD)
+      .-((col("t").cast("double")./(nD)) * (col("t").cast("double")./(nD)))
+    val w = m.select(col("source"), col("n_docs"),
+      floor(nD * sqrt(varE) * lit(1048576.0)).cast("long").as("wq"))
+    val tw = broadcast(w.agg(sum("wq").cast("long").as("tot")))
+    val qd = w.crossJoin(tw)
+      .select(col("source"), col("n_docs"), col("wq"),
+        expr(s"($budget * wq) div tot").cast("long").as("quota"),
+        expr(s"($budget * wq) % tot").cast("long").as("rem"))
+    val lv = broadcast(qd.agg((lit(budget)
+      - sum("quota").cast("long")).as("leftover")))
+    qd.withColumn("rk", row_number()
+        .over(Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .crossJoin(lv)
+      .select(col("source"), col("n_docs"), col("wq"), col("quota"),
+        (col("quota") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).cast("long").as("alloc"))
+      .orderBy("source")
+  }
+
   /** q260's one-scan cap-pricing fold over a literal cap spine. */
   def contextLengthSizing(docs: DataFrame, caps: Seq[Long]): DataFrame = {
     val s = docs.sparkSession
@@ -643,11 +835,12 @@ object CurationQueries {
     def sign(ra: Column, na: Column, rb: Column, nb: Column): Column =
       when(ra * nb > rb * na, 1L).when(ra * nb < rb * na, -1L)
         .otherwise(0L)
-    val pooled = m.as("a").join(m.as("b"), col("a.mode") < col("b.mode"))
+    val pooled = m.as("a")
+      .join(broadcast(m.as("b")), col("a.mode") < col("b.mode"))
       .select(col("a.mode").as("mode_a"), col("b.mode").as("mode_b"),
         sign(col("a.r"), col("a.n"), col("b.r"), col("b.n"))
           .cast("long").as("pooled_sign"))
-    val strat = c.as("a").join(c.as("b"),
+    val strat = c.as("a").join(broadcast(c.as("b")),
         col("a.mode") < col("b.mode") && col("a.yr") === col("b.yr"))
       .groupBy(col("a.mode").as("mode_a"), col("b.mode").as("mode_b"))
       .agg(count(lit(1)).cast("long").as("n_strata"),

@@ -284,4 +284,79 @@ class CurationSpec extends SparkSpec {
       assert(rev == (sign != 0L && oppose > 0L && agree == 0L))
     }
   }
+
+  // ------------------------------------------------------------- q262
+  test("q262: overlap chunk accounting equals the hand fold") {
+    // doc lengths: 20 (1 chunk of 20), 32 (1 of 32), 50 (i=0: 32,
+    // i=1: 50-24=26 -> 2 chunks, 58 chunk tokens)
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" "), "s1"),
+      (2L, (1 to 32).map(i => s"t$i").mkString(" "), "s1"),
+      (3L, (1 to 50).map(i => s"t$i").mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = CurationQueries.chunkOverlapProvenance(docs, 32, 24)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    assert(got == List(
+      ("s1", 2L, 52L, 2L, 52L, 1.0),
+      ("s2", 1L, 50L, 2L, 58L, 58.0 / 50.0)), s"$got")
+  }
+
+  test("q262: corpus law — duplication >= 1 and chunks cover every token") {
+    val got = graft.SparkEntry
+      .queries("q262_chunk_overlap_provenance")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toList
+    got.foreach { case (src, _, corpus, nChunks, chunkToks, dup) =>
+      assert(chunkToks >= corpus, s"$src: coverage broken")
+      assert(dup >= 1.0 && nChunks >= 1L)
+    }
+  }
+
+  // ------------------------------------------------------------- q263
+  test("q263: Wilson bounds bracket p-hat, stay in [0,1], and match the closed form") {
+    val docs = Seq(
+      (1L, "x", "en", "s1"), (2L, "x", "en", "s1"), (3L, "x", "de", "s1"),
+      (4L, "x", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CurationQueries.wilsonIntervals(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toList
+    val m = got.map(r => r._1 -> r).toMap
+    // closed form for n=3, c=2, z=1.96
+    val (n, c, z) = (3.0, 2.0, 1.96)
+    val p = c / n
+    val denom = 1.0 + z * z / n
+    val center = p + z * z / (2.0 * n)
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert(m("s1")._4 == (center - half) / denom, s"${m("s1")}")
+    assert(m("s1")._5 == (center + half) / denom)
+    got.foreach { case (_, nn, cc, lo, hi) =>
+      val ph = cc.toDouble / nn
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= ph && ph <= hi)
+    }
+    // degenerate p = 0: lower bound exactly 0 is fine, upper > 0
+    assert(m("s2")._4 >= 0.0 && m("s2")._5 > 0.0)
+  }
+
+  // ------------------------------------------------------------- q264
+  test("q264: seats conserve exactly and follow N_h * S_h") {
+    val got = graft.SparkEntry
+      .queries("q264_neyman_allocation")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._5).sum == 1000L, "Hamilton must conserve the budget")
+    // allocation within one seat of the exact share (largest remainder law)
+    val tot = got.map(_._3).sum.toDouble
+    got.foreach { case (src, _, wq, _, alloc) =>
+      val exact = 1000.0 * wq / tot
+      assert(math.abs(alloc - exact) <= 1.0, s"$src: $alloc vs $exact")
+    }
+    // zero-variance stratum gets zero weight
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b c", "s1"),
+      (3L, "a", "s2"), (4L, "a b c d e f g", "s2"))
+      .toDF("doc_id", "text", "source")
+    val hand = CurationQueries.neymanAllocation(docs, 10L)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    val hm = hand.map(r => r._1 -> r).toMap
+    assert(hm("s1")._3 == 0L && hm("s1")._5 == 0L,
+      s"constant stratum must get nothing: ${hm("s1")}")
+    assert(hm("s2")._5 == 10L)
+  }
 }

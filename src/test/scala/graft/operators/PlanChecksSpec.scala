@@ -1269,7 +1269,9 @@ class PlanChecksSpec extends SparkSpec {
       "q252_draft_coverage_curve", "q253_loo_source_ablation",
       "q254_crosssource_redundancy", "q255_dsir_sign_score",
       "q256_prefix_cache_sharing", "q257_sax_symbols",
-      "q258_decontamination_impact", "q259_novelty_attribution")
+      "q258_decontamination_impact", "q259_novelty_attribution",
+      "q260_context_length_sizing", "q261_simpson_reversal",
+      "q262_chunk_overlap_provenance", "q263_wilson_intervals")
     for (q <- battery) {
       val df = SparkEntry.queries(q)(spark, sf001)
       val p = df.queryExecution.executedPlan.toString()
@@ -1293,6 +1295,12 @@ class PlanChecksSpec extends SparkSpec {
     val p258 = SparkEntry.queries("q258_decontamination_impact")(
       spark, sf001).queryExecution.executedPlan.toString()
     assert(p258.contains("BroadcastHashJoin"), p258)
+    // q264's Hamilton remainder rank runs on the |strata|-row frame
+    // (the q238 shape — domain-bounded, so its unpartitioned window
+    // is exempt from the Limit rule above); only a cartesian is banned
+    val p264 = SparkEntry.queries("q264_neyman_allocation")(
+      spark, sf001).queryExecution.executedPlan.toString()
+    assert(!p264.contains("CartesianProduct"), p264)
   }
 
   test("q106/q187/q195: global ranks plan NO unpartitioned window") {

@@ -790,12 +790,18 @@ object CurationQueries {
       .orderBy("source")
   }
 
-  /** q260's one-scan cap-pricing fold over a literal cap spine. */
-  def contextLengthSizing(docs: DataFrame, caps: Seq[Long]): DataFrame = {
-    val s = docs.sparkSession
+  /** q260's one-scan cap-pricing fold over a literal cap spine —
+    * grid + read shared with the ContextSizingStream twin. */
+  def contextLengthSizing(docs: DataFrame, caps: Seq[Long]): DataFrame =
+    sizingRead(sizingGrid(
+      docs.select(size(tokens(col("text"))).cast("long").as("n")), caps))
+
+  /** The per-cap counter grid over a stream/frame of token counts n —
+    * commutative sums, |caps| cells of five longs. */
+  def sizingGrid(lengths: DataFrame, caps: Seq[Long]): DataFrame = {
+    val s = lengths.sparkSession
     import s.implicits._
-    val t = docs.select(size(tokens(col("text"))).cast("long").as("n"))
-    t.crossJoin(broadcast(caps.toDF("cap")))
+    lengths.crossJoin(broadcast(caps.toDF("cap")))
       .groupBy("cap")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("n").cast("long").as("tokens_total"),
@@ -805,14 +811,17 @@ object CurationQueries {
           .otherwise(0L)).cast("long").as("tokens_padded"),
         sum(when(col("n") > col("cap"), col("cap")).otherwise(col("n")))
           .cast("long").as("useful"))
-      .select(col("cap"), col("n_docs"), col("tokens_total"),
+  }
+
+  /** The pricing read over stored per-cap cells — pure per-row algebra. */
+  def sizingRead(cells: DataFrame): DataFrame =
+    cells.select(col("cap"), col("n_docs"), col("tokens_total"),
         col("tokens_truncated"), col("tokens_padded"),
         (col("useful").cast("double")
           / (col("n_docs") * col("cap")).cast("double")).as("utilization"),
         (col("tokens_truncated").cast("double")
           / col("tokens_total").cast("double")).as("truncation_share"))
       .orderBy("cap")
-  }
 
   /** q261's pooled-vs-strata direction audit over any frame with
     * (mode, yr, n, r) derivable — shared with CurationSpec's planted
@@ -928,11 +937,21 @@ object CurationQueries {
   }
 
   /** q253's leave-one-source-out fold: one (source) rollup + broadcast
-    * totals; rest = total - self. */
-  def looSourceAblation(docs: DataFrame): DataFrame = {
-    val dd = docs.groupBy("source").agg(
+    * totals; rest = total - self. Grid + read shared with the
+    * LooAblationStream twin. */
+  def looSourceAblation(docs: DataFrame): DataFrame =
+    looRead(looGrid(docs.select(col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))))
+
+  /** The per-source (n_docs, tok) ledger over a (source, n_tok)
+    * stream/frame — commutative sums, |sources| cells. */
+  def looGrid(rows: DataFrame): DataFrame =
+    rows.groupBy("source").agg(
       count(lit(1)).cast("long").as("n_docs"),
-      sum(size(tokens(col("text"))).cast("long")).cast("long").as("tok"))
+      sum("n_tok").cast("long").as("tok"))
+
+  /** The ablation read over stored cells: rest = total - self. */
+  def looRead(dd: DataFrame): DataFrame = {
     val tot = broadcast(dd.agg(sum("n_docs").cast("long").as("nn"),
       sum("tok").cast("long").as("tt")))
     dd.crossJoin(tot)

@@ -14,7 +14,7 @@ import java.sql.Timestamp
   * streaming twins were ScalaTest-verified only, leaving their parity
   * evidence outside the driver's signal. This main replays the sf0.001
   * corpus (or a deterministic synthetic scenario where the spec's parity
-  * anchor is synthetic) through all 27 twin checks and emits ONE JSON
+  * anchor is synthetic) through all 29 twin checks and emits ONE JSON
   * line per twin — stream rows, batch-anchor rows, and a parity
   * verdict — plus a compact summary as the LAST stdout line, mirrored
   * to target/stream_parity.json (the bench_summary.json pattern).
@@ -923,6 +923,64 @@ object StreamCheck {
           val streamed = canon(CopelandStream.readBack(
             spark.createDataset(cells.toSeq)
               .toDF("u", "v", "w_uv", "w_vu")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
+      // ----------------------------------------- context_sizing_grid
+      run("context_sizing_grid",
+        "streamed per-cap pricing counters + read == batch q260 rows") {
+        val ss = Tables.documents(spark, sfDir)
+          .select(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n"))
+          .as[Long].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q260_context_length_sizing")(spark, sfDir))
+        val ms = MemoryStream[Long]
+        val q = ContextSizingStream.grid(ms.toDF().toDF("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_sizing").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          ss.grouped(ss.length / 4 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val cells = spark.table("sc_sizing")
+            .as[(Long, Long, Long, Long, Long, Long)].collect()
+          val streamed = canon(ContextSizingStream.readBack(
+            spark.createDataset(cells.toSeq).toDF("cap", "n_docs",
+              "tokens_total", "tokens_truncated", "tokens_padded",
+              "useful")))
+          (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
+        } finally q.stop()
+      },
+
+      // ------------------------------------------- loo_ablation_grid
+      run("loo_ablation_grid",
+        "streamed per-source ledger + rest=total-self read == batch q253 rows") {
+        val ss = Tables.documents(spark, sfDir)
+          .select(col("source"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("n_tok"))
+          .as[(String, Long)].collect()
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).toSet
+        val batch = canon(graft.SparkEntry.queries(
+          "q253_loo_source_ablation")(spark, sfDir))
+        val ms = MemoryStream[(String, Long)]
+        val q = LooAblationStream.grid(ms.toDF().toDF("source", "n_tok"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sc_loo").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          ss.grouped(ss.length / 3 + 1).foreach { chunk =>
+            ms.addData(chunk.toSeq); q.processAllAvailable()
+          }
+          val cells = spark.table("sc_loo")
+            .as[(String, Long, Long)].collect()
+          val streamed = canon(LooAblationStream.readBack(
+            spark.createDataset(cells.toSeq)
+              .toDF("source", "n_docs", "tok")))
           (streamed.size, batch.size, streamed.nonEmpty && streamed == batch)
         } finally q.stop()
       },

@@ -1458,6 +1458,91 @@ object TextQueries {
         .orderBy("q_id")
     },
 
+    // --------------------------------------------------------------- q265
+    "q265_ndcg_at_10" -> QueryDef.sql(
+      "nDCG@10 over q205's retrieval harness — the graded-ranking " +
+      "metric q205 deliberately skipped under the q53 libm rule " +
+      "(log2 is transcendental and engine-divergent), made EXACT by " +
+      "integer-scaled discounts: the rank-i weight is the LITERAL " +
+      "round(1e6/log2(i+1)) for i = 1..10 — ten integers baked into " +
+      "BOTH plans, so DCG@10 is a pure int64 sum (order-free, " +
+      "unlike a float discount sum whose accumulation order differs " +
+      "between engines) and the ideal DCG is one literal prefix-sum " +
+      "lookup at least(n_rel, 10); ndcg = dcg/idcg is the ONE IEEE " +
+      "division. Same deterministic 5% query sample, shingle-" +
+      "blocked candidates, integer-score total order as q205. " +
+      "Shape at 100 TB: identical to q205 (sampled blocking join + " +
+      "per-query rank window) + one array-literal lookup per row.",
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+        |s AS (SELECT doc_id, source, ${DedupQueries.sqlShingles} AS sh
+        |  FROM t),
+        |x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+        |qx AS (SELECT doc_id AS q_id, source AS q_src, g FROM x
+        |  WHERE doc_id % 20 = 0),
+        |cand AS (SELECT q_id, q_src, x.doc_id AS c_id, x.source AS c_src,
+        |    count(*)::BIGINT AS score
+        |  FROM qx JOIN x USING (g) WHERE x.doc_id != qx.q_id
+        |  GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT q_id, q_src, c_id, c_src, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, c_id)::BIGINT AS rnk FROM cand),
+        |m AS (SELECT q_id,
+        |    sum(CASE WHEN c_src = q_src THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_rel_cand,
+        |    sum(CASE WHEN c_src = q_src AND rnk <= 10
+        |      THEN ([1000000, 630930, 500000, 430677, 386853, 356207,
+        |             333333, 315465, 301030, 289065])[rnk]
+        |      ELSE 0 END)::BIGINT AS dcg_scaled
+        |  FROM r GROUP BY 1)
+        |SELECT q_id, n_rel_cand, dcg_scaled,
+        |  ([0, 1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+        |    3638000, 3953465, 4254495, 4543560])
+        |    [least(n_rel_cand, 10) + 1]::BIGINT AS idcg_scaled,
+        |  CASE WHEN n_rel_cand > 0
+        |    THEN dcg_scaled::DOUBLE
+        |      / ([0, 1000000, 1630930, 2130930, 2561607, 2948460,
+        |          3304667, 3638000, 3953465, 4254495, 4543560])
+        |          [least(n_rel_cand, 10) + 1]::DOUBLE
+        |    ELSE 0.0 END AS ndcg_at_10
+        |FROM m ORDER BY q_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dLit = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val pLit = Seq(0L, 1000000L, 1630930L, 2130930L, 2561607L,
+        2948460L, 3304667L, 3638000L, 3953465L, 4254495L, 4543560L)
+      val x = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(shinglesOfText(col("text"), 3)).as("g"))
+      val qx = x.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("q_id"), col("source").as("q_src"),
+          col("g"))
+      val cand = qx.join(x.select(col("doc_id").as("c_id"),
+          col("source").as("c_src"), col("g")), "g")
+        .where(col("c_id") =!= col("q_id"))
+        .groupBy("q_id", "q_src", "c_id", "c_src")
+        .agg(count(lit(1)).as("score"))
+      val ranked = cand.withColumn("rnk",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("c_id"))).cast("long"))
+      val rel = col("c_src") === col("q_src")
+      val m = ranked.groupBy("q_id")
+        .agg(sum(when(rel, 1L).otherwise(0L)).cast("long").as("n_rel_cand"),
+          sum(when(rel && col("rnk") <= 10,
+            element_at(array(dLit.map(lit): _*), col("rnk").cast("int")))
+            .otherwise(0L)).cast("long").as("dcg_scaled"))
+      m.select(col("q_id"), col("n_rel_cand"), col("dcg_scaled"),
+          element_at(array(pLit.map(lit): _*),
+            (least(col("n_rel_cand"), lit(10L)) + 1L).cast("int"))
+            .cast("long").as("idcg_scaled"),
+          when(col("n_rel_cand") > 0,
+            col("dcg_scaled").cast("double")
+              / element_at(array(pLit.map(lit): _*),
+                (least(col("n_rel_cand"), lit(10L)) + 1L).cast("int"))
+                .cast("double"))
+            .otherwise(lit(0.0)).as("ndcg_at_10"))
+        .orderBy("q_id")
+    },
+
     // --------------------------------------------------------------- q206
     "q206_calibration_bins" -> QueryDef.sql(
       "Calibration audit for a scored classifier — q198's AUC " +

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * and q198's AUC must equal a brute-force rank fold over the
   * collected documents. */
 class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("q197 confusion: cells == q31's per-doc predictions; rows conserve") {
     val preds = SparkEntry.queries("q31_text_langid")(spark, sf0001)
@@ -101,5 +102,34 @@ class EvalMetricsSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
     // every document lands in exactly one bin
     assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
+  test("q265 nDCG: bounded, consistent with q205, exact on perfect prefixes") {
+    val ndcg = graft.SparkEntry.queries("q265_ndcg_at_10")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    val q205 = graft.SparkEntry.queries("q205_retrieval_eval")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ndcg.nonEmpty)
+    val dLit = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    ndcg.foreach { case (q, nRel, dcg, idcg, v) =>
+      // same query set and relevant counts as q205
+      assert(q205.contains(q) && q205(q)._3 == nRel, s"q$q mismatch")
+      assert(dcg >= 0L && dcg <= idcg, s"q$q: dcg $dcg > idcg $idcg")
+      assert(v >= 0.0 && v <= 1.0)
+      if (nRel > 0) assert(v == dcg.toDouble / idcg.toDouble)
+      // a query whose first min(nRel,10) ranks are all relevant is a
+      // perfect prefix: integer dcg == integer idcg -> ndcg EXACTLY 1
+      val k = math.min(nRel, 10L).toInt
+      if (nRel > 0 && dcg == dLit.take(k).sum) assert(v == 1.0)
+      // and hits@10 == 0 forces dcg == 0
+      if (q205(q)._4 == 0L) assert(dcg == 0L, s"q$q: dcg without hits")
+    }
+    // the corpus has at least one imperfect ranking (otherwise the
+    // metric is vacuous here) and at least one positive one
+    assert(ndcg.exists(r => r._5 > 0.0 && r._5 < 1.0) ||
+      ndcg.count(_._5 == 1.0) < ndcg.size)
+    assert(ndcg.exists(_._5 > 0.0))
   }
 }

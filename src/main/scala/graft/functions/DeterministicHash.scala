@@ -146,6 +146,25 @@ object DeterministicHash {
     * outcomes are exchangeable within a task, so sharing a stream with
     * any split/sample/shuffle assignment would correlate "correct"
     * with pipeline membership and bias the estimate the query audits.
-    * Distinct prime, distinct by value from all constants here. */
-  val passSalt: Long = 15485863L
+    * Distinct prime, distinct by value from all constants here. (Until
+    * round 13 this constant DUPLICATED conformalSalt — the same
+    * duplication class foldSalt's comment records fixing in round 11.
+    * Harmless only because the two streams hash disjoint id domains;
+    * now distinct by value AND guarded by the uniqueness test in
+    * DeterministicHashSpec, so the class can't recur silently.) */
+  val passSalt: Long = 17624813L
+
+  /** Every salt/multiplier constant in this object, for the uniqueness
+    * guard: any two equal constants would silently correlate the two
+    * streams they separate the moment a consumer hashes shared ids. */
+  val allSalts: Seq[(String, Long)] = Seq(
+    "splitSalt" -> 0L, "sampleSalt" -> sampleSalt,
+    "mixtureSalt" -> mixtureSalt, "conformalSalt" -> conformalSalt,
+    "weightedSalt" -> weightedSalt, "permSalt" -> permSalt,
+    "bootSalt" -> bootSalt, "shardSalt" -> shardSalt,
+    "negRingSalt" -> negRingSalt, "negProbeSalt" -> negProbeSalt,
+    "foldSalt" -> foldSalt, "shuffleSalt" -> shuffleSalt,
+    "dpSaltA" -> dpSaltA, "dpSaltB" -> dpSaltB,
+    "passSalt" -> passSalt) ++
+    shardMultipliers.zipWithIndex.map { case (m, i) => s"shardMult$i" -> m }
 }

@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * load (VERDICT r11 item 5).
   *
   * Staleness contract: the cache key is an ORDER-INDEPENDENT content
-  * fingerprint — row count + bit_xor(xxhash64(every fingerprint
-  * column)) — of the base projection the derived frame is a pure
-  * function of, so any insert/delete/update invalidates the entry and
-  * partition layout cannot perturb it. The caller's `version` bumps
+  * fingerprint — row count + bit_xor + wrapping-sum of
+  * xxhash64(every fingerprint column) — of the base projection the
+  * derived frame is a pure function of, so partition layout cannot
+  * perturb it and realistic edits invalidate the entry. XOR alone was
+  * blind to paired changes among identical rows (the base projection
+  * may legitimately hold duplicates; updating an EVEN number of
+  * duplicates uniformly cancels in XOR and preserves count — ADVICE
+  * r12); the wrapping sum sees multiplicity, so defeating BOTH limbs
+  * plus the count requires an engineered multiset collision, not an
+  * even-duplicate edit. The caller's `version` bumps
   * orphan older entries when the derived SHAPE or build algebra
   * changes (the fingerprint cannot see code). Writes go through
   * [[AtomicDir]] (tmp sibling + atomic rename + validated publish);
@@ -37,12 +43,17 @@ object FrameStore {
     sys.env.getOrElse("SPARK_GRAFT_FRAME_DIR", ".graft/frame-store")
 
   /** Order-independent content fingerprint of `base`: (rowCount,
-    * bit_xor of xxhash64 over all columns). One combinable scan. */
-  def fingerprint(base: DataFrame): (Long, Long) = {
+    * bit_xor of xxhash64 over all columns, wrapping sum of the same
+    * hashes). Still one combinable scan; XOR and sum are both
+    * commutative/associative and Java long addition wraps
+    * deterministically, so partitioning cannot perturb either limb. */
+  def fingerprint(base: DataFrame): (Long, Long, Long) = {
     val cols = base.columns.map(col).toSeq
+    val h = xxhash64(cols: _*)
     val r = base.agg(count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(cols: _*)), lit(0L)).as("fp")).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(bit_xor(h), lit(0L)).as("fp"),
+      coalesce(sum(h), lit(0L)).as("fs")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Load the derived frame `kind` (shape `version`) keyed by the
@@ -55,9 +66,10 @@ object FrameStore {
   def loadOrBuild(spark: SparkSession, kind: String, version: Int,
       base: DataFrame, expectCols: Seq[String],
       dir: String = defaultDir)(build: => DataFrame): DataFrame = {
-    val (n, fp) = fingerprint(base)
+    val (n, fp, fs) = fingerprint(base)
     val path = java.nio.file.Paths.get(dir,
-      s"${kind}_v${version}_fp${java.lang.Long.toHexString(fp)}_n$n")
+      s"${kind}_v${version}_fp${java.lang.Long.toHexString(fp)}" +
+        s"_fs${java.lang.Long.toHexString(fs)}_n$n")
     load(spark, path, expectCols).getOrElse {
       val built = build
       persist(spark, path, built, expectCols)

@@ -45,6 +45,18 @@ import org.apache.spark.sql.functions._
   * group-level frames that is noise, and the two side passes read
   * only the order column (pass `statsFrom` when chaining so they
   * fold the pre-window base, not prior rank windows).
+  *
+  * PRECONDITION: the order column must be non-NULL and non-NaN.
+  * `Window.orderBy` would sort nulls first; here a null order value
+  * gets a null bucket and the offsets join would DROP the row, and a
+  * NaN always lands in one end bucket regardless of sort position
+  * (ADVICE r12). These are generic shared utilities, so the counts
+  * side pass — at zero extra jobs — counts NULL/NaN order values and
+  * REFUSES loudly instead of silently corrupting ranks; callers with
+  * nullable order keys pre-filter or bucket nulls explicitly.
+  * (`statsFrom`, when passed, must hold the same order-column multiset
+  * as df — the documented chaining contract — so guarding the stats
+  * side guards df.)
   */
 object RangeRank {
 
@@ -74,18 +86,27 @@ object RangeRank {
 
   /** Per-bucket (rowCount, valueSum) folded from `stats` and
     * prefix-summed on the driver: returns (offsets rows sorted by
-    * bucket, total row count). `sumCol` empty → sums are 0. */
-  private def offsets(stats: DataFrame, bucket: Column,
+    * bucket, total row count). `sumCol` empty → sums are 0. Enforces
+    * the header's non-NULL/non-NaN order-key precondition in the same
+    * pass: a null order value buckets to null (its group key is null
+    * here) and a NaN trips the per-bucket `__x` counter. */
+  private def offsets(stats: DataFrame, bucket: Column, value: String,
       sumCol: Option[String]): (Seq[(Int, Long, Long)], Long) = {
+    val bad = badOrderKey(value)
     val base = sumCol match {
-      case Some(sc) => stats.select(bucket.as("__b"),
+      case Some(sc) => stats.select(bucket.as("__b"), bad.as("__bad"),
           col(sc).cast("long").as("__s"))
-        .groupBy("__b").agg(count(lit(1)).as("__n"), sum("__s").as("__t"))
-      case None => stats.select(bucket.as("__b"))
-        .groupBy("__b").agg(count(lit(1)).as("__n"), lit(0L).as("__t"))
+        .groupBy("__b").agg(count(lit(1)).as("__n"), sum("__s").as("__t"),
+          sum("__bad").as("__x"))
+      case None => stats.select(bucket.as("__b"), bad.as("__bad"))
+        .groupBy("__b").agg(count(lit(1)).as("__n"), lit(0L).as("__t"),
+          sum("__bad").as("__x"))
     }
     val rows = base.collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map { r =>
+        require(!r.isNullAt(0) && r.getLong(3) == 0L, nullOrderMsg(value))
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
       .sortBy(_._1)
     var cnt = 0L
     var tot = 0L
@@ -94,6 +115,19 @@ object RangeRank {
     }
     (off.toSeq, cnt)
   }
+
+  /** 1 when the order value would corrupt a range rank (NULL bucket →
+    * dropped by the offsets join; NaN → order-blind bucket), else 0. */
+  private def badOrderKey(value: String): Column = {
+    val vd = col(value).cast("double")
+    when(vd.isNull.or(isnan(vd)), 1L).otherwise(0L)
+  }
+
+  private def nullOrderMsg(value: String): String =
+    s"RangeRank order column '$value' contains NULL or NaN rows — " +
+      "Window.orderBy would keep them (nulls first) but a range rank " +
+      "would silently drop or mis-bucket them; pre-filter or bucket " +
+      "them explicitly at the call site"
 
   /** df + `out` (long) = global row_number over (value asc/desc, tie
     * asc) — identical, row for row, to
@@ -109,7 +143,7 @@ object RangeRank {
     val stats = Option(statsFrom).getOrElse(df)
     val bs = bounds(stats, value, buckets)
     val bucket = bucketOf(bs, value, desc)
-    val (off, _) = offsets(stats, bucket, None)
+    val (off, _) = offsets(stats, bucket, value, None)
     rank(df, bucket, off, value, tie, desc, out)
   }
 
@@ -124,7 +158,7 @@ object RangeRank {
     val stats = Option(statsFrom).getOrElse(df)
     val bs = bounds(stats, value, buckets)
     val bucket = bucketOf(bs, value, desc = false)
-    val (off, nTot) = offsets(stats, bucket, None)
+    val (off, nTot) = offsets(stats, bucket, value, None)
     val rn = "__rr_rn_" + out
     val ranked = rank(df, bucket, off, value, tie, desc = false, rn)
     val q = nTot / n
@@ -161,12 +195,17 @@ object RangeRank {
     // one combined counts pass: explode each row into one (dimension,
     // bucket) pair per spec, fold counts — <= specs * buckets rows out
     val pairs = specs.zipWithIndex.map { case ((v, _, _, _), i) =>
-      struct(lit(i).as("d"), bucketOf(bs(v), v, desc = false).as("b"))
+      struct(lit(i).as("d"), bucketOf(bs(v), v, desc = false).as("b"),
+        badOrderKey(v).as("x"))
     }
     val cnts = stats.select(explode(array(pairs: _*)).as("p"))
       .groupBy(col("p.d").as("d"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .agg(count(lit(1)).as("n"), sum("p.x").as("x"))
+      .collect().map { r =>
+        require(!r.isNullAt(1) && r.getLong(3) == 0L,
+          nullOrderMsg(specs(r.getInt(0))._1))
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
     specs.zipWithIndex.foldLeft(df) {
       case (acc, ((v, tie, n, out), i)) =>
         val mine = cnts.filter(_._1 == i).map(t => (t._2, t._3))
@@ -201,7 +240,7 @@ object RangeRank {
     val stats = Option(statsFrom).getOrElse(df)
     val bs = bounds(stats, value, buckets)
     val bucket = bucketOf(bs, value, desc)
-    val (off, _) = offsets(stats, bucket, Some(sumCol))
+    val (off, _) = offsets(stats, bucket, value, Some(sumCol))
     val s = df.sparkSession
     import s.implicits._
     val offs = broadcast(off.toDF("__b", "__off", "__offsum"))

@@ -34,6 +34,17 @@ class DeterministicHashSpec extends SparkSpec {
     }
   }
 
+  test("all salts and shard multipliers are pairwise distinct") {
+    // Twice now a new salt silently duplicated an existing one
+    // (foldSalt==conformalSalt until r11, passSalt==conformalSalt until
+    // r13). Equal salts make the two streams they separate identical
+    // the moment a consumer hashes shared ids — so pin distinctness by
+    // value over the full constant set, not by comment.
+    val dupes = allSalts.groupBy(_._2).filter(_._2.size > 1)
+    assert(dupes.isEmpty,
+      s"duplicate salt values: ${dupes.values.map(_.map(_._1)).mkString(", ")}")
+  }
+
   test("hash stays in [0, 2^32) and gates are near-uniform") {
     val hs = (0L until 100000L).map(knuth32Local(_, 0L))
     assert(hs.forall(h => h >= 0 && h < modulus))

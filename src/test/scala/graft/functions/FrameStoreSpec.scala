@@ -57,6 +57,27 @@ class FrameStoreSpec extends SparkSpec {
     assert(f1 == f2)
   }
 
+  test("uniform edit to an even number of duplicate rows invalidates") {
+    // ADVICE r12: the base projection legitimately holds duplicate
+    // rows, and a uniform update to an EVEN number of duplicates
+    // cancels in bit_xor and preserves the count — XOR+count alone
+    // served a stale derived frame. The wrapping-sum limb sees
+    // multiplicity: 2*h(old) != 2*h(new).
+    val dir = tmpDir().toString
+    val b1 = base(Seq((1L, 10L), (1L, 10L)))
+    val b2 = base(Seq((1L, 11L), (1L, 11L)))
+    val f1 = FrameStore.fingerprint(b1)
+    val f2 = FrameStore.fingerprint(b2)
+    assert(f1._1 == f2._1 && f1._2 == f2._2,
+      "premise: count and XOR are blind to this edit")
+    assert(f1._3 != f2._3, "sum limb must distinguish the edit")
+    var builds = 0
+    def mk(src: DataFrame): DataFrame = { builds += 1; src }
+    FrameStore.loadOrBuild(spark, "t", 1, b1, Seq("k", "v"), dir)(mk(b1))
+    FrameStore.loadOrBuild(spark, "t", 1, b2, Seq("k", "v"), dir)(mk(b2))
+    assert(builds == 2, "even-duplicate edit must miss the cache")
+  }
+
   test("version bump orphans older entries") {
     val dir = tmpDir().toString
     val b = base(Seq((1L, 10L)))

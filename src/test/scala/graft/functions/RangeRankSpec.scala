@@ -104,6 +104,31 @@ class RangeRankSpec extends SparkSpec {
     assert(RangeRank.withRunningSum(base, "v", "k", "v", "c").count() == 0L)
   }
 
+  test("NULL or NaN order values refuse loudly instead of dropping rows") {
+    // ADVICE r12: a null order value buckets to null and the offsets
+    // join would silently DROP the row (Window.orderBy keeps it, nulls
+    // first); a NaN double is order-blind in the bucket search. These
+    // are shared generic utilities, so the precondition is enforced,
+    // not just documented.
+    import spark.implicits._
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("k", "v")
+    val eNull = intercept[IllegalArgumentException] {
+      RangeRank.withRowNumber(withNull, "v", "k", "rn").collect()
+    }
+    assert(eNull.getMessage.contains("NULL or NaN"))
+    val withNaN = Seq((1L, 1.0), (2L, Double.NaN), (3L, 3.0))
+      .toDF("k", "v")
+    val eNaN = intercept[IllegalArgumentException] {
+      RangeRank.withNtile(withNaN, "v", "k", 2, "b").collect()
+    }
+    assert(eNaN.getMessage.contains("NULL or NaN"))
+    val eFused = intercept[IllegalArgumentException] {
+      RangeRank.withNtiles(withNull, Seq(("v", "k", 2, "b"))).collect()
+    }
+    assert(eFused.getMessage.contains("NULL or NaN"))
+  }
+
   test("the rank plan carries no Exchange SinglePartition") {
     val got = RangeRank.withNtile(cust, "money", "k", 5, "b")
     val p = got.queryExecution.executedPlan.toString()

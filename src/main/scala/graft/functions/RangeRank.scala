@@ -147,20 +147,20 @@ object RangeRank {
     rank(df, bucket, off, value, tie, desc, out)
   }
 
-  /** df + `out` (long) = ANSI ntile(n) over (value asc, tie asc):
-    * exact global row_number (as above) mapped through the standard
-    * bucket-size rule — first N mod n buckets hold ceil(N/n) rows —
-    * in pure int64 `div` arithmetic. */
+  /** df + `out` (long) = ANSI ntile(n) over (value asc/desc, tie
+    * asc): exact global row_number (as above) mapped through the
+    * standard bucket-size rule — first N mod n buckets hold
+    * ceil(N/n) rows — in pure int64 `div` arithmetic. */
   def withNtile(df: DataFrame, value: String, tie: String, n: Int,
-      out: String, buckets: Int = 128,
+      out: String, desc: Boolean = false, buckets: Int = 128,
       statsFrom: DataFrame = null): DataFrame = {
     require(n > 0, "ntile bucket count must be positive")
     val stats = Option(statsFrom).getOrElse(df)
     val bs = bounds(stats, value, buckets)
-    val bucket = bucketOf(bs, value, desc = false)
+    val bucket = bucketOf(bs, value, desc)
     val (off, nTot) = offsets(stats, bucket, value, None)
     val rn = "__rr_rn_" + out
-    val ranked = rank(df, bucket, off, value, tie, desc = false, rn)
+    val ranked = rank(df, bucket, off, value, tie, desc, rn)
     val q = nTot / n
     val r = nTot % n
     val cut = r * (q + 1)
@@ -253,6 +253,51 @@ object RangeRank {
         (sum(col(sumCol).cast("long")).over(w) + col("__offsum"))
           .cast("long"))
       .drop("__b", "__off", "__offsum")
+  }
+
+  /** df + `out` (long, nullable) = STRICT-prefix running max of
+    * `maxCol` over (value asc, tie asc) — i.e.
+    * `max(maxCol) OVER (ORDER BY value, tie ROWS UNBOUNDED PRECEDING
+    * TO 1 PRECEDING)`, null on the global first row — with no
+    * single-partition exchange: a per-bucket strict-prefix window
+    * plus the broadcast exclusive prefix max of all earlier buckets
+    * (every earlier-bucket row is strictly earlier in the total
+    * order because equal values always share a bucket). The q99
+    * skyline's dominance prefix uses this; like every strict ROWS
+    * frame, (value, tie) must be duplicate-free for the result to be
+    * order-deterministic. */
+  def withRunningMax(df: DataFrame, value: String, tie: String,
+      maxCol: String, out: String, buckets: Int = 128,
+      statsFrom: DataFrame = null): DataFrame = {
+    val stats = Option(statsFrom).getOrElse(df)
+    val bs = bounds(stats, value, buckets)
+    val bucket = bucketOf(bs, value, desc = false)
+    val raw = stats.select(bucket.as("__b"), badOrderKey(value).as("__bad"),
+        col(maxCol).cast("long").as("__m"))
+      .groupBy("__b").agg(max("__m").as("__mx"), sum("__bad").as("__x"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && r.getLong(2) == 0L, nullOrderMsg(value))
+        (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      }.sortBy(_._1)
+    var run: Option[Long] = None
+    val off = raw.map { case (b, m) =>
+      val o = (b, run.getOrElse(0L), run.nonEmpty)
+      run = (run.toList ++ m.toList).reduceOption((a: Long, b: Long) =>
+        math.max(a, b))
+      o
+    }.toSeq
+    val s = df.sparkSession
+    import s.implicits._
+    val offs = broadcast(off.toDF("__b", "__pm", "__pmset"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col(value).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__b", bucket)
+      .join(offs, "__b")
+      .withColumn(out, greatest(
+        max(col(maxCol).cast("long")).over(w),
+        when(col("__pmset"), col("__pm"))).cast("long"))
+      .drop("__b", "__pm", "__pmset")
   }
 
   /** The shared rank tail: bucket column + broadcast offsets join +

@@ -940,10 +940,12 @@ object ExtendedQueries {
       "kept — standard skyline). All compares are on stored values, " +
       "no arithmetic -> hash-exact. Shape at 100 TB: the quadratic " +
       "dominance join becomes one map-side-combinable (price -> max " +
-      "size) aggregate over the facts plus a window over the DISTINCT " +
-      "PRICE DOMAIN (dimension-sized) and an equi-join back; if the " +
-      "price domain itself is corpus-scale, the prefix max re-shards " +
-      "exactly like q69's two-level prefix sum.",
+      "size) aggregate over the facts plus a STRICT-PREFIX RUNNING " +
+      "MAX over the distinct-price domain and an equi-join back — " +
+      "and because the distinct-price domain itself grows with the " +
+      "corpus at cent granularity, the prefix max runs as RangeRank " +
+      "(per-bucket windows + broadcast earlier-bucket maxes, no " +
+      "single-partition exchange; plan-pinned).",
       """WITH pm AS (SELECT p_retailprice AS price, max(p_size)::BIGINT AS msize
         |  FROM part GROUP BY 1),
         |pfx AS (SELECT price, msize,
@@ -3014,13 +3016,16 @@ object ExtendedQueries {
       "quantile qhat = the ceil((1-alpha)(n_cal+1))-th smallest " +
       "calibration score — elected EXACTLY via the q203 " +
       "value-domain pattern (distinct-score counts + one cumulative " +
-      "window over the bounded score domain, never a global row " +
-      "sort) — and the audit reports test-set coverage. Everything " +
+      "sum over the score domain, never a global row sort) — and " +
+      "the audit reports test-set coverage. Everything " +
       "but the final coverage ratio is exact integers -> hash-exact. " +
       "Shape at 100 TB: split + scoring is one scan with a " +
       "broadcast 5-row model join; the quantile election aggregates " +
-      "to the distinct-score domain (bounded by the cents range) " +
-      "before any window; coverage is one combinable conditional " +
+      "to the distinct-score domain before the cumulative sum, and " +
+      "because that domain grows with the corpus at cent granularity " +
+      "the running sum runs as RangeRank (per-bucket windows + " +
+      "broadcast prefix offsets, no single-partition exchange; " +
+      "plan-pinned); coverage is one combinable conditional " +
       "sum against a broadcast 2-row qhat frame.",
       s"""WITH e AS (SELECT event_id, event_type,
         |    round(value * 100)::BIGINT AS cents,
@@ -3067,7 +3072,6 @@ object ExtendedQueries {
         |FROM qh JOIN cov USING (alpha_pct)
         |  CROSS JOIN ntr CROSS JOIN ntst
         |ORDER BY alpha_pct""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val h = graft.functions.DeterministicHash.knuth32(col("event_id"),
         graft.functions.DeterministicHash.conformalSalt)
       val e = Tables.events(s, d).select(col("event_id"), col("event_type"),
@@ -3083,11 +3087,10 @@ object ExtendedQueries {
           abs(col("cents") - col("mean_cents")).cast("long").as("score"))
       val ncal = broadcast(sc.where(col("bucket") < 750)
         .agg(count(lit(1)).as("n_cal")))
-      val cum = sc.where(col("bucket") < 750)
-        .groupBy("score").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+      val cum = graft.functions.RangeRank.withRunningSum(
+        sc.where(col("bucket") < 750)
+          .groupBy("score").agg(count(lit(1)).as("c")),
+        "score", "score", "c", "cum")
       val al = e.sparkSession.range(1, 3)
         .select((col("id") * 10).cast("long").as("alpha_pct"))
       val kk = al.crossJoin(ncal)
@@ -4597,17 +4600,19 @@ object ExtendedQueries {
 
   /** The q99 skyline operator over an arbitrary part frame (minimize
     * p_retailprice, maximize p_size) — shared by the catalog entry and
-    * SkylineTriangleSpec. The window runs over the distinct-price
-    * domain only (see the catalog doc's scale note). */
+    * SkylineTriangleSpec. The dominance prefix runs over the
+    * distinct-price domain as a RangeRank strict-prefix running max
+    * (per-bucket windows + broadcast earlier-bucket maxes, no
+    * single-partition exchange — VERDICT r12: the distinct-price
+    * domain GROWS with the corpus at cent granularity, so the former
+    * unpartitioned window was the plan's 100x bottleneck). */
   def skyline(part: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pfx = part
+    val pm = part
       .groupBy(col("p_retailprice").as("price"))
       .agg(max(col("p_size")).cast("long").as("msize"))
-      .withColumn("strict_max", max("msize").over(w))
+    val pfx = graft.functions.RangeRank.withRunningMax(
+      pm, "price", "price", "msize", "strict_max")
     part.join(pfx, col("p_retailprice") === col("price"))
       .where((col("strict_max").isNull
           || col("strict_max") < col("p_size"))

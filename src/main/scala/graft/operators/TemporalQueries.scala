@@ -543,8 +543,10 @@ object TemporalQueries {
       "inside int64 up to ~8,000 same-day events per user — beyond " +
       "that, decimal(38,0), same algebra (the q104 rule). Shape at " +
       "100 TB: one scalar broadcast (corpus max day) + one hash " +
-      "aggregate; the rank window orders the USER dimension, not " +
-      "events.",
+      "aggregate; the rank orders the USER dimension — which itself " +
+      "grows with the corpus, so it runs as RangeRank (per-bucket " +
+      "windows + broadcast offsets, no single-partition exchange; " +
+      "plan-pinned by WindowAuditSpec).",
       """WITH m AS (SELECT max(epoch_us(ts) // 1000000) // 86400 AS maxday
         |  FROM events),
         |e AS (SELECT user_id,
@@ -2672,7 +2674,6 @@ object TemporalQueries {
     * (user_id, ts) frame — shared with TemporalPropertiesSpec. */
   def decayedActivity(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxDay = broadcast(events
       .agg(max(expr("cast(ts as long) div 86400")).as("maxday")))
     val cast = events.select(col("user_id"),
@@ -2684,11 +2685,15 @@ object TemporalQueries {
         expr("shiftleft(1L, cast(50 - age as int))").as("w"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("w").as("units"))
-    s.select(col("user_id"), col("n_events"), col("units"),
-      (col("units").cast("double")
-        / lit(1L << 50).cast("double")).as("decayed"),
-      row_number().over(Window.orderBy(col("units").desc, col("user_id")))
-        .cast("long").as("rank"))
+    // the rank orders the USER dimension, which grows with the corpus
+    // — so it runs as RangeRank (per-bucket windows + broadcast
+    // offsets, no single-partition exchange; WindowAuditSpec pins it)
+    graft.functions.RangeRank
+      .withRowNumber(s, "units", "user_id", "rank", desc = true)
+      .select(col("user_id"), col("n_events"), col("units"),
+        (col("units").cast("double")
+          / lit(1L << 50).cast("double")).as("decayed"),
+        col("rank"))
       .orderBy("rank")
   }
 

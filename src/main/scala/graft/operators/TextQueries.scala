@@ -1060,10 +1060,11 @@ object TextQueries {
       "share of the full corpus. Integer counts + one division -> " +
       "hash-exact (the quality doubles are the q30 shapes, compared " +
       "and min'd only — never summed). Shape at 100 TB: the scoring " +
-      "is row-local; the decile window is the one global sort — at " +
-      "real scale swap ntile for pre-computed quantile boundaries " +
-      "(q106's equi-frequency binning) and the rest of the plan is " +
-      "unchanged: the curve join runs on the 10-row decile grid.",
+      "is row-local; the decile assignment runs as RangeRank's exact " +
+      "distributed ntile (q106's shape — quantile-boundary buckets, " +
+      "per-bucket windows, broadcast offsets, NO single-partition " +
+      "exchange; plan-pinned), and the curve join runs on the 10-row " +
+      "decile grid.",
       s"""WITH t AS (SELECT doc_id, text, $sqlToks AS w FROM documents),
         |sc AS (SELECT doc_id, len(w)::BIGINT AS n,
         |    (1 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
@@ -2054,7 +2055,6 @@ object TextQueries {
     * suffix-cumulative docs/tokens per decile cut. */
   def qualityBudgetCurve(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = tokens(col("text"))
     val punct = charClassRatio(col("text"), "[^.,;:!?]")
     val stop = vocabHits(w, Seq("the", "and", "of", "to", "a")).cast("double") /
@@ -2062,9 +2062,12 @@ object TextQueries {
     val scored = docs.select(col("doc_id"),
       size(w).cast("long").as("n"),
       ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"))
-    val dec = scored.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("quality").desc, col("doc_id")))
-        .cast("long"))
+    // the decile assignment orders ALL documents — corpus-proportional
+    // — so it runs as RangeRank's exact distributed ntile (quantile-
+    // boundary buckets + per-bucket windows + broadcast offsets, no
+    // single-partition exchange; WindowAuditSpec pins the catalog rule)
+    val dec = graft.functions.RangeRank.withNtile(
+      scored, "quality", "doc_id", 10, "decile", desc = true)
     val g = dec.groupBy("decile")
       .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("n_tokens"),
         min("quality").as("min_quality"))

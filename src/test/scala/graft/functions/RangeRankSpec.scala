@@ -48,6 +48,20 @@ class RangeRankSpec extends SparkSpec {
     }
   }
 
+  test("ntile desc matches the ANSI single-partition desc ntile") {
+    // the q142 decile shape: best-first order, doc_id tiebreak
+    val base = cust
+    for (n <- Seq(3, 10); buckets <- Seq(1, 128)) {
+      val want = base.withColumn("b",
+        ntile(n).over(Window.orderBy(col("money").desc, col("k")))
+          .cast("long"))
+      val got = RangeRank.withNtile(base, "money", "k", n, "b",
+        desc = true, buckets = buckets)
+      assert(rows(got, "k", "b") == rows(want, "k", "b"),
+        s"n=$n buckets=$buckets")
+    }
+  }
+
   test("running sum (desc) matches the single-partition running sum") {
     val base = cust
     val want = base.withColumn("cum",
@@ -102,6 +116,22 @@ class RangeRankSpec extends SparkSpec {
     val base = Seq.empty[(Long, Long)].toDF("k", "v")
     assert(RangeRank.withNtile(base, "v", "k", 5, "b").count() == 0L)
     assert(RangeRank.withRunningSum(base, "v", "k", "v", "c").count() == 0L)
+  }
+
+  test("strict-prefix running max equals the single-partition form") {
+    // the q99 skyline dominance prefix: null on the global first row,
+    // exact longs everywhere else, for degenerate and realistic bucket
+    // counts
+    val base = cust
+    val want = base.withColumn("sm",
+      max("money").over(Window.orderBy(col("freq").asc, col("k").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)).cast("long"))
+    for (buckets <- Seq(1, 4, 128)) {
+      val got = RangeRank.withRunningMax(base, "freq", "k", "money", "sm",
+        buckets = buckets)
+      assert(rows(got, "k", "sm") == rows(want, "k", "sm"),
+        s"buckets=$buckets")
+    }
   }
 
   test("NULL or NaN order values refuse loudly instead of dropping rows") {

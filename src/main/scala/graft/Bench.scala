@@ -92,6 +92,41 @@ object Bench {
       if (cand != null && java.nio.file.Files.isDirectory(cand)) Some(cand.toString) else None
     }
     val loadStart = hostLoad()
+    // IDLE GATE (r12 verdict item 2): BENCH_r12 shipped 29 retimes and
+    // 9 out-of-band labels because the driver shot ran under ambient
+    // load rising 3.7 -> 10.5 — every excursion needed a steady-band
+    // footnote. The bench's own between-query 1-min loadavg reads
+    // ~1.6-3.7 (local[32] runs in short bursts), so a threshold just
+    // above that separates self-load from foreign contention. Before
+    // the first timed shot, before every band-triggered retime, and
+    // once more if a min-of-3 would still ship out-of-band, the bench
+    // SLEEPS (off the clock) until 1-min loadavg decays below the
+    // threshold — bounded by a session-wide wait budget so a
+    // permanently-contended box degrades to the old labeled behavior
+    // instead of hanging. Both knobs are env-overridable; the waited
+    // seconds ship in the line of record so a zero reads as "gate
+    // never needed", not "gate absent".
+    val idleThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_LOAD", "4.0").toDouble
+    var idleWaitLeft =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_SEC", "300").toDouble
+    var idleWaited = 0.0
+    def idleWait(reason: String): Unit = {
+      var load = hostLoad()._1
+      var waited = 0.0
+      while (load > idleThreshold && idleWaitLeft > 0) {
+        Thread.sleep(5000)
+        waited += 5.0; idleWaitLeft -= 5.0
+        load = hostLoad()._1
+      }
+      if (waited > 0) {
+        idleWaited += waited
+        System.err.println(f"[bench] idle-gate: waited $waited%.0f s " +
+          f"before $reason (loadavg now $load%.1f, " +
+          f"budget left ${math.max(idleWaitLeft, 0)}%.0f s)")
+      }
+    }
+    idleWait("the first timed shot")
     // Counts Spark jobs launched during each build window, so the
     // build_sec split distinguishes PURE planner overhead (0 jobs —
     // the round-10 item-4 concern) from real work that legitimately
@@ -237,13 +272,30 @@ object Bench {
       var spread: Option[(Double, Double)] = None
       if (retime) {
         val loads = Vector.newBuilder[Double]
+        // A band trigger means the shot missed a measured same-tree
+        // expectation — almost always ambient. Let it decay (bounded)
+        // before spending the evidence shots, so they measure the
+        // engine, not the neighbor.
+        if (bandTrigger) idleWait(s"retiming $name")
         loads += hostLoad()._1
         val s2 = { val r = shot(); loads += hostLoad()._1; r }
         val s3 = { val r = shot(); loads += hostLoad()._1; r }
+        var shots = Vector((sec, build, buildJobs), s2, s3)
+        // If even the min of 3 would ship out-of-band (>1.5x band max,
+        // the label rule below), the contention was sustained across
+        // all three shots: idle-gate once more and take ONE final shot
+        // under a verified-quiet box before accepting the label.
+        val stillOob = bands.get(name).exists { case (_, hi) =>
+          shots.map(_._1).min > 1.5 * hi && shots.map(_._1).min > 0.3 }
+        if (stillOob && idleWaitLeft > 0) {
+          idleWait(s"the final $name shot")
+          val s4 = { val r = shot(); loads += hostLoad()._1; r }
+          shots = shots :+ s4
+        }
         retimeLoads(name) = loads.result()
-        val shots = Vector((sec, build, buildJobs), s2, s3).sortBy(_._1)
-        spread = Some((shots.head._1, shots.last._1))
-        val (s1, b1, j1) = shots.head // min of 3 — see guard comment above
+        val sorted = shots.sortBy(_._1)
+        spread = Some((sorted.head._1, sorted.last._1))
+        val (s1, b1, j1) = sorted.head // min — see guard comment above
         sec = s1; build = b1; buildJobs = j1
       }
       name -> ((sec, build, buildJobs, spread))
@@ -304,7 +356,7 @@ object Bench {
     // loads read 15/30 carries its own contention proof, and the per-
     // retime samples (detail line + bench_summary.json) localize it.
     val loadJson =
-      s""""load_avg":{"start":${f1(loadStart._1)},"end":${f1(loadEnd._1)},"mem_avail_gib":[${f1(loadStart._2)},${f1(loadEnd._2)}]}"""
+      s""""load_avg":{"start":${f1(loadStart._1)},"end":${f1(loadEnd._1)},"mem_avail_gib":[${f1(loadStart._2)},${f1(loadEnd._2)}]},"idle_gate":{"threshold":${f1(idleThreshold)},"waited_sec":${f1(idleWaited)}}"""
     // Self-labeling out-of-band entries (r11 verdict item 1, second
     // half): any FINAL figure still >1.5x its recorded SURVEY band max
     // ships WITH the band it missed, so a reader of the line of record

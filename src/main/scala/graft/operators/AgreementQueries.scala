@@ -300,36 +300,63 @@ object AgreementQueries {
           .as("g"))
       .distinct()
 
-  /** The greedy rounds over a prepared incidence frame. Each step's
-    * 1-row winner is MATERIALIZED (localCheckpoint — the q237 lesson:
-    * the winners chain is referenced twice per later step, and a lazy
-    * chain re-executes its prefix per reference), so the catalog
-    * entry wraps this in LazyStage.defer to keep plan construction
-    * free. */
+  /** The greedy rounds over a prepared incidence frame, fused to TWO
+    * jobs per step (r12 verdict item 3 — the former shape re-derived
+    * the covered-shingle set from the winners frame every step: a
+    * winners broadcast join + a growing DISTINCT + an anti join over
+    * the FULL incidence, per step):
+    *
+    *  1. election: one aggregate over the REMAINING (still-uncovered)
+    *     incidence, `limit(1).collect()` — a 1-row driver collect,
+    *     bounded by construction, exact (gain DESC, source ASC);
+    *  2. update: the winner lands as a LITERAL, so the uncovered
+    *     frame shrinks by one self-anti-join on the winner's own
+    *     shingles — no winners-frame join, no covered DISTINCT —
+    *     and is localCheckpoint'ed so step k+1 reads a materialized
+    *     frame, never a k-deep lineage.
+    *
+    * The winner ledger (<= `steps` rows) and the covered cumsum live
+    * on the driver in exact int64 — bounded by the literal step
+    * count, never by data. Step-count-vs-cover-size contract at
+    * 100 TB: per-step cost is one scan + one shuffle of the CURRENT
+    * uncovered incidence, which shrinks monotonically (total work
+    * <= steps * |inc|, and geometrically less when coverage
+    * concentrates — the submodular-greedy regime this query exists
+    * for); the checkpoint trades executor storage for not
+    * re-deriving coverage, the same trade q237's iterations make. */
   def greedySetCoverFromInc(inc: DataFrame, steps: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = inc.sparkSession
     val uni = broadcast(
       inc.agg(count_distinct(col("g")).cast("long").as("universe")))
-    var winners: DataFrame = null
-    (1 to steps).foreach { k =>
-      val cand = if (k == 1) inc else {
-        val covered = inc
-          .join(broadcast(winners.select("source")), "source")
-          .select("g").distinct()
-        inc.join(covered, Seq("g"), "left_anti")
-      }
-      val w = cand.groupBy("source")
+    val winners =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var remaining = inc
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val top = remaining.groupBy("source")
         .agg(count(lit(1)).cast("long").as("gain"))
         .orderBy(col("gain").desc, col("source")).limit(1)
-        .select(lit(k.toLong).as("step"), col("source"), col("gain"))
-        .localCheckpoint()
-      winners = if (k == 1) w else winners.unionByName(w)
+        .collect()
+      if (top.isEmpty) exhausted = true // universe covered: no 6th row,
+      else {                            //   same as the old empty-union
+        val src = top(0).getString(0)
+        val gain = top(0).getLong(1)
+        winners += ((k.toLong, src, gain))
+        if (k < steps) remaining = remaining
+          .join(remaining.where(col("source") === lit(src)).select("g"),
+            Seq("g"), "left_anti")
+          .localCheckpoint()
+        k += 1
+      }
     }
-    winners.crossJoin(uni)
-      .withColumn("covered",
-        sum("gain").over(Window.orderBy("step")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+    var cum = 0L
+    val ledger = winners.toSeq.map { case (st, src, g) =>
+      cum += g; (st, src, g, cum)
+    }
+    import spark.implicits._
+    ledger.toDF("step", "source", "gain", "covered")
+      .crossJoin(uni)
       .select(col("step"), col("source"), col("gain"), col("covered"),
         col("universe"),
         (col("covered").cast("double") / col("universe").cast("double"))
@@ -740,16 +767,17 @@ object AgreementQueries {
       "step a corpus curator runs to choose acquisition sources " +
       "under a budget. Gains and the (gain DESC, source ASC) " +
       "election are exact integers; the per-step covered totals are " +
-      "a window cumsum over the gains (each step's gain IS its " +
-      "newly-covered count — no re-count join); coverage_share is " +
-      "the one IEEE division. The chosen-source exclusion is " +
-      "REDUNDANT by construction (a chosen source's shingles are all " +
-      "covered, so it produces no candidate rows), which keeps the " +
-      "winners frame referenced once per step — linear lineage. " +
-      "Shape at 100 TB: the (source, shingle) incidence builds once " +
-      "(ReuseExchange dedups it across steps), each step is one " +
-      "anti equi-join + one combinable count, and every election " +
-      "runs on the |sources|-row gain frame.",
+      "an exact driver-side cumsum over the <= 5-row winner ledger " +
+      "(each step's gain IS its newly-covered count — no re-count " +
+      "join); coverage_share is the one IEEE division. Shape at " +
+      "100 TB (r13 fusion): the (source, shingle) incidence builds " +
+      "once; each greedy step is TWO jobs over the CURRENT uncovered " +
+      "incidence — one combinable gain count electing the winner via " +
+      "a 1-row bounded collect, and one self-anti-join on the " +
+      "winner-as-literal's shingles, checkpointed so the uncovered " +
+      "frame shrinks monotonically and never re-derives coverage " +
+      "from the winners frame (no per-step DISTINCT, no growing " +
+      "lineage).",
       s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents),
         |s AS (SELECT source, ${DedupQueries.sqlShingles} AS sh FROM t),
         |inc AS MATERIALIZED (SELECT DISTINCT source, unnest(sh) AS g

@@ -153,7 +153,8 @@ object Throughput {
       val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m),
         regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
       val t0 = System.nanoTime()
-      val out = graft.operators.DedupQueries.fuzzyFullClusters(docs)
+      val out = graft.operators.DedupQueries
+        .fuzzyFullClusters(docs, store = false) // probe the REAL fixpoint
         .selectExpr("count(*)", "sum(if(is_canonical, 0, 1))").collect()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"fuzzy_cluster_scale","docs":${out.head.getLong(0)},"non_canonical":${out.head.getLong(1)},"sec":$sec%.2f}""")

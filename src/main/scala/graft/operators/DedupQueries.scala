@@ -335,12 +335,32 @@ object DedupQueries {
     * connected components labeled, canonical (min doc_id) elected per
     * cluster. Takes the documents frame directly so the Throughput scale
     * probe measures the exact catalog plan. NOTE: runs Spark jobs (the
-    * propagation fixpoint) — catalog entry q66 defers it via LazyStage. */
-  private[graft] def fuzzyFullClusters(docs: DataFrame): DataFrame = {
-    val e0 = lshConfirmedPairs(docs, 0.5)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-    clustersOf(docs.select("doc_id"), edges)
+    * propagation fixpoint, or one fingerprint scan on a store hit) —
+    * catalog entries defer it via LazyStage.
+    *
+    * The cluster assignment rides [[graft.functions.FrameStore]]
+    * (r12 verdict item 4 — the q237 pattern): q66/q141/q143 share one
+    * build per (doc_id, text) content fingerprint instead of each
+    * re-running the LSH fixpoint, q70's cleaned-subset clustering gets
+    * its own fingerprint-keyed entry, and later sessions load warm.
+    * The assignment is a pure deterministic function of the input
+    * (min-doc_id labels), so a cache hit is value-identical; bump the
+    * version when the signature/banding/threshold algebra changes
+    * (the fingerprint cannot see code). */
+  private[graft] def fuzzyFullClusters(docs: DataFrame,
+      store: Boolean = true): DataFrame = {
+    def build: DataFrame = {
+      val e0 = lshConfirmedPairs(docs, 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      clustersOf(docs.select("doc_id"), edges)
+    }
+    // store=false: the Throughput scale probe and build-cost tests
+    // measure the real fixpoint, never a warm cache hit
+    if (!store) build
+    else graft.functions.FrameStore.loadOrBuild(docs.sparkSession,
+      "fuzzy_clusters", 1, docs.select(col("doc_id"), col("text")),
+      Seq("doc_id", "cluster_id", "is_canonical", "cluster_size"))(build)
   }
 
   /** Asymmetric LSH candidate pairs: incoming docs probed against a

@@ -104,6 +104,22 @@ class FrameStoreSpec extends SparkSpec {
     assert(out.columns.sorted.toSeq == Seq("extra", "k", "v"))
   }
 
+  test("q66 fuzzy clusters: store hit equals the real fixpoint, value for value") {
+    // r12 verdict item 4: q66/q141/q143/q70 share the cluster
+    // assignment through FrameStore instead of each re-running the
+    // LSH fixpoint. The cached frame must equal the uncached build
+    // exactly (the assignment is a pure function of (doc_id, text)).
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fresh = graft.operators.DedupQueries
+      .fuzzyFullClusters(docs, store = false)
+    val stored = graft.operators.DedupQueries.fuzzyFullClusters(docs)
+    val key = (df: DataFrame) => df
+      .select("doc_id", "cluster_id", "is_canonical", "cluster_size")
+      .collect().map(_.toSeq).toSet
+    assert(key(fresh) == key(stored))
+    assert(key(fresh).nonEmpty)
+  }
+
   test("q237 pair matrix: loaded equals built, value for value") {
     val dir = tmpDir().toString
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")

@@ -91,10 +91,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     info(s"IVF recall@5 = $recall (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.6, s"IVF recall@5 = $recall below the 0.6 design floor")
-    // and the CATALOG q47 audit row must earn its pinned verdict here too
+    // and the CATALOG q47 audit row must earn its pinned verdict here
+    // too — since r13 that verdict is the CERTIFIED 0.7 floor (auto-
+    // escalating probe budget), matching q39
     val audit = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf0001)
     assert(audit.where(!col("recall_floor_met")).count() == 0L,
-      "q47 recall_floor_met verdict not earned at sf0.001")
+      "q47 certified 0.7 recall verdict not earned at sf0.001")
+  }
+
+  test("certified IVF earns the 0.7 floor at sf0.001 and escalation terminates") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("rnk"), col("vid"))
+    val (ivf, nHit, nExact) =
+      SimilarityQueries.ivfTopKCertified(spark, sf0001, exact)
+    assert(nExact > 0L)
+    assert(nHit * 10L >= nExact * 7L,
+      s"certified recall ${nHit.toDouble / nExact} below 0.7 at sf0.001")
+    // the certified frame is the one the counts describe
+    val got = ivf.select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = exact.select(col("qid"), col("vid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ex & got).size.toLong == nHit)
   }
 
   test("IVF recall@5 >= 0.6 holds at the sf0.1 AUTO operating point (2k corpus, 45 cells)") {
@@ -112,10 +130,12 @@ class SimilaritySpec extends SparkSpec {
     info(s"IVF recall@5 at sf0.1 auto point = $recall (${(exact & ivf).size}/${exact.size})")
     assert(recall >= 0.6,
       s"IVF recall@5 = $recall below the 0.6 floor at the sf0.1 auto operating point")
-    // the catalog audit's pinned verdict must hold at this point too
+    // the catalog audit's pinned verdict must hold at this point too —
+    // and since r13 it is the CERTIFIED 0.7 floor (the sf0.1 auto point
+    // measures 0.66 raw, so this exercises the escalation path)
     val audit = graft.SparkEntry.queries("q47_ann_ivf")(spark, sf01)
     assert(audit.where(!col("recall_floor_met")).count() == 0L,
-      "q47 recall_floor_met verdict not earned at the sf0.1 auto point")
+      "q47 certified 0.7 recall verdict not earned at the sf0.1 auto point")
   }
 
   test("banded codes equal the composed per-band hyperplane code") {

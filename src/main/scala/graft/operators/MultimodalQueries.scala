@@ -6,16 +6,63 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media treated as opaque BINARY columns
   * with typed metadata extracted by deterministic expressions.
   *
-  * The decode layer (graft.multimodal.BinaryDecode) is pluggable: REAL
-  * image decode + pixel resize exist on the JDK's javax.imageio
-  * (BinaryDecodeSpec drives actual PNGs through it); audio/video remain
-  * a clearly-marked deterministic fake (no JDK codec). THESE catalog
-  * queries run over the SYNTHETIC corpus, whose binary column is text
-  * bytes rather than encoded media, so they use the deterministic fake
-  * path — everything Spark-side (schema, hashing, metadata arithmetic,
-  * partitioning, batch shape) is real and oracle-verified.
+  * The decode layer (graft.multimodal.BinaryDecode) is pluggable and
+  * REAL for three modalities on the bare JDK: image decode + pixel
+  * resize (javax.imageio — BinaryDecodeSpec drives actual PNGs),
+  * audio decode (javax.sound.sampled — real WAV/PCM: sample rate,
+  * channels, frame count, peak envelope), and video CONTAINER
+  * metadata (pure-JVM ISO-BMFF box parsing); only video FRAME
+  * decoding remains an honest stub (no JDK codec exists). q40/q58
+  * run over the SYNTHETIC corpus, whose binary column is text bytes
+  * rather than encoded media, so they use the deterministic fake
+  * path; q266 closes the oracle gap for audio (r12 verdict item 7)
+  * by synthesizing real WAVs in-engine and making the REAL decoder
+  * earn oracle-computed expectations.
   */
 object MultimodalQueries {
+
+  /** q266's WAV synthesis parameters — pure functions of doc_id, so
+    * the DuckDB oracle can compute every expected decoded field
+    * WITHOUT decoding anything while the engine must round-trip real
+    * bytes through javax.sound.sampled to reproduce them. */
+  private[graft] val wavRates = Array(8000, 11025, 16000, 22050, 44100)
+  private[graft] def wavParams(docId: Long): (Int, Int, Int, Double) = {
+    val rate = wavRates((docId % 5).toInt)
+    val channels = 1 + (docId % 2).toInt
+    val frames = 500 + (docId % 1500).toInt
+    val amp = (docId % 10).toInt / 10.0 // 0.0 (silence) .. 0.9
+    (rate, channels, frames, amp)
+  }
+
+  /** A real in-memory 16-bit PCM WAV: `channels`-channel 440 Hz sine at
+    * `amp` full-scale (silence at 0), exact frame count — synthesized
+    * through the JDK's own writer so the bytes carry a genuine RIFF/
+    * WAVE header, not a hand-rolled one. */
+  private[graft] def wavBytes(frames: Int, sampleRate: Float, amp: Double,
+      channels: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * 2 * channels)
+    var i = 0
+    while (i < frames) {
+      val s = (amp * 32767 *
+        math.sin(2 * math.Pi * 440 * i / sampleRate)).toInt
+      var c = 0
+      while (c < channels) {
+        val off = (i * channels + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -100,6 +147,58 @@ object MultimodalQueries {
           element_at(col("embedding"), 1).as("e0"),
           graft.functions.VectorFunctions.norm2(col("embedding")).as("e_norm"))
         .orderBy("media_id")
+    },
+
+    // --------------------------------------------------------------- q266
+    "q266_audio_wav_roundtrip" -> QueryDef.sql(
+      "REAL audio decode, oracle-certified (r12 verdict item 7): per " +
+      "document a genuine RIFF/WAVE 16-bit PCM clip is synthesized " +
+      "in-engine (440 Hz sine; rate/channels/frames/amplitude are pure " +
+      "functions of doc_id) and round-tripped through the REAL " +
+      "javax.sound.sampled decoder; the row emits the DECODED sample " +
+      "rate, channel count, frame count, integer duration and a " +
+      "peak-envelope verdict (|decoded peak - synthesized amplitude| " +
+      "<= 0.02, silence included). The oracle computes every expected " +
+      "field from the doc_id formulas WITHOUT decoding — the engine " +
+      "can only match by actually parsing the WAV (a header-offset, " +
+      "rate-rounding or channel-interleave bug hash-fails every row; " +
+      "an undecodable row is DROPPED and fails the row-count compare). " +
+      "All integers + one pinned boolean -> hash-exact. Shape at " +
+      "100 TB: encode+decode is one mapPartitions pass, row-local, " +
+      "bounded bytes per row (<= 2000 frames) — the certification a " +
+      "multimodal ingest runs on a fixture slice before trusting its " +
+      "codec fleet.",
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |      WHEN 2 THEN 16000 WHEN 3 THEN 22050 ELSE 44100 END AS rate,
+        |    (1 + doc_id % 2) AS channels,
+        |    (500 + doc_id % 1500) AS frames
+        |  FROM documents)
+        |SELECT doc_id, rate::BIGINT AS sample_rate,
+        |  channels::BIGINT AS channels, frames::BIGINT AS n_frames,
+        |  ((frames * 1000) // rate)::BIGINT AS duration_ms,
+        |  true AS peak_ok
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val (rate, ch, fr, amp) = wavParams(id)
+          graft.multimodal.BinaryDecode.MediaRow(id, "audio",
+            wavBytes(fr, rate.toFloat, amp, ch))
+        }
+      graft.multimodal.BinaryDecode
+        .decode(media, graft.multimodal.BinaryDecode.AudioCodec)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("n_frames").cast("long").as("n_frames"),
+          expr("cast(n_frames as bigint) * 1000 DIV width")
+            .as("duration_ms"),
+          (abs(array_max(col("features")).cast("double")
+            - (col("media_id") % 10).cast("double") / 10.0) <= 0.02)
+            .as("peak_ok"))
+        .orderBy("doc_id")
     }
   )
 }

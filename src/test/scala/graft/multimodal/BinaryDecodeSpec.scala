@@ -197,6 +197,29 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(again.features.toSeq == env1.toSeq)
   }
 
+  test("q266 catalog row: decoded fields earn the oracle formulas at sf0.001") {
+    // the oracle computes rate/channels/frames/duration from the doc_id
+    // formulas without decoding; the engine must reproduce them by
+    // actually parsing the synthesized WAVs — re-assert that equality
+    // here so a codec regression fails the suite, not just the driver
+    val rows = graft.SparkEntry.queries("q266_audio_wav_roundtrip")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, ch, fr, _) = graft.operators.MultimodalQueries.wavParams(id)
+      assert(r.getLong(1) == rate.toLong, s"doc $id rate")
+      assert(r.getLong(2) == ch.toLong, s"doc $id channels")
+      assert(r.getLong(3) == fr.toLong, s"doc $id frames")
+      assert(r.getLong(4) == fr.toLong * 1000L / rate, s"doc $id duration")
+      assert(r.getBoolean(5), s"peak verdict not earned for doc $id")
+    }
+    // every synthesized clip must decode — a drop would shrink the row
+    // count and fail the driver compare; pin it here too
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+  }
+
   test("truncated or corrupt audio bytes are dropped, not faked or crashed") {
     val good = wavBytes(2000, 8000f, 0.7)
     val mixed = Seq(

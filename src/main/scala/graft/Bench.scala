@@ -169,10 +169,29 @@ object Bench {
       // finished-plan metadata — that ContextCleaner only reclaims when
       // a GC actually runs, and a 28 GiB heap coasts between full GCs
       // while the tail queries absorb the creep as allocation stalls.
-      // An explicit System.gc() every 32 queries runs BETWEEN timed
-      // regions (never inside a shot) and keeps the cleaner current;
-      // ~8 GC pauses per 209-query session, each off the clock.
-      if (sinceGc >= 32) { System.gc(); sinceGc = 0 }
+      // An explicit System.gc() every 16 queries runs BETWEEN timed
+      // regions (never inside a shot) and keeps the cleaner current —
+      // and (r13) first drops leftover LOCAL-CHECKPOINT blocks:
+      // localCheckpoint pins its RDD blocks in the block manager and
+      // nothing ever unpersists them (they cannot be evicted — they
+      // ARE the truncated lineage), so a 266-query session accretes
+      // gigabytes of dead checkpoint storage (mem_avail fell ~8 GiB
+      // across BENCH_r13's first shot) and the mid-catalog stat
+      // family ran ~2x its fresh-session idle steadies. Between
+      // queries every checkpointed frame is dead — the next query
+      // rebuilds its own — so dropping them is safe and off the
+      // clock. (SharedFrames/FrameStore caches are persist()/parquet,
+      // not local checkpoints, and are deliberately left alone.)
+      if (sinceGc >= 16) {
+        // isCheckpointed (public) is true only for (locally)
+        // checkpointed-and-materialized RDDs — SharedFrames persists
+        // are cached but never checkpointed, so they don't match
+        spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+          if (r.isCheckpointed)
+            scala.util.Try(r.unpersist(blocking = false))
+        }
+        System.gc(); sinceGc = 0
+      }
       sinceGc += 1
       // Per-query JIT warmup at the smallest SF: each whole-stage-codegen
       // class compiles once per JVM (0.3-2 s, the round-1 q15 "outlier"),
@@ -266,9 +285,21 @@ object Bench {
       // exception stays (a cold one-off index build is real work, and
       // re-running would silently swap it for a cache hit).
       val warmupTrigger = sec > math.max(3 * math.max(warmSec, 0.05), 0.75)
+      // Band trigger matches the OOB LABEL rule (1.5x, not the former
+      // 2x): r13 finding — shots landing between 1.5x and 2x band
+      // shipped labeled without ever being retimed or idle-gated,
+      // which is how BENCH runs kept needing footnotes. And a band
+      // miss retimes EVEN when its own build dominates: the band was
+      // measured through the same build path (BenchSteady constructs
+      // the query per iteration), so re-shooting compares like with
+      // like — a cold-store first build is honestly out-of-band until
+      // the store is warm, and its cost stays visible in build_sec.
+      // The build-dominance veto still applies to the warmup-relative
+      // trigger, where the expectation (sf0.001 wall) excludes the
+      // real one-off build.
       val bandTrigger = bands.get(name)
-        .exists { case (_, hi) => sec > 2 * hi && sec > 0.3 }
-      val retime = build < 0.5 * sec && (warmupTrigger || bandTrigger)
+        .exists { case (_, hi) => sec > 1.5 * hi && sec > 0.3 }
+      val retime = bandTrigger || (build < 0.5 * sec && warmupTrigger)
       var spread: Option[(Double, Double)] = None
       if (retime) {
         val loads = Vector.newBuilder[Double]

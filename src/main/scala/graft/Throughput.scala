@@ -66,7 +66,9 @@ object Throughput {
     }
     def offsetId(name: String, m: Int) = (col(name) + lit(m * 1000000L)).as(name)
 
-    for (mult <- Seq(1, 4, 16)) {
+    // mult 64 (320k docs) added in r13 (verdict item 8) to keep the
+    // no-quadratic-wall evidence current past the r12 audit conversions
+    for (mult <- Seq(1, 4, 16, 64)) {
       val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m), col("text")))
       val sh = docs.select(col("doc_id"), TextFunctions.shinglesOfText(col("text"), 3).as("sh"))
       // match q35: shingle-less docs out before banding (degenerate bucket)
@@ -149,7 +151,8 @@ object Throughput {
     // replicas collapsing into megaclusters. Expectation: near-linear
     // wall — candidates stay an equi-join, the propagation loop's round
     // count is bound by cluster diameter (unchanged under replication).
-    for (mult <- Seq(1, 4, 16)) {
+    // mult 64 = 320k docs (r13, verdict item 8).
+    for (mult <- Seq(1, 4, 16, 64)) {
       val docs = replicated(base, "doc_id", mult)(m => Seq(offsetId("doc_id", m),
         regexp_replace(col("text"), "(\\S+)", "$1r" + m).as("text")))
       val t0 = System.nanoTime()

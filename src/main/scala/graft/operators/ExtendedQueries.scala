@@ -3089,7 +3089,10 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_cal")))
       val cum = graft.functions.RangeRank.withRunningSum(
         sc.where(col("bucket") < 750)
-          .groupBy("score").agg(count(lit(1)).as("c")),
+          .groupBy("score").agg(count(lit(1)).as("c"))
+          // lazy checkpoint: the distinct-score counts materialize once
+          // so the side passes don't re-run the events scan + model join
+          .localCheckpoint(false),
         "score", "score", "c", "cum")
       val al = e.sparkSession.range(1, 3)
         .select((col("id") * 10).cast("long").as("alpha_pct"))
@@ -4611,6 +4614,9 @@ object ExtendedQueries {
     val pm = part
       .groupBy(col("p_retailprice").as("price"))
       .agg(max(col("p_size")).cast("long").as("msize"))
+      // lazy checkpoint: the (price, max_size) domain materializes once
+      // so the side passes don't re-run the part rollup
+      .localCheckpoint(false)
     val pfx = graft.functions.RangeRank.withRunningMax(
       pm, "price", "price", "msize", "strict_max")
     part.join(pfx, col("p_retailprice") === col("price"))

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * chained: one hash aggregate + semi join (clean), band-bucket
   * equi-join + O(log diameter) propagation (dedup), in-row chunking
   * (chunk), shard-parallel prefix windows with only the one-row-per-
-  * 1,000-docs shard table through a global window (pack).
+  * 1,000-docs shard table through a global window (pack). Since r13
+  * the dedup stage's cluster assignment rides FrameStore (keyed by
+  * the cleaned subset's content fingerprint), so repeated runs — and
+  * every session after the first — pay one fingerprint scan + a
+  * parquet load instead of re-running the LSH fixpoint.
   */
 object PipelineQueries {
 

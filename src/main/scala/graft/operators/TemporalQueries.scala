@@ -2685,6 +2685,11 @@ object TemporalQueries {
         expr("shiftleft(1L, cast(50 - age as int))").as("w"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("w").as("units"))
+      // lazy checkpoint: RangeRank's two side passes + the rank window
+      // scan the materialized per-user frame once each instead of
+      // re-running the events rollup three times (the frame is exactly
+      // what a single-partition window would have shuffled anyway)
+      .localCheckpoint(false)
     // the rank orders the USER dimension, which grows with the corpus
     // — so it runs as RangeRank (per-bucket windows + broadcast
     // offsets, no single-partition exchange; WindowAuditSpec pins it)

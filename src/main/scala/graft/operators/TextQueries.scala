@@ -2062,6 +2062,10 @@ object TextQueries {
     val scored = docs.select(col("doc_id"),
       size(w).cast("long").as("n"),
       ((lit(1) - punct) * (lit(0.5) + stop)).as("quality"))
+      // lazy checkpoint: the scored projection (3 narrow columns)
+      // materializes once, so RangeRank's side passes don't re-run the
+      // tokenizer — the same projection a deployment would stage
+      .localCheckpoint(false)
     // the decile assignment orders ALL documents — corpus-proportional
     // — so it runs as RangeRank's exact distributed ntile (quantile-
     // boundary buckets + per-bucket windows + broadcast offsets, no

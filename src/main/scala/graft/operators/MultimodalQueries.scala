@@ -64,6 +64,49 @@ object MultimodalQueries {
     bos.toByteArray
   }
 
+  /** q267's ISO-BMFF synthesis parameters — pure functions of doc_id
+    * (the q266 pattern for the video container parser): timescale,
+    * whole-second duration, frame count, presentation size, and which
+    * mvhd layout (v0 32-bit / v1 64-bit duration) the box carries. */
+  private[graft] def mp4Params(docId: Long): (Int, Int, Int, Int, Int) = {
+    val ts = Array(600, 1000, 24000, 90000)((docId % 4).toInt)
+    val secs = 1 + (docId % 20).toInt
+    val frames = 12 * (1 + (docId % 25).toInt)
+    val w = 160 + 16 * (docId % 20).toInt
+    val h = 120 + 8 * (docId % 30).toInt
+    (ts, secs, frames, w, h)
+  }
+
+  /** A minimal but structurally faithful ISO-BMFF container: ftyp +
+    * moov{mvhd, video trak{tkhd(wxh), mdia{hdlr'vide', minf{stbl{
+    * stsz(frames)}}}}, audio trak{tkhd, mdia{hdlr'soun'}}} — every
+    * offset the parser reads is real (big-endian sizes, 16.16 fixed
+    * presentation size, v0/v1 mvhd layouts). */
+  private[graft] def mp4Bytes(timescale: Int, duration: Long, frames: Int,
+      w: Int, h: Int, mvhdV1: Boolean): Array[Byte] = {
+    def be(i: Int) = java.nio.ByteBuffer.allocate(4).putInt(i).array()
+    def be8(l: Long) = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be(8 + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    val mvhd =
+      if (mvhdV1) box("mvhd", Array[Byte](1, 0, 0, 0),
+        new Array[Byte](16), be(timescale), be8(duration), new Array[Byte](80))
+      else box("mvhd", new Array[Byte](12), be(timescale),
+        be(duration.toInt), new Array[Byte](80))
+    val trakV = box("trak",
+      box("tkhd", new Array[Byte](76), be(w << 16), be(h << 16)),
+      box("mdia",
+        box("hdlr", new Array[Byte](8), "vide".getBytes, new Array[Byte](13)),
+        box("minf", box("stbl", box("stsz", be(0), be(0), be(frames))))))
+    val trakA = box("trak",
+      box("tkhd", new Array[Byte](84)),
+      box("mdia",
+        box("hdlr", new Array[Byte](8), "soun".getBytes, new Array[Byte](13))))
+    box("ftyp", "isom".getBytes, be(0)) ++ box("moov", mvhd, trakV, trakA)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q40
@@ -198,6 +241,61 @@ object MultimodalQueries {
           (abs(array_max(col("features")).cast("double")
             - (col("media_id") % 10).cast("double") / 10.0) <= 0.02)
             .as("peak_ok"))
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------------------------------------- q267
+    "q267_video_container_roundtrip" -> QueryDef.sql(
+      "REAL video-container parsing, oracle-certified (the q266 " +
+      "pattern for ISO-BMFF): per document a structurally faithful " +
+      "MP4 container is synthesized in-engine (timescale, whole-" +
+      "second duration, frame count, presentation size and the " +
+      "v0/v1 mvhd layout are pure functions of doc_id; odd doc_ids " +
+      "carry the 64-bit-duration v1 box) and parsed by the REAL " +
+      "pure-JVM box parser; the row emits the PARSED width/height " +
+      "(16.16 fixed tkhd), stsz frame count, integer duration, " +
+      "timescale and track census. The oracle computes every field " +
+      "from the doc_id formulas without parsing — a box-offset, " +
+      "fixed-point or version-layout bug hash-fails every row; an " +
+      "unparseable container is DROPPED and fails the row count. " +
+      "All integers -> hash-exact. Shape at 100 TB: one row-local " +
+      "mapPartitions pass, bounded bytes per row — with q266, the " +
+      "codec-fleet certification a multimodal ingest runs on a " +
+      "fixture slice.",
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |      WHEN 2 THEN 24000 ELSE 90000 END AS ts,
+        |    (1 + doc_id % 20) AS secs,
+        |    (12 * (1 + doc_id % 25)) AS fr,
+        |    (160 + 16 * (doc_id % 20)) AS w,
+        |    (120 + 8 * (doc_id % 30)) AS h
+        |  FROM documents)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  fr::BIGINT AS n_frames, secs::BIGINT AS duration_sec,
+        |  ts::BIGINT AS timescale, 2::BIGINT AS n_tracks,
+        |  1::BIGINT AS n_video, 1::BIGINT AS n_audio
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val (ts, secs, fr, w, h) = mp4Params(id)
+          graft.multimodal.BinaryDecode.MediaRow(id, "video",
+            mp4Bytes(ts, ts.toLong * secs, fr, w, h, mvhdV1 = id % 2 == 1))
+        }
+      graft.multimodal.BinaryDecode
+        .decode(media, graft.multimodal.BinaryDecode.VideoCodec)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          // duration = timescale * whole seconds by construction, so
+          // features(0) is an exact small integer in float
+          element_at(col("features"), 1).cast("long").as("duration_sec"),
+          element_at(col("features"), 2).cast("long").as("timescale"),
+          element_at(col("features"), 3).cast("long").as("n_tracks"),
+          element_at(col("features"), 4).cast("long").as("n_video"),
+          element_at(col("features"), 5).cast("long").as("n_audio"))
         .orderBy("doc_id")
     }
   )

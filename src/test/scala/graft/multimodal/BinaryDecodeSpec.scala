@@ -282,6 +282,25 @@ class BinaryDecodeSpec extends SparkSpec {
     assert(out(2L).features(1) == 90000f)
   }
 
+  test("q267 catalog row: parsed container fields earn the oracle formulas at sf0.001") {
+    val rows = graft.SparkEntry.queries("q267_video_container_roundtrip")(
+      spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (ts, secs, fr, w, h) = graft.operators.MultimodalQueries.mp4Params(id)
+      assert(r.getLong(1) == w.toLong && r.getLong(2) == h.toLong,
+        s"doc $id size")
+      assert(r.getLong(3) == fr.toLong, s"doc $id frames")
+      assert(r.getLong(4) == secs.toLong, s"doc $id duration")
+      assert(r.getLong(5) == ts.toLong, s"doc $id timescale")
+      assert(r.getLong(6) == 2L && r.getLong(7) == 1L && r.getLong(8) == 1L,
+        s"doc $id track census")
+    }
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+  }
+
   test("truncated, lying-size or junk video bytes are dropped, not faked or crashed") {
     val good = mp4Bytes()
     val lyingSize = good.clone() // mvhd declares more bytes than its parent holds

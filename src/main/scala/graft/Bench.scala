@@ -178,16 +178,21 @@ object Bench {
       // gigabytes of dead checkpoint storage (mem_avail fell ~8 GiB
       // across BENCH_r13's first shot) and the mid-catalog stat
       // family ran ~2x its fresh-session idle steadies. Between
-      // queries every checkpointed frame is dead — the next query
-      // rebuilds its own — so dropping them is safe and off the
-      // clock. (SharedFrames/FrameStore caches are persist()/parquet,
-      // not local checkpoints, and are deliberately left alone.)
+      // queries a checkpointed frame is dead UNLESS a live
+      // SharedFrames entry wraps it (q180's kcore rounds register
+      // localCheckpoint frames that later cache misses must still be
+      // able to read — r13 advice), so the sweep skips exactly the
+      // RDD ids live SharedFrames plans reference and drops the rest.
+      // (FrameStore caches are parquet, untouched by definition.)
       if (sinceGc >= 16) {
         // isCheckpointed (public) is true only for (locally)
-        // checkpointed-and-materialized RDDs — SharedFrames persists
-        // are cached but never checkpointed, so they don't match
+        // checkpointed-and-materialized RDDs — SharedFrames persist()
+        // frames are cached but not themselves checkpointed; the
+        // kcore entries' UNDERLYING checkpoint RDDs are what
+        // liveRddIds protects
+        val live = graft.plans.SharedFrames.liveRddIds(spark)
         spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-          if (r.isCheckpointed)
+          if (r.isCheckpointed && !live.contains(r.id))
             scala.util.Try(r.unpersist(blocking = false))
         }
         System.gc(); sinceGc = 0

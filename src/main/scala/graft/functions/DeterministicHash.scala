@@ -50,7 +50,14 @@ object DeterministicHash {
     ((((id + salt) % prime1) * multiplier1) % modulus) ^
       ((((id + salt) % prime2) * multiplier2) % modulus)
 
-  /** Salt for q56's sample stream (q62's split stream uses 0). */
+  /** Salt for q62's train/val/test split stream (and q138's
+    * cluster-canonical split, which must reproduce q62's assignment on
+    * singleton docs by construction). Named so the uniqueness guard in
+    * allSalts checks the value the call sites actually use — a literal
+    * 0L at the use sites could drift from a stale guard entry. */
+  val splitSalt: Long = 0L
+
+  /** Salt for q56's sample stream (q62's split stream uses splitSalt). */
   val sampleSalt: Long = 7919L
 
   /** Salt for q71's domain-mixture stream — a third independent stream,
@@ -158,7 +165,7 @@ object DeterministicHash {
     * guard: any two equal constants would silently correlate the two
     * streams they separate the moment a consumer hashes shared ids. */
   val allSalts: Seq[(String, Long)] = Seq(
-    "splitSalt" -> 0L, "sampleSalt" -> sampleSalt,
+    "splitSalt" -> splitSalt, "sampleSalt" -> sampleSalt,
     "mixtureSalt" -> mixtureSalt, "conformalSalt" -> conformalSalt,
     "weightedSalt" -> weightedSalt, "permSalt" -> permSalt,
     "bootSalt" -> bootSalt, "shardSalt" -> shardSalt,

@@ -1232,7 +1232,7 @@ object DedupQueries {
         |cc AS (SELECT a AS doc_id, min(b)::BIGINT AS cluster_id
         |       FROM reach GROUP BY a),
         |sp AS (SELECT doc_id, cluster_id,
-        |  ${graft.functions.DeterministicHash.knuth32Sql("cluster_id", 0L)}
+        |  ${graft.functions.DeterministicHash.knuth32Sql("cluster_id", graft.functions.DeterministicHash.splitSalt)}
         |    % 100 AS hh
         |  FROM cc)
         |SELECT doc_id, cluster_id,
@@ -1242,7 +1242,7 @@ object DedupQueries {
         |FROM sp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.plans.LazyStage.defer(s, leakSafeSchema) { () =>
-        val h = graft.functions.DeterministicHash.knuth32(col("cluster_id"), 0L)
+        val h = graft.functions.DeterministicHash.knuth32(col("cluster_id"), graft.functions.DeterministicHash.splitSalt)
         fuzzyFullClusters(Tables.documents(s, d))
           .select(col("doc_id"), col("cluster_id"),
             when(h % 100 < 80, "train").when(h % 100 < 90, "val")

@@ -458,7 +458,7 @@ object ExtendedQueries {
       "dialect + the full rationale). Per-split-per-language counts " +
       "audit stratification drift.",
       s"""WITH s AS (SELECT doc_id, lang,
-        |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id", 0L)} AS h
+        |  ${graft.functions.DeterministicHash.knuth32Sql("doc_id", graft.functions.DeterministicHash.splitSalt)} AS h
         |  FROM documents),
         |a AS (SELECT doc_id, lang,
         |  CASE WHEN h % 100 < 80 THEN 'train'
@@ -468,7 +468,7 @@ object ExtendedQueries {
         |SELECT split, lang, count(*)::BIGINT AS n
         |FROM a GROUP BY split, lang
         |ORDER BY split, lang""".stripMargin) { (s, d) =>
-      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"), 0L)
+      val h = graft.functions.DeterministicHash.knuth32(col("doc_id"), graft.functions.DeterministicHash.splitSalt)
       val split = when(h % 100 < 80, "train")
         .when(h % 100 < 90, "val")
         .otherwise("test")

@@ -98,13 +98,13 @@ object MultimodalQueries {
     val trakV = box("trak",
       box("tkhd", new Array[Byte](76), be(w << 16), be(h << 16)),
       box("mdia",
-        box("hdlr", new Array[Byte](8), "vide".getBytes, new Array[Byte](13)),
+        box("hdlr", new Array[Byte](8), "vide".getBytes("ISO-8859-1"), new Array[Byte](13)),
         box("minf", box("stbl", box("stsz", be(0), be(0), be(frames))))))
     val trakA = box("trak",
       box("tkhd", new Array[Byte](84)),
       box("mdia",
-        box("hdlr", new Array[Byte](8), "soun".getBytes, new Array[Byte](13))))
-    box("ftyp", "isom".getBytes, be(0)) ++ box("moov", mvhd, trakV, trakA)
+        box("hdlr", new Array[Byte](8), "soun".getBytes("ISO-8859-1"), new Array[Byte](13))))
+    box("ftyp", "isom".getBytes("ISO-8859-1"), be(0)) ++ box("moov", mvhd, trakV, trakA)
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -164,19 +164,27 @@ object SimilarityQueries {
       s, corpus, "vec_id", "v", k = k, iterations = 10,
       key = graft.functions.AnnIndexStore.contentKey(n, fp),
       knownCount = Some(n))
-    def hitsOf(f: DataFrame): Long = exact
-      .join(f.select(col("qid").as("lq"), col("vid").as("lv")),
-        col("qid") === col("lq") && col("vid") === col("lv"), "left_semi")
-      .count()
-    val nExact = exact.count()
-    var ivf = ivfTopKWith(corpus, cents, nProbe)
-    var nHit = hitsOf(ivf)
-    while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
-      nProbe = math.min(k, nProbe * 2)
-      ivf = ivfTopKWith(corpus, cents, nProbe)
-      nHit = hitsOf(ivf)
-    }
-    (ivf, nHit, nExact)
+    // The exact brute-force baseline never changes across escalations —
+    // persist it once so each probe-budget doubling pays only the IVF
+    // side, not a fresh scored self-join + window per audit (r13 advice).
+    // persist (not localCheckpoint): Bench's dead-checkpoint sweep must
+    // stay free to ignore it, and the frame is tiny (|queries| * 5 rows).
+    val exactP = exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def hitsOf(f: DataFrame): Long = exactP
+        .join(f.select(col("qid").as("lq"), col("vid").as("lv")),
+          col("qid") === col("lq") && col("vid") === col("lv"), "left_semi")
+        .count()
+      val nExact = exactP.count() // materializes the persist
+      var ivf = ivfTopKWith(corpus, cents, nProbe)
+      var nHit = hitsOf(ivf)
+      while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
+        nProbe = math.min(k, nProbe * 2)
+        ivf = ivfTopKWith(corpus, cents, nProbe)
+        nHit = hitsOf(ivf)
+      }
+      (ivf, nHit, nExact)
+    } finally exactP.unpersist(blocking = false)
   }
 
   /** Candidate count for a parameter point (scan-cost proxy used by the

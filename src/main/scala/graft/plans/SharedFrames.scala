@@ -93,6 +93,24 @@ object SharedFrames {
     }
   }
 
+  /** RDD ids referenced by live frames' analyzed plans. q180's kcore
+    * entries wrap `df.localCheckpoint()` frames, so their checkpointed
+    * RDDs stay LIVE for as long as the frame is registered — any
+    * sweep that unpersists "dead" checkpoint blocks between queries
+    * (Bench's every-16 valve) must skip exactly these ids, or a cache
+    * miss after the sweep walks truncated lineage and dies with
+    * "checkpoint block not found" (r13 advice). Everything this
+    * misses is genuinely orphaned lineage. */
+  def liveRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    frames.asScala.iterator.collect {
+      case (k, df) if k.session eq s =>
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+        }
+    }.flatten.toSet
+  }
+
   /** Application-end path: frames AND the hook go — the session is dead,
     * no new apply() can race usefully, and the listener bus is being
     * torn down anyway. */

@@ -186,7 +186,7 @@ class DedupSpec extends SparkSpec {
     // a singleton's cluster_id is its own doc_id -> same hash stream as
     // q62's per-doc assignment (salt 0, 80/10/10)
     rows.filter(r => r._1 == r._2).foreach { case (id, _, split) =>
-      val h = graft.functions.DeterministicHash.knuth32Local(id, 0L) % 100
+      val h = graft.functions.DeterministicHash.knuth32Local(id, graft.functions.DeterministicHash.splitSalt) % 100
       val want = if (h < 80) "train" else if (h < 90) "val" else "test"
       assert(split == want, s"doc $id: $split != $want")
     }

@@ -68,7 +68,7 @@ class SamplingSpec extends SparkSpec {
       when(col("lang") === "en", lit(300)).otherwise(lit(800))
     val docs = graft.Tables.documents(spark, sf001)
     val unsalted = docs
-      .where(gate(graft.functions.DeterministicHash.knuth32(col("doc_id"), 0L)))
+      .where(gate(graft.functions.DeterministicHash.knuth32(col("doc_id"), graft.functions.DeterministicHash.splitSalt)))
       .select("doc_id").as[Long].collect().toSet
     val shipped = graft.SparkEntry.queries("q56_stratified_sample")(spark, sf001)
       .select("doc_id").as[Long].collect().toSet

@@ -34,24 +34,52 @@ object Bench {
     * unretimed) — a recorded band is the expectation that class needs.
     * Best-effort: a missing/unparseable SURVEY.md just disables the
     * band trigger (the warmup trigger still applies). */
-  private def steadyBands(): Map[String, (Double, Double)] = {
-    try {
-      val re = ("""^\|\s*`(q[^`]+)`\s*\|[^|]*\|[^|]*\|\s*""" +
-        """~?([0-9]+(?:\.[0-9]+)?)(?:\s*[-–]\s*""" +
-        """([0-9]+(?:\.[0-9]+)?))?""").r.unanchored
-      val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("SURVEY.md"))
-      val b = Map.newBuilder[String, (Double, Double)]
-      lines.forEach { l =>
-        re.findFirstMatchIn(l).foreach { m =>
-          val lo = m.group(2).toDouble
-          val hi = Option(m.group(3)).map(_.toDouble).getOrElse(lo)
-          b += m.group(1) -> (lo, hi)
+  private def steadyBands(): (Map[String, (Double, Double)], Map[String, Int]) =
+    try parseBands(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("SURVEY.md")).toArray.map(_.toString).toSeq)
+    catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  private[graft] def parseBands(lines: Seq[String])
+      : (Map[String, (Double, Double)], Map[String, Int]) = {
+    val qRe = """`(q[^`]+)`""".r
+    val numRe = """([0-9]+(?:\.[0-9]+)?)(?:\s*[-–]\s*([0-9]+(?:\.[0-9]+)?))?""".r
+    val stampRe = """\(r(\d+)""".r
+    val b = Map.newBuilder[String, (Double, Double)]
+    val st = Map.newBuilder[String, Int]
+    lines.foreach { l =>
+      // Cells, not one row-wide regex: the ORACLE cell also carries
+      // "(rN ...)" vintages, so the stamp must be read from the band
+      // cell alone. Row shape | `q` | module | status | band |.
+      val cells = l.split("\\|", -1)
+      if (cells.length >= 5) {
+        qRe.findFirstMatchIn(cells(1)).map(_.group(1)).foreach { name =>
+          val cell = cells(4).trim.stripPrefix("~")
+          numRe.findPrefixMatchOf(cell).foreach { m =>
+            val lo = m.group(1).toDouble
+            val hi = Option(m.group(2)).map(_.toDouble).getOrElse(lo)
+            b += name -> (lo, hi)
+            // An unstamped band cell is the round-8 full-catalog
+            // column vintage (the table header says so) — stamp 8.
+            st += name -> stampRe.findFirstMatchIn(cell)
+              .map(_.group(1).toInt).getOrElse(8)
+          }
         }
       }
-      b.result()
-    } catch { case _: Throwable => Map.empty }
+    }
+    (b.result(), st.result())
   }
+
+  /** A band is AGED when its recorded round stamp trails the table's
+    * newest stamp by more than this many rounds (r13 verdict item 4:
+    * q163's only-OOB-of-record was a stale band, refreshed by hand).
+    * An aged band still triggers retimes — it is the best available
+    * expectation — but a final figure that misses ONLY an aged band
+    * ships as a self-refreshed `band_aged` entry (old band, stamp,
+    * and the idle-gated retime spread that supersedes it, also
+    * written to target/band_refresh.json for the round-close SURVEY
+    * update) instead of an out-of-band label: the label is reserved
+    * for misses against expectations fresh enough to mean regression. */
+  private val bandAgeLimit = 3
 
   def main(args: Array[String]): Unit = {
     // f-interpolator formatting follows the JVM default locale; pin it
@@ -150,8 +178,12 @@ object Bench {
     // a 2x-band comparison is meaningless (sf0.001 runs sit far below,
     // sf1 far above), so the band trigger and the out-of-band labels
     // only engage on the SF the bands were recorded at.
-    val bands = if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
-      steadyBands() else Map.empty[String, (Double, Double)]
+    val (bands, bandStamps) =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) steadyBands()
+      else (Map.empty[String, (Double, Double)], Map.empty[String, Int])
+    // The table's newest stamp is its curation vintage; ages are
+    // measured against it, so the check needs no external round input.
+    val bandVintage = if (bandStamps.isEmpty) 0 else bandStamps.values.max
     // Loadavg sampled immediately before each query's first timed shot
     // (one /proc read, off the clock) — r11 verdict item 6: retimed
     // shots carried their load context but plain shots didn't, so the
@@ -401,12 +433,34 @@ object Bench {
     // anything listed here survived a min-of-3 — i.e. it is either a
     // genuine regression or sustained (not transient) contention, and
     // its retime loads say which.
-    val oob = results.toSeq.collect { case (k, (v, _, _, _))
+    val (agedMisses, oob) = results.toSeq.collect { case (k, (v, _, _, sp))
         if bands.get(k).exists { case (_, hi) => v > 1.5 * hi && v > 0.3 } =>
-      k -> bands(k) }.sortBy(_._1)
-    val oobJson = oob.map { case (k, (lo, hi)) =>
+      (k, bands(k), sp) }.sortBy(_._1)
+      .partition { case (k, _, _) =>
+        bandStamps.getOrElse(k, 8) < bandVintage - bandAgeLimit }
+    val oobJson = oob.map { case (k, (lo, hi), _) =>
       s"\"" + k + "\":[" + f3(lo) + "," + f3(hi) + "]" }
       .mkString("{", ",", "}")
+    // Aged-band self-refresh (r13 verdict item 4): a final figure that
+    // misses only a band older than bandAgeLimit rounds is band DRIFT
+    // evidence, not a regression alarm — the miss already forced an
+    // idle-gated retime above, so the retime spread IS a fresh
+    // same-tree steady measurement. Ship it as band_aged (old band,
+    // stamp, refreshed spread) and write target/band_refresh.json so
+    // the round close updates §12 mechanically; the out_of_band label
+    // stays reserved for misses against fresh bands.
+    val agedJson = agedMisses.map { case (k, (lo, hi), sp) =>
+      val (rlo, rhi) = sp.getOrElse((results(k)._1, results(k)._1))
+      s"\"" + k + "\":{\"old\":[" + f3(lo) + "," + f3(hi) + "],\"stamp\":" +
+        bandStamps.getOrElse(k, 8) + ",\"refreshed\":[" + f3(rlo) + "," +
+        f3(rhi) + "]}" }
+      .mkString("{", ",", "}")
+    if (agedMisses.nonEmpty) try {
+      val p = java.nio.file.Paths.get("target", "band_refresh.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (agedJson + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => () }
     // Per-query pre-shot loadavg for the slowest 25 entries (r11
     // verdict item 6) — the expensive rows are the ones whose ambient
     // attribution matters; the full map lives in bench_summary.json.
@@ -415,7 +469,7 @@ object Bench {
         s"\"" + k + "\":" + f1(queryLoads.getOrElse(k, -1.0)) }
       .mkString("{", ",", "}")
     def summaryLine(m: String, omitted: Int) =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$m,"total_sec":${f3(total)},"n_queries":${results.size},"queries_omitted":$omitted,"n_retimed":${results.count(_._2._4.isDefined)},"n_oob":${oob.size},$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$m,"total_sec":${f3(total)},"n_queries":${results.size},"queries_omitted":$omitted,"n_retimed":${results.count(_._2._4.isDefined)},"n_oob":${oob.size},"n_band_aged":${agedMisses.size},$loadJson,"sf":"$sfDir"}"""
     val (qsShort, qsOmitted) = {
       // measured fixed portion + a few bytes of slack (outputStrategy is
       // StdoutOutput, so no logger prefix is actually emitted — the
@@ -469,7 +523,7 @@ object Bench {
       .map { case (k, l) => s"\"" + k + "\":" + f1(l) }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_sec":${f3(total)},"n_queries":${results.size},"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"retime_load":$retimeLoadJson,"out_of_band":$oobJson,"slow_query_load":$slowLoadJson,"query_load":$queryLoadJson,$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"total_sec":${f3(total)},"n_queries":${results.size},"build_sec":$builds,"retime_spread":$spreads,"retimed":$retimed,"retime_load":$retimeLoadJson,"out_of_band":$oobJson,"band_aged":$agedJson,"slow_query_load":$slowLoadJson,"query_load":$queryLoadJson,$loadJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_summary.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -257,6 +257,64 @@ object Throughput {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"bigram_lm_scale","docs":${baseCount * mult},"scored":${out.head.getLong(1)},"sec":$sec%.2f}""")
     }
+
+    // ---- 10. graph-family scale probe (r13 verdict item 5): the
+    // purchase-graph ITERATION plans — q95's PageRank (equi-join +
+    // map-side-combinable long sums per iteration) and q165's label
+    // propagation (one equi-join + one min-aggregate per superstep) —
+    // driven at 1x/8x/64x the edge count via DISJOINT graph replicas
+    // (suffix-tagged node ids: same degree distribution, 64x the
+    // vertices and edges — the honest "bigger graph", not a denser
+    // one). Expectation: wall AND shuffle-write volume grow
+    // near-linearly with edges; a superlinear wall here means a
+    // broadcast flipped to BNLJ, a skew collapse, or exchange-reuse
+    // breaking across iterations — exactly the failure modes the
+    // dedup probes catch for the LSH family. Shuffle bytes come from
+    // a stage-completion listener (async bus — the 1 s grace drains
+    // it; a lost tail under-counts slightly and NEVER inflates).
+    {
+      val sw = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            sw.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      val gBase = graft.operators.GraphQueries
+        .purchaseEdgesLazy(spark, "/root/testdata/sf0.1")
+      val gEdges = gBase.count()
+      def gRepl(mult: Int) = (0 until mult).map(m => gBase.select(
+        concat(col("src"), lit("#" + m)).as("src"),
+        concat(col("dst"), lit("#" + m)).as("dst"))).reduce(_ unionByName _)
+      // codegen warm on a bounded slice so mult=1 is not a JIT shot
+      graft.operators.GraphQueries.pagerank(gRepl(1).limit(1000), 1)
+        .agg(count(lit(1))).collect()
+      graft.operators.GraphQueries.labelPropagation(gRepl(1).limit(1000), 1)
+        .agg(count(lit(1))).collect()
+      val gMults = sys.env.getOrElse("SPARK_GRAFT_GRAPH_MULTS", "1,8,64")
+        .split(",").map(_.trim.toInt).toSeq
+      for (mult <- gMults) {
+        val edges = gRepl(mult)
+        sw.set(0L)
+        val t0 = System.nanoTime()
+        // decimal(38,0) sum: 64x the vertices would overflow a long sum
+        // of rank units (the catalog query never sums ranks globally)
+        graft.operators.GraphQueries.pagerank(edges, 3)
+          .agg(sum(col("rank_u").cast("decimal(38,0)"))).collect()
+        val prSec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        val prMb = sw.get() / 1e6
+        sw.set(0L)
+        val t1 = System.nanoTime()
+        graft.operators.GraphQueries.labelPropagation(edges, 3)
+          .agg(count(lit(1)),
+            sum(xxhash64(col("node"), col("lab")))).collect()
+        val lpSec = (System.nanoTime() - t1) / 1e9
+        Thread.sleep(1000)
+        val lpMb = sw.get() / 1e6
+        println(f"""{"metric":"graph_scale","edges":${gEdges * mult},"pagerank_sec":$prSec%.2f,"pagerank_shuffle_mb":$prMb%.1f,"labelprop_sec":$lpSec%.2f,"labelprop_shuffle_mb":$lpMb%.1f}""")
+      }
+    }
     spark.stop()
   }
 }

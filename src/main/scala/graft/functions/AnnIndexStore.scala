@@ -70,6 +70,9 @@ object AnnIndexStore {
           corpus, idCol, vecCol, k = k, iterations = iterations,
           samplePerCentroid = samplePerCentroid, knownCount = knownCount)
         persist(spark, path, cents)
+        // eviction bound: at most AtomicDir.defaultKeep ivf entries
+        // survive across fingerprints/versions (r13 verdict item 7)
+        AtomicDir.pruneFamily(java.nio.file.Paths.get(dir), "ivf_v", path)
         (cents, false)
     }
   }

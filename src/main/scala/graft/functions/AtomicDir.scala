@@ -60,4 +60,57 @@ private[graft] object AtomicDir {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => { Files.deleteIfExists(f); () })
     }
+
+  /** Per-family entry bound for every persisted store (r13 verdict
+    * item 7): keep at most this many entries per family prefix; a new
+    * publish evicts the stalest beyond the bound. Families are
+    * code-bounded (one per kind x format-version), so a long-lived
+    * store directory holds at most keep * |families| entries — it can
+    * never grow without limit as data snapshots roll. Override with
+    * SPARK_GRAFT_STORE_KEEP (min 1). */
+  val defaultKeep: Int = math.max(1,
+    sys.env.get("SPARK_GRAFT_STORE_KEEP")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4))
+
+  /** Evict stale same-family entries after a successful publish: under
+    * `dir`, directories whose name starts with `familyPrefix` (never
+    * in-flight ".tmp-" siblings, never the just-published `keepPath`)
+    * are ranked newest-first by last-modified time and all but the
+    * newest keep-1 besides keepPath are deleted. Safe under races by
+    * the stores' existing contract: a reader whose entry vanishes
+    * mid-load fails that load's Try/validation and falls back to
+    * rebuild-and-republish — eviction can cost a rebuild, never a
+    * wrong result. Entries are only at risk when a NEW fingerprint
+    * publishes into the family (a rolled data snapshot / version
+    * bump); steady-state sessions re-load existing entries and never
+    * trigger eviction. Per-entry delete failures are swallowed (a
+    * concurrent pruner may have won); directory-level IO failures are
+    * swallowed too — eviction is best-effort hygiene, the publish it
+    * follows has already succeeded. */
+  def pruneFamily(dir: Path, familyPrefix: String, keepPath: Path,
+      keep: Int = defaultKeep): Unit =
+    try {
+      if (Files.isDirectory(dir)) {
+        val listing = Files.list(dir)
+        val entries =
+          try {
+            val it = listing.iterator()
+            val buf = Vector.newBuilder[Path]
+            while (it.hasNext) {
+              val p = it.next()
+              val name = p.getFileName.toString
+              if (Files.isDirectory(p) && name.startsWith(familyPrefix) &&
+                  !name.contains(".tmp-") &&
+                  name != keepPath.getFileName.toString)
+                buf += p
+            }
+            buf.result()
+          } finally listing.close()
+        val byAge = entries.sortBy(p =>
+          -scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+            .getOrElse(0L))
+        byAge.drop(math.max(0, keep - 1)).foreach(p =>
+          scala.util.Try(deleteRecursively(p)))
+      }
+    } catch { case _: java.io.IOException => () }
 }

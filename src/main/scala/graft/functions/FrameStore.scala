@@ -73,6 +73,11 @@ object FrameStore {
     load(spark, path, expectCols).getOrElse {
       val built = build
       persist(spark, path, built, expectCols)
+      // eviction bound (AtomicDir.pruneFamily): at most defaultKeep
+      // entries per kind survive across fingerprints AND versions —
+      // `${kind}_v` groups rolled snapshots and orphaned old shapes
+      // into one family, so neither growth mode is unbounded
+      AtomicDir.pruneFamily(java.nio.file.Paths.get(dir), s"${kind}_v", path)
       load(spark, path, expectCols).getOrElse(built)
     }
   }

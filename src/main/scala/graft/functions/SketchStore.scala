@@ -54,6 +54,9 @@ object SketchStore {
     load(spark, path).getOrElse {
       val parts = buildPartials(hashed)
       persist(spark, path, parts)
+      // eviction bound: at most AtomicDir.defaultKeep kmv entries
+      // survive across fingerprints/versions (r13 verdict item 7)
+      AtomicDir.pruneFamily(java.nio.file.Paths.get(dir), "kmv_v", path)
       // read back the published table so hit and miss return the same
       // physical source (and a racing winner's table is what's used)
       load(spark, path).getOrElse(parts)

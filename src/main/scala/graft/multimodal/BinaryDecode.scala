@@ -380,7 +380,13 @@ object BinaryDecode {
           stsz <- boxes(content, stbl.start, stbl.end)
             .find(x => x.boxType == "stsz" || x.boxType == "stz2")
           if stsz.end - stsz.start >= 12
-        } yield be32(content, stsz.start + 8).toInt).getOrElse(0)
+        } yield {
+          // a lying sample_count (> Int.MaxValue in a few-byte box)
+          // must not wrap negative through .toInt — report 0 (unknown),
+          // the same default as an absent stsz (fuzz pin, r13 item 6)
+          val c = be32(content, stsz.start + 8)
+          if (c > Int.MaxValue) 0 else c.toInt
+        }).getOrElse(0)
         Some(DecodedRow0(w, h, nFrames, Array(
           (duration.toDouble / timescale).toFloat, timescale.toFloat,
           traks.size.toFloat, kinds.count(_ == "vide").toFloat,

@@ -170,7 +170,7 @@ object DedupQueries {
     * Output: (doc_a, doc_b, jac) with doc_a < doc_b, one row per
     * confirmed pair (candidates are distinct'd before the confirm).
     */
-  private[operators] def lshConfirmedPairs(docs: DataFrame,
+  private[graft] def lshConfirmedPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
     val sh = docs.select(col("doc_id"),
       TextFunctions.shinglesOfText(col("text"), 3).as("sh"))

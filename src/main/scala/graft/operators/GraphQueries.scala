@@ -54,7 +54,7 @@ object GraphQueries {
     * already had. The cache exists for the NON-iterative family
     * members (q144/q145: one aggregate pass each), where build-once
     * genuinely replaces rebuild-per-query. */
-  private[operators] def purchaseEdgesLazy(
+  private[graft] def purchaseEdgesLazy(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     symmetrize(purchasePairs(s, d))
 

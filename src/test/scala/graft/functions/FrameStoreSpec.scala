@@ -135,4 +135,68 @@ class FrameStoreSpec extends SparkSpec {
     assert(key(built) == key(loaded))
     assert(key(built).nonEmpty)
   }
+
+  test("concurrent builders of one key converge to one winner, no torn read") {
+    // r13 verdict item 7: two racing builders of the same (kind,
+    // version, fingerprint) must BOTH return the complete frame, and
+    // the store must end with exactly one published entry and zero
+    // in-flight tmp residue — AtomicDir's validated publish resolves
+    // the race; a lost race is swallowed only after the survivor
+    // validates, so a torn entry can never become permanent.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir()
+    val b = base((1L to 200L).map(i => (i, i * 10L)))
+    val expect = (1L to 200L).map(i => (i, i * 10L)).toSet
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val fs = (1 to 2).map { _ =>
+      Future {
+        gate.await()
+        FrameStore.loadOrBuild(spark, "race", 1, b,
+          Seq("k", "v"), dir.toString)(b)
+      }
+    }
+    fs.map(Await.result(_, 180.seconds)).foreach { df =>
+      assert(rowsOf(df) == expect, "racing reader saw a torn frame")
+    }
+    val names = {
+      val l = Files.list(dir)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector
+      finally l.close()
+    }
+    assert(names.count(_.startsWith("race_v")) == 1,
+      s"exactly one published entry expected, saw: $names")
+    assert(!names.exists(_.contains(".tmp-")), s"tmp residue: $names")
+  }
+
+  test("eviction bound: at most defaultKeep entries per kind survive") {
+    // r13 verdict item 7: rolled data snapshots publish new
+    // fingerprints into the same family; the store must stay bounded.
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir()
+    (1 to AtomicDir.defaultKeep + 2).foreach { i =>
+      val b = base(Seq((i.toLong, i * 10L)))
+      FrameStore.loadOrBuild(spark, "ev", 1, b, Seq("k", "v"),
+        dir.toString)(b)
+      Thread.sleep(15) // distinct mtimes so age ranking is deterministic
+    }
+    // a sibling kind must be untouched by ev's pruning
+    FrameStore.loadOrBuild(spark, "evother", 1, base(Seq((9L, 90L))),
+      Seq("k", "v"), dir.toString)(base(Seq((9L, 90L))))
+    val names = {
+      val l = Files.list(dir)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector
+      finally l.close()
+    }
+    assert(names.count(_.startsWith("ev_v")) <= AtomicDir.defaultKeep,
+      s"family exceeded the eviction bound: $names")
+    assert(names.exists(_.startsWith("evother_v")),
+      "pruning one family must not touch another")
+    // the just-published (newest) entry always survives eviction
+    val last = base(Seq((AtomicDir.defaultKeep + 2L, (AtomicDir.defaultKeep + 2) * 10L)))
+    FrameStore.loadOrBuild(spark, "ev", 1, last, Seq("k", "v"),
+      dir.toString)(sys.error("newest entry must have survived eviction"))
+  }
 }

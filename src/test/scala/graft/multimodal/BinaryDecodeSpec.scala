@@ -361,4 +361,116 @@ class BinaryDecodeSpec extends SparkSpec {
     val e1 = out.map(r => r.media_id -> r.embedding.toSeq).toMap
     again.foreach(r => assert(e1(r.media_id) == r.embedding.toSeq))
   }
+
+  // ------------------------------------------------------------------
+  // Adversarial media corpus (r13 verdict item 6): the Scaladoc claims
+  // the parsers survive truncated boxes, junk bytes and lying size
+  // fields — pin each claimed malice class explicitly, then sweep a
+  // seeded byte-fuzz so the claim holds beyond the hand-picked cases.
+  // ------------------------------------------------------------------
+
+  test("ISO-BMFF malice classes: truncated mvhd, size past EOF, zero-size boxes, lying largesize") {
+    def dec(b: Array[Byte]) = VideoCodec.decodeVideo(b)
+    // truncated mvhd: payload shorter than any legal version layout
+    assert(dec(bmffBox("moov", bmffBox("mvhd", Array[Byte](0, 0, 0, 0)))).isEmpty)
+    assert(dec(bmffBox("moov", bmffBox("mvhd"))).isEmpty,
+      "empty mvhd payload must not read past the box")
+    // v1 flag with only a v0-sized payload
+    assert(dec(bmffBox("moov", bmffBox("mvhd", Array[Byte](1, 0, 0, 0),
+      new Array[Byte](16)))).isEmpty)
+    // top-level size field pointing past EOF hides everything after it
+    val pastEof = mp4Bytes().clone()
+    System.arraycopy(be(pastEof.length * 4), 0, pastEof, 0, 4)
+    assert(dec(pastEof).isEmpty,
+      "a lying first-box size must not expose a moov beyond it")
+    // zero-size ("runs to end of parent") box BEFORE mvhd swallows it
+    val zeroSwallow = bmffBox("moov",
+      be(0) ++ "free".getBytes("ISO-8859-1") ++ new Array[Byte](16))
+    assert(dec(zeroSwallow).isEmpty, "zero-size box must terminate, not loop")
+    // largesize marker (size32 == 1) with a truncated 64-bit length
+    assert(dec(be(1) ++ "moov".getBytes("ISO-8859-1") ++ Array[Byte](0, 0)).isEmpty)
+    // and a NEGATIVE largesize (bit 63 set) is a malformed header
+    assert(dec(be(1) ++ "moov".getBytes("ISO-8859-1") ++
+      be8(java.lang.Long.MIN_VALUE) ++ new Array[Byte](32)).isEmpty)
+    // an 8-byte (empty-payload) box storm still terminates
+    val storm = Array.fill(4096)(bmffBox("free")).flatten.toArray
+    assert(dec(storm).isEmpty)
+  }
+
+  test("lying stsz sample_count clamps to 0 (unknown), never wraps negative") {
+    // frames = -1 writes 0xFFFFFFFF into stsz's sample_count: a count
+    // that cannot fit an Int must behave like an ABSENT stsz (0), not
+    // surface as nFrames = -1 to downstream frame samplers
+    val d = VideoCodec.decodeVideo(mp4Bytes(frames = -1))
+    assert(d.nonEmpty, "the container is otherwise well-formed")
+    assert(d.get.nFrames == 0, s"lying count must clamp to 0: ${d.get.nFrames}")
+    assert(d.get.width == 320 && d.get.height == 240,
+      "the rest of the metadata stays byte-exact")
+  }
+
+  test("WAV with a lying data-chunk length terminates with bounded, sane output") {
+    val good = graft.operators.MultimodalQueries.wavBytes(1000, 8000f, 0.5, 1)
+    val dataAt = good.indexOfSlice("data".getBytes("ISO-8859-1"))
+    assert(dataAt > 0, "premise: the JDK writer emits a data chunk")
+    // RIFF chunk sizes are LITTLE-endian
+    def le(i: Int) = be(i).reverse
+    // declared data length far beyond the real bytes
+    val lying = good.clone()
+    System.arraycopy(le(0x7FFFFF00), 0, lying, dataAt + 4, 4)
+    val out = AudioCodec.decodeAudio(lying)
+    // must terminate without throwing; if the JDK trusts the header the
+    // envelope still reads only the REAL bytes (EOF-bounded scan) and
+    // every feature stays a finite amplitude in [0, 1]
+    out.foreach { d =>
+      assert(d.features.length == 8)
+      assert(d.features.forall(f => f >= 0f && f <= 1f && !f.isNaN))
+      assert(d.width == 8000 && d.height == 1, "header rate/channels stay real")
+    }
+    // and a data length LYING SHORT must not over-read either
+    val lyingShort = good.clone()
+    System.arraycopy(le(4), 0, lyingShort, dataAt + 4, 4)
+    AudioCodec.decodeAudio(lyingShort).foreach { d =>
+      assert(d.features.length == 8 && d.nFrames <= 1000)
+    }
+  }
+
+  test("seeded byte-fuzz: junk, truncations and flips never throw or hang in any codec") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val goodMp4 = mp4Bytes()
+    val goodWav = graft.operators.MultimodalQueries.wavBytes(400, 8000f, 0.4, 2)
+    def cases(good: Array[Byte]): Iterator[Array[Byte]] = {
+      val junk = Iterator.fill(300) {
+        val b = new Array[Byte](rnd.nextInt(256)); rnd.nextBytes(b); b
+      }
+      val truncs = Iterator.fill(150)(good.take(rnd.nextInt(good.length + 1)))
+      val flips = Iterator.fill(150) {
+        val b = good.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        b
+      }
+      junk ++ truncs ++ flips
+    }
+    // Option out, exception never: the codecs' NonFatal catch is the
+    // contract; any escape (OOM loop, StackOverflow from recursion)
+    // fails this suite loudly. Termination is bounded by the suite's
+    // wall clock — 600 cases per codec complete in seconds when the
+    // parsers are EOF/parent-bounded as documented.
+    cases(goodMp4).foreach { b =>
+      val r = VideoCodec.decodeVideo(b)
+      r.foreach(d => assert(d.nFrames >= 0 && d.features.length == 8))
+    }
+    cases(goodWav).foreach { b =>
+      val r = AudioCodec.decodeAudio(b)
+      r.foreach(d => assert(d.nFrames >= 0 && d.features.length == 8))
+    }
+    // images: ImageIO on junk is slower per call — a smaller sweep
+    val png = pngBytes(9, 7, 0x112233)
+    (Iterator.fill(60) {
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+    } ++ Iterator.fill(60)(png.take(rnd.nextInt(png.length + 1)))).foreach { b =>
+      ImageIoCodec.decode("image", b).foreach(d =>
+        assert(d.width >= 0 && d.height >= 0))
+    }
+  }
 }

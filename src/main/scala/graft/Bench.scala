@@ -437,7 +437,10 @@ object Bench {
         if bands.get(k).exists { case (_, hi) => v > 1.5 * hi && v > 0.3 } =>
       (k, bands(k), sp) }.sortBy(_._1)
       .partition { case (k, _, _) =>
-        bandStamps.getOrElse(k, 8) < bandVintage - bandAgeLimit }
+        // <=: a band recorded bandAgeLimit rounds behind the table
+        // vintage has skipped that many re-measure opportunities —
+        // r14's live case was exactly two r11 bands at vintage 14
+        bandStamps.getOrElse(k, 8) <= bandVintage - bandAgeLimit }
     val oobJson = oob.map { case (k, (lo, hi), _) =>
       s"\"" + k + "\":[" + f3(lo) + "," + f3(hi) + "]" }
       .mkString("{", ",", "}")

@@ -293,6 +293,17 @@ object Throughput {
         .agg(count(lit(1))).collect()
       val gMults = sys.env.getOrElse("SPARK_GRAFT_GRAPH_MULTS", "1,8,64")
         .split(",").map(_.trim.toInt).toSeq
+      // Root-cause knob (r14): the probe session pins shuffle
+      // partitions to the core count (32) — honest for 1x, but at 64x
+      // that is 2.3M edge rows per partition, and the GC log shows the
+      // heap saturating (live ~19.6 of 28 GiB, GCLocker-initiated
+      // collections, +-2.4x run variance) while shuffle BYTES stay
+      // exactly linear. A cluster sizes partitions with the data;
+      // SPARK_GRAFT_GRAPH_PARTS lets the probe do the same so the
+      // superlinear-wall question can be answered by measurement.
+      val gPartsOld = spark.conf.get("spark.sql.shuffle.partitions")
+      sys.env.get("SPARK_GRAFT_GRAPH_PARTS").foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toInt))
       for (mult <- gMults) {
         val edges = gRepl(mult)
         sw.set(0L)
@@ -312,8 +323,9 @@ object Throughput {
         val lpSec = (System.nanoTime() - t1) / 1e9
         Thread.sleep(1000)
         val lpMb = sw.get() / 1e6
-        println(f"""{"metric":"graph_scale","edges":${gEdges * mult},"pagerank_sec":$prSec%.2f,"pagerank_shuffle_mb":$prMb%.1f,"labelprop_sec":$lpSec%.2f,"labelprop_shuffle_mb":$lpMb%.1f}""")
+        println(f"""{"metric":"graph_scale","edges":${gEdges * mult},"pagerank_sec":$prSec%.2f,"pagerank_shuffle_mb":$prMb%.1f,"labelprop_sec":$lpSec%.2f,"labelprop_shuffle_mb":$lpMb%.1f,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}}""")
       }
+      spark.conf.set("spark.sql.shuffle.partitions", gPartsOld)
     }
     spark.stop()
   }

@@ -109,6 +109,7 @@ object AnnIndexStore {
       val cents = rows.map(_.getSeq[Double](1).toArray)
       val dim = cents.head.length
       require(cents.forall(_.length == dim), "index has ragged centroid widths")
+      AtomicDir.touch(path) // LRU mark: loads must count as use for eviction
       cents
     }.toOption
 

@@ -72,6 +72,18 @@ private[graft] object AtomicDir {
     sys.env.get("SPARK_GRAFT_STORE_KEEP")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4))
 
+  /** Mark a store entry USED so pruneFamily's newest-first ranking is
+    * true LRU: publish sets mtime once, but a bench-critical entry
+    * (q47's sf0.1 index, q237's pair matrix) is LOADED every session
+    * and republished never — without this touch, a probe run
+    * publishing a few throwaway fingerprints could evict the hottest
+    * entry in the family purely by being younger. Best-effort: a
+    * failed touch only weakens the ranking, never correctness. */
+  def touch(path: Path): Unit =
+    try Files.setLastModifiedTime(path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Throwable => () }
+
   /** Evict stale same-family entries after a successful publish: under
     * `dir`, directories whose name starts with `familyPrefix` (never
     * in-flight ".tmp-" siblings, never the just-published `keepPath`)

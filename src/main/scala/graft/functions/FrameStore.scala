@@ -89,6 +89,7 @@ object FrameStore {
       val df = spark.read.parquet(path.toString)
       require(df.columns.sorted.toSeq == expectCols.sorted,
         s"frame at $path has columns ${df.columns.mkString(",")}")
+      AtomicDir.touch(path) // LRU mark: loads must count as use for eviction
       df
     }.toOption
 

@@ -72,6 +72,7 @@ object SketchStore {
       val df = spark.read.parquet(path.toString)
       require(df.columns.sorted.sameElements(Array("g", "hv")),
         s"partials at $path have columns ${df.columns.mkString(",")}")
+      AtomicDir.touch(path) // LRU mark: loads must count as use for eviction
       df.select(col("g").cast("long").as("g"),
         col("hv").cast("long").as("hv"))
     }.toOption

@@ -164,27 +164,30 @@ object SimilarityQueries {
       s, corpus, "vec_id", "v", k = k, iterations = 10,
       key = graft.functions.AnnIndexStore.contentKey(n, fp),
       knownCount = Some(n))
-    // The exact brute-force baseline never changes across escalations —
-    // persist it once so each probe-budget doubling pays only the IVF
-    // side, not a fresh scored self-join + window per audit (r13 advice).
-    // persist (not localCheckpoint): Bench's dead-checkpoint sweep must
-    // stay free to ignore it, and the frame is tiny (|queries| * 5 rows).
-    val exactP = exact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      def hitsOf(f: DataFrame): Long = exactP
-        .join(f.select(col("qid").as("lq"), col("vid").as("lv")),
-          col("qid") === col("lq") && col("vid") === col("lv"), "left_semi")
-        .count()
-      val nExact = exactP.count() // materializes the persist
-      var ivf = ivfTopKWith(corpus, cents, nProbe)
-      var nHit = hitsOf(ivf)
-      while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
-        nProbe = math.min(k, nProbe * 2)
-        ivf = ivfTopKWith(corpus, cents, nProbe)
-        nHit = hitsOf(ivf)
-      }
-      (ivf, nHit, nExact)
-    } finally exactP.unpersist(blocking = false)
+    // One audit = ONE evaluation of the exact baseline (r13 advice,
+    // r14 form): the former shape evaluated the scored self-join +
+    // window twice per escalation (hitsOf's semi-join count plus a
+    // separate count()). Folding both counts into one aggregate over
+    // one left join onto the (unique-(qid,vid)) probed top-k halves
+    // the exact-side work; a persist()ed copy was measured SLOWER at
+    // the gate SFs (cache write+read overhead with <= 1 escalation)
+    // and is deliberately not used.
+    def audit(f: DataFrame): (Long, Long) = {
+      val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
+      val r = exact.join(probed,
+        col("qid") === col("lq") && col("vid") === col("lv"), "left")
+        .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var ivf = ivfTopKWith(corpus, cents, nProbe)
+    var (nExact, nHit) = audit(ivf)
+    while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
+      nProbe = math.min(k, nProbe * 2)
+      ivf = ivfTopKWith(corpus, cents, nProbe)
+      val a = audit(ivf)
+      nExact = a._1; nHit = a._2
+    }
+    (ivf, nHit, nExact)
   }
 
   /** Candidate count for a parameter point (scan-cost proxy used by the

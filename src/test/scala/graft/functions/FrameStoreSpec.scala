@@ -199,4 +199,34 @@ class FrameStoreSpec extends SparkSpec {
     FrameStore.loadOrBuild(spark, "ev", 1, last, Seq("k", "v"),
       dir.toString)(sys.error("newest entry must have survived eviction"))
   }
+
+  test("eviction is LRU: a LOADED entry outlives younger unused publishes") {
+    // Without the load-touch, a probe run publishing a few throwaway
+    // fingerprints would evict the hottest entry in the family (q47's
+    // bench-critical index) purely by being younger than its PUBLISH
+    // time — loads must count as use.
+    val dir = tmpDir()
+    val hot = base(Seq((1L, 10L)))
+    FrameStore.loadOrBuild(spark, "lru", 1, hot, Seq("k", "v"),
+      dir.toString)(hot)
+    Thread.sleep(15)
+    (2 to AtomicDir.defaultKeep).foreach { i =>
+      // re-LOAD the hot entry (the session-start pattern), then publish
+      // a fresh throwaway fingerprint after it
+      FrameStore.loadOrBuild(spark, "lru", 1, hot, Seq("k", "v"),
+        dir.toString)(sys.error("hot entry must load, not rebuild"))
+      Thread.sleep(15)
+      val cold = base(Seq((i.toLong, i * 100L)))
+      FrameStore.loadOrBuild(spark, "lru", 1, cold, Seq("k", "v"),
+        dir.toString)(cold)
+      Thread.sleep(15)
+    }
+    // bound reached; one more unused publish must evict a THROWAWAY,
+    // never the hot entry
+    val straw = base(Seq((99L, 990L)))
+    FrameStore.loadOrBuild(spark, "lru", 1, straw, Seq("k", "v"),
+      dir.toString)(straw)
+    FrameStore.loadOrBuild(spark, "lru", 1, hot, Seq("k", "v"),
+      dir.toString)(sys.error("hot (recently loaded) entry was evicted"))
+  }
 }

@@ -174,6 +174,11 @@ object Bench {
     // so a spread like 6.1/18.9/75.0 s arrives WITH its 14/19/31 load
     // context instead of requiring a post-hoc forensic session.
     val retimeLoads = scala.collection.mutable.Map[String, Seq[Double]]()
+    // All retime shot walls, sorted — the aged-band self-refresh quotes
+    // min..median rather than the retime SPREAD (whose max is usually
+    // the ambient shot that triggered the retime, which would bake the
+    // contention into the refreshed band).
+    val retimeShots = scala.collection.mutable.Map[String, Seq[Double]]()
     // SURVEY bands are sf0.1 BenchSteady measurements — at any other SF
     // a 2x-band comparison is meaningless (sf0.001 runs sit far below,
     // sf1 far above), so the band trigger and the out-of-band labels
@@ -361,6 +366,7 @@ object Bench {
           shots = shots :+ s4
         }
         retimeLoads(name) = loads.result()
+        retimeShots(name) = shots.map(_._1).sorted
         val sorted = shots.sortBy(_._1)
         spread = Some((sorted.head._1, sorted.last._1))
         val (s1, b1, j1) = sorted.head // min — see guard comment above
@@ -453,7 +459,12 @@ object Bench {
     // the round close updates §12 mechanically; the out_of_band label
     // stays reserved for misses against fresh bands.
     val agedJson = agedMisses.map { case (k, (lo, hi), sp) =>
-      val (rlo, rhi) = sp.getOrElse((results(k)._1, results(k)._1))
+      // refreshed band = min..median of the idle-gated retime shots;
+      // the raw spread's max is usually the ambient trigger shot
+      val (rlo, rhi) = retimeShots.get(k) match {
+        case Some(ss) if ss.nonEmpty => (ss.head, ss(ss.length / 2))
+        case _ => sp.getOrElse((results(k)._1, results(k)._1))
+      }
       s"\"" + k + "\":{\"old\":[" + f3(lo) + "," + f3(hi) + "],\"stamp\":" +
         bandStamps.getOrElse(k, 8) + ",\"refreshed\":[" + f3(rlo) + "," +
         f3(rhi) + "]}" }

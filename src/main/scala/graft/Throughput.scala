@@ -327,6 +327,86 @@ object Throughput {
       }
       spark.conf.set("spark.sql.shuffle.partitions", gPartsOld)
     }
+
+    // ---- 11. PQ/ADC scan-economics probe (q268): the claim under test
+    // is that a PRE-ENCODED code table turns the per-query-batch ANN
+    // scan into a fraction of the float scan — in bytes (the 100 TB
+    // lever: codes are ~16-30x smaller on disk than raw float32
+    // vectors) and in wall — while both scans stay linear in corpus
+    // size. Build (train + encode + write) is timed separately because
+    // it is the one-time index cost a deployment amortizes across query
+    // batches; the scan comparison reads BOTH sides from parquet so the
+    // two paths pay symmetric scan+window costs (per-query top-5 via
+    // the same (score DESC, vid) window election). Replicas offset
+    // vec_id by 1e6 like every other probe; queries/tables/codebooks
+    // come from the 1x base so escalating multiples measure corpus
+    // growth only.
+    {
+      val embBase = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val embCount = embBase.count()
+      val normedBase = embBase.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+      val books = graft.functions.ProductQuantizer.train(
+        normedBase, "vec_id", "v", m = 8, ksub = 16)
+      val qRows = normedBase.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("v"), col("nrm")).collect().sortBy(_.getLong(0))
+      val tables = qRows.map { r =>
+        val qv = r.getSeq[Double](1).toArray
+        graft.functions.ProductQuantizer.adcTable(qv.map(_ / r.getDouble(2)), books)
+      }
+      val qids = qRows.map(_.getLong(0))
+      val qidLit = array(qids.map(lit(_)).toIndexedSeq: _*)
+      val queries = normedBase.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      def dirBytes(p: java.io.File): Long = {
+        val fs = p.listFiles()
+        if (fs == null) 0L else fs.map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
+      }
+      val pqDir = Files.createTempDirectory("graft-pq-probe").toFile
+      for (mult <- Seq(1, 16, 64, 256)) {
+        val corp = (0 until mult).map(m => embBase.select(
+          (col("vec_id") + lit(m * 1000000L)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        val floatPath = new java.io.File(pqDir, s"floats_$mult").getPath
+        val codePath = new java.io.File(pqDir, s"codes_$mult").getPath
+        corp.write.mode("overwrite").parquet(floatPath)
+        val tb = System.nanoTime()
+        spark.read.parquet(floatPath)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+          .select(col("vec_id"), graft.functions.ProductQuantizer
+            .pqEncode(col("v"), col("nrm"), books).as("codes"))
+          .write.mode("overwrite").parquet(codePath)
+        val buildSec = (System.nanoTime() - tb) / 1e9
+        val wAdc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("vid"))
+        val t0 = System.nanoTime()
+        val adcN = spark.read.parquet(codePath)
+          .select(col("vec_id").as("vid"),
+            posexplode(graft.functions.ProductQuantizer
+              .pqAdcScores(col("codes"), tables, 16)).as(Seq("qpos", "score")))
+          .withColumn("qid", element_at(qidLit, col("qpos") + 1))
+          .where(col("qid") =!= col("vid"))
+          .withColumn("rnk", row_number().over(wAdc))
+          .where(col("rnk") <= 5).count()
+        val adcSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val exactN = spark.read.parquet(floatPath)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+          .join(broadcast(queries), col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("vid"),
+            (graft.functions.VectorFunctions.dot(col("qv"), col("v"))
+              / (col("qn") * col("nrm"))).as("score"))
+          .withColumn("rnk", row_number().over(wAdc))
+          .where(col("rnk") <= 5).count()
+        val exactSec = (System.nanoTime() - t1) / 1e9
+        require(adcN == exactN, s"top-5 row counts diverged: adc=$adcN exact=$exactN")
+        println(f"""{"metric":"pq_adc_scale","vectors":${embCount * mult},"build_sec":$buildSec%.2f,"code_bytes":${dirBytes(new java.io.File(codePath))},"float_bytes":${dirBytes(new java.io.File(floatPath))},"adc_scan_sec":$adcSec%.2f,"exact_scan_sec":$exactSec%.2f}""")
+      }
+    }
     spark.stop()
   }
 }

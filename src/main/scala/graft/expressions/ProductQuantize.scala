@@ -147,6 +147,59 @@ case class PqAdcScores(child: Expression, tables: Array[Array[Double]], ksub: In
     copy(child = newChild)
 }
 
+/** ADC score of one packed code against ONE table carried as a column
+  * (the joined form, for plans where the query side arrives via an
+  * equi-join — q269's IVF-restricted candidates): sum over subspaces s
+  * of `table[s*ksub + code_s]`. The table column must be the flat
+  * m*ksub layout of [[graft.functions.ProductQuantizer.adcTable]]; a
+  * width that does not divide by ksub throws loudly (an internal frame
+  * bug, never data). Null code or table -> null; a null table ELEMENT
+  * -> null (VecDot's poison discipline).
+  */
+case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub >= 1, "pq_adc_score: ksub must be >= 1")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, table: Any): Any =
+    PqAdcScore.compute(codes.asInstanceOf[Long], table.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("adc")
+    nullSafeCodeGen(ctx, ev, (c, t) =>
+      s"""java.lang.Double $tmp = graft.expressions.PqAdcScore.compute($c, $t, $ksub);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScore {
+  def compute(codes: Long, table: ArrayData, ksub: Int): java.lang.Double = {
+    val len = table.numElements()
+    if (len % ksub != 0 || len == 0) throw new IllegalArgumentException(
+      s"pq_adc_score: table of $len entries is not a whole m*ksub layout " +
+        s"for ksub=$ksub")
+    val bits = PqEncodePacked.bitsPerCode(ksub)
+    val mask = (1L << bits) - 1L
+    val m = len / ksub
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val idx = s * ksub + ((codes >>> (s * bits)) & mask).toInt
+      if (table.isNullAt(idx)) return null
+      acc += table.getDouble(idx)
+      s += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
 object PqAdcScores {
   def compute(codes: Long, tables: Array[Array[Double]], ksub: Int): GenericArrayData = {
     val bits = PqEncodePacked.bitsPerCode(ksub)

@@ -142,4 +142,10 @@ object ProductQuantizer {
   def pqAdcScores(codes: Column, tables: Array[Array[Double]], ksub: Int): Column =
     bridge.column(graft.expressions.PqAdcScores(
       bridge.expression(codes), tables, ksub))
+
+  /** ADC score of a packed-code column against ONE table column (flat
+    * m*ksub array) — the joined form for cell-restricted candidates. */
+  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+    bridge.column(graft.expressions.PqAdcScore(
+      bridge.expression(codes), bridge.expression(table), ksub))
 }

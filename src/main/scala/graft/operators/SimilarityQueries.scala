@@ -269,6 +269,94 @@ object SimilarityQueries {
     (pq, nHit, nExact)
   }
 
+  /** q269's CERTIFIED IVF+PQ (the composed deployment shape — FAISS's
+    * IVFADC layout re-expressed as relational primitives): the q47
+    * coarse quantizer restricts candidates to the probed cells' postings
+    * via the cell equi-join, q268's packed codes score those candidates
+    * by ADC through the JOINED PqAdcScore form (each query row carries
+    * its flat lookup table through the broadcast), the ADC top-C
+    * re-ranks with exact cosine, and certification escalates BOTH knobs
+    * — probe budget and candidate depth double together — until the
+    * recall floor is earned. Terminating: at nProbe = k every posting
+    * list is probed and at C >= N-1 every candidate survives to the
+    * re-rank, which then reproduces the exact top-5 under the same
+    * (cos DESC, vid) election. The coarse index is STAGED through
+    * AnnIndexStore exactly like q47 (built once per corpus fingerprint,
+    * loaded thereafter); PQ codebooks retrain from the bounded sample
+    * (driver cost is 1,024 doubles — cheaper than a store round-trip). */
+  def ivfpqTopKCertified(s: SparkSession, d: String, exact: DataFrame,
+      floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
+    import graft.functions.{AnnIndex, AnnIndexStore, ProductQuantizer}
+    import s.implicits._
+    val corpus = normed(s, d)
+    val m = 8
+    val ksub = 16
+    val (n, fp) = AnnIndexStore.fingerprint(corpus, "vec_id", "v")
+    val k = AnnIndex.chooseK(n)
+    val (cents, _) = AnnIndexStore.loadOrTrain(
+      s, corpus, "vec_id", "v", k = k, iterations = 10,
+      key = AnnIndexStore.contentKey(n, fp), knownCount = Some(n))
+    val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub)
+    // ONE narrow pass builds the whole index frame: coarse cell + code
+    val indexed = corpus.select(col("vec_id"),
+      element_at(nearestCells(col("v"), cents, 1), 1).as("cell"),
+      ProductQuantizer.pqEncode(col("v"), col("nrm"), books).as("codes"))
+    // bounded by construction: vec_id < 10 is <= 10 query rows
+    val qRows = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .sortBy(_.getLong(0))
+    val tablesDf = qRows.toSeq.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), ProductQuantizer.adcTable(v.map(_ / r.getDouble(2)), books).toSeq)
+    }.toDF("qid", "tbl")
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    def ivfpqTop5(nProbe: Int, cDepth: Long): DataFrame = {
+      val probes = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          explode(nearestCells(col("v"), cents, nProbe)).as("cell"))
+        .join(tablesDf, Seq("qid"))
+      val cand = indexed.join(broadcast(probes), Seq("cell"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          ProductQuantizer.pqAdcScore(col("codes"), col("tbl"), ksub).as("adc"))
+        .withColumn("crnk", row_number().over(wAdc))
+        .where(col("crnk") <= cDepth)
+        .select("qid", "vid")
+      cand
+        .join(corpus.select(col("vec_id").as("vid"), col("v"), col("nrm")), Seq("vid"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("vid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .where(col("rnk") <= 5)
+        .select("qid", "vid")
+    }
+    // one audit = ONE evaluation of the exact baseline (the q47 fused
+    // two-count shape)
+    def audit(f: DataFrame): (Long, Long) = {
+      val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
+      val r = exact.join(probed,
+        col("qid") === col("lq") && col("vid") === col("lv"), "left")
+        .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var nProbe = AnnIndex.chooseNProbeFor(k, n)
+    var cDepth = math.max(250L, n / 50L)
+    var f = ivfpqTop5(nProbe, cDepth)
+    var (nExact, nHit) = audit(f)
+    while (nHit * 10L < nExact * floorTimes10 && (nProbe < k || cDepth < n)) {
+      nProbe = math.min(k, nProbe * 2)
+      cDepth = math.min(n, cDepth * 2L)
+      f = ivfpqTop5(nProbe, cDepth)
+      val a = audit(f)
+      nExact = a._1; nHit = a._2
+    }
+    (f, nHit, nExact)
+  }
+
   /** Candidate count for a parameter point (scan-cost proxy used by the
     * tradeoff measurement): distinct (query, candidate) pairs before
     * re-rank — derived from the SAME frame lshTopK ranks. */
@@ -497,6 +585,58 @@ object SimilarityQueries {
         .where(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("vid"))
       val (_, nHit, nExact) = pqTopKCertified(s, d, exact, floorTimes10 = 7L)
+      exact
+        .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
+          lit(nHit * 10L >= nExact * 7L).as("recall_floor_met"))
+        .orderBy("qid", "rnk")
+    },
+
+    // --------------------------------------------------------------- q269
+    "q269_ann_ivfpq" -> QueryDef.sql(
+      "IVF+PQ composed ANN (the canonical deployed shape at scale: " +
+      "coarse cells restrict the scan, compressed codes pay for it), " +
+      "AUDITED against the exact q38 top-5 with the oracle-PINNED " +
+      "verdict hits*10 >= n_exact*7 (recall@5 >= 0.7, the catalog's ANN " +
+      "floor; codes, cells, and candidate sets are engine-internal so " +
+      "the emitted rows are the engine-independent exact top-5 — the " +
+      "q39/q47/q268 conversion). Composition, not new machinery: q47's " +
+      "STAGED sqrt(N)-cell coarse quantizer (AnnIndexStore fingerprint " +
+      "hit after the first build) assigns cells in the same narrow pass " +
+      "that q268's codebooks encode packed codes, candidates come ONLY " +
+      "from the (cell) equi-join of probed postings, ADC scores them " +
+      "through the joined PqAdcScore form (each query row carries its " +
+      "flat lookup table through the broadcast), and exact cosine " +
+      "re-ranks the ADC top-C. Certification doubles BOTH knobs — probe " +
+      "budget and candidate depth — until the floor is earned, " +
+      "terminating because nProbe = k probes every posting list and " +
+      "C >= N-1 keeps every candidate, reproducing the exact top-5 " +
+      "under the same (cos DESC, vid) election. Shape at 100 TB: scan " +
+      "nProbe/k of the corpus at ~4 bytes per vector instead of all of " +
+      "it at hundreds — the two savings multiply.",
+      s"""$sqlNormed,
+        |q AS (SELECT vec_id, v, nrm FROM n WHERE vec_id < 10),
+        |sc AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |         $sqlDot / (a.nrm * b.nrm) AS cos
+        |       FROM q a JOIN n b ON a.vec_id != b.vec_id)
+        |SELECT qid, rnk, vid AS exact_vid, true AS recall_floor_met
+        |FROM (
+        |  SELECT qid, vid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid)::BIGINT AS rnk
+        |  FROM sc) t
+        |WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val corpus = normed(s, d)
+      val queries = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      val exact = scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"))
+      val (_, nHit, nExact) = ivfpqTopKCertified(s, d, exact, floorTimes10 = 7L)
       exact
         .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
           lit(nHit * 10L >= nExact * 7L).as("recall_floor_met"))

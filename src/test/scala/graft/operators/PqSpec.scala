@@ -153,6 +153,56 @@ class PqSpec extends SparkSpec {
       s"a 1.0 floor must drive the depth to N and reproduce the exact top-5 ($nHit/$nExact)")
   }
 
+  test("joined PqAdcScore equals the multi-table PqAdcScores element for every query") {
+    val rnd = new scala.util.Random(11)
+    val m = 8; val ksub = 16
+    val tables = Array.fill(6)(Array.fill(m * ksub)(rnd.nextGaussian()))
+    (1 to 50).foreach { _ =>
+      var packed = 0L
+      (0 until m).foreach(s => packed |= rnd.nextInt(ksub).toLong << (s * 4))
+      val multi = PqAdcScores.compute(packed, tables, ksub)
+      tables.zipWithIndex.foreach { case (t, q) =>
+        val single = graft.expressions.PqAdcScore.compute(
+          packed, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            t.map(java.lang.Double.valueOf)), ksub)
+        assert(single.doubleValue() == multi.getDouble(q),
+          s"query $q: joined $single != multi ${multi.getDouble(q)}")
+      }
+    }
+  }
+
+  test("joined PqAdcScore: a table width that is not a whole m*ksub layout throws loudly") {
+    val bad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(17)(java.lang.Double.valueOf(0.0)))
+    intercept[IllegalArgumentException](
+      graft.expressions.PqAdcScore.compute(0L, bad, 16))
+  }
+
+  test("q269: emits the exact top-5 with the recall floor EARNED at sf0.001") {
+    val q269 = graft.SparkEntry.queries("q269_ann_ivfpq")(spark, sf0001)
+      .collect()
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select("qid", "vid", "rnk").as[(Long, Long, Long)].collect()
+      .map { case (q, v, r) => (q, r) -> v }.toMap
+    assert(q269.length == exact.size)
+    q269.foreach { r =>
+      val qid = r.getLong(0); val rnk = r.getLong(1)
+      assert(r.getLong(2) == exact((qid, rnk)),
+        s"row ($qid,$rnk): emitted vid ${r.getLong(2)} != exact ${exact((qid, rnk))}")
+      assert(r.getBoolean(3), "recall floor not earned")
+    }
+  }
+
+  test("q269 certification terminates at recall 1.0 when the floor demands it (both knobs escalate to their caps)") {
+    val exact = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, sf0001)
+      .select(col("qid"), col("rnk"), col("vid"))
+    val (_, nHit, nExact) = SimilarityQueries.ivfpqTopKCertified(
+      spark, sf0001, exact, floorTimes10 = 10L)
+    assert(nExact > 0)
+    assert(nHit == nExact,
+      s"a 1.0 floor must drive nProbe to k and C to N, reproducing the exact top-5 ($nHit/$nExact)")
+  }
+
   test("plan: encode + ADC scoring is join-free and the full query has no cartesian/BNLJ beyond the exact baseline") {
     val corpus = graft.Tables.embeddings(spark, sf0001).select(
       col("vec_id"), col("embedding").cast("array<double>").as("v"))

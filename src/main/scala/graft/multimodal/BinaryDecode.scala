@@ -127,6 +127,42 @@ object BinaryDecode {
       bins.map(b => if (n == 0) 0f else (b.toDouble / n).toFloat)
     }
 
+    /** 64-bit difference hash (dHash) from REAL decoded pixels, in its
+      * CERTIFIABLE form: the decoded image must be exactly 9x8 — bit
+      * y*8+x is set when luma(x+1,y) > luma(x,y), strict, over RASTER
+      * samples (never getRGB: color management converts gray samples
+      * through sRGB gamma and would silently change the certified
+      * values). The usual resample-to-9x8 front end is deliberately NOT
+      * fused in — interpolation kernels are engine-internal and cannot
+      * be oracle-modeled; native-resolution callers resize first via
+      * [[resizeBytes]] and treat that path as engine-only. None when
+      * the bytes don't decode or the grid is not 9x8. */
+    def dHash9x8(content: Array[Byte]): Option[Long] =
+      decodeImage(content)
+        .filter(i => i.getWidth == 9 && i.getHeight == 8)
+        .map { img =>
+          val r = img.getRaster
+          val bands = r.getNumBands
+          // integer Rec.601 luma (x1024) for color rasters; gray/palette
+          // single-band rasters are their own luma
+          def luma(x: Int, y: Int): Int =
+            if (bands >= 3)
+              (r.getSample(x, y, 0) * 306 + r.getSample(x, y, 1) * 601 +
+                r.getSample(x, y, 2) * 117) >> 10
+            else r.getSample(x, y, 0)
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          hash
+        }
+
     /** Real pixel resize: aspect-preserving fit into maxDim, the SAME
       * floor geometry as [[resizeFit]] (the metadata path and the pixel
       * path must agree), bilinear resample, PNG-encoded output. None if

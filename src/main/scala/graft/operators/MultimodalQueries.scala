@@ -107,6 +107,43 @@ object MultimodalQueries {
     box("ftyp", "isom".getBytes("ISO-8859-1"), be(0)) ++ box("moov", mvhd, trakV, trakA)
   }
 
+  /** q270's image-synthesis parameters — pure functions of doc_id (the
+    * q266 pattern for the image codec): 12 gradient classes (a, b) and
+    * 56 brightness shifts. Same-class docs are BYTE-distinct (different
+    * shift -> different pixels -> different PNG bytes) yet
+    * dHash-identical: a constant shift cannot flip a neighbor
+    * comparison because the gradient peaks at 199 and 199 + 55 = 254
+    * stays inside 8 bits — no wrap, so perceptual dedup groups what
+    * byte-level dedup cannot. */
+  private[graft] def pngParams(docId: Long): (Int, Int, Int) = {
+    val cls = (docId % 12).toInt
+    val a = Array(37, 83, 121, 169)(cls % 4)
+    val b = Array(29, 97, 151)(cls / 4)
+    val shift = ((docId * 7) % 56).toInt
+    (a, b, shift)
+  }
+
+  /** A real 9x8 grayscale PNG (javax.imageio encoder) whose pixel
+    * (x, y) is ((a*x + b*y) % 200) + shift — the dHash grid size, so
+    * the certified hash needs no engine-internal resampling. */
+  private[graft] def pngBytes(a: Int, b: Int, shift: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        r.setSample(x, y, 0, (a * x + b * y) % 200 + shift)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q40
@@ -296,6 +333,78 @@ object MultimodalQueries {
           element_at(col("features"), 3).cast("long").as("n_tracks"),
           element_at(col("features"), 4).cast("long").as("n_video"),
           element_at(col("features"), 5).cast("long").as("n_audio"))
+        .orderBy("doc_id")
+    },
+
+    // --------------------------------------------------------------- q270
+    "q270_image_phash_dedup" -> QueryDef.sql(
+      "REAL perceptual-hash image dedup, oracle-certified (the q266 " +
+      "pattern for the image codec): per document a genuine 9x8 " +
+      "grayscale PNG is synthesized in-engine (gradient class + " +
+      "brightness shift are pure functions of doc_id), round-tripped " +
+      "through the REAL javax.imageio decoder, and dHashed from the " +
+      "DECODED raster samples — bit y*8+x set when luma(x+1,y) > " +
+      "luma(x,y). The oracle computes the expected 64-bit hash " +
+      "ANALYTICALLY from the doc_id formulas without any codec (the " +
+      "grid is generated at the dHash size, so no engine-internal " +
+      "resampling enters the verified surface; hash halves ride as two " +
+      "BIGINTs to dodge sign-bit divergence). The engine can only " +
+      "match by actually decoding the PNG — a raster-offset, " +
+      "color-managed-getRGB, or bit-order bug hash-fails every row; an " +
+      "undecodable row is DROPPED and fails the row-count compare. The " +
+      "dedup itself is the point: same-class docs differ in EVERY BYTE " +
+      "(distinct brightness shift -> distinct pixels -> distinct PNG) " +
+      "yet share a dHash, so the hash groupBy recovers the clusters " +
+      "byte-exact dedup (q33) cannot — n_shifts counts the byte-" +
+      "distinct variants each perceptual cluster absorbed. Shape at " +
+      "100 TB: synthesize+decode+hash is one narrow row-local pass, " +
+      "dedup is ONE groupBy on the 64-bit hash — exactly q33's exact-" +
+      "dedup economics with a decode in front.",
+      """WITH p AS (SELECT doc_id,
+        |    CASE (doc_id % 12) % 4 WHEN 0 THEN 37 WHEN 1 THEN 83
+        |      WHEN 2 THEN 121 ELSE 169 END AS a,
+        |    CASE (doc_id % 12) // 4 WHEN 0 THEN 29 WHEN 1 THEN 97
+        |      ELSE 151 END AS b
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN ((a*(x+1) + b*y) % 200) > ((a*x + b*y) % 200)
+        |          AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END)::BIGINT
+        |      AS phash_hi,
+        |    sum(CASE WHEN ((a*(x+1) + b*y) % 200) > ((a*x + b*y) % 200)
+        |          AND j < 32 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS phash_lo
+        |  FROM p
+        |  CROSS JOIN (SELECT tx.range AS x, ty.range AS y,
+        |                (ty.range * 8 + tx.range) AS j
+        |              FROM range(0, 8) tx, range(0, 8) ty) g
+        |  GROUP BY doc_id),
+        |cl AS (SELECT phash_hi, phash_lo, count(*)::BIGINT AS cluster_size,
+        |         min(doc_id) AS canon,
+        |         count(DISTINCT (doc_id * 7) % 56)::BIGINT AS n_shifts
+        |       FROM bits GROUP BY 1, 2)
+        |SELECT b.doc_id, b.phash_hi, b.phash_lo, cl.cluster_size,
+        |  (b.doc_id = cl.canon) AS is_canonical, cl.n_shifts
+        |FROM bits b JOIN cl USING (phash_hi, phash_lo)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val hashed = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (a, b, shift) = pngParams(id)
+          graft.multimodal.BinaryDecode.ImageIoCodec
+            .dHash9x8(pngBytes(a, b, shift))
+            .map(h => (id, h >>> 32, h & 0xFFFFFFFFL, shift.toLong))
+        }
+        .toDF("doc_id", "phash_hi", "phash_lo", "shift")
+      val clusters = hashed.groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).as("cluster_size"),
+          min(col("doc_id")).as("canon"),
+          countDistinct(col("shift")).as("n_shifts"))
+      hashed.join(clusters, Seq("phash_hi", "phash_lo"))
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+          col("cluster_size"),
+          (col("doc_id") === col("canon")).as("is_canonical"),
+          col("n_shifts"))
         .orderBy("doc_id")
     }
   )

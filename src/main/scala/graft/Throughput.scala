@@ -406,6 +406,8 @@ object Throughput {
         require(adcN == exactN, s"top-5 row counts diverged: adc=$adcN exact=$exactN")
         println(f"""{"metric":"pq_adc_scale","vectors":${embCount * mult},"build_sec":$buildSec%.2f,"code_bytes":${dirBytes(new java.io.File(codePath))},"float_bytes":${dirBytes(new java.io.File(floatPath))},"adc_scan_sec":$adcSec%.2f,"exact_scan_sec":$exactSec%.2f}""")
       }
+      // the 256x float replica alone is ~135 MB — don't leave it in /tmp
+      graft.functions.AtomicDir.deleteRecursively(pqDir.toPath)
     }
     spark.stop()
   }

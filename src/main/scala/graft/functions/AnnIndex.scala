@@ -230,8 +230,10 @@ object AnnIndex {
     * testable as a contract. */
   private[graft] def trainingSample(
       corpus: DataFrame, idCol: String, vecCol: String,
-      sampleCap: Int): Array[Array[Double]] = {
-    val cnt = corpus.count()
+      sampleCap: Int,
+      // callers that already counted (fingerprint paths) skip the scan
+      knownCount: Option[Long] = None): Array[Array[Double]] = {
+    val cnt = knownCount.getOrElse(corpus.count())
     // ceil so the expected selection is <= sampleCap
     val stride = math.max(1L, (cnt + sampleCap - 1) / sampleCap)
     corpus

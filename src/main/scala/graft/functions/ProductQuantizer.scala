@@ -25,11 +25,14 @@ object ProductQuantizer {
     * UNIT vectors of (idCol, vecCol). Returns codebooks[m][ksub][dim/m].
     * The vector width must divide evenly into `m` subspaces. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iterations: Int = 10, sampleCap: Int = 4096)
+      m: Int, ksub: Int, iterations: Int = 10, sampleCap: Int = 4096,
+      // pass the corpus row count when the caller already has it (the
+      // q47 knownCount convention) — skips a redundant full-scan job
+      knownCount: Option[Long] = None)
       : Array[Array[Array[Double]]] = {
     require(m >= 1, s"pq train: m=$m")
     require(ksub >= 1, s"pq train: ksub=$ksub")
-    var sample = AnnIndex.trainingSample(corpus, idCol, vecCol, sampleCap)
+    var sample = AnnIndex.trainingSample(corpus, idCol, vecCol, sampleCap, knownCount)
     if (sample.length < ksub) {
       // hash-unlucky tiny selection: deterministic id-ordered prefix
       // (same fallback as AnnIndex.trainCentroids)

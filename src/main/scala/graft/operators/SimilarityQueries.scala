@@ -209,7 +209,9 @@ object SimilarityQueries {
     val corpus = normed(s, d)
     val m = 8
     val ksub = 16
-    val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub)
+    val n = graft.Tables.embeddings(s, d).count()
+    val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub,
+      knownCount = Some(n))
     val coded = corpus.select(col("vec_id"),
       ProductQuantizer.pqEncode(col("v"), col("nrm"), books).as("codes"))
     // bounded by construction: vec_id < 10 is <= 10 query rows
@@ -256,7 +258,6 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
-    val n = graft.Tables.embeddings(s, d).count()
     var cDepth = math.max(250L, n / 50L)
     var pq = pqTop5(cDepth)
     var (nExact, nHit) = audit(pq)
@@ -296,7 +297,8 @@ object SimilarityQueries {
     val (cents, _) = AnnIndexStore.loadOrTrain(
       s, corpus, "vec_id", "v", k = k, iterations = 10,
       key = AnnIndexStore.contentKey(n, fp), knownCount = Some(n))
-    val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub)
+    val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub,
+      knownCount = Some(n))
     // ONE narrow pass builds the whole index frame: coarse cell + code
     val indexed = corpus.select(col("vec_id"),
       element_at(nearestCells(col("v"), cents, 1), 1).as("cell"),

@@ -203,8 +203,12 @@ object SimilarityQueries {
     * candidate set is every vector, so the exact re-rank IS the exact
     * top-5 under the same (cos DESC, vid) election — recall 1.0 by
     * construction. Returns the certified frame plus the audit counts. */
-  def pqTopKCertified(s: SparkSession, d: String, exact: DataFrame,
-      floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
+  /** The shared PQ plan: corpus row count plus a fixed-candidate-depth
+    * top-5 builder (train -> encode -> join-free ADC -> top-C -> exact
+    * re-rank). One implementation behind BOTH the certified q268 path
+    * and AnnTradeoff's parameter-point probe, so the tradeoff table can
+    * never report recall for a different plan than the shipping one. */
+  private def pqPlan(s: SparkSession, d: String): (Long, Long => DataFrame) = {
     import graft.functions.ProductQuantizer
     val corpus = normed(s, d)
     val m = 8
@@ -249,6 +253,17 @@ object SimilarityQueries {
         .where(col("rnk") <= 5)
         .select("qid", "vid")
     }
+    (n, pqTop5)
+  }
+
+  /** Fixed-depth PQ top-5 — the parameter-point probe AnnTradeoff
+    * measures (the lshTopK analog; no certification escalation). */
+  def pqTopKAt(s: SparkSession, d: String, cDepth: Long): DataFrame =
+    pqPlan(s, d)._2(cDepth)
+
+  def pqTopKCertified(s: SparkSession, d: String, exact: DataFrame,
+      floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
+    val (n, pqTop5) = pqPlan(s, d)
     // one audit = ONE evaluation of the exact baseline (the q47 fused
     // two-count shape)
     def audit(f: DataFrame): (Long, Long) = {

@@ -52,6 +52,21 @@ object AnnTradeoff {
     // store's load path would never be exercised by the measurement
     val rAuto = recallOf(SimilarityQueries.ivfTopKAuto(spark, d))
     println(f"""[ann] {"op":"ivf_auto_q47","k":$kAuto,"nprobe":$npAuto,"recall_at_5":$rAuto%.3f,"scan_frac":${npAuto.toDouble / kAuto}%.4f}""")
+
+    // PQ/ADC fixed-candidate-depth curve (the q268 plan at parameter
+    // points; scan_frac is 1.0 by construction — PQ scans every CODE —
+    // so the tradeoff axis is the exact-rerank fraction C/N)
+    for (c <- Seq(50L, 100L, 250L, 500L, 1000L) if c <= corpusN) {
+      val r = recallOf(SimilarityQueries.pqTopKAt(spark, d, c))
+      println(f"""[ann] {"op":"pq_adc","m":8,"ksub":16,"depth":$c,"recall_at_5":$r%.3f,"rerank_frac":${c.toDouble / corpusN}%.4f}""")
+    }
+    // the SHIPPING certified operating points (escalation included)
+    val exactDf = graft.SparkEntry.queries("q38_ann_bruteforce_topk")(spark, d)
+      .select(col("qid"), col("rnk"), col("vid"))
+    val (_, pqHit, pqN) = SimilarityQueries.pqTopKCertified(spark, d, exactDf)
+    println(f"""[ann] {"op":"pq_certified_q268","recall_at_5":${pqHit.toDouble / pqN}%.3f}""")
+    val (_, ipqHit, ipqN) = SimilarityQueries.ivfpqTopKCertified(spark, d, exactDf)
+    println(f"""[ann] {"op":"ivfpq_certified_q269","recall_at_5":${ipqHit.toDouble / ipqN}%.3f}""")
     spark.stop()
   }
 }

@@ -364,7 +364,7 @@ object Throughput {
         if (fs == null) 0L else fs.map(f => if (f.isDirectory) dirBytes(f) else f.length()).sum
       }
       val pqDir = Files.createTempDirectory("graft-pq-probe").toFile
-      for (mult <- Seq(1, 16, 64, 256)) {
+      try for (mult <- Seq(1, 16, 64, 256)) {
         val corp = (0 until mult).map(m => embBase.select(
           (col("vec_id") + lit(m * 1000000L)).as("vec_id"), col("embedding")))
           .reduce(_ unionByName _)
@@ -385,7 +385,7 @@ object Throughput {
         val adcN = spark.read.parquet(codePath)
           .select(col("vec_id").as("vid"),
             posexplode(graft.functions.ProductQuantizer
-              .pqAdcScores(col("codes"), tables, 16)).as(Seq("qpos", "score")))
+              .pqAdcScores(col("codes"), tables, 8, 16)).as(Seq("qpos", "score")))
           .withColumn("qid", element_at(qidLit, col("qpos") + 1))
           .where(col("qid") =!= col("vid"))
           .withColumn("rnk", row_number().over(wAdc))
@@ -406,8 +406,9 @@ object Throughput {
         require(adcN == exactN, s"top-5 row counts diverged: adc=$adcN exact=$exactN")
         println(f"""{"metric":"pq_adc_scale","vectors":${embCount * mult},"build_sec":$buildSec%.2f,"code_bytes":${dirBytes(new java.io.File(codePath))},"float_bytes":${dirBytes(new java.io.File(floatPath))},"adc_scan_sec":$adcSec%.2f,"exact_scan_sec":$exactSec%.2f}""")
       }
-      // the 256x float replica alone is ~135 MB — don't leave it in /tmp
-      graft.functions.AtomicDir.deleteRecursively(pqDir.toPath)
+      // finally: the 256x float replica alone is ~135 MB, and a failed
+      // require/job mid-loop must not orphan it in /tmp
+      finally graft.functions.AtomicDir.deleteRecursively(pqDir.toPath)
     }
     spark.stop()
   }

@@ -124,13 +124,14 @@ object PqEncodePacked {
   * query batch is a single narrow projection — no join of any kind.
   * Null code -> null.
   */
-case class PqAdcScores(child: Expression, tables: Array[Array[Double]], ksub: Int)
-    extends UnaryExpression {
+case class PqAdcScores(child: Expression, tables: Array[Array[Double]],
+    m: Int, ksub: Int) extends UnaryExpression {
+  require(m >= 1, "pq_adc: m must be >= 1")
   require(ksub >= 1, "pq_adc: ksub must be >= 1")
   require(tables.nonEmpty, "pq_adc: no query tables")
-  require(tables.forall(t => t.length == tables(0).length && t.length % ksub == 0
-      && t.length > 0),
-    "pq_adc: every table must be the same non-empty m*ksub flat layout")
+  // exact m*ksub, not just divisible (see PqAdcScore.compute)
+  require(tables.forall(_.length == m * ksub),
+    s"pq_adc: every table must be the exact m=$m x ksub=$ksub flat layout")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "pq_adc_scores"
 
@@ -156,20 +157,21 @@ case class PqAdcScores(child: Expression, tables: Array[Array[Double]], ksub: In
   * bug, never data). Null code or table -> null; a null table ELEMENT
   * -> null (VecDot's poison discipline).
   */
-case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
+case class PqAdcScore(left: Expression, right: Expression, m: Int, ksub: Int)
     extends BinaryExpression {
+  require(m >= 1, "pq_adc_score: m must be >= 1")
   require(ksub >= 1, "pq_adc_score: ksub must be >= 1")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_score"
   override def nullable: Boolean = true
 
   override def nullSafeEval(codes: Any, table: Any): Any =
-    PqAdcScore.compute(codes.asInstanceOf[Long], table.asInstanceOf[ArrayData], ksub)
+    PqAdcScore.compute(codes.asInstanceOf[Long], table.asInstanceOf[ArrayData], m, ksub)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tmp = ctx.freshName("adc")
     nullSafeCodeGen(ctx, ev, (c, t) =>
-      s"""java.lang.Double $tmp = graft.expressions.PqAdcScore.compute($c, $t, $ksub);
+      s"""java.lang.Double $tmp = graft.expressions.PqAdcScore.compute($c, $t, $m, $ksub);
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
          |""".stripMargin)
   }
@@ -180,14 +182,15 @@ case class PqAdcScore(left: Expression, right: Expression, ksub: Int)
 }
 
 object PqAdcScore {
-  def compute(codes: Long, table: ArrayData, ksub: Int): java.lang.Double = {
+  def compute(codes: Long, table: ArrayData, m: Int, ksub: Int): java.lang.Double = {
     val len = table.numElements()
-    if (len % ksub != 0 || len == 0) throw new IllegalArgumentException(
-      s"pq_adc_score: table of $len entries is not a whole m*ksub layout " +
-        s"for ksub=$ksub")
+    // exact m*ksub, not just divisible: a ksub mismatched to the table's
+    // real layout could still divide its length and would read garbage
+    // offsets silently
+    if (len != m * ksub) throw new IllegalArgumentException(
+      s"pq_adc_score: table of $len entries is not the m=$m x ksub=$ksub layout")
     val bits = PqEncodePacked.bitsPerCode(ksub)
     val mask = (1L << bits) - 1L
-    val m = len / ksub
     var acc = 0.0
     var s = 0
     while (s < m) {

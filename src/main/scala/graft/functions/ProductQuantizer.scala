@@ -142,13 +142,14 @@ object ProductQuantizer {
 
   /** ADC scores of a packed-code column against every query table —
     * array<double> of tables.length scores, join-free. */
-  def pqAdcScores(codes: Column, tables: Array[Array[Double]], ksub: Int): Column =
+  def pqAdcScores(codes: Column, tables: Array[Array[Double]],
+      m: Int, ksub: Int): Column =
     bridge.column(graft.expressions.PqAdcScores(
-      bridge.expression(codes), tables, ksub))
+      bridge.expression(codes), tables, m, ksub))
 
   /** ADC score of a packed-code column against ONE table column (flat
     * m*ksub array) — the joined form for cell-restricted candidates. */
-  def pqAdcScore(codes: Column, table: Column, ksub: Int): Column =
+  def pqAdcScore(codes: Column, table: Column, m: Int, ksub: Int): Column =
     bridge.column(graft.expressions.PqAdcScore(
-      bridge.expression(codes), bridge.expression(table), ksub))
+      bridge.expression(codes), bridge.expression(table), m, ksub))
 }

@@ -143,10 +143,21 @@ object BinaryDecode {
         .map { img =>
           val r = img.getRaster
           val bands = r.getNumBands
-          // integer Rec.601 luma (x1024) for color rasters; gray/palette
+          val indexCm = img.getColorModel match {
+            case icm: java.awt.image.IndexColorModel => icm
+            case _ => null
+          }
+          // integer Rec.601 luma (x1024): color rasters from RGB bands;
+          // INDEXED rasters through the palette (band 0 is a palette
+          // INDEX, not a brightness — an inverted palette would
+          // otherwise flip every comparison silently); plain gray
           // single-band rasters are their own luma
           def luma(x: Int, y: Int): Int =
-            if (bands >= 3)
+            if (indexCm != null) {
+              val i = r.getSample(x, y, 0)
+              (indexCm.getRed(i) * 306 + indexCm.getGreen(i) * 601 +
+                indexCm.getBlue(i) * 117) >> 10
+            } else if (bands >= 3)
               (r.getSample(x, y, 0) * 306 + r.getSample(x, y, 1) * 601 +
                 r.getSample(x, y, 2) * 117) >> 10
             else r.getSample(x, y, 0)

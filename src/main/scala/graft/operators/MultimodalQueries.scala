@@ -109,12 +109,15 @@ object MultimodalQueries {
 
   /** q270's image-synthesis parameters — pure functions of doc_id (the
     * q266 pattern for the image codec): 12 gradient classes (a, b) and
-    * 56 brightness shifts. Same-class docs are BYTE-distinct (different
-    * shift -> different pixels -> different PNG bytes) yet
-    * dHash-identical: a constant shift cannot flip a neighbor
-    * comparison because the gradient peaks at 199 and 199 + 55 = 254
-    * stays inside 8 bits — no wrap, so perceptual dedup groups what
-    * byte-level dedup cannot. */
+    * 56 brightness shifts. (class, shift) has period lcm(12, 8) = 24
+    * (shift = 7*id mod 56 cycles every 8 ids), so each dHash cluster
+    * holds up to 8 DISTINCT shifts — same-class docs with different
+    * shifts are byte-distinct (different pixels -> different PNG
+    * bytes) yet dHash-identical, while docs 24 apart repeat bytes
+    * exactly. A constant shift cannot flip a neighbor comparison
+    * because the gradient peaks at 199 and 199 + 55 = 254 stays inside
+    * 8 bits — no wrap, so perceptual dedup groups byte-distinct
+    * variants byte-level dedup cannot (n_shifts counts them). */
   private[graft] def pngParams(docId: Long): (Int, Int, Int) = {
     val cls = (docId % 12).toInt
     val a = Array(37, 83, 121, 169)(cls % 4)
@@ -352,11 +355,11 @@ object MultimodalQueries {
       "match by actually decoding the PNG — a raster-offset, " +
       "color-managed-getRGB, or bit-order bug hash-fails every row; an " +
       "undecodable row is DROPPED and fails the row-count compare. The " +
-      "dedup itself is the point: same-class docs differ in EVERY BYTE " +
-      "(distinct brightness shift -> distinct pixels -> distinct PNG) " +
-      "yet share a dHash, so the hash groupBy recovers the clusters " +
-      "byte-exact dedup (q33) cannot — n_shifts counts the byte-" +
-      "distinct variants each perceptual cluster absorbed. Shape at " +
+      "dedup itself is the point: each hash cluster absorbs up to 8 " +
+      "BYTE-DISTINCT brightness variants (distinct shift -> distinct " +
+      "pixels -> distinct PNG; ids 24 apart do repeat bytes — the " +
+      "(class, shift) period) that byte-exact dedup (q33) cannot " +
+      "group — n_shifts counts exactly those variants. Shape at " +
       "100 TB: synthesize+decode+hash is one narrow row-local pass, " +
       "dedup is ONE groupBy on the 64-bit hash — exactly q33's exact-" +
       "dedup economics with a decode in front.",

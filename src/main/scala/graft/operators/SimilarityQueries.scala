@@ -154,6 +154,48 @@ object SimilarityQueries {
     * election) — recall 1.0 by construction. Returns the certified
     * probe frame plus the audit counts (n_hit, n_exact) so the caller
     * emits the verdict without re-running the audit join. */
+  /** The exact q38 top-5 frame (qid, rnk, vid) — the shared engine-
+    * independent baseline every certified ANN catalog row audits
+    * against and emits (q47/q268/q269 use ONE construction, so the
+    * election tie-break can never diverge between them). */
+  private def exactTop5(s: SparkSession, d: String): DataFrame = {
+    val corpus = normed(s, d)
+    val queries = corpus.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("vid"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("vid"))
+  }
+
+  /** One fused evaluation of the exact baseline per audit (r13 advice,
+    * r14 form): the former shape evaluated the scored self-join +
+    * window twice per escalation (a semi-join count plus a separate
+    * count()). Folding both counts into one aggregate over one left
+    * join onto the (unique-(qid,vid)) probed top-k halves the
+    * exact-side work; a persist()ed copy was measured SLOWER at the
+    * gate SFs (cache write+read overhead with <= 1 escalation) and is
+    * deliberately not used. Shared by all three ANN certifications so
+    * the audit shape cannot diverge. Returns (nExact, nHit). */
+  private def recallAudit(exact: DataFrame, f: DataFrame): (Long, Long) = {
+    val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
+    val r = exact.join(probed,
+      col("qid") === col("lq") && col("vid") === col("lv"), "left")
+      .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The certified-ANN catalog row shape: the exact top-5 plus the
+    * integer floor verdict the certification counts earned. */
+  private def certifiedRows(exact: DataFrame, nHit: Long, nExact: Long,
+      floorTimes10: Long): DataFrame =
+    exact.select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
+      lit(nHit * 10L >= nExact * floorTimes10).as("recall_floor_met"))
+      .orderBy("qid", "rnk")
+
   def ivfTopKCertified(s: SparkSession, d: String, exact: DataFrame,
       floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
     val corpus = normed(s, d)
@@ -164,27 +206,12 @@ object SimilarityQueries {
       s, corpus, "vec_id", "v", k = k, iterations = 10,
       key = graft.functions.AnnIndexStore.contentKey(n, fp),
       knownCount = Some(n))
-    // One audit = ONE evaluation of the exact baseline (r13 advice,
-    // r14 form): the former shape evaluated the scored self-join +
-    // window twice per escalation (hitsOf's semi-join count plus a
-    // separate count()). Folding both counts into one aggregate over
-    // one left join onto the (unique-(qid,vid)) probed top-k halves
-    // the exact-side work; a persist()ed copy was measured SLOWER at
-    // the gate SFs (cache write+read overhead with <= 1 escalation)
-    // and is deliberately not used.
-    def audit(f: DataFrame): (Long, Long) = {
-      val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
-      val r = exact.join(probed,
-        col("qid") === col("lq") && col("vid") === col("lv"), "left")
-        .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
     var ivf = ivfTopKWith(corpus, cents, nProbe)
-    var (nExact, nHit) = audit(ivf)
+    var (nExact, nHit) = recallAudit(exact, ivf)
     while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
       nProbe = math.min(k, nProbe * 2)
       ivf = ivfTopKWith(corpus, cents, nProbe)
-      val a = audit(ivf)
+      val a = recallAudit(exact, ivf)
       nExact = a._1; nHit = a._2
     }
     (ivf, nHit, nExact)
@@ -208,7 +235,7 @@ object SimilarityQueries {
     * re-rank). One implementation behind BOTH the certified q268 path
     * and AnnTradeoff's parameter-point probe, so the tradeoff table can
     * never report recall for a different plan than the shipping one. */
-  private def pqPlan(s: SparkSession, d: String): (Long, Long => DataFrame) = {
+  private[graft] def pqPlan(s: SparkSession, d: String): (Long, Long => DataFrame) = {
     import graft.functions.ProductQuantizer
     val corpus = normed(s, d)
     val m = 8
@@ -231,7 +258,7 @@ object SimilarityQueries {
     val qidLit = array(qids.map(lit(_)).toIndexedSeq: _*)
     val adc = coded
       .select(col("vec_id").as("vid"),
-        posexplode(ProductQuantizer.pqAdcScores(col("codes"), tables, ksub))
+        posexplode(ProductQuantizer.pqAdcScores(col("codes"), tables, m, ksub))
           .as(Seq("qpos", "adc")))
       .withColumn("qid", element_at(qidLit, col("qpos") + 1))
       .where(col("qid") =!= col("vid"))
@@ -256,30 +283,16 @@ object SimilarityQueries {
     (n, pqTop5)
   }
 
-  /** Fixed-depth PQ top-5 — the parameter-point probe AnnTradeoff
-    * measures (the lshTopK analog; no certification escalation). */
-  def pqTopKAt(s: SparkSession, d: String, cDepth: Long): DataFrame =
-    pqPlan(s, d)._2(cDepth)
-
   def pqTopKCertified(s: SparkSession, d: String, exact: DataFrame,
       floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
     val (n, pqTop5) = pqPlan(s, d)
-    // one audit = ONE evaluation of the exact baseline (the q47 fused
-    // two-count shape)
-    def audit(f: DataFrame): (Long, Long) = {
-      val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
-      val r = exact.join(probed,
-        col("qid") === col("lq") && col("vid") === col("lv"), "left")
-        .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
     var cDepth = math.max(250L, n / 50L)
     var pq = pqTop5(cDepth)
-    var (nExact, nHit) = audit(pq)
+    var (nExact, nHit) = recallAudit(exact, pq)
     while (nHit * 10L < nExact * floorTimes10 && cDepth < n) {
       cDepth = math.min(n, cDepth * 2L)
       pq = pqTop5(cDepth)
-      val a = audit(pq)
+      val a = recallAudit(exact, pq)
       nExact = a._1; nHit = a._2
     }
     (pq, nHit, nExact)
@@ -338,7 +351,7 @@ object SimilarityQueries {
       val cand = indexed.join(broadcast(probes), Seq("cell"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("vid"),
-          ProductQuantizer.pqAdcScore(col("codes"), col("tbl"), ksub).as("adc"))
+          ProductQuantizer.pqAdcScore(col("codes"), col("tbl"), m, ksub).as("adc"))
         .withColumn("crnk", row_number().over(wAdc))
         .where(col("crnk") <= cDepth)
         .select("qid", "vid")
@@ -351,24 +364,15 @@ object SimilarityQueries {
         .where(col("rnk") <= 5)
         .select("qid", "vid")
     }
-    // one audit = ONE evaluation of the exact baseline (the q47 fused
-    // two-count shape)
-    def audit(f: DataFrame): (Long, Long) = {
-      val probed = f.select(col("qid").as("lq"), col("vid").as("lv"))
-      val r = exact.join(probed,
-        col("qid") === col("lq") && col("vid") === col("lv"), "left")
-        .agg(count(lit(1)).as("n"), count(col("lq")).as("h")).head()
-      (r.getLong(0), r.getLong(1))
-    }
     var nProbe = AnnIndex.chooseNProbeFor(k, n)
     var cDepth = math.max(250L, n / 50L)
     var f = ivfpqTop5(nProbe, cDepth)
-    var (nExact, nHit) = audit(f)
+    var (nExact, nHit) = recallAudit(exact, f)
     while (nHit * 10L < nExact * floorTimes10 && (nProbe < k || cDepth < n)) {
       nProbe = math.min(k, nProbe * 2)
       cDepth = math.min(n, cDepth * 2L)
       f = ivfpqTop5(nProbe, cDepth)
-      val a = audit(f)
+      val a = recallAudit(exact, f)
       nExact = a._1; nHit = a._2
     }
     (f, nHit, nExact)
@@ -533,24 +537,12 @@ object SimilarityQueries {
         |  FROM sc) t
         |WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-      val corpus = normed(s, d)
-      val queries = corpus.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      val exact = scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("vid"))
       // certification escalates the probe budget until the 0.7 floor is
       // EARNED (the audit counts come back with the certified frame, so
       // the verdict needs no second audit join)
+      val exact = exactTop5(s, d)
       val (_, nHit, nExact) = ivfTopKCertified(s, d, exact, floorTimes10 = 7L)
-      exact
-        .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
-          lit(nHit * 10L >= nExact * 7L).as("recall_floor_met"))
-        .orderBy("qid", "rnk")
+      certifiedRows(exact, nHit, nExact, floorTimes10 = 7L)
     },
 
     // --------------------------------------------------------------- q268
@@ -591,21 +583,9 @@ object SimilarityQueries {
         |  FROM sc) t
         |WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-      val corpus = normed(s, d)
-      val queries = corpus.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      val exact = scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("vid"))
+      val exact = exactTop5(s, d)
       val (_, nHit, nExact) = pqTopKCertified(s, d, exact, floorTimes10 = 7L)
-      exact
-        .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
-          lit(nHit * 10L >= nExact * 7L).as("recall_floor_met"))
-        .orderBy("qid", "rnk")
+      certifiedRows(exact, nHit, nExact, floorTimes10 = 7L)
     },
 
     // --------------------------------------------------------------- q269
@@ -643,21 +623,9 @@ object SimilarityQueries {
         |  FROM sc) t
         |WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-      val corpus = normed(s, d)
-      val queries = corpus.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = corpus.join(broadcast(queries), col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id").as("vid"),
-          (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      val exact = scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("vid"))
+      val exact = exactTop5(s, d)
       val (_, nHit, nExact) = ivfpqTopKCertified(s, d, exact, floorTimes10 = 7L)
-      exact
-        .select(col("qid"), col("rnk"), col("vid").as("exact_vid"),
-          lit(nHit * 10L >= nExact * 7L).as("recall_floor_met"))
-        .orderBy("qid", "rnk")
+      certifiedRows(exact, nHit, nExact, floorTimes10 = 7L)
     },
 
     // ---------------------------------------------------------------- q57

@@ -55,9 +55,13 @@ object AnnTradeoff {
 
     // PQ/ADC fixed-candidate-depth curve (the q268 plan at parameter
     // points; scan_frac is 1.0 by construction — PQ scans every CODE —
-    // so the tradeoff axis is the exact-rerank fraction C/N)
+    // so the tradeoff axis is the exact-rerank fraction C/N). One
+    // pqPlan build serves every depth point: training is deterministic,
+    // so rebuilding per point would pay the count/sample/Lloyd jobs
+    // five times for byte-identical codebooks.
+    val (_, pqTop5At) = SimilarityQueries.pqPlan(spark, d)
     for (c <- Seq(50L, 100L, 250L, 500L, 1000L) if c <= corpusN) {
-      val r = recallOf(SimilarityQueries.pqTopKAt(spark, d, c))
+      val r = recallOf(pqTop5At(c))
       println(f"""[ann] {"op":"pq_adc","m":8,"ksub":16,"depth":$c,"recall_at_5":$r%.3f,"rerank_frac":${c.toDouble / corpusN}%.4f}""")
     }
     // the SHIPPING certified operating points (escalation included)

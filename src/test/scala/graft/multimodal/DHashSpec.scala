@@ -48,6 +48,30 @@ class DHashSpec extends SparkSpec {
     assert(!java.util.Arrays.equals(b0, b1))
   }
 
+  test("dHash9x8: an INDEXED-color PNG hashes by palette luma, not palette index") {
+    // inverted 2-entry palette: index 0 = WHITE, index 1 = BLACK — a
+    // raw band-0 read would call index 1 'brighter' and flip every bit
+    val pal = new java.awt.image.IndexColorModel(1, 2,
+      Array[Byte](-1, 0), Array[Byte](-1, 0), Array[Byte](-1, 0))
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, pal)
+    val r = img.getRaster
+    // index = x % 2 on every row: luma alternates 255,0,255,... so the
+    // TRUE comparison luma(x+1) > luma(x) holds exactly at odd->even
+    // transitions (index 1 -> 0), i.e. bits at odd x
+    for (y <- 0 until 8; x <- 0 until 9) r.setSample(x, y, 0, x % 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = ImageIoCodec.dHash9x8(bos.toByteArray)
+    assert(got.isDefined)
+    // luma(x) = 255 if x even else 0, so luma(x+1) > luma(x) iff x odd
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (x % 2 == 1) expect |= 1L << (y * 8 + x)
+    assert(got.get == expect,
+      s"palette-indexed hash must follow luma: got ${got.get} expect $expect")
+  }
+
   test("dHash9x8: garbage bytes and wrong-size images -> None, never a throw") {
     assert(ImageIoCodec.dHash9x8(Array.fill(64)(0x5a.toByte)).isEmpty)
     assert(ImageIoCodec.dHash9x8(Array.emptyByteArray).isEmpty)

@@ -164,18 +164,24 @@ class PqSpec extends SparkSpec {
       tables.zipWithIndex.foreach { case (t, q) =>
         val single = graft.expressions.PqAdcScore.compute(
           packed, new org.apache.spark.sql.catalyst.util.GenericArrayData(
-            t.map(java.lang.Double.valueOf)), ksub)
+            t.map(java.lang.Double.valueOf)), m, ksub)
         assert(single.doubleValue() == multi.getDouble(q),
           s"query $q: joined $single != multi ${multi.getDouble(q)}")
       }
     }
   }
 
-  test("joined PqAdcScore: a table width that is not a whole m*ksub layout throws loudly") {
+  test("joined PqAdcScore: a table width that is not the exact m*ksub layout throws loudly") {
     val bad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.fill(17)(java.lang.Double.valueOf(0.0)))
     intercept[IllegalArgumentException](
-      graft.expressions.PqAdcScore.compute(0L, bad, 16))
+      graft.expressions.PqAdcScore.compute(0L, bad, 1, 16))
+    // divisible-but-wrong: 64 entries is 4 x 16 but NOT the declared
+    // 8 x 16 layout — the silent-garbage case the exact check closes
+    val divisible = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(64)(java.lang.Double.valueOf(0.0)))
+    intercept[IllegalArgumentException](
+      graft.expressions.PqAdcScore.compute(0L, divisible, 8, 16))
   }
 
   test("q269: emits the exact top-5 with the recall floor EARNED at sf0.001") {
@@ -211,7 +217,7 @@ class PqSpec extends SparkSpec {
     val tables = Array(Array.fill(8 * 16)(0.0))
     val scoring = corpus
       .select(ProductQuantizer.pqEncode(col("v"), col("nrm"), books).as("codes"))
-      .select(posexplode(ProductQuantizer.pqAdcScores(col("codes"), tables, 16)))
+      .select(posexplode(ProductQuantizer.pqAdcScores(col("codes"), tables, 8, 16)))
     val p = scoring.queryExecution.executedPlan.toString()
     assert(!p.contains("Join") && !p.contains("Exchange"),
       "PQ scoring must be a narrow join-free projection:\n" + p)

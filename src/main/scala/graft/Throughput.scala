@@ -403,6 +403,11 @@ object Throughput {
           .withColumn("rnk", row_number().over(wAdc))
           .where(col("rnk") <= 5).count()
         val exactSec = (System.nanoTime() - t1) / 1e9
+        // Plumbing guard only: both counts are 10 queries x 5 ranks
+        // whenever every query has >= 5 candidates, so this catches a
+        // broken explode/window/replica pipeline, NOT a mis-scoring
+        // ADC — scoring correctness is q268's certified recall floor
+        // (the escalating audit in SimilarityQueries), not this probe.
         require(adcN == exactN, s"top-5 row counts diverged: adc=$adcN exact=$exactN")
         println(f"""{"metric":"pq_adc_scale","vectors":${embCount * mult},"build_sec":$buildSec%.2f,"code_bytes":${dirBytes(new java.io.File(codePath))},"float_bytes":${dirBytes(new java.io.File(floatPath))},"adc_scan_sec":$adcSec%.2f,"exact_scan_sec":$exactSec%.2f}""")
       }

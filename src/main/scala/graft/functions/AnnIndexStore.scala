@@ -66,10 +66,12 @@ object AnnIndexStore {
     load(spark, path, k) match {
       case Some(cents) => (cents, true)
       case None =>
+        val t0 = System.nanoTime()
         val cents = AnnIndex.trainCentroidsDistributed(
           corpus, idCol, vecCol, k = k, iterations = iterations,
           samplePerCentroid = samplePerCentroid, knownCount = knownCount)
         persist(spark, path, cents)
+        StoreEvents.record("ivf", (System.nanoTime() - t0) / 1e9)
         // eviction bound: at most AtomicDir.defaultKeep ivf entries
         // survive across fingerprints/versions (r13 verdict item 7)
         AtomicDir.pruneFamily(java.nio.file.Paths.get(dir), "ivf_v", path)

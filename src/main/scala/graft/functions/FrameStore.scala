@@ -71,8 +71,10 @@ object FrameStore {
       s"${kind}_v${version}_fp${java.lang.Long.toHexString(fp)}" +
         s"_fs${java.lang.Long.toHexString(fs)}_n$n")
     load(spark, path, expectCols).getOrElse {
+      val t0 = System.nanoTime()
       val built = build
       persist(spark, path, built, expectCols)
+      StoreEvents.record(s"frame:$kind", (System.nanoTime() - t0) / 1e9)
       // eviction bound (AtomicDir.pruneFamily): at most defaultKeep
       // entries per kind survive across fingerprints AND versions —
       // `${kind}_v` groups rolled snapshots and orphaned old shapes

@@ -32,7 +32,13 @@ object ProductQuantizer {
       : Array[Array[Array[Double]]] = {
     require(m >= 1, s"pq train: m=$m")
     require(ksub >= 1, s"pq train: ksub=$ksub")
+    // Drop zero-norm rows from the primary sample: AnnIndex.normalize
+    // passes them through unchanged (they'd enter Lloyd and pull
+    // centroids toward the origin), while the fallback path below and
+    // the ENCODER both reject them — all three paths must agree on the
+    // trained population (r14 advice).
     var sample = AnnIndex.trainingSample(corpus, idCol, vecCol, sampleCap, knownCount)
+      .filter(v => v.exists(x => x != 0.0 && !x.isNaN))
     if (sample.length < ksub) {
       // hash-unlucky tiny selection: deterministic id-ordered prefix
       // (same fallback as AnnIndex.trainCentroids)

@@ -52,8 +52,10 @@ object SketchStore {
     val path = java.nio.file.Paths.get(dir,
       s"kmv_v${formatVersion}_fp${java.lang.Long.toHexString(fp)}_n$n")
     load(spark, path).getOrElse {
+      val t0 = System.nanoTime()
       val parts = buildPartials(hashed)
       persist(spark, path, parts)
+      StoreEvents.record("kmv", (System.nanoTime() - t0) / 1e9)
       // eviction bound: at most AtomicDir.defaultKeep kmv entries
       // survive across fingerprints/versions (r13 verdict item 7)
       AtomicDir.pruneFamily(java.nio.file.Paths.get(dir), "kmv_v", path)

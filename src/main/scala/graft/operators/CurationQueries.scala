@@ -1015,16 +1015,7 @@ object CurationQueries {
   def condorcetCopeland(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pr = graft.plans.SharedFrames(s, d, "bt_pairs") {
-      graft.functions.FrameStore.loadOrBuild(s, "bt_pairs",
-        version = 1,
-        base = Tables.lineitem(s, d).select(
-          col("l_orderkey"), col("l_partkey"), col("l_quantity")),
-        expectCols = Seq("u", "v", "w_uv", "w_vu")) {
-        AgreementQueries.btPairs(Tables.lineitem(s, d))
-      }
-    }
-    copelandFromPairs(pr, k)
+    copelandFromPairs(AgreementQueries.btPairsStored(s, d), k)
   }
 
   /** The scoring fold over any (u, v, w_uv, w_vu) pair matrix —

@@ -118,10 +118,15 @@ object MultimodalQueries {
     * because the gradient peaks at 199 and 199 + 55 = 254 stays inside
     * 8 bits — no wrap, so perceptual dedup groups byte-distinct
     * variants byte-level dedup cannot (n_shifts counts them). */
+  // hoisted: pngParams runs per document row inside q270's executor-
+  // side flatMap — fresh Array literals per call were measurable churn
+  private val pngA = Array(37, 83, 121, 169)
+  private val pngB = Array(29, 97, 151)
+
   private[graft] def pngParams(docId: Long): (Int, Int, Int) = {
     val cls = (docId % 12).toInt
-    val a = Array(37, 83, 121, 169)(cls % 4)
-    val b = Array(29, 97, 151)(cls / 4)
+    val a = pngA(cls % 4)
+    val b = pngB(cls / 4)
     val shift = ((docId * 7) % 56).toInt
     (a, b, shift)
   }

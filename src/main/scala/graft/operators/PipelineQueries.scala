@@ -47,12 +47,28 @@ object PipelineQueries {
     * lang, text). RUNS SPARK JOBS NOW (the dedup stage's propagation
     * fixpoint) — the catalog entry defers it via LazyStage, same as
     * q65/q66. */
-  private[graft] def pretrainPack(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // stage 1 — q55 gates (unsorted form; the semi join needs no order)
-    val clean = docs.join(
+  /** Stage-1 cleaned subset (q55 gates, unsorted form; the semi join
+    * needs no order) — factored so [[warmCleanClusters]] keys the q70
+    * FrameStore entry with the IDENTICAL cleaned frame. */
+  private def cleanedDocs(docs: DataFrame): DataFrame =
+    docs.join(
       TextQueries.corpusCleanGates(docs).select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** Warm q70's cleaned-subset FrameStore entry (fuzzy clustering over
+    * the gated corpus) without running the chunk/pack stages — the
+    * [[graft.StoreWarmup]] hook, sharing [[cleanedDocs]] with
+    * [[pretrainPack]] so the content fingerprint cannot drift. */
+  private[graft] def warmCleanClusters(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    DedupQueries.fuzzyFullClusters(cleanedDocs(Tables.documents(s, d)))
+    ()
+  }
+
+  private[graft] def pretrainPack(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // stage 1 — q55 gates
+    val clean = cleanedDocs(docs)
     // stage 2 — q66 full-corpus fuzzy clustering over the CLEANED set;
     // keep one canonical doc per near-dup cluster
     val canonicalIds = DedupQueries.fuzzyFullClusters(clean)

@@ -131,29 +131,30 @@ object SimilarityQueries {
     * real similarity-search deployment amortizes it across probe
     * batches. */
   def ivfTopKAuto(s: SparkSession, d: String): DataFrame = {
+    val (n, k, cents) = ivfCentroidsStored(s, d)
+    val nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
+    ivfTopKWith(normed(s, d), cents, nProbe)
+  }
+
+  /** The ONE staged coarse quantizer behind q47 and q269 (and the
+    * bench's [[graft.StoreWarmup]]): corpus fingerprint -> sqrt(N)
+    * sizing -> AnnIndexStore load-or-train. Single definition so the
+    * store KEY (fingerprint, k, iterations, sample budget) can never
+    * drift between the queries that read the index and the warmup
+    * that builds it off the clock (VERDICT r14 item 1). Returns
+    * (corpus row count, k, centroids ordered by cell). */
+  private[graft] def ivfCentroidsStored(s: SparkSession, d: String)
+      : (Long, Int, Array[Array[Double]]) = {
     val corpus = normed(s, d)
     val (n, fp) = graft.functions.AnnIndexStore.fingerprint(corpus, "vec_id", "v")
     val k = graft.functions.AnnIndex.chooseK(n)
-    val nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
     val (cents, _) = graft.functions.AnnIndexStore.loadOrTrain(
       s, corpus, "vec_id", "v", k = k, iterations = 10,
       key = graft.functions.AnnIndexStore.contentKey(n, fp),
       knownCount = Some(n))
-    ivfTopKWith(corpus, cents, nProbe)
+    (n, k, cents)
   }
 
-  /** q47's CERTIFIED IVF (r12 verdict item 5 — the pinned floor was 0.6
-    * with 0.66 measured at sf0.1, a 10% margin on the catalog's loosest
-    * verdict): starts at [[ivfTopKAuto]]'s operating point, audits
-    * recall@5 against the exact top-5, and DOUBLES the probe budget
-    * until the audit earns `floorTimes10`/10 — exactly the escalation a
-    * deployment's recall certification performs before trusting an
-    * index. Bounded and terminating: at most log2(k) escalations, each
-    * a 1-row driver count, and at nProbe = k every cell is probed so
-    * the probed top-5 EQUALS the exact top-5 (same (cos DESC, vid)
-    * election) — recall 1.0 by construction. Returns the certified
-    * probe frame plus the audit counts (n_hit, n_exact) so the caller
-    * emits the verdict without re-running the audit join. */
   /** The exact q38 top-5 frame (qid, rnk, vid) — the shared engine-
     * independent baseline every certified ANN catalog row audits
     * against and emits (q47/q268/q269 use ONE construction, so the
@@ -196,16 +197,23 @@ object SimilarityQueries {
       lit(nHit * 10L >= nExact * floorTimes10).as("recall_floor_met"))
       .orderBy("qid", "rnk")
 
+  /** q47's CERTIFIED IVF (r12 verdict item 5 — the pinned floor was 0.6
+    * with 0.66 measured at sf0.1, a 10% margin on the catalog's loosest
+    * verdict): starts at [[ivfTopKAuto]]'s operating point, audits
+    * recall@5 against the exact top-5, and DOUBLES the probe budget
+    * until the audit earns `floorTimes10`/10 — exactly the escalation a
+    * deployment's recall certification performs before trusting an
+    * index. Bounded and terminating: at most log2(k) escalations, each
+    * a 1-row driver count, and at nProbe = k every cell is probed so
+    * the probed top-5 EQUALS the exact top-5 (same (cos DESC, vid)
+    * election) — recall 1.0 by construction. Returns the certified
+    * probe frame plus the audit counts (n_hit, n_exact) so the caller
+    * emits the verdict without re-running the audit join. */
   def ivfTopKCertified(s: SparkSession, d: String, exact: DataFrame,
       floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
     val corpus = normed(s, d)
-    val (n, fp) = graft.functions.AnnIndexStore.fingerprint(corpus, "vec_id", "v")
-    val k = graft.functions.AnnIndex.chooseK(n)
+    val (n, k, cents) = ivfCentroidsStored(s, d)
     var nProbe = graft.functions.AnnIndex.chooseNProbeFor(k, n)
-    val (cents, _) = graft.functions.AnnIndexStore.loadOrTrain(
-      s, corpus, "vec_id", "v", k = k, iterations = 10,
-      key = graft.functions.AnnIndexStore.contentKey(n, fp),
-      knownCount = Some(n))
     var ivf = ivfTopKWith(corpus, cents, nProbe)
     var (nExact, nHit) = recallAudit(exact, ivf)
     while (nHit * 10L < nExact * floorTimes10 && nProbe < k) {
@@ -217,19 +225,6 @@ object SimilarityQueries {
     (ivf, nHit, nExact)
   }
 
-  /** q268's CERTIFIED PQ/ADC top-5 (the compressed-ANN path): train
-    * bounded-sample codebooks, encode the corpus to packed codes (narrow
-    * native projection — the 100 TB corpus is never scanned as floats
-    * again), score every (query, vector) pair join-free via one
-    * PqAdcScores projection whose <= 10 query tables ride as a
-    * broadcast-literal reference, keep the ADC top-C per query, re-rank
-    * those C candidates with EXACT cosine, audit recall@5 against the
-    * exact top-5, and DOUBLE the candidate depth until the floor is
-    * earned. Bounded and terminating: at most log2(N) escalations, each
-    * one fused 1-row audit (the q47 pattern), and at C >= N-1 the
-    * candidate set is every vector, so the exact re-rank IS the exact
-    * top-5 under the same (cos DESC, vid) election — recall 1.0 by
-    * construction. Returns the certified frame plus the audit counts. */
   /** The shared PQ plan: corpus row count plus a fixed-candidate-depth
     * top-5 builder (train -> encode -> join-free ADC -> top-C -> exact
     * re-rank). One implementation behind BOTH the certified q268 path
@@ -283,6 +278,19 @@ object SimilarityQueries {
     (n, pqTop5)
   }
 
+  /** q268's CERTIFIED PQ/ADC top-5 (the compressed-ANN path): train
+    * bounded-sample codebooks, encode the corpus to packed codes (narrow
+    * native projection — the 100 TB corpus is never scanned as floats
+    * again), score every (query, vector) pair join-free via one
+    * PqAdcScores projection whose <= 10 query tables ride as a
+    * broadcast-literal reference, keep the ADC top-C per query, re-rank
+    * those C candidates with EXACT cosine, audit recall@5 against the
+    * exact top-5, and DOUBLE the candidate depth until the floor is
+    * earned. Bounded and terminating: at most log2(N) escalations, each
+    * one fused 1-row audit (the q47 pattern), and at C >= N-1 the
+    * candidate set is every vector, so the exact re-rank IS the exact
+    * top-5 under the same (cos DESC, vid) election — recall 1.0 by
+    * construction. Returns the certified frame plus the audit counts. */
   def pqTopKCertified(s: SparkSession, d: String, exact: DataFrame,
       floorTimes10: Long = 7L): (DataFrame, Long, Long) = {
     val (n, pqTop5) = pqPlan(s, d)
@@ -320,11 +328,7 @@ object SimilarityQueries {
     val corpus = normed(s, d)
     val m = 8
     val ksub = 16
-    val (n, fp) = AnnIndexStore.fingerprint(corpus, "vec_id", "v")
-    val k = AnnIndex.chooseK(n)
-    val (cents, _) = AnnIndexStore.loadOrTrain(
-      s, corpus, "vec_id", "v", k = k, iterations = 10,
-      key = AnnIndexStore.contentKey(n, fp), knownCount = Some(n))
+    val (n, k, cents) = ivfCentroidsStored(s, d)
     val books = ProductQuantizer.train(corpus, "vec_id", "v", m = m, ksub = ksub,
       knownCount = Some(n))
     // ONE narrow pass builds the whole index frame: coarse cell + code

@@ -283,9 +283,13 @@ object Throughput {
       val gBase = graft.operators.GraphQueries
         .purchaseEdgesLazy(spark, "/root/testdata/sf0.1")
       val gEdges = gBase.count()
+      // replicas offset the ENCODED int64 node ids (GraphQueries codec:
+      // customer ids < 2^54, supplier ids in [2^62, 2^62 + 2^54)) into
+      // disjoint 2^55-wide blocks — never colliding across replicas or
+      // across the customer/supplier ranges, no overflow for mult <= 64
       def gRepl(mult: Int) = (0 until mult).map(m => gBase.select(
-        concat(col("src"), lit("#" + m)).as("src"),
-        concat(col("dst"), lit("#" + m)).as("dst"))).reduce(_ unionByName _)
+        (col("src") + lit(m.toLong << 55)).as("src"),
+        (col("dst") + lit(m.toLong << 55)).as("dst"))).reduce(_ unionByName _)
       // codegen warm on a bounded slice so mult=1 is not a JIT shot
       graft.operators.GraphQueries.pagerank(gRepl(1).limit(1000), 1)
         .agg(count(lit(1))).collect()

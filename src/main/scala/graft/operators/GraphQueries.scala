@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph operators over the purchase graph (customer <-> supplier edges
@@ -25,6 +25,68 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   private val S = 1000000000000L // total rank mass, 1e12 units
+
+  // -------------------------------------------------------------------
+  // Node-id codec (r15 optimization, guide §2.3 "narrower types"):
+  // the purchase-graph family (q95/q144/q145/q165/q226) used to build
+  // STRING node ids ('c'||custkey, 's'||suppkey) at the scan and carry
+  // them through every shuffle, join and aggregate — ~16+ bytes of
+  // UnsafeRow payload plus a byte-wise hash/compare per row per
+  // operator, in the two most iteration-heavy plans in the catalog.
+  // The ids now ride as ONE int64 whose ordering is ISOMORPHIC to the
+  // byte-lexicographic order of the old strings, so min()/orderBy()/
+  // tie-breaks commute with the encoding and the decoded output is
+  // bit-identical; the strings are materialized only in the final
+  // (node-count-sized) projection.
+  //
+  // Encoding: enc = [bit62: 1 if supplier] | fracEnc(key), where
+  //   fracEnc(k) = k * 10^(15 - digits(k)) * 16 + digits(k)
+  // i.e. the decimal digits LEFT-ALIGNED in a fixed 15-digit field
+  // (compares like a string prefix scan), with the digit count as the
+  // low-nibble tie-break (a shorter string that is a prefix of a
+  // longer one sorts first — "1" < "10", exactly byte-lex order).
+  // Proof of order isomorphism for no-leading-zero decimals a, b:
+  //   - padded(a) != padded(b): the first differing aligned digit
+  //     decides both comparisons identically (trailing zero-padding
+  //     only extends a with digits that are <= any continuation of b
+  //     exactly when the length tie-break would agree);
+  //   - padded(a) == padded(b): b extends a with zeros (or vice
+  //     versa), and byte-lex order puts the shorter first — as does
+  //     the digit-count low nibble.
+  // 'c' < 's' maps to bit 62 clear < set. Bounds: key < 10^15 (15
+  // decimal digits — TPC-H keys reach ~11 digits at SF 1e5), so
+  // fracEnc < 1.6e16 and enc < 2^62 + 1.6e16 < 2^63. Both engines
+  // never see the encoding: DuckDB's oracle SQL still computes over
+  // the strings, and the decoded Spark output matches it hash-exact
+  // (proved by the driver gate + NodeCodecSpec's order-isomorphism
+  // property).
+  private[operators] val SuppBit = 1L << 62
+
+  private def fracEnc(key: Column): Column = {
+    val k = key.cast("long")
+    val len = length(k.cast("string"))
+    // 10^(15-len) as long: exact for len in [1, 15] (10^14 < 2^53)
+    (k * pow(lit(10.0), (lit(15) - len).cast("double")).cast("long") * 16
+      + len.cast("long"))
+  }
+
+  private[operators] def custEnc(k: Column): Column = fracEnc(k)
+  private[operators] def suppEnc(k: Column): Column =
+    fracEnc(k) + lit(SuppBit)
+
+  /** Inverse of the codec: the original 'c<key>' / 's<key>' string.
+    * padded = key * 10^(15-len) exactly, and both operands are < 2^53,
+    * so the IEEE double division is exact (correctly rounded quotient
+    * of exactly representable operands with an integer result). */
+  private[operators] def decodeNode(e: Column): Column = {
+    val body = e.bitwiseAND(lit(SuppBit - 1))
+    val len = body.bitwiseAND(lit(15L))
+    val padded = shiftright(body, 4)
+    val key = (padded / pow(lit(10.0), (lit(15) - len).cast("double")))
+      .cast("long")
+    concat(when(e >= lit(SuppBit), lit("s")).otherwise(lit("c")),
+      key.cast("string"))
+  }
 
   /** Directed edge list of the purchase graph: c<id> <-> s<id> both
     * ways for every distinct (customer, supplier) purchase pair.
@@ -63,8 +125,8 @@ object GraphQueries {
     Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"))
+      .select(custEnc(col("o_custkey")).as("c"),
+        suppEnc(col("l_suppkey")).as("sn"))
       .distinct()
 
   private def symmetrize(pairs: DataFrame): DataFrame =
@@ -98,12 +160,47 @@ object GraphQueries {
     }
   }
 
+  /** Scale-adaptive shuffle width for the iteration joins (r14 verdict
+    * item 3 / guide §2.5): derived from the edge plan's LEAF SCAN bytes
+    * — file-relation sizes, the only size statistic that is reliable
+    * without CBO or running a job (join-output estimates are
+    * multiplicative). Returns None when the session's configured
+    * shuffle parallelism already covers the input, which keeps the
+    * sf0.1 bench plan unchanged; above that the iteration operators
+    * hash-partition the edge frame explicitly so per-task state stays
+    * bounded as the graph grows (the 64x Throughput probe measured the
+    * heap saturating at ~2.3M edge rows/task under the fixed 32-wide
+    * local default, resolved at 256 parts — previously an env-var
+    * workaround, now the default plan shape). ~2 MiB of leaf input per
+    * task ≈ 100-300k edge rows; env-overridable for cluster tuning and
+    * capped at 4096 (a real cluster would raise both with its core
+    * count — the point is the DATA derives the width, not a constant
+    * tuned to either machine). */
+  private[operators] def scalePartsFor(leafBytes: BigInt, default: Int,
+      target: Long): Option[Int] = {
+    val need = ((leafBytes + target - 1) / target).min(BigInt(4096)).toInt
+    if (need > default) Some(need) else None
+  }
+
+  private def scaleParts(edges: DataFrame): Option[Int] =
+    scalePartsFor(
+      edges.queryExecution.analyzed.collectLeaves()
+        .map(_.stats.sizeInBytes).sum,
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_GRAPH_TASK_BYTES",
+        (2L * 1024 * 1024).toString).toLong)
+
   /** Fixed-point PageRank over an arbitrary directed edge list
     * (src, dst), `iters` synchronous iterations, damping 17/20.
     * Nodes are the distinct edge endpoints (so no dangling handling is
     * needed when the edge list is symmetric, as the purchase graph is).
     * Shared by the catalog entry and PageRankSpec. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges0: DataFrame, iters: Int): DataFrame = {
+    // every downstream consumer keys on src (nodes distinct, deg
+    // aggregate, the per-iteration contribution join), so one explicit
+    // hash partitioning serves them all and ReuseExchange dedups it
+    val edges = scaleParts(edges0)
+      .map(n => edges0.repartition(n, col("src"))).getOrElse(edges0)
     // Iteration-reuse contract — MEASURED, not guessed (round 8): the edge
     // list feeds every iteration plus nodes/deg, but the LAZY plan already
     // computes its shuffle ONCE — Catalyst's ReuseExchange dedups the
@@ -195,7 +292,11 @@ object GraphQueries {
         |      JOIN edges e ON e.src = r.node
         |    GROUP BY e.dst) m ON n2.node = m.node)
         |SELECT node, rank_u FROM r3 ORDER BY node""".stripMargin) { (s, d) =>
+      // every iteration computes over int64 node ids; the string form
+      // is restored only on the node-count-sized result (codec above)
       pagerank(purchaseEdgesLazy(s, d), iters = 3)
+        .select(decodeNode(col("node")).as("node"), col("rank_u"))
+        .orderBy("node")
     },
 
     // --------------------------------------------------------------- q102
@@ -439,8 +540,12 @@ object GraphQueries {
         |  (l3.lab <> l3.node)::BIGINT AS changed
         |FROM l3
         |ORDER BY node""".stripMargin) { (s, d) =>
+      // min(lab) over the encoded longs equals the encoded min over the
+      // strings (the codec is order-isomorphic), so decoding after the
+      // supersteps is exact; equality for `changed` is injective-safe
       labelPropagation(purchaseEdges(s, d), rounds = 3)
-        .select(col("node"), col("lab").as("label"),
+        .select(decodeNode(col("node")).as("node"),
+          decodeNode(col("lab")).as("label"),
           (col("lab") =!= col("node")).cast("long").as("changed"))
         .orderBy("node")
     },
@@ -586,10 +691,15 @@ object GraphQueries {
         |UNION ALL
         |SELECT side, rank, node, score FROM ar WHERE rank <= 20
         |ORDER BY side, rank""".stripMargin) { (s, d) =>
-      // same session-cached distinct-pair frame purchaseEdges feeds on
+      // same session-cached distinct-pair frame purchaseEdges feeds on;
+      // tie-breaks ordered by the encoded long = string order (codec),
+      // decoded on the 2k-row result
       hits(graft.plans.SharedFrames(s, d, "purchase_pairs") {
         purchasePairs(s, d)
       }, k = 20)
+        .select(col("side"), col("rank"),
+          decodeNode(col("node")).as("node"), col("score"))
+        .orderBy("side", "rank")
     },
 
     // --------------------------------------------------------------- q232
@@ -764,9 +874,12 @@ object GraphQueries {
     * the q165 catalog entry and SkylineTriangleSpec. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
-    val eself = edges.select(col("src"), col("dst"))
+    val eself0 = edges.select(col("src"), col("dst"))
       .unionByName(nodes.select(col("node").as("src"),
         col("node").as("dst")))
+    // scale-adaptive width for the per-superstep join (see scaleParts)
+    val eself = scaleParts(edges)
+      .map(n => eself0.repartition(n, col("src"))).getOrElse(eself0)
     val seeds = nodes.withColumn("lab", col("node"))
     (1 to rounds).foldLeft(seeds) { (lab, _) =>
       eself.join(lab.select(col("node").as("src"), col("lab")), "src")
